@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table access + cross-engine determinism helpers.
+  *
+  * Every query result is hash-compared against a DuckDB oracle over the
+  * same parquet (driver gate, see BASELINE.md). The helpers here encode
+  * the determinism discipline from SURVEY.md §2.C / §7.4:
+  *
+  *  - timestamps never leave a query raw: project `epoch micros`
+  *    (bigint) — parquet ns (DuckDB) vs µs (Spark) would hash-differ;
+  *  - double aggregates that SUM many rows go through decimal so the
+  *    result is order-independent, then cast back to double;
+  *  - remaining doubles are rounded to 6 decimals (`r6`);
+  *  - every query ends in a total ORDER BY.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to
+      // read as a timestamp; read it as a raw nanos long instead (also
+      // removes any ns→µs truncation ambiguity vs the DuckDB oracle).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events with event-time as epoch microseconds (`ts_us: long`).
+    * Data is µs-precision so the ns→µs integer division is lossless. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    apply(spark, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .drop("ts")
+
+  /** Register all tables as temp views (for spark.sql queries);
+    * events gets the ts_us treatment. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+}
+
+object Det {
+  /** Round a double to 6 decimals — cross-engine stable (no double is
+    * exactly on a 6-decimal half boundary; 5e-7 is not dyadic). */
+  def r6(c: Column): Column = round(c, 6)
+
+  /** Event-time as epoch microseconds (bigint), for ms-precision
+    * timestamp columns (lineitem/orders). DuckDB side: epoch_us(col).
+    * NTZ-safe via explicit cast (session TZ is UTC). */
+  def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** Aligned 1-second tumbling window start (epoch seconds) from an
+    * epoch-micros long. Values ≤ 2^53 so the double division is exact
+    * up to floor, and floor(c/1e6) == c div 1e6 for positive epochs. */
+  def usToSec(c: Column): Column = floor(c / 1000000L).cast("long")
+
+  /** Order-independent exact sum of a double column: route through
+    * decimal(18, scale) so partial-aggregation order can't change the
+    * result, then back to double (correctly-rounded in both engines). */
+  def dsum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+}

@@ -1,0 +1,252 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Det, Tables}
+import graft.Det._
+
+/** Group 1 — the reference's streaming semantics in batch-replay form,
+  * over the driver's `events` table.
+  *
+  * Reference behaviors generalized here (SURVEY.md §2.A; citations into
+  * /root/reference/src/DispatcherFunction/DispatcherFunction.cs):
+  *  - demux by key + 1-second event-time window + per-field average
+  *    (GroupBy :39, boundary check :87, avg :148);
+  *  - first-event metadata carried onto the output row (:141,:154-156);
+  *  - string→decimal parse with 0 default (:164-170);
+  *  - error-tolerant parse / dead-letter counting (:184-190, :33);
+  *  - arrays→map pivot of the output record (:144-150);
+  *  - event-time batch sort (:35).
+  *
+  * All are pure DataFrame plans: scan → (optional shuffle on the group
+  * key) → partial+final agg — at 100 TB the only data movement is the
+  * one hash shuffle on (user_id, window), which is the minimum demux
+  * cost; filters/projections push into the parquet scan.
+  */
+object EventOps {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  /** R9+R12+R20: per-key 1s tumbling window average (aligned form). */
+  def demuxWindowAvg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), usToSec(col("ts_us")).as("win_start_s"))
+      .agg(r6(avg(col("value"))).as("avg_value"))
+      .orderBy("user_id", "win_start_s")
+
+  /** R20 generalized: avg+min+max+count+sum per key/window. */
+  def demuxWindowAggMulti(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), usToSec(col("ts_us")).as("win_start_s"))
+      .agg(
+        r6(avg(col("value"))).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "win_start_s")
+
+  /** R17: first-event metadata per (key, window) — row_number=1 over
+    * event-time order (tiebreak event_id, matching the reference's
+    * stable batch sort :35). */
+  def windowFirstMeta(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), col("win_start_s"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(s, dir)
+      .select(
+        col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("ts_us"),
+        usToSec(col("ts_us")).as("win_start_s"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(
+        col("user_id"), col("win_start_s"),
+        col("event_id").as("first_event_id"),
+        col("event_type").as("first_event_type"),
+        col("ts_us").as("first_ts_us"),
+        r6(col("value")).as("first_value"))
+      .orderBy("user_id", "win_start_s")
+  }
+
+  /** R19: try-parse-else-0 aggregation (reference InternalParse
+    * :164-170) over the stringly-typed JSON props field. */
+  def safeCastAvg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(
+        col("event_type"),
+        coalesce(
+          expr("try_cast(get_json_object(props, '$.k') as double)"),
+          lit(0.0)).as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        r6(avg(col("k"))).as("avg_k"),
+        dsum(col("k")).as("sum_k"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** R4+R8: dead-letter accounting — parseable vs total per type. */
+  def parseErrors(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(
+        col("event_type"),
+        expr("try_cast(get_json_object(props, '$.k') as double)").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(col("k")).as("n_parsed"),
+        (count(lit(1)) - count(col("k"))).as("n_errors"))
+      .orderBy("event_type")
+
+  /** R2: JSON payload extraction (reference parse :177). */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("event_type"))
+      .orderBy("event_id")
+
+  /** R21: parallel arrays → map pivot (reference allValues :144-150),
+    * then exploded back to rows so the oracle comparison is flat.
+    * String-typed values only (no double→string formatting). */
+  def mapPivot(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(
+        col("event_id"),
+        map_from_arrays(
+          array(lit("type"), lit("user")),
+          array(col("event_type"), col("user_id").cast("string"))).as("m"))
+      .select(col("event_id"), explode(col("m")).as(Seq("name", "val")))
+      .orderBy("event_id", "name")
+
+  /** R3: demux-key synthesis — the reference's `{SessionId}:{Values[1]}`
+    * hack (:180) generalized to concat_ws over envelope fields. */
+  def keySynthesis(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(
+        col("event_id"),
+        concat_ws(":", col("user_id"), col("event_type")).as("key"))
+      .orderBy("event_id")
+
+  /** R7: global event-time sort (reference OrderBy :35). */
+  def eventSort(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(
+        col("ts_us"),
+        col("event_id"), col("user_id"), r6(col("value")).as("value"))
+      .orderBy("ts_us", "event_id")
+
+  /** R12 generalized: gap-based sessionization (30-minute gap) via
+    * lag + running sum — the batch equivalent of session windows. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val gapS = 1800L
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts_us").isNull ||
+          col("ts_us") - col("prev_ts_us") > gapS * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        r6(avg(col("value"))).as("avg_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_demux_window_avg" -> demuxWindowAvg _,
+    "q_demux_window_agg_multi" -> demuxWindowAggMulti _,
+    "q_window_first_meta" -> windowFirstMeta _,
+    "q_safe_cast_avg" -> safeCastAvg _,
+    "q_parse_errors" -> parseErrors _,
+    "q_json_extract" -> jsonExtract _,
+    "q_map_pivot" -> mapPivot _,
+    "q_key_synthesis" -> keySynthesis _,
+    "q_event_sort" -> eventSort _,
+    "q_sessionize" -> sessionize _)
+
+  val oracles: Map[String, String] = Map(
+    "q_demux_window_avg" ->
+      """SELECT user_id, epoch_us(ts) // 1000000 AS win_start_s,
+        |       round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_demux_window_agg_multi" ->
+      """SELECT user_id, epoch_us(ts) // 1000000 AS win_start_s,
+        |       round(avg(value), 6) AS avg_value,
+        |       min(value) AS min_value, max(value) AS max_value,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_window_first_meta" ->
+      """SELECT user_id, epoch_us(ts) // 1000000 AS win_start_s,
+        |       event_id AS first_event_id, event_type AS first_event_type,
+        |       epoch_us(ts) AS first_ts_us, round(value, 6) AS first_value
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id, epoch_us(ts) // 1000000
+        |  ORDER BY epoch_us(ts), event_id) = 1
+        |ORDER BY user_id, win_start_s""".stripMargin,
+    "q_safe_cast_avg" ->
+      """SELECT event_type,
+        |       round(avg(k), 6) AS avg_k,
+        |       CAST(sum(CAST(k AS DECIMAL(18,6))) AS DOUBLE) AS sum_k,
+        |       count(*) AS n
+        |FROM (SELECT event_type,
+        |             coalesce(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE), 0) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_parse_errors" ->
+      """SELECT event_type, count(*) AS n_total, count(k) AS n_parsed,
+        |       count(*) - count(k) AS n_errors
+        |FROM (SELECT event_type,
+        |             TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_map_pivot" ->
+      """SELECT event_id, u.name AS name, u.val AS val
+        |FROM events,
+        |     unnest([{'name': 'type', 'val': event_type},
+        |             {'name': 'user', 'val': CAST(user_id AS VARCHAR)}]) AS t(u)
+        |ORDER BY event_id, name""".stripMargin,
+    "q_key_synthesis" ->
+      """SELECT event_id,
+        |       concat_ws(':', CAST(user_id AS VARCHAR), event_type) AS key
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_event_sort" ->
+      """SELECT epoch_us(ts) AS ts_us, event_id, user_id,
+        |       round(value, 6) AS value
+        |FROM events ORDER BY ts_us, event_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS prev_ts_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts_us IS NULL
+        |                   OR ts_us - prev_ts_us > 1800 * 1000000
+        |                 THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sess AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |           ORDER BY ts_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        |       round(avg(value), 6) AS avg_value
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
