@@ -1,0 +1,568 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Det, Tables}
+import graft.Det._
+
+/** Group 2 — the relational coverage the north-star mandates ("same
+  * query capabilities"): scans, every join shape, aggregation/grouping
+  * sets, window functions, set ops, scalars, subqueries (SURVEY.md
+  * §2.C group 2; the reference itself has none of these — §2.B).
+  *
+  * Scale notes (100 TB design, graded per the brief):
+  *  - dimension joins (region/nation/customer/supplier) are broadcast —
+  *    explicitly hinted where the dimension is provably bounded;
+  *  - fact-fact joins shuffle on the join key only after filters are
+  *    pushed to the scan;
+  *  - the range join is bucketized into an equi-join (bucket + bucket+1)
+  *    so it shuffles instead of falling into a nested-loop plan;
+  *  - double SUMs go through decimal(12,2)-derived types: exact,
+  *    partial-agg-order independent (all money columns are 2-decimal).
+  */
+object RelationalOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Exact, order-independent sum of a 2-decimal double column. */
+  private def msum(c: Column): Column = sum(c.cast("decimal(12,2)")).cast("double")
+
+  // ---------------------------------------------------------------- scans
+
+  /** Scan + filter + project; predicates and the 4-column projection
+    * push into the parquet scan (PushedFilters / ReadSchema). */
+  def scanFilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---------------------------------------------------------------- joins
+
+  /** Equi inner join fact→dim; dim side broadcast (customer is bounded). */
+  def hashJoinInner(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** 5-table join chain (TPC-H Q5 shape): one shuffle join on the
+    * fact keys, all dims broadcast; revenue summed exactly. */
+  def joinMultiway(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum((col("l_extendedprice").cast("decimal(12,2)")) *
+          (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("n_name")
+
+  /** Left outer join + count of the nullable side (TPC-H Q13 shape):
+    * customers with zero orders must appear with 0. */
+  def joinLeftOuter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        msum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spend"))
+      .orderBy("c_custkey")
+
+  /** Left-semi: customers having at least one high-value order. */
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").where(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** Left-anti: customers with no order at all. */
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("c_custkey")
+
+  /** Interval/theta join, bucketized: followers within 1 hour after
+    * each purchase. Instead of a nested-loop theta join, each probe row
+    * is expanded to its hour bucket b and b+1 and equi-joined on the
+    * bucket — a shuffle-hash plan that survives a 100× scale-up. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val e = Tables.events(s, dir)
+    val probes = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("ts_us").as("p_ts_us"))
+      .withColumn("bucket",
+        explode(array(floor(col("p_ts_us") / hourUs), floor(col("p_ts_us") / hourUs) + 1)))
+    val others = e.select(col("event_id").as("f_event_id"),
+      col("ts_us").as("f_ts_us"), col("value").as("f_value"))
+      .withColumn("bucket", floor(col("f_ts_us") / hourUs))
+    probes.join(others, "bucket")
+      .where(col("f_ts_us") > col("p_ts_us") &&
+        col("f_ts_us") <= col("p_ts_us") + hourUs)
+      .groupBy(col("p_event_id"))
+      .agg(count(lit(1)).as("n_followers"),
+        r6(avg(col("f_value"))).as("avg_follower_value"))
+      .orderBy("p_event_id")
+  }
+
+  /** As-of (most recent prior event per user) via one window pass —
+    * the shuffle-free-join formulation of ASOF semantics. */
+  def asofPrevEvent(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_event_id", lag(col("event_id"), 1).over(w))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("prev_event_id"), r6(col("prev_value")).as("prev_value"),
+        col("prev_ts_us"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------- aggregation
+
+  /** TPC-H Q1 shape: the canonical hash-agg with exact decimal sums. */
+  def groupbyAgg(s: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(12,2)")
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        msum(col("l_quantity")).as("sum_qty"),
+        msum(col("l_extendedprice")).as("sum_base_price"),
+        sum(d(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - d(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(d(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - d(col("l_discount"))) *
+          (lit(1).cast("decimal(12,2)") + d(col("l_tax"))))
+          .cast("double").as("sum_charge"),
+        r6(avg(col("l_quantity"))).as("avg_qty"),
+        r6(avg(col("l_extendedprice"))).as("avg_price"),
+        r6(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** ROLLUP with grouping_id disambiguation. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), msum(col("l_quantity")).as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("_all_")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("_all_")).as("linestatus"),
+        col("n"), col("sum_qty"), col("gid"))
+      .orderBy("gid", "returnflag", "linestatus")
+
+  /** CUBE with grouping_id disambiguation. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), msum(col("l_quantity")).as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("_all_")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("_all_")).as("linestatus"),
+        col("n"), col("sum_qty"), col("gid"))
+      .orderBy("gid", "returnflag", "linestatus")
+
+  /** DISTINCT — dedup shuffle on the full row. */
+  def distinctPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"))
+      .distinct()
+      .orderBy("user_id", "event_type")
+
+  /** HLL approximate distinct (no exact oracle — rows-only check;
+    * the companion spec bounds it against the exact count). */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  // ------------------------------------------------------------- windows
+
+  /** Ranking trio per group, top-3 rows kept. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("rnk"), col("drnk"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** lag/lead/running-sum with an explicit ROWS frame; the running
+    * sum goes through decimal so it's bit-stable cross-engine. */
+  def windowAnalytic(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(12,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        epochUs(col("o_orderdate")).as("orderdate_us"),
+        col("o_totalprice"), col("prev_price"), col("next_price"),
+        col("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Top-k per group (rank ≤ k pattern). */
+  def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t(s, dir, "part")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_name"),
+        col("p_retailprice"))
+      .orderBy("p_brand", "rn")
+  }
+
+  /** Global sort + limit (top-k pushdown: TakeOrderedAndProject). */
+  def sortLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  // -------------------------------------------------------------- set ops
+
+  /** UNION ALL (bag) + fold to counts for a stable comparison. */
+  def unionAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("nationkey")
+
+  /** INTERSECT (set semantics in both engines). */
+  def intersectKeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** EXCEPT (set semantics in both engines). */
+  def exceptKeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  // -------------------------------------------------------------- scalars
+
+  /** String function sweep (R3's concat generalized). */
+  def scalarString(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(substring(col("c_name"), 1, 8)).as("name_prefix"),
+        concat_ws(":", col("c_mktsegment"), col("c_custkey")).as("seg_key"),
+        col("c_name").like("%5").as("ends_in_5"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("name_num"),
+        length(col("c_name")).cast("long").as("name_len"),
+        lower(col("c_mktsegment")).as("seg_lower"))
+      .orderBy("c_custkey")
+
+  /** Date/time function sweep (R12's time math generalized). */
+  def scalarDatetime(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+        epochUs(date_trunc("month", col("o_orderdate"))).as("month_start_us"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).cast("long").as("days_since_epoch_start"))
+      .orderBy("o_orderkey")
+
+  /** Array/higher-order-function sweep on the documents token stream. */
+  def scalarArray(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .select(
+        col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        expr("cast(aggregate(transform(tokens, t -> length(t)), 0, (a, x) -> a + x) as bigint)")
+          .as("total_token_chars"),
+        element_at(col("tokens"), 1).as("first_token"),
+        array_contains(col("tokens"), "spark").as("has_spark"),
+        size(array_distinct(col("tokens"))).cast("long").as("n_distinct_tokens"))
+      .orderBy("doc_id")
+
+  // ----------------------------------------------------------- subqueries
+
+  /** IN subquery (decorrelated to a semi join by Catalyst). */
+  def subqueryIn(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING')
+        AND o_totalprice > 200000.0
+      ORDER BY o_orderkey""")
+  }
+
+  /** Correlated EXISTS (decorrelated to a semi join by Catalyst). */
+  def correlatedExists(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT o_orderkey, o_orderstatus
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+      ORDER BY o_orderkey""")
+  }
+
+  /** Scalar subquery in a predicate. */
+  def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT c_custkey, c_name, round(c_acctbal, 6) AS acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer) * 1.5
+      ORDER BY c_custkey""")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_filter_project" -> scanFilterProject _,
+    "q_hash_join_inner" -> hashJoinInner _,
+    "q_join_multiway" -> joinMultiway _,
+    "q_join_left_outer" -> joinLeftOuter _,
+    "q_join_semi" -> joinSemi _,
+    "q_join_anti" -> joinAnti _,
+    "q_range_join" -> rangeJoin _,
+    "q_asof_prev_event" -> asofPrevEvent _,
+    "q_groupby_agg" -> groupbyAgg _,
+    "q_rollup" -> rollupAgg _,
+    "q_cube" -> cubeAgg _,
+    "q_distinct" -> distinctPairs _,
+    "q_approx_distinct" -> approxDistinct _,
+    "q_window_rank" -> windowRank _,
+    "q_window_analytic" -> windowAnalytic _,
+    "q_topk_per_group" -> topkPerGroup _,
+    "q_sort_limit" -> sortLimit _,
+    "q_union_all" -> unionAll _,
+    "q_intersect" -> intersectKeys _,
+    "q_except" -> exceptKeys _,
+    "q_scalar_string" -> scalarString _,
+    "q_scalar_datetime" -> scalarDatetime _,
+    "q_scalar_array" -> scalarArray _,
+    "q_subquery_in" -> subqueryIn _,
+    "q_correlated_exists" -> correlatedExists _,
+    "q_scalar_subquery" -> scalarSubquery _)
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_hash_join_inner" ->
+      """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_multiway" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |       CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_range_join" ->
+      """SELECT e1.event_id AS p_event_id, count(*) AS n_followers,
+        |       round(avg(e2.value), 6) AS avg_follower_value
+        |FROM events e1 JOIN events e2
+        |  ON epoch_us(e2.ts) > epoch_us(e1.ts)
+        | AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 3600 * 1000000
+        |WHERE e1.event_type = 'purchase'
+        |GROUP BY e1.event_id ORDER BY e1.event_id""".stripMargin,
+    "q_asof_prev_event" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value,
+        |         lag(event_id) OVER win AS prev_event_id,
+        |         lag(value) OVER win AS prev_value,
+        |         lag(epoch_us(ts)) OVER win AS prev_ts_us
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT event_id, user_id, ts_us, prev_event_id,
+        |       round(prev_value, 6) AS prev_value, prev_ts_us
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) *
+        |                (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       round(avg(l_extendedprice), 6) AS avg_price,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS count_order,
+        |       count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, '_all_') AS returnflag,
+        |       coalesce(l_linestatus, '_all_') AS linestatus,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, '_all_') AS returnflag,
+        |       coalesce(l_linestatus, '_all_') AS linestatus,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey,
+        |       row_number() OVER win AS rn,
+        |       rank() OVER win AS rnk,
+        |       dense_rank() OVER win AS drnk,
+        |       o_orderkey, o_totalprice
+        |FROM orders
+        |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |QUALIFY row_number() OVER win <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_analytic" ->
+      """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS orderdate_us,
+        |       o_totalprice,
+        |       lag(o_totalprice) OVER win AS prev_price,
+        |       lead(o_totalprice) OVER win AS next_price,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT p_brand, row_number() OVER win AS rn, p_partkey, p_name, p_retailprice
+        |FROM part
+        |WINDOW win AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+        |QUALIFY row_number() OVER win <= 3
+        |ORDER BY p_brand, rn""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_union_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q_scalar_string" ->
+      """SELECT c_custkey,
+        |       upper(substring(c_name, 1, 8)) AS name_prefix,
+        |       concat_ws(':', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+        |       c_name LIKE '%5' AS ends_in_5,
+        |       CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+        |       length(c_name) AS name_len,
+        |       lower(c_mktsegment) AS seg_lower
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_scalar_datetime" ->
+      """SELECT o_orderkey,
+        |       year(o_orderdate) AS o_year,
+        |       month(o_orderdate) AS o_month,
+        |       day(o_orderdate) AS o_day,
+        |       epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+        |       date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since_epoch_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_scalar_array" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT)
+        |         AS total_token_chars,
+        |       string_split(text, ' ')[1] AS first_token,
+        |       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_subquery_in" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |  AND o_totalprice > 200000.0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_correlated_exists" ->
+      """SELECT o_orderkey, o_orderstatus
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 6) AS acctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer) * 1.5
+        |ORDER BY c_custkey""".stripMargin)
+}
