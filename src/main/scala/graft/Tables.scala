@@ -22,10 +22,12 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
+    if (name == "events" &&
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to
       // read as a timestamp; read it as a raw nanos long instead (also
       // removes any ns→µs truncation ambiguity vs the DuckDB oracle).
+      // Set once here for sessions that didn't set it at build time.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }

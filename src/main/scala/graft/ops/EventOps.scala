@@ -48,28 +48,27 @@ object EventOps {
         dsum(col("value")).as("sum_value"))
       .orderBy("user_id", "win_start_s")
 
-  /** R17: first-event metadata per (key, window) — row_number=1 over
-    * event-time order (tiebreak event_id, matching the reference's
-    * stable batch sort :35). */
-  def windowFirstMeta(s: SparkSession, dir: String): DataFrame = {
-    val w = Window
-      .partitionBy(col("user_id"), col("win_start_s"))
-      .orderBy(col("ts_us"), col("event_id"))
+  /** R17: first-event metadata per (key, window) — `min_by` over the
+    * (ts, event_id) order key (reference takes the window head after its
+    * stable batch sort :35,:141). min_by aggregates with a partial
+    * (map-side) phase and no per-partition sort — at 100 TB this is one
+    * combine-enabled shuffle instead of a full sort per key partition. */
+  def windowFirstMeta(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .select(
-        col("user_id"), col("event_id"), col("event_type"), col("value"),
-        col("ts_us"),
-        usToSec(col("ts_us")).as("win_start_s"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+        col("user_id"), usToSec(col("ts_us")).as("win_start_s"),
+        col("event_id"), col("event_type"), col("ts_us"), col("value"))
+      .groupBy(col("user_id"), col("win_start_s"))
+      .agg(min_by(
+        struct(col("event_id"), col("event_type"), col("ts_us"), col("value")),
+        struct(col("ts_us"), col("event_id"))).as("f"))
       .select(
         col("user_id"), col("win_start_s"),
-        col("event_id").as("first_event_id"),
-        col("event_type").as("first_event_type"),
-        col("ts_us").as("first_ts_us"),
-        r6(col("value")).as("first_value"))
+        col("f.event_id").as("first_event_id"),
+        col("f.event_type").as("first_event_type"),
+        col("f.ts_us").as("first_ts_us"),
+        r6(col("f.value")).as("first_value"))
       .orderBy("user_id", "win_start_s")
-  }
 
   /** R19: try-parse-else-0 aggregation (reference InternalParse
     * :164-170) over the stringly-typed JSON props field. */
@@ -241,9 +240,9 @@ object EventOps {
         |                 THEN 1 ELSE 0 END AS new_session
         |  FROM e),
         |sess AS (
-        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
         |           ORDER BY ts_us, event_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,

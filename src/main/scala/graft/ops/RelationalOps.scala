@@ -43,21 +43,24 @@ object RelationalOps {
 
   // ---------------------------------------------------------------- joins
 
-  /** Equi inner join fact→dim; dim side broadcast (customer is bounded). */
+  /** Equi inner join fact→dim. `customer` SCALES with sf (billions of
+    * rows at the 100 TB design point), so no broadcast hint — AQE picks
+    * broadcast at small sf and shuffle-hash/sort-merge at scale. */
   def hashJoinInner(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")),
+      .join(t(s, dir, "customer"),
         col("o_custkey") === col("c_custkey"), "inner")
       .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
         col("o_totalprice"))
       .orderBy("o_orderkey")
 
-  /** 5-table join chain (TPC-H Q5 shape): one shuffle join on the
-    * fact keys, all dims broadcast; revenue summed exactly. */
+  /** 5-table join chain (TPC-H Q5 shape): shuffle joins on the fact
+    * keys; only the provably bounded dims (nation=25, region=5) carry
+    * broadcast hints — customer scales with sf, AQE decides for it. */
   def joinMultiway(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .where(col("r_name") === "ASIA" &&
@@ -422,7 +425,7 @@ object RelationalOps {
         |       round(avg(e2.value), 6) AS avg_follower_value
         |FROM events e1 JOIN events e2
         |  ON epoch_us(e2.ts) > epoch_us(e1.ts)
-        | AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 3600 * 1000000
+        | AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 3600000000
         |WHERE e1.event_type = 'purchase'
         |GROUP BY e1.event_id ORDER BY e1.event_id""".stripMargin,
     "q_asof_prev_event" ->
