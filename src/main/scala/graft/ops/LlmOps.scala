@@ -1,0 +1,278 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.Det._
+
+/** Group 3 — LLM-training-data-pipeline operators over `documents` and
+  * `embeddings` (SURVEY.md §2.C group 3; north-star mandate). The
+  * reference has no analog — these are the extensions a 100 TB corpus
+  * pipeline needs: dedup (exact + MinHash-LSH), similarity search
+  * (cosine top-k, kNN), text statistics, multimodal nested projection.
+  *
+  * Design rules, all enforced here:
+  *  - pure Catalyst column expressions / higher-order functions — no
+  *    UDFs, so every op stays inside whole-stage codegen and remains
+  *    DuckDB-oracle comparable;
+  *  - nothing all-pairs: near-dup candidates come from an LSH band
+  *    equi-join (shuffle on (band, sig)), similarity search broadcasts
+  *    a bounded query set against a streamed candidate scan;
+  *  - cross-engine hash parity via sha256: both engines compute
+  *    `bigint(hex[0:15] of sha256(s))` identically, so even the
+  *    MinHash signatures are oracle-checkable (most engines give up
+  *    here because their builtin `hash` differs).
+  */
+object LlmOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Portable 60-bit hash both engines agree on:
+    * first 15 hex chars of sha256, parsed base-16.
+    * DuckDB twin: CAST('0x' || substring(sha256(s),1,15) AS BIGINT). */
+  private def portableHash(c: Column): Column =
+    conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
+
+  // ------------------------------------------------------------ text stats
+
+  /** Per-(lang, source) corpus statistics: doc counts, token counts,
+    * length distribution. One scan + one partial-agg shuffle on the
+    * (lang, source) key — the canonical 100 TB corpus-profiling shape. */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("lang"), col("source"),
+        length(col("text")).cast("long").as("chars"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        r6(avg(col("toks"))).as("avg_tokens"),
+        r6(avg(col("chars"))).as("avg_chars"),
+        sum(col("chars")).as("total_chars"))
+      .orderBy("lang", "source")
+
+  // ----------------------------------------------------------------- dedup
+
+  /** Exact dedup by content hash: groupBy(sha256(text)), keep the
+    * smallest doc_id per group. min/count are map-side combinable, so
+    * at 100 TB this is one combine-enabled shuffle on the 256-bit hash
+    * (uniform keys — no skew by construction). */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+
+  /** MinHash-LSH near-dup candidates (bands=8, rows/band=1) over word
+    * 3-gram shingles. Per doc per band: sig = min over shingles of
+    * portableHash(band:shingle). Candidate pairs = docs equi-joined on
+    * (band, sig) — the LSH banding trick (Broder; see PAPERS.md): the
+    * only shuffle is on band signatures, never an all-pairs product.
+    * Output: candidate pair + how many of the 8 bands agree. */
+  def minhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val nBands = 8
+    val shingled = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ',
+          |              element_at(toks, i + 1), ' ',
+          |              element_at(toks, i + 2)))""".stripMargin).as("shingles"))
+    val banded = shingled
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, ${nBands - 1}), b -> struct(
+           |  b AS band,
+           |  array_min(transform(shingles,
+           |    sh -> cast(conv(substring(sha2(concat(cast(b as string), ':', sh), 256), 1, 15), 16, 10) as bigint)
+           |  )) AS sig))""".stripMargin)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val left = banded.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+    val right = banded.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
+    left.join(right, Seq("band", "sig"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------ similarity search
+
+  /** Embeddings with a precomputed L2 norm (computed once per vector,
+    * not once per pair — the dominant cost at scale). */
+  private def withNorm(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"), expr(
+        """sqrt(aggregate(
+          |  transform(embedding, x -> cast(x as double) * cast(x as double)),
+          |  cast(0.0 as double), (a, v) -> a + v))""".stripMargin).as("norm"))
+
+  /** (query, candidate) cosine pairs for a bounded query set. The
+    * query side (20 vectors — fixed, independent of sf) is broadcast;
+    * candidates stream through one scan with no shuffle. Cosine is a
+    * zip_with/aggregate fold in doubles (codegen'd, left-to-right —
+    * bit-identical to the oracle's list_reduce), rounded to 6 decimals
+    * so downstream ranking is stable cross-engine. */
+  private def cosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(s, dir)
+    val queries = base
+      .where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val cands = base.select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+      col("label"), col("norm").as("c_norm"))
+    cands.crossJoin(broadcast(queries))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("label"), (expr(
+        """aggregate(
+          |  zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * cast(y as double)),
+          |  cast(0.0 as double), (a, v) -> a + v)""".stripMargin)
+        / (col("q_norm") * col("c_norm"))).as("raw_cos"))
+      .select(col("qid"), col("cid"), col("label"), r6(col("raw_cos")).as("cos"))
+  }
+
+  /** Brute-force cosine top-k (k=5) per query vector — the exactness
+    * baseline for ANN. Scale path: broadcast query block × candidate
+    * scan, then per-query top-k. (For huge query sets the LSH/IVF
+    * bucketed variant replaces the broadcast — see q_minhash_dedup's
+    * band join for the pattern.) */
+  def cosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cosinePairs(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("cid"), col("cos"))
+      .orderBy("qid", "rn")
+  }
+
+  /** kNN label vote (k=5): majority label among the top-5 cosine
+    * neighbors, ties broken by smaller label. */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val topw = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val votew = Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("label"))
+    cosinePairs(s, dir)
+      .withColumn("rn", row_number().over(topw))
+      .where(col("rn") <= 5)
+      .groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(votew))
+      .where(col("vr") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+      .orderBy("qid")
+  }
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Multimodal record assembly + nested projection: join text docs to
+    * their embedding payloads, build struct{doc{...}, media{...}}
+    * columns, then project scalar fields back out of the nested
+    * structs. Exercises Catalyst's nested-schema pruning: the parquet
+    * scan must read only the accessed leaf fields. */
+  def multimodalProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+      .select(
+        col("doc_id"),
+        struct(col("text"), col("lang"), col("source")).as("doc"),
+        struct(col("embedding"), col("label")).as("media"))
+      .select(
+        col("doc_id"),
+        col("doc.lang").as("lang"),
+        length(col("doc.text")).cast("long").as("text_chars"),
+        col("media.label").as("label"),
+        size(col("media.embedding")).cast("long").as("emb_dim"),
+        r6(element_at(col("media.embedding"), 1).cast("double")).as("emb_first"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> textStats _,
+    "q_exact_dedup" -> exactDedup _,
+    "q_minhash_dedup" -> minhashDedup _,
+    "q_cosine_topk" -> cosineTopk _,
+    "q_knn_classify" -> knnClassify _,
+    "q_multimodal_project" -> multimodalProject _)
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |       round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+        |       round(avg(length(text)), 6) AS avg_chars,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_exact_dedup" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_doc_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+    "q_minhash_dedup" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |m AS (
+        |  SELECT doc_id, b.range AS band,
+        |         list_min(list_transform(shingles,
+        |           sh -> CAST('0x' || substring(sha256(CAST(b.range AS VARCHAR) || ':' || sh), 1, 15) AS BIGINT))) AS sig
+        |  FROM s, range(0, 8) b)
+        |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS n_shared_bands
+        |FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_cosine_topk" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding, label,
+        |         sqrt(list_reduce(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS norm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid, c.label,
+        |         round(list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |               / (q.norm * c.norm), 6) AS cos
+        |  FROM base q, base c
+        |  WHERE q.vec_id < 20 AND q.vec_id != c.vec_id)
+        |SELECT qid, CAST(row_number() OVER win AS BIGINT) AS rn, cid, cos
+        |FROM p
+        |WINDOW win AS (PARTITION BY qid ORDER BY cos DESC, cid)
+        |QUALIFY row_number() OVER win <= 5
+        |ORDER BY qid, rn""".stripMargin,
+    "q_knn_classify" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding, label,
+        |         sqrt(list_reduce(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS norm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid, c.label,
+        |         round(list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |               / (q.norm * c.norm), 6) AS cos
+        |  FROM base q, base c
+        |  WHERE q.vec_id < 20 AND q.vec_id != c.vec_id),
+        |top5 AS (
+        |  SELECT qid, label FROM p
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= 5),
+        |votes AS (
+        |  SELECT qid, label, count(*) AS votes FROM top5 GROUP BY qid, label)
+        |SELECT qid, label AS pred_label, votes
+        |FROM votes
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) = 1
+        |ORDER BY qid""".stripMargin,
+    "q_multimodal_project" ->
+      """SELECT d.doc_id, d.lang,
+        |       CAST(length(d.text) AS BIGINT) AS text_chars,
+        |       e.label,
+        |       CAST(len(e.embedding) AS BIGINT) AS emb_dim,
+        |       round(CAST(e.embedding[1] AS DOUBLE), 6) AS emb_first
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin)
+}
