@@ -19,10 +19,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EventOps.queries ++ RelationalOps.queries ++ LlmOps.queries
+    EventOps.queries ++ RelationalOps.queries ++ LlmOps.queries ++
+      TextOps.queries ++ VectorOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    EventOps.oracles ++ RelationalOps.oracles ++ LlmOps.oracles
+    EventOps.oracles ++ RelationalOps.oracles ++ LlmOps.oracles ++
+      TextOps.oracles ++ VectorOps.oracles
 }

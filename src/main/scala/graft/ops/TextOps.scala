@@ -1,0 +1,332 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.Det._
+
+/** Text-analysis operators for the LLM-data pipeline (north-star brief:
+  * language-ID, quality scoring, token counting, fingerprinting, and
+  * the SimHash / n-gram-Jaccard near-dup family) over `documents`.
+  *
+  * Same ground rules as LlmOps: pure column expressions (whole-stage
+  * codegen, no UDFs), LSH/band-style candidate generation instead of
+  * all-pairs products, and cross-engine determinism via the portable
+  * sha256-derived hash + round-6 discipline.
+  */
+object TextOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** SQL fragment: portable 60-bit hash (see LlmOps.portableHash). */
+  private def ph(x: String): String =
+    s"cast(conv(substring(sha2($x, 256), 1, 15), 16, 10) as bigint)"
+
+  /** documents tokenized once: (doc_id, lang, source, text, toks). */
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+
+  /** Word 3-gram shingles per doc (shared with LlmOps.minhashDedup's
+    * shape; docs under 3 tokens are dropped identically both sides). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir)
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ',
+          |              element_at(toks, i + 1), ' ',
+          |              element_at(toks, i + 2)))""".stripMargin).as("shingles"))
+
+  // ------------------------------------------------------------ language ID
+
+  /** n-gram-heuristic language ID: learn a top-5 token vocabulary per
+    * language from the corpus itself (one agg + window — at scale the
+    * resulting (lang × 5)-row vocab is broadcast), then classify each
+    * doc by distinct-token overlap, ties to the lexicographically
+    * smaller language. Emits the true-label comparison so downstream
+    * can measure heuristic accuracy. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocabW = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("token"))
+    val vocab = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(vocabW)).where(col("r") <= 5)
+      .select(col("lang").as("cand_lang"), col("token"))
+    val docTok = docs.select(col("doc_id"), col("lang").as("true_lang"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
+    val predW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_matches").desc, col("cand_lang"))
+    docTok.join(broadcast(vocab), "token")
+      .groupBy(col("doc_id"), col("true_lang"), col("cand_lang"))
+      .agg(count(lit(1)).as("n_matches"))
+      .withColumn("pr", row_number().over(predW)).where(col("pr") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("n_matches"),
+        (col("cand_lang") === col("true_lang")).as("is_correct"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------- quality score
+
+  /** Per-doc quality signals (length, stopword ratio, type-token
+    * ratio, mean token length) folded into one score. The ratio
+    * columns are r6-display-rounded (safe: k/n with n < 128 can never
+    * land on a 7-decimal half-boundary), but the WEIGHTED score can —
+    * 0.4a+0.3b+0.3c of 6-decimal inputs hits exact x.xxxxxx5 values
+    * where Spark (binary-exact) and DuckDB (decimal-repr) round
+    * opposite ways. So the score ships as floor(score·1e6) micro-units
+    * — floor of the same IEEE double is engine-independent. Every
+    * literal is forced to double (a bare 0.4 is DECIMAL in SQL). */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val rawStop = expr("size(filter(toks, x -> x IN ('a','the','of','and','in'))) / cast(size(toks) as double)")
+    val rawTtr = expr("size(array_distinct(toks)) / cast(size(toks) as double)")
+    tokenized(s, dir)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        r6(expr("aggregate(toks, 0, (a, x) -> a + length(x)) / cast(size(toks) as double)"))
+          .as("mean_tok_len"),
+        r6(rawStop).as("stop_ratio"),
+        r6(rawTtr).as("ttr"),
+        floor((
+          lit(0.4) * least(size(col("toks")).cast("double") / lit(100.0), lit(1.0)) +
+          lit(0.3) * (lit(1.0) - rawStop) +
+          lit(0.3) * rawTtr) * lit(1000000.0)).as("quality_score_u"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------- token counting
+
+  /** Token counting two ways: whitespace split vs a BPE-ish regex
+    * tokenizer ([a-z0-9]+ runs — identical semantics in Java regex and
+    * RE2). The regex path is what a real pipeline feeds to a BPE
+    * trainer; counting stays a scan-only projection. */
+  def tokenCountBpe(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)).as("re_toks"))
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(col("re_toks")).cast("long").as("n_re_tokens"),
+        size(array_distinct(col("re_toks"))).cast("long").as("n_re_distinct"),
+        r6(expr("aggregate(re_toks, 0, (a, x) -> a + length(x)) / cast(size(re_toks) as double)"))
+          .as("avg_re_len"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------- fingerprints
+
+  /** Document fingerprinting (winnowing-lite): hash every 3-gram
+    * shingle, keep hashes ≡ 0 mod 16 — a content-defined ~1/16 sample
+    * that picks the SAME shingles for the same content regardless of
+    * position, so shared fingerprints ⇒ shared passages. Scan-only;
+    * the downstream fingerprint-equi-join is the scale-safe overlap
+    * detector (same pattern as the MinHash band join). */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir)
+      .select(col("doc_id"), col("shingles"),
+        expr(s"filter(transform(shingles, sh -> ${ph("sh")}), h -> h % 16 = 0)").as("fps"))
+      .select(
+        col("doc_id"),
+        size(col("shingles")).cast("long").as("n_shingles"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+      .orderBy("doc_id")
+
+  // -------------------------------------------------------------- near-dup
+
+  /** SimHash near-dup: 32-bit simhash over token hashes (bit i = sign
+    * of Σ±1 across token occurrences), candidate pairs from an 8-bit
+    * band equi-join (4 bands), kept when hamming(a, b) ≤ 1. The band
+    * join bounds the pair space; the hamming filter runs only on
+    * band-collision survivors — never on the full cross product. */
+  def simhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val sim = tokenized(s, dir)
+      .select(col("doc_id"),
+        expr(s"transform(toks, tk -> ${ph("tk")})").as("th"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, 31), i ->
+          |  aggregate(th, cast(0 as bigint),
+          |    (a, h) -> a + if((shiftright(h, i) & 1) = 1,
+          |                     cast(1 as bigint), cast(-1 as bigint))))""".stripMargin).as("bits"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 31), cast(0 as bigint), (acc, i) ->
+          |  acc + if(element_at(bits, i + 1) > 0,
+          |           shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""".stripMargin).as("simhash"))
+    val banded = sim.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("byte", expr("shiftright(simhash, 8 * band) & 255"))
+    val a = banded.select(col("band"), col("byte"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band"), col("byte"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band", "byte"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b")).distinct()
+      .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as bigint)"))
+      .where(col("hamming") <= 1)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard similarity, computed only on MinHash band
+    * candidates (same 8-band signature scheme as LlmOps.minhashDedup)
+    * — the verify step of a near-dup pipeline: LSH proposes, Jaccard
+    * disposes. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val nBands = 8
+    val sets = shingled(s, dir)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sset"), col("shingles"))
+    val banded = sets
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, ${nBands - 1}), b -> struct(
+           |  b AS band,
+           |  array_min(transform(shingles,
+           |    sh -> ${ph("concat(cast(b as string), ':', sh)")})) AS sig))""".stripMargin)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = banded.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+        Seq("band", "sig"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), r6(
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+        size(array_union(col("set_a"), col("set_b"))).cast("double")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_id" -> langId _,
+    "q_quality_score" -> qualityScore _,
+    "q_token_count_bpe" -> tokenCountBpe _,
+    "q_doc_fingerprint" -> docFingerprint _,
+    "q_simhash_dedup" -> simhashDedup _,
+    "q_ngram_jaccard" -> ngramJaccard _)
+
+  private val phSqlDuck =
+    "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q_lang_id" ->
+      """WITH cv AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |vocab AS (
+        |  SELECT lang AS cand_lang, token FROM (
+        |    SELECT lang, token, count(*) AS cnt,
+        |           row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS r
+        |    FROM cv GROUP BY lang, token) WHERE r <= 5),
+        |tok AS (
+        |  SELECT doc_id, lang AS true_lang,
+        |         unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, true_lang, cand_lang, count(*) AS n_matches
+        |  FROM tok JOIN vocab USING (token) GROUP BY 1, 2, 3)
+        |SELECT doc_id, cand_lang AS pred_lang, n_matches,
+        |       cand_lang = true_lang AS is_correct
+        |FROM m
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY n_matches DESC, cand_lang) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |       CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |       round(list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE), 6) AS mean_tok_len,
+        |       round(len(list_filter(toks, x -> x IN ('a','the','of','and','in'))) / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+        |       round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS ttr,
+        |       CAST(floor((
+        |         CAST(0.4 AS DOUBLE) * least(len(toks) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) +
+        |         CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - len(list_filter(toks, x -> x IN ('a','the','of','and','in'))) / CAST(len(toks) AS DOUBLE)) +
+        |         CAST(0.3 AS DOUBLE) * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+        |       ) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS quality_score_u
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_token_count_bpe" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re_tokens,
+        |       CAST(len(list_distinct(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS n_re_distinct,
+        |       round(list_sum(list_transform(regexp_extract_all(text, '[a-z0-9]+'), x -> length(x)))
+        |             / CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS DOUBLE), 6) AS avg_re_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_doc_fingerprint" ->
+      ("""WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |f AS (
+        |  SELECT doc_id, shingles,
+        |         list_filter(list_transform(shingles, sh -> """ + phSqlDuck.format("sh") + """), h -> h % 16 = 0) AS fps
+        |  FROM s)
+        |SELECT doc_id,
+        |       CAST(len(shingles) AS BIGINT) AS n_shingles,
+        |       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+        |       list_min(fps) AS min_fp,
+        |       list_max(fps) AS max_fp
+        |FROM f ORDER BY doc_id""").stripMargin,
+    "q_simhash_dedup" ->
+      ("""WITH h AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split(text, ' '), tk -> """ + phSqlDuck.format("tk") + """) AS th
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 32), i ->
+        |           list_sum(list_transform(th, hh ->
+        |             CASE WHEN (hh >> i) & 1 = 1 THEN 1 ELSE -1 END))) AS bits
+        |  FROM h),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(list_sum(list_transform(range(0, 32), i ->
+        |           CASE WHEN bits[i + 1] > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+        |  FROM b),
+        |bands AS (
+        |  SELECT doc_id, simhash, r.range AS band,
+        |         (simhash >> (8 * r.range)) & 255 AS byte
+        |  FROM s, range(0, 4) r),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |         a.simhash AS sim_a, c.simhash AS sim_b
+        |  FROM bands a JOIN bands c
+        |    ON a.band = c.band AND a.byte = c.byte AND a.doc_id < c.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+        |FROM pairs
+        |WHERE bit_count(xor(sim_a, sim_b)) <= 1
+        |ORDER BY doc_a, doc_b""").stripMargin,
+    "q_ngram_jaccard" ->
+      ("""WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sets AS (SELECT doc_id, shingles, list_distinct(shingles) AS sset FROM s),
+        |m AS (
+        |  SELECT doc_id, b.range AS band,
+        |         list_min(list_transform(shingles,
+        |           sh -> """ + phSqlDuck.format("CAST(b.range AS VARCHAR) || ':' || sh") + """)) AS sig
+        |  FROM sets, range(0, 8) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id)
+        |SELECT cand.doc_a, cand.doc_b,
+        |       round(CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE) /
+        |             CAST(len(list_distinct(list_concat(x.sset, y.sset))) AS DOUBLE), 6) AS jaccard
+        |FROM cand
+        |JOIN sets x ON x.doc_id = cand.doc_a
+        |JOIN sets y ON y.doc_id = cand.doc_b
+        |ORDER BY doc_a, doc_b""").stripMargin)
+}

@@ -1,0 +1,209 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.Det._
+
+/** Vector / multimodal operators for the LLM-data pipeline over
+  * `embeddings` (+ `documents` for the binary-payload plumbing):
+  * LSH-bucketed embedding near-dup (random-hyperplane signatures),
+  * IVF-style ANN (coarse centroids → cluster-local search), and
+  * opaque-binary multimodal column handling.
+  *
+  * Scale shapes: signature/assignment computation is scan-only; the
+  * only shuffles are the bucket/cluster equi-joins. Nothing here is
+  * all-pairs — that is the entire point of the SRP and IVF variants
+  * relative to LlmOps.cosineTopk's brute-force baseline.
+  */
+object VectorOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** SQL fragment: portable 60-bit hash (see LlmOps.portableHash). */
+  private def ph(x: String): String =
+    s"cast(conv(substring(sha2($x, 256), 1, 15), 16, 10) as bigint)"
+
+  /** SQL fragment: sequential-fold dot product of two double-cast
+    * float arrays (bit-identical to DuckDB's list_reduce fold). */
+  private def dotSql(a: String, b: String): String =
+    s"""aggregate(
+       |  zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
+       |  cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin
+
+  /** embeddings + precomputed L2 norm (once per vector, not per pair). */
+  private def withNorm(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"), expr(
+        """sqrt(aggregate(
+          |  transform(embedding, x -> cast(x as double) * cast(x as double)),
+          |  cast(0.0 as double), (a, v) -> a + v))""".stripMargin).as("norm"))
+
+  // ------------------------------------------------- SRP-LSH near-duplicate
+
+  /** Random-hyperplane (SRP) LSH signature: 8 pseudo-random hyperplanes
+    * whose coefficients g(p,i) = (hash(p:i) mod 2001 - 1000)/1000 are
+    * derived from the portable hash, so both engines build the SAME
+    * planes with no shared random state. sig bit p = sign(v · g_p). */
+  private val srpSigSql: String = {
+    val g = s"cast(${ph("concat(cast(p as string), ':', cast(i as string))")} % 2001 - 1000 as double) / cast(1000 as double)"
+    s"""cast(aggregate(sequence(0, 7), cast(0 as bigint), (acc, p) ->
+       |  acc + if(
+       |    aggregate(sequence(1, 64), cast(0.0 as double),
+       |      (a, i) -> a + cast(element_at(embedding, i) as double) * ($g)) > 0,
+       |    shiftleft(cast(1 as bigint), p), cast(0 as bigint))) as bigint)""".stripMargin
+  }
+
+  /** Embedding-cosine near-dup, LSH-bucketed: vectors sharing an 8-bit
+    * SRP signature land in one bucket; exact cosine runs only within
+    * buckets; pairs with cos ≥ 0.25 survive. At 100 TB the plane count
+    * grows (16-24 bits) to keep buckets bounded — the shape stays one
+    * scan + one bucket equi-join. */
+  def embeddingNeardup(s: SparkSession, dir: String): DataFrame = {
+    val sigd = withNorm(s, dir).withColumn("sig", expr(srpSigSql))
+    val a = sigd.select(col("sig"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = sigd.select(col("sig"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    a.join(b, "sig")
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        r6(expr(dotSql("emb_a", "emb_b")) / (col("norm_a") * col("norm_b"))).as("cos"))
+      .where(col("cos") >= 0.25)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // --------------------------------------------------------------- IVF ANN
+
+  /** IVF-style ANN: 16 coarse centroids (deterministically the first
+    * 16 vectors — a real deployment k-means's a sample offline), every
+    * vector assigned to its nearest centroid via a broadcast join +
+    * per-vector argmax, then each query (vec_id < 20) searches ONLY
+    * its own cluster (nprobe=1) for its top-3 neighbors. The search
+    * shuffle is on cluster id — candidate work per query is |cluster|,
+    * not |corpus|. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(s, dir)
+    val cents = base.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        col("norm").as("cent_norm"))
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assign = base.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        r6(expr(dotSql("embedding", "cent_emb")) / (col("norm") * col("cent_norm"))).as("ccos"))
+      .withColumn("ar", row_number().over(assignW)).where(col("ar") === 1)
+      .select(col("vec_id"), col("cent_id").as("cluster_id"))
+    val clustered = base.join(assign, "vec_id")
+    val q = clustered.where(col("vec_id") < 20)
+      .select(col("cluster_id"), col("vec_id").as("qid"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val c = clustered.select(col("cluster_id"), col("vec_id").as("cid"),
+      col("embedding").as("c_emb"), col("norm").as("c_norm"))
+    val topW = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    q.join(c, "cluster_id")
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cluster_id"), col("cid"),
+        r6(expr(dotSql("q_emb", "c_emb")) / (col("q_norm") * col("c_norm"))).as("cos"))
+      .withColumn("rn", row_number().over(topW).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("qid"), col("cluster_id"), col("rn"), col("cid"), col("cos"))
+      .orderBy("qid", "rn")
+  }
+
+  // ----------------------------------------------------- multimodal binary
+
+  /** Opaque-binary multimodal plumbing: media payloads travel as
+    * `binary` columns with a typed metadata struct beside them; all
+    * derived features come from the bytes, never the original string.
+    * The "decode" here (head_hex + a hash-derived feature bucket) is a
+    * DETERMINISTIC STUB for a real image/audio decoder — in production
+    * that step is a mapPartitions/vectorized-UDF stage with this exact
+    * schema and batch shape (payload binary + meta struct in, feature
+    * columns out); the codec library is the only missing piece. */
+  def multimodalBinary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(lit("text/plain").as("mime"), col("lang").as("lang")).as("meta"))
+      .select(
+        col("doc_id"),
+        col("meta.mime").as("mime"),
+        col("meta.lang").as("lang"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        upper(substring(hex(col("payload")), 1, 16)).as("head_hex"),
+        // STUB decoder output: deterministic pseudo-feature from bytes.
+        expr(s"${ph("cast(payload as string)")} % 1000").as("stub_feature"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_neardup" -> embeddingNeardup _,
+    "q_ann_ivf" -> annIvf _,
+    "q_multimodal_binary" -> multimodalBinary _)
+
+  private val phDuck = "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q_embedding_neardup" ->
+      ("""WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS norm,
+        |         CAST(list_sum(list_transform(range(0, 8), p ->
+        |           CASE WHEN list_reduce(list_transform(range(1, 65), i ->
+        |                  CAST(embedding[i] AS DOUBLE) *
+        |                  (CAST(""" + phDuck.format("CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)") + """ % 2001 - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE))),
+        |                (a, v) -> a + v) > 0
+        |           THEN 1::BIGINT << p ELSE 0::BIGINT END)) AS BIGINT) AS sig
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
+        |             / (a.norm * b.norm), 6) AS cos
+        |FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        |WHERE round(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
+        |             / (a.norm * b.norm), 6) >= 0.25
+        |ORDER BY vec_a, vec_b""").stripMargin,
+    "q_ann_ivf" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding, label,
+        |         sqrt(list_reduce(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS norm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
+        |  FROM base WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cluster_id FROM (
+        |    SELECT b.vec_id, c.cent_id,
+        |           round(list_reduce(list_transform(list_zip(b.embedding, c.cent_emb),
+        |                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |                 / (b.norm * c.cent_norm), 6) AS ccos
+        |    FROM base b, cents c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) = 1),
+        |clustered AS (
+        |  SELECT b.*, a.cluster_id FROM base b JOIN assign a USING (vec_id)),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, q.cluster_id, c.vec_id AS cid,
+        |         round(list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |               / (q.norm * c.norm), 6) AS cos
+        |  FROM clustered q JOIN clustered c ON q.cluster_id = c.cluster_id
+        |  WHERE q.vec_id < 20 AND q.vec_id != c.vec_id)
+        |SELECT qid, cluster_id, CAST(row_number() OVER win AS BIGINT) AS rn, cid, cos
+        |FROM pairs
+        |WINDOW win AS (PARTITION BY qid ORDER BY cos DESC, cid)
+        |QUALIFY row_number() OVER win <= 3
+        |ORDER BY qid, rn""".stripMargin,
+    "q_multimodal_binary" ->
+      ("""SELECT doc_id,
+        |       'text/plain' AS mime,
+        |       lang,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       upper(substring(hex(encode(text)), 1, 16)) AS head_hex,
+        |       """ + phDuck.format("text") + """ % 1000 AS stub_feature
+        |FROM documents ORDER BY doc_id""").stripMargin)
+}
