@@ -20,7 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventOps.queries ++ RelationalOps.queries ++ LlmOps.queries ++
-      TextOps.queries ++ VectorOps.queries
+      TextOps.queries ++ VectorOps.queries ++ CompatOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

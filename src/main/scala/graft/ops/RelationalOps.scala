@@ -317,6 +317,28 @@ object RelationalOps {
         size(array_distinct(col("tokens"))).cast("long").as("n_distinct_tokens"))
       .orderBy("doc_id")
 
+  /** Map-function sweep (completes q_scalar_array_map: map_keys /
+    * map_values / transform_values / map_filter / map_contains_key on
+    * a map built from row fields). Collection outputs are sorted so
+    * map entry order can't leak into the hash. */
+  def scalarMap(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        map_from_arrays(
+          array(lit("type"), lit("user")),
+          array(col("event_type"), col("user_id").cast("string"))).as("m"))
+      .select(
+        col("event_id"),
+        sort_array(map_keys(col("m"))).as("m_keys"),
+        sort_array(map_values(col("m"))).as("m_vals"),
+        sort_array(map_values(expr("transform_values(m, (k, v) -> upper(v))")))
+          .as("m_vals_upper"),
+        sort_array(map_keys(expr("map_filter(m, (k, v) -> k = 'type')")))
+          .as("m_type_only_keys"),
+        expr("map_contains_key(m, 'type')").as("has_type"),
+        size(col("m")).cast("long").as("n_entries"))
+      .orderBy("event_id")
+
   // ----------------------------------------------------------- subqueries
 
   /** IN subquery (decorrelated to a semi join by Catalyst). */
@@ -376,6 +398,7 @@ object RelationalOps {
     "q_scalar_string" -> scalarString _,
     "q_scalar_datetime" -> scalarDatetime _,
     "q_scalar_array" -> scalarArray _,
+    "q_scalar_map" -> scalarMap _,
     "q_subquery_in" -> subqueryIn _,
     "q_correlated_exists" -> correlatedExists _,
     "q_scalar_subquery" -> scalarSubquery _)
@@ -550,6 +573,18 @@ object RelationalOps {
         |       list_contains(string_split(text, ' '), 'spark') AS has_spark,
         |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_scalar_map" ->
+      """SELECT event_id,
+        |       list_sort(map_keys(m)) AS m_keys,
+        |       list_sort(map_values(m)) AS m_vals,
+        |       list_sort(list_transform(map_values(m), v -> upper(v))) AS m_vals_upper,
+        |       list_sort(list_filter(map_keys(m), k -> k = 'type')) AS m_type_only_keys,
+        |       list_contains(map_keys(m), 'type') AS has_type,
+        |       CAST(cardinality(m) AS BIGINT) AS n_entries
+        |FROM (SELECT event_id,
+        |             MAP(['type', 'user'], [event_type, CAST(user_id AS VARCHAR)]) AS m
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
     "q_subquery_in" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
