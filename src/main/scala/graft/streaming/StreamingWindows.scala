@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Idiomatic Structured Streaming forms of the Group 1 window
+  * aggregations (EventOps' batch queries are the oracle surface; these
+  * are the `readStream` path a production deployment runs — SURVEY
+  * §7.2 step 5).
+  *
+  * Unlike the compat path (StreamingCompat), these use Spark's aligned
+  * event-time windows + watermarks: late data beyond the watermark is
+  * DROPPED, windows close deterministically, and state is evicted —
+  * the three things the reference lacks (silent late merge, no timer
+  * close, unbounded queue — README.md:79, SURVEY §2.B). Both behaviors
+  * are intentional: compat preserves the reference, this is the fix.
+  *
+  * Input schema: (user_id long, ts timestamp, value double) — a
+  * streaming source's post-parse projection.
+  */
+object StreamingWindows {
+
+  /** Per-key 1-second tumbling average (idiomatic q_demux_window_avg):
+    * partial aggregation happens map-side per micro-batch; the state
+    * store holds one running aggregate per (key, window), evicted once
+    * the watermark passes the window end. */
+  def demuxWindowAvg(events: DataFrame, watermarkDelay: String = "10 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), window(col("ts"), "1 second"))
+      .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("window.start").as("win_start"),
+        col("avg_value"), col("n_events"))
+
+  /** Gap-based session windows (idiomatic q_sessionize):
+    * session_window merges events within the gap in the state store —
+    * the streaming twin of the batch lag/cumsum formulation. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermarkDelay: String = "10 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("avg_value"))
+}
