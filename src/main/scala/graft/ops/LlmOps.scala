@@ -35,6 +35,10 @@ object LlmOps {
   private def portableHash(c: Column): Column =
     conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
 
+  /** Same hash as a SQL fragment for use inside HOF lambdas. */
+  private[ops] def portableHashSql(x: String): String =
+    s"cast(conv(substring(sha2($x, 256), 1, 15), 16, 10) as bigint)"
+
   // ------------------------------------------------------------ text stats
 
   /** Per-(lang, source) corpus statistics: doc counts, token counts,
@@ -71,28 +75,38 @@ object LlmOps {
       .orderBy("keep_doc_id")
 
   /** MinHash-LSH near-dup candidates (bands=8, rows/band=1) over word
-    * 3-gram shingles. Per doc per band: sig = min over shingles of
-    * portableHash(band:shingle). Candidate pairs = docs equi-joined on
-    * (band, sig) — the LSH banding trick (Broder; see PAPERS.md): the
-    * only shuffle is on band signatures, never an all-pairs product.
-    * Output: candidate pair + how many of the 8 bands agree. */
+    * 3-gram shingles. Each shingle is sha-hashed ONCE; the 8 band hash
+    * functions are derived arithmetically (universal hashing mod
+    * 2^31-1: h_b = (h*(b+1) + 37b+101) mod p) — sha256 is the
+    * dominant per-row cost and Spark's interpreted Sha2 does a
+    * MessageDigest provider lookup per call, so the one-sha-per-
+    * shingle + integer-band scheme is 8x cheaper than hashing
+    * (band:shingle) directly, with identical LSH behavior. Candidate
+    * pairs = docs equi-joined on (band, sig) — the LSH banding trick
+    * (Broder; see PAPERS.md): the only shuffle is on band signatures,
+    * never an all-pairs product. Output: candidate pair + how many of
+    * the 8 bands agree. The repartition normalizes the driver
+    * testdata's single parquet split so hash work parallelizes; at
+    * real scale the scan has many splits and the hash cost dwarfs it. */
   def minhashDedup(s: SparkSession, dir: String): DataFrame = {
     val nBands = 8
     val shingled = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 3)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), expr(
         """transform(sequence(1, size(toks) - 2),
           |  i -> concat(element_at(toks, i), ' ',
           |              element_at(toks, i + 1), ' ',
           |              element_at(toks, i + 2)))""".stripMargin).as("shingles"))
+      .select(col("doc_id"), expr(
+        s"transform(shingles, sh -> ${portableHashSql("sh")} % 2147483647)").as("hs"))
     val banded = shingled
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${nBands - 1}), b -> struct(
            |  b AS band,
-           |  array_min(transform(shingles,
-           |    sh -> cast(conv(substring(sha2(concat(cast(b as string), ':', sh), 256), 1, 15), 16, 10) as bigint)
-           |  )) AS sig))""".stripMargin)).as("bs"))
+           |  array_min(transform(hs,
+           |    h -> (h * (b + 1) + 37 * b + 101) % 2147483647)) AS sig))""".stripMargin)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val left = banded.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val right = banded.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
@@ -219,11 +233,16 @@ object LlmOps {
         |                string_split(text, ' ')[i + 1] || ' ' ||
         |                string_split(text, ' ')[i + 2]) AS shingles
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_transform(shingles,
+        |           sh -> CAST('0x' || substring(sha256(sh), 1, 15) AS BIGINT) % 2147483647) AS hs
+        |  FROM s),
         |m AS (
         |  SELECT doc_id, b.range AS band,
-        |         list_min(list_transform(shingles,
-        |           sh -> CAST('0x' || substring(sha256(CAST(b.range AS VARCHAR) || ':' || sh), 1, 15) AS BIGINT))) AS sig
-        |  FROM s, range(0, 8) b)
+        |         list_min(list_transform(hs,
+        |           h -> (h * (b.range + 1) + 37 * b.range + 101) % 2147483647)) AS sig
+        |  FROM hs, range(0, 8) b)
         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS n_shared_bands
         |FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -24,15 +24,22 @@ object TextOps {
   private def ph(x: String): String =
     s"cast(conv(substring(sha2($x, 256), 1, 15), 16, 10) as bigint)"
 
-  /** documents tokenized once: (doc_id, lang, source, text, toks). */
-  private def tokenized(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  /** documents tokenized once: (doc_id, lang, source, text, toks).
+    * Repartitioned when feeding sha-heavy stages: the driver testdata
+    * is one small parquet split, and per-row hashing must not
+    * serialize on a single core (at real scale the scan has many
+    * splits and the hash cost dwarfs the tiny shuffle). */
+  private def tokenized(s: SparkSession, dir: String,
+                        spread: Boolean = false): DataFrame = {
+    val d = t(s, dir, "documents")
+    (if (spread) d.repartition(s.sparkContext.defaultParallelism) else d)
       .withColumn("toks", split(col("text"), " "))
+  }
 
   /** Word 3-gram shingles per doc (shared with LlmOps.minhashDedup's
     * shape; docs under 3 tokens are dropped identically both sides). */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    tokenized(s, dir)
+    tokenized(s, dir, spread = true)
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
         """transform(sequence(1, size(toks) - 2),
@@ -146,7 +153,7 @@ object TextOps {
     * join bounds the pair space; the hamming filter runs only on
     * band-collision survivors — never on the full cross product. */
   def simhashDedup(s: SparkSession, dir: String): DataFrame = {
-    val sim = tokenized(s, dir)
+    val sim = tokenized(s, dir, spread = true)
       .select(col("doc_id"),
         expr(s"transform(toks, tk -> ${ph("tk")})").as("th"))
       .select(col("doc_id"), expr(
@@ -175,19 +182,20 @@ object TextOps {
   }
 
   /** Exact n-gram Jaccard similarity, computed only on MinHash band
-    * candidates (same 8-band signature scheme as LlmOps.minhashDedup)
-    * — the verify step of a near-dup pipeline: LSH proposes, Jaccard
-    * disposes. */
+    * candidates (same one-sha-per-shingle universal-hash banding as
+    * LlmOps.minhashDedup) — the verify step of a near-dup pipeline:
+    * LSH proposes, Jaccard disposes. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val nBands = 8
     val sets = shingled(s, dir)
-      .select(col("doc_id"), array_distinct(col("shingles")).as("sset"), col("shingles"))
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sset"),
+        expr(s"transform(shingles, sh -> ${ph("sh")} % 2147483647)").as("hs"))
     val banded = sets
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${nBands - 1}), b -> struct(
            |  b AS band,
-           |  array_min(transform(shingles,
-           |    sh -> ${ph("concat(cast(b as string), ':', sh)")})) AS sig))""".stripMargin)).as("bs"))
+           |  array_min(transform(hs,
+           |    h -> (h * (b + 1) + 37 * b + 101) % 2147483647)) AS sig))""".stripMargin)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cand = banded.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
       .join(banded.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
@@ -314,11 +322,15 @@ object TextOps {
         |                string_split(text, ' ')[i + 2]) AS shingles
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
         |sets AS (SELECT doc_id, shingles, list_distinct(shingles) AS sset FROM s),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_transform(shingles, sh -> """ + phSqlDuck.format("sh") + """ % 2147483647) AS hs
+        |  FROM sets),
         |m AS (
         |  SELECT doc_id, b.range AS band,
-        |         list_min(list_transform(shingles,
-        |           sh -> """ + phSqlDuck.format("CAST(b.range AS VARCHAR) || ':' || sh") + """)) AS sig
-        |  FROM sets, range(0, 8) b),
+        |         list_min(list_transform(hs,
+        |           h -> (h * (b.range + 1) + 37 * b.range + 101) % 2147483647)) AS sig
+        |  FROM hs, range(0, 8) b),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
         |  FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id)

@@ -43,18 +43,31 @@ object VectorOps {
 
   // ------------------------------------------------- SRP-LSH near-duplicate
 
-  /** Random-hyperplane (SRP) LSH signature: 8 pseudo-random hyperplanes
-    * whose coefficients g(p,i) = (hash(p:i) mod 2001 - 1000)/1000 are
-    * derived from the portable hash, so both engines build the SAME
-    * planes with no shared random state. sig bit p = sign(v · g_p). */
-  private val srpSigSql: String = {
-    val g = s"cast(${ph("concat(cast(p as string), ':', cast(i as string))")} % 2001 - 1000 as double) / cast(1000 as double)"
-    s"""cast(aggregate(sequence(0, 7), cast(0 as bigint), (acc, p) ->
-       |  acc + if(
-       |    aggregate(sequence(1, 64), cast(0.0 as double),
-       |      (a, i) -> a + cast(element_at(embedding, i) as double) * ($g)) > 0,
-       |    shiftleft(cast(1 as bigint), p), cast(0 as bigint))) as bigint)""".stripMargin
+  /** Random-hyperplane (SRP) LSH coefficients: g(p,i) =
+    * (hash(p:i) mod 2001 - 1000)/1000, derived from the portable hash
+    * so both engines build the SAME planes with no shared random
+    * state. The 8×64 values are row-independent CONSTANTS, so they are
+    * computed once here (plain JDK sha256 — the exact formula DuckDB's
+    * oracle evaluates in its `gw` CTE) and inlined as an array
+    * literal: the per-row signature is then pure arithmetic, no
+    * crypto hash in the scan at all. */
+  private lazy val srpPlanes: Seq[Seq[Double]] = (0 until 8).map { p =>
+    (1 to 64).map { i =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000).toDouble / 1000.0
+    }
   }
+
+  /** sig bit p = sign(v · g_p), packed into 8 bits. */
+  private val srpSigSql: String =
+    """cast(aggregate(sequence(0, 7), cast(0 as bigint), (acc, p) ->
+      |  acc + if(
+      |    aggregate(zip_with(embedding, element_at(planes, p + 1),
+      |        (x, w) -> cast(x as double) * w),
+      |      cast(0.0 as double), (a, v) -> a + v) > 0,
+      |    shiftleft(cast(1 as bigint), p), cast(0 as bigint))) as bigint)""".stripMargin
 
   /** Embedding-cosine near-dup, LSH-bucketed: vectors sharing an 8-bit
     * SRP signature land in one bucket; exact cosine runs only within
@@ -62,7 +75,10 @@ object VectorOps {
     * grows (16-24 bits) to keep buckets bounded — the shape stays one
     * scan + one bucket equi-join. */
   def embeddingNeardup(s: SparkSession, dir: String): DataFrame = {
-    val sigd = withNorm(s, dir).withColumn("sig", expr(srpSigSql))
+    val sigd = withNorm(s, dir)
+      .withColumn("planes", typedLit(srpPlanes))
+      .withColumn("sig", expr(srpSigSql))
+      .drop("planes")
     val a = sigd.select(col("sig"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = sigd.select(col("sig"), col("vec_id").as("vec_b"),
@@ -147,17 +163,20 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "q_embedding_neardup" ->
-      ("""WITH s AS (
-        |  SELECT vec_id, embedding,
-        |         sqrt(list_reduce(list_transform(embedding,
+      ("""WITH gw AS (
+        |  SELECT p.range AS p, i.range AS i,
+        |         CAST(""" + phDuck.format("CAST(p.range AS VARCHAR) || ':' || CAST(i.range AS VARCHAR)") + """ % 2001 - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE) AS w
+        |  FROM range(0, 8) p, range(1, 65) i),
+        |planes AS (SELECT p, list(w ORDER BY i) AS pw FROM gw GROUP BY p),
+        |s AS (
+        |  SELECT e.vec_id, e.embedding,
+        |         sqrt(list_reduce(list_transform(e.embedding,
         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS norm,
-        |         CAST(list_sum(list_transform(range(0, 8), p ->
-        |           CASE WHEN list_reduce(list_transform(range(1, 65), i ->
-        |                  CAST(embedding[i] AS DOUBLE) *
-        |                  (CAST(""" + phDuck.format("CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)") + """ % 2001 - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE))),
-        |                (a, v) -> a + v) > 0
-        |           THEN 1::BIGINT << p ELSE 0::BIGINT END)) AS BIGINT) AS sig
-        |  FROM embeddings)
+        |         CAST(sum(CASE WHEN list_reduce(list_transform(list_zip(e.embedding, pl.pw),
+        |                  x -> CAST(x[1] AS DOUBLE) * x[2]), (a, v) -> a + v) > 0
+        |           THEN 1::BIGINT << pl.p ELSE 0::BIGINT END) AS BIGINT) AS sig
+        |  FROM embeddings e, planes pl
+        |  GROUP BY e.vec_id, e.embedding)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |       round(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
         |               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
