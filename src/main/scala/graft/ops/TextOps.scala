@@ -151,20 +151,23 @@ object TextOps {
     * of Σ±1 across token occurrences), candidate pairs from an 8-bit
     * band equi-join (4 bands), kept when hamming(a, b) ≤ 1. The band
     * join bounds the pair space; the hamming filter runs only on
-    * band-collision survivors — never on the full cross product. */
+    * band-collision survivors — never on the full cross product.
+    *
+    * Shape note: the per-bit sums run as 32 codegen'd sum() aggregates
+    * over exploded (doc, token-hash) rows — one HashAggregate pass —
+    * NOT as nested array-fold lambdas. The lambda formulation is
+    * interpreted expression-by-expression (no whole-stage codegen) and
+    * benched ~80x slower; same math, different engine path. */
   def simhashDedup(s: SparkSession, dir: String): DataFrame = {
-    val sim = tokenized(s, dir, spread = true)
-      .select(col("doc_id"),
-        expr(s"transform(toks, tk -> ${ph("tk")})").as("th"))
-      .select(col("doc_id"), expr(
-        """transform(sequence(0, 31), i ->
-          |  aggregate(th, cast(0 as bigint),
-          |    (a, h) -> a + if((shiftright(h, i) & 1) = 1,
-          |                     cast(1 as bigint), cast(-1 as bigint))))""".stripMargin).as("bits"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 31), cast(0 as bigint), (acc, i) ->
-          |  acc + if(element_at(bits, i + 1) > 0,
-          |           shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""".stripMargin).as("simhash"))
+    val tok = tokenized(s, dir, spread = true)
+      .select(col("doc_id"), explode(col("toks")).as("tk"))
+      .select(col("doc_id"), expr(ph("tk")).as("th"))
+    val bitCols = (0 until 32).map(i =>
+      sum(expr(s"if((shiftright(th, $i) & 1) = 1, 1L, -1L)")).as(s"b$i"))
+    val packExpr = (0 until 32).map(i => s"if(b$i > 0, ${1L << i}L, 0L)").mkString(" + ")
+    val sim = tok.groupBy(col("doc_id"))
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"), expr(s"cast($packExpr as bigint)").as("simhash"))
     val banded = sim.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("byte", expr("shiftright(simhash, 8 * band) & 255"))
