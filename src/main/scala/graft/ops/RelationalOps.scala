@@ -183,6 +183,74 @@ object RelationalOps {
         col("n"), col("sum_qty"), col("gid"))
       .orderBy("gid", "returnflag", "linestatus")
 
+  /** GROUPING SETS (beyond rollup/cube: an explicit set list). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT coalesce(l_returnflag, '_all_') AS returnflag,
+             coalesce(l_linestatus, '_all_') AS linestatus,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY gid, returnflag, linestatus""")
+  }
+
+  /** PIVOT: per-user event-type counts as columns. Spark's relational
+    * pivot emits null for absent cells where a conditional-agg oracle
+    * emits 0 — coalesced so both read 0. */
+  def pivotEvents(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+  }
+
+  /** Moment statistics via exact decimal power sums. Built-in
+    * stddev/var/corr use engine-specific accumulation (Spark:
+    * Welford-style moments; DuckDB: its own) whose results differ
+    * beyond 6 decimals at ~1e8 magnitudes, so the moments are
+    * assembled from DECIMAL sums of x, x², xy — exact, order-free,
+    * identical in both engines — with only the final scalar arithmetic
+    * in doubles. */
+  def aggStats(s: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(28,8)")
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(d(col("l_quantity"))).cast("double").as("sx"),
+        sum(d(col("l_quantity")) * d(col("l_quantity"))).cast("double").as("sxx"),
+        sum(d(col("l_discount"))).cast("double").as("sy"),
+        sum(d(col("l_discount")) * d(col("l_discount"))).cast("double").as("syy"),
+        sum(d(col("l_quantity")) * d(col("l_discount"))).cast("double").as("sxy"))
+      .select(
+        col("l_returnflag"),
+        r6((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_qty"),
+        r6(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))).as("stddev_qty"),
+        r6((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)).as("covar_qty_disc"),
+        r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Exact median / interpolated percentiles (order statistics — both
+    * engines interpolate linearly between the same two sorted values). */
+  def medianPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r6(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
+        r6(expr("percentile(l_extendedprice, 0.5)")).as("p50_price"),
+        r6(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"),
+        r6(expr("percentile(l_extendedprice, 0.99)")).as("p99_price"))
+      .orderBy("l_returnflag")
+
   /** DISTINCT — dedup shuffle on the full row. */
   def distinctPairs(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -246,6 +314,36 @@ object RelationalOps {
       .orderBy("p_brand", "rn")
   }
 
+  /** Navigation window functions: first/last/nth over an explicit
+    * full-partition frame. */
+  def windowNavigation(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Distribution window functions: ntile / percent_rank / cume_dist.
+    * Partition sizes are < 128, so the rank ratios can't land on a
+    * 7-decimal half-boundary — r6 is cross-engine-safe here. */
+  def windowDistribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        r6(percent_rank().over(w)).as("pct_rank"),
+        r6(cume_dist().over(w)).as("cdist"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Global sort + limit (top-k pushdown: TakeOrderedAndProject). */
   def sortLimit(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -289,6 +387,39 @@ object RelationalOps {
         length(col("c_name")).cast("long").as("name_len"),
         lower(col("c_mktsegment")).as("seg_lower"))
       .orderBy("c_custkey")
+
+  /** Math scalar sweep (r6 absorbs libm last-ulp differences; all
+    * argument columns are positive so domain edges can't diverge). */
+  def scalarMath(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_disc_delta"),
+        r6(sqrt(col("l_quantity"))).as("sqrt_qty"),
+        r6(log(col("l_extendedprice"))).as("ln_price"),
+        r6(exp(col("l_discount"))).as("exp_disc"),
+        r6(pow(col("l_quantity"), 2)).as("qty_sq"),
+        signum(col("l_discount") - 0.05).as("sign_disc"),
+        ceil(col("l_extendedprice") / 1000.0).as("price_k_ceil"),
+        floor(col("l_extendedprice") / 1000.0).as("price_k_floor"),
+        (col("l_linenumber") % 3).cast("long").as("line_mod3"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Conditional expression sweep: CASE / nullif / coalesce /
+    * least / greatest. */
+  def scalarConditional(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000.0, "high")
+          .when(col("o_totalprice") > 150000.0, "mid")
+          .otherwise("low").as("price_tier"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_non_open"),
+        coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")), lit("not-urgent"))
+          .as("prio_or_default"),
+        least(col("o_totalprice"), lit(200000.0)).as("price_capped"),
+        greatest(col("o_totalprice") - 100000.0, lit(0.0)).as("price_excess"))
+      .orderBy("o_orderkey")
 
   /** Date/time function sweep (R12's time math generalized). */
   def scalarDatetime(s: SparkSession, dir: String): DataFrame =
@@ -386,6 +517,14 @@ object RelationalOps {
     "q_groupby_agg" -> groupbyAgg _,
     "q_rollup" -> rollupAgg _,
     "q_cube" -> cubeAgg _,
+    "q_grouping_sets" -> groupingSets _,
+    "q_pivot" -> pivotEvents _,
+    "q_agg_stats" -> aggStats _,
+    "q_median_percentile" -> medianPercentile _,
+    "q_window_navigation" -> windowNavigation _,
+    "q_window_distribution" -> windowDistribution _,
+    "q_scalar_math" -> scalarMath _,
+    "q_scalar_conditional" -> scalarConditional _,
     "q_distinct" -> distinctPairs _,
     "q_approx_distinct" -> approxDistinct _,
     "q_window_rank" -> windowRank _,
@@ -501,6 +640,86 @@ object RelationalOps {
     "q_distinct" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '_all_') AS returnflag,
+        |       coalesce(l_linestatus, '_all_') AS linestatus,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (WHERE event_type = 'click') AS click,
+        |       count(*) FILTER (WHERE event_type = 'error') AS error,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       count(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_agg_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(28,8)) * CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(l_discount AS DECIMAL(28,8)) * CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(28,8)) * CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |       round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+        |       round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+        |       round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_disc,
+        |       round((n * sxy - sx * sy) /
+        |             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_disc
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_median_percentile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+        |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+        |       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_window_navigation" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_totalprice) OVER win AS first_price,
+        |       last_value(o_totalprice) OVER win AS last_price,
+        |       nth_value(o_totalprice, 2) OVER win AS second_price
+        |FROM orders
+        |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_distribution" ->
+      """SELECT o_custkey, o_orderkey,
+        |       ntile(4) OVER win AS quartile,
+        |       round(percent_rank() OVER win, 6) AS pct_rank,
+        |       round(cume_dist() OVER win, 6) AS cdist
+        |FROM orders
+        |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       abs(l_discount - 0.05) AS abs_disc_delta,
+        |       round(sqrt(l_quantity), 6) AS sqrt_qty,
+        |       round(ln(l_extendedprice), 6) AS ln_price,
+        |       round(exp(l_discount), 6) AS exp_disc,
+        |       round(pow(l_quantity, 2), 6) AS qty_sq,
+        |       CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_disc,
+        |       CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
+        |       CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
+        |       CAST(l_linenumber % 3 AS BIGINT) AS line_mod3
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scalar_conditional" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice > 300000.0 THEN 'high'
+        |            WHEN o_totalprice > 150000.0 THEN 'mid'
+        |            ELSE 'low' END AS price_tier,
+        |       nullif(o_orderstatus, 'O') AS status_non_open,
+        |       coalesce(nullif(o_orderpriority, '1-URGENT'), 'not-urgent') AS prio_or_default,
+        |       least(o_totalprice, 200000.0) AS price_capped,
+        |       greatest(o_totalprice - 100000.0, 0.0) AS price_excess
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey,
         |       row_number() OVER win AS rn,
