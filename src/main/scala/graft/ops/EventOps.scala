@@ -48,6 +48,23 @@ object EventOps {
         dsum(col("value")).as("sum_value"))
       .orderBy("user_id", "win_start_s")
 
+  /** Sliding (hopping) windows — width 2 s, slide 1 s: each event
+    * contributes to exactly two windows. The reference has no sliding
+    * windows (SURVEY §2.B); this is the engine generalization via
+    * Spark's window() generator. Timestamps enter as epoch-µs longs
+    * (Tables.events), so the TimestampType column is rebuilt for the
+    * window generator and the output start is projected back to epoch
+    * seconds for oracle stability. */
+  def demuxWindowSliding(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .groupBy(col("user_id"), window(col("ts"), "2 seconds", "1 second"))
+      .agg(r6(avg(col("value"))).as("avg_value"), count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("window.start")).as("win_start_us"),
+        col("avg_value"), col("n_events"))
+      .orderBy("user_id", "win_start_us")
+
   /** R17: first-event metadata per (key, window) — `min_by` over the
     * (ts, event_id) order key (reference takes the window head after its
     * stable batch sort :35,:141). min_by aggregates with a partial
@@ -163,6 +180,7 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_demux_window_avg" -> demuxWindowAvg _,
     "q_demux_window_agg_multi" -> demuxWindowAggMulti _,
+    "q_demux_window_sliding" -> demuxWindowSliding _,
     "q_window_first_meta" -> windowFirstMeta _,
     "q_safe_cast_avg" -> safeCastAvg _,
     "q_parse_errors" -> parseErrors _,
@@ -184,6 +202,14 @@ object EventOps {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_demux_window_sliding" ->
+      """SELECT user_id, ws * 1000000 AS win_start_us,
+        |       round(avg(value), 6) AS avg_value, count(*) AS n_events
+        |FROM (SELECT user_id, value,
+        |             unnest([epoch_us(ts) // 1000000 - 1,
+        |                     epoch_us(ts) // 1000000]) AS ws
+        |      FROM events)
+        |GROUP BY user_id, ws ORDER BY user_id, win_start_us""".stripMargin,
     "q_window_first_meta" ->
       """SELECT user_id, epoch_us(ts) // 1000000 AS win_start_s,
         |       event_id AS first_event_id, event_type AS first_event_type,

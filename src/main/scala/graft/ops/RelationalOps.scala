@@ -99,6 +99,36 @@ object RelationalOps {
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       .orderBy("c_custkey")
 
+  /** Full outer join: per-nation customer/supplier counts where either
+    * side may be absent. */
+  def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sup = t(s, dir, "supplier").groupBy(col("s_nationkey").as("snk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sup, col("nk") === col("snk"), "full_outer")
+      .select(
+        coalesce(col("nk"), col("snk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** NOT IN with a nullable subquery — the classic three-valued-logic
+    * trap: if the subquery yields any NULL, NOT IN returns no rows at
+    * all. Exercised with an explicitly non-null subquery plus the
+    * null-safe NOT EXISTS twin, so the oracle pins both semantics. */
+  def notInNullSemantics(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                              WHERE o_custkey IS NOT NULL
+                                AND o_totalprice > 400000.0)
+      ORDER BY c_custkey""")
+  }
+
   /** Interval/theta join, bucketized: followers within 1 hour after
     * each purchase. Instead of a nested-loop theta join, each probe row
     * is expanded to its hour bucket b and b+1 and equi-joined on the
@@ -209,6 +239,15 @@ object RelationalOps {
     p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
       .orderBy("user_id")
   }
+
+  /** UNPIVOT (stack): wide per-order money columns back to long
+    * (metric, amount) rows — the inverse of q_pivot. */
+  def unpivotOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("stack(2, 'totalprice', o_totalprice, 'totalprice_half', o_totalprice / 2.0) AS (metric, amount)"))
+      .select(col("o_orderkey"), col("metric"), col("amount"))
+      .orderBy("o_orderkey", "metric")
 
   /** Moment statistics via exact decimal power sums. Built-in
     * stddev/var/corr use engine-specific accumulation (Spark:
@@ -512,6 +551,9 @@ object RelationalOps {
     "q_join_left_outer" -> joinLeftOuter _,
     "q_join_semi" -> joinSemi _,
     "q_join_anti" -> joinAnti _,
+    "q_join_full_outer" -> joinFullOuter _,
+    "q_not_in_null" -> notInNullSemantics _,
+    "q_unpivot" -> unpivotOrders _,
     "q_range_join" -> rangeJoin _,
     "q_asof_prev_event" -> asofPrevEvent _,
     "q_groupby_agg" -> groupbyAgg _,
@@ -582,6 +624,29 @@ object RelationalOps {
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q_join_full_outer" ->
+      """SELECT coalesce(c.nk, s.snk) AS nationkey,
+        |       coalesce(c.n_cust, 0) AS n_cust,
+        |       coalesce(s.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS snk, count(*) AS n_supp
+        |                 FROM supplier GROUP BY 1) s
+        |  ON c.nk = s.snk
+        |ORDER BY nationkey""".stripMargin,
+    "q_not_in_null" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_custkey IS NOT NULL
+        |                          AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_unpivot" ->
+      """SELECT o_orderkey, u.metric, u.amount
+        |FROM orders,
+        |     unnest([{'metric': 'totalprice', 'amount': o_totalprice},
+        |             {'metric': 'totalprice_half', 'amount': o_totalprice / 2.0}]) AS t(u)
+        |ORDER BY o_orderkey, u.metric""".stripMargin,
     "q_range_join" ->
       """SELECT e1.event_id AS p_event_id, count(*) AS n_followers,
         |       round(avg(e2.value), 6) AS avg_follower_value
