@@ -120,13 +120,16 @@ object LlmOps {
   // ------------------------------------------------------ similarity search
 
   /** Embeddings with a precomputed L2 norm (computed once per vector,
-    * not once per pair — the dominant cost at scale). */
-  private def withNorm(s: SparkSession, dir: String): DataFrame =
+    * not once per pair — the dominant cost at scale). Norms and dots
+    * use the native codegen'd ArrayDotProduct expression — the HOF
+    * formulation evaluates interpreted (same IEEE result, ~40x the
+    * cost on the pair loop). */
+  private def withNorm(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.array_dot
     t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), col("label"), expr(
-        """sqrt(aggregate(
-          |  transform(embedding, x -> cast(x as double) * cast(x as double)),
-          |  cast(0.0 as double), (a, v) -> a + v))""".stripMargin).as("norm"))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        sqrt(array_dot(col("embedding"), col("embedding"))).as("norm"))
+  }
 
   /** (query, candidate) cosine pairs for a bounded query set. The
     * query side (20 vectors — fixed, independent of sf) is broadcast;
@@ -142,14 +145,12 @@ object LlmOps {
         col("norm").as("q_norm"))
     val cands = base.select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
       col("label"), col("norm").as("c_norm"))
+    import graft.functions.GraftFunctions.array_dot
     cands.crossJoin(broadcast(queries))
       .where(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), col("label"), (expr(
-        """aggregate(
-          |  zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * cast(y as double)),
-          |  cast(0.0 as double), (a, v) -> a + v)""".stripMargin)
-        / (col("q_norm") * col("c_norm"))).as("raw_cos"))
-      .select(col("qid"), col("cid"), col("label"), r6(col("raw_cos")).as("cos"))
+      .select(col("qid"), col("cid"), col("label"),
+        r6(array_dot(col("q_emb"), col("c_emb")) /
+          (col("q_norm") * col("c_norm"))).as("cos"))
   }
 
   /** Brute-force cosine top-k (k=5) per query vector — the exactness
