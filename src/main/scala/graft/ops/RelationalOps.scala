@@ -290,6 +290,27 @@ object RelationalOps {
         r6(expr("percentile(l_extendedprice, 0.99)")).as("p99_price"))
       .orderBy("l_returnflag")
 
+  /** Two-phase salted aggregation — the skew-mitigation pattern for
+    * hot keys at scale, expressed so the result is identical to the
+    * plain aggregation (which is exactly what the oracle checks):
+    * partial sums per (key, salt) combine map-side, the final
+    * per-key merge handles only #salts rows per key. AQE's skew
+    * handling covers joins; salting is the aggregation-side tool. */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val partial = t(s, dir, "lineitem")
+      .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
+      .groupBy(col("l_suppkey"), col("salt"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).as("p_qty"),
+        count(lit(1)).as("p_n"))
+    partial
+      .groupBy(col("l_suppkey"))
+      .agg(
+        sum(col("p_qty")).cast("double").as("sum_qty"),
+        sum(col("p_n")).cast("long").as("n_items"))
+      .orderBy("l_suppkey")
+  }
+
   /** DISTINCT — dedup shuffle on the full row. */
   def distinctPairs(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -562,6 +583,7 @@ object RelationalOps {
     "q_grouping_sets" -> groupingSets _,
     "q_pivot" -> pivotEvents _,
     "q_agg_stats" -> aggStats _,
+    "q_salted_agg" -> saltedAgg _,
     "q_median_percentile" -> medianPercentile _,
     "q_window_navigation" -> windowNavigation _,
     "q_window_distribution" -> windowDistribution _,
@@ -739,6 +761,11 @@ object RelationalOps {
         |       round((n * sxy - sx * sy) /
         |             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_disc
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_suppkey,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n_items
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "q_median_percentile" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
