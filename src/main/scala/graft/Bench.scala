@@ -33,7 +33,10 @@ object Bench {
       try run(n) catch { case _: Throwable => () }
     }
 
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (targeted timing).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.ListBuffer[String]()
     val results = names.map { name =>
       val t0 = System.nanoTime()

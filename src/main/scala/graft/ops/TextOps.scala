@@ -187,17 +187,22 @@ object TextOps {
   /** Exact n-gram Jaccard similarity, computed only on MinHash band
     * candidates (same one-sha-per-shingle universal-hash banding as
     * LlmOps.minhashDedup) — the verify step of a near-dup pipeline:
-    * LSH proposes, Jaccard disposes. */
+    * LSH proposes, Jaccard disposes. Jaccard runs over the DISTINCT
+    * HASHED shingle sets: long-array intersects are ~3x cheaper than
+    * string-array ones and the carried set payload shrinks the same
+    * way; both engines use the identical hash, so any (rare) collision
+    * is still deterministic cross-engine. min-over-distinct equals
+    * min-over-multiset, so the band signatures are unchanged. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val nBands = 8
     val sets = shingled(s, dir)
-      .select(col("doc_id"), array_distinct(col("shingles")).as("sset"),
-        expr(s"transform(shingles, sh -> ${ph("sh")} % 2147483647)").as("hs"))
+      .select(col("doc_id"), array_distinct(
+        expr(s"transform(shingles, sh -> ${ph("sh")} % 2147483647)")).as("hset"))
     val banded = sets
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${nBands - 1}), b -> struct(
            |  b AS band,
-           |  array_min(transform(hs,
+           |  array_min(transform(hset,
            |    h -> (h * (b + 1) + 37 * b + 101) % 2147483647)) AS sig))""".stripMargin)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cand = banded.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
@@ -206,8 +211,8 @@ object TextOps {
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("hset").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hset").as("set_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), r6(
         size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
         size(array_union(col("set_a"), col("set_b"))).cast("double")).as("jaccard"))
@@ -324,22 +329,22 @@ object TextOps {
         |                string_split(text, ' ')[i + 1] || ' ' ||
         |                string_split(text, ' ')[i + 2]) AS shingles
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |sets AS (SELECT doc_id, shingles, list_distinct(shingles) AS sset FROM s),
-        |hs AS (
+        |sets AS (
         |  SELECT doc_id,
-        |         list_transform(shingles, sh -> """ + phSqlDuck.format("sh") + """ % 2147483647) AS hs
-        |  FROM sets),
+        |         list_distinct(list_transform(shingles,
+        |           sh -> """ + phSqlDuck.format("sh") + """ % 2147483647)) AS hset
+        |  FROM s),
         |m AS (
         |  SELECT doc_id, b.range AS band,
-        |         list_min(list_transform(hs,
+        |         list_min(list_transform(hset,
         |           h -> (h * (b.range + 1) + 37 * b.range + 101) % 2147483647)) AS sig
-        |  FROM hs, range(0, 8) b),
+        |  FROM sets, range(0, 8) b),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
         |  FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id)
         |SELECT cand.doc_a, cand.doc_b,
-        |       round(CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE) /
-        |             CAST(len(list_distinct(list_concat(x.sset, y.sset))) AS DOUBLE), 6) AS jaccard
+        |       round(CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE) /
+        |             CAST(len(list_distinct(list_concat(x.hset, y.hset))) AS DOUBLE), 6) AS jaccard
         |FROM cand
         |JOIN sets x ON x.doc_id = cand.doc_a
         |JOIN sets y ON y.doc_id = cand.doc_b
