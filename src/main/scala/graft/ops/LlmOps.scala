@@ -74,6 +74,21 @@ object LlmOps {
         count(lit(1)).as("n_copies"))
       .orderBy("keep_doc_id")
 
+  /** The dedup FILTER: the surviving corpus after exact dedup —
+    * keep-first (min doc_id) per content hash, joined back so the
+    * output is actual document rows, not group stats. The join key is
+    * (hash, min_id), both combine map-side; no row explosion. */
+  def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        sha2(col("text"), 256).as("h"))
+    val keepers = docs.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    docs.join(keepers, Seq("h", "doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash-LSH near-dup candidates (bands=8, rows/band=1) over word
     * 3-gram shingles. Each shingle is sha-hashed ONCE; the 8 band hash
     * functions are derived arithmetically (universal hashing mod
@@ -209,6 +224,7 @@ object LlmOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> textStats _,
     "q_exact_dedup" -> exactDedup _,
+    "q_dedup_corpus" -> dedupCorpus _,
     "q_minhash_dedup" -> minhashDedup _,
     "q_cosine_topk" -> cosineTopk _,
     "q_knn_classify" -> knnClassify _,
@@ -226,6 +242,12 @@ object LlmOps {
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+    "q_dedup_corpus" ->
+      """SELECT doc_id, lang, source
+        |FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY sha256(text)
+        |  ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
     "q_minhash_dedup" ->
       """WITH s AS (
         |  SELECT doc_id,
