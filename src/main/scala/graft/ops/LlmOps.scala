@@ -59,6 +59,21 @@ object LlmOps {
         sum(col("chars")).as("total_chars"))
       .orderBy("lang", "source")
 
+  /** Corpus language distribution with shares — the profiling query a
+    * data curation pass starts from. Share denominators are corpus
+    * row counts (powers of 10 × small factors), whose ratios have
+    * short decimal expansions — r6-tie-safe. */
+  def textLangdist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+      // share base = empty-frame window over the AGGREGATED rows (one
+      // row per lang) — no driver-side action, no scale concern
+      .withColumn("doc_share", r6(col("n_docs") /
+        sum(col("n_docs")).over(Window.partitionBy()).cast("double")))
+      .orderBy("lang")
+
   // ----------------------------------------------------------------- dedup
 
   /** Exact dedup by content hash: groupBy(sha256(text)), keep the
@@ -223,6 +238,7 @@ object LlmOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> textStats _,
+    "q_text_langdist" -> textLangdist _,
     "q_exact_dedup" -> exactDedup _,
     "q_dedup_corpus" -> dedupCorpus _,
     "q_minhash_dedup" -> minhashDedup _,
@@ -238,6 +254,11 @@ object LlmOps {
         |       round(avg(length(text)), 6) AS avg_chars,
         |       CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_text_langdist" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |       round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS doc_share
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_exact_dedup" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |       count(*) AS n_copies

@@ -362,6 +362,24 @@ object RelationalOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** RANGE frame (vs the ROWS frames elsewhere): 30-day trailing spend
+    * per customer — peers are selected by ORDER-BY VALUE distance, so
+    * same-day orders aggregate together regardless of row order. */
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od_us"))
+      .rangeBetween(-30L * dayUs, 0L)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        epochUs(col("o_orderdate")).as("od_us"))
+      .withColumn("trailing_30d_spend",
+        sum(col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double"))
+      .withColumn("trailing_30d_orders", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("od_us"),
+        col("trailing_30d_spend"), col("trailing_30d_orders"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Top-k per group (rank ≤ k pattern). */
   def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("p_brand"))
@@ -586,6 +604,7 @@ object RelationalOps {
     "q_salted_agg" -> saltedAgg _,
     "q_median_percentile" -> medianPercentile _,
     "q_window_navigation" -> windowNavigation _,
+    "q_window_range_frame" -> windowRangeFrame _,
     "q_window_distribution" -> windowDistribution _,
     "q_scalar_math" -> scalarMath _,
     "q_scalar_conditional" -> scalarConditional _,
@@ -781,6 +800,15 @@ object RelationalOps {
         |FROM orders
         |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS od_us,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER win AS DOUBLE)
+        |         AS trailing_30d_spend,
+        |       count(*) OVER win AS trailing_30d_orders
+        |FROM orders
+        |WINDOW win AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+        |               RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_window_distribution" ->
       """SELECT o_custkey, o_orderkey,
