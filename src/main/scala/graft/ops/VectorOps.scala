@@ -126,6 +126,47 @@ object VectorOps {
       .orderBy("qid", "rn")
   }
 
+  /** Multi-probe IVF (nprobe=2): each query searches its TWO nearest
+    * centroids' clusters — the standard recall lever when coarse
+    * clusters split a query's true neighborhood. Candidates grow from
+    * |cluster| to 2|cluster| per query; recall is provably ≥ the
+    * nprobe=1 variant (candidate superset — asserted in
+    * AnnRecallSpec). */
+  def annIvfMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(s, dir)
+    val cents = base.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        col("norm").as("cent_norm"))
+    val rankW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val ranked = base.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        r6(dot("embedding", "cent_emb") / (col("norm") * col("cent_norm"))).as("ccos"))
+      .withColumn("ar", row_number().over(rankW))
+    // data side: each vector lives in its single nearest cluster
+    val assign = ranked.where(col("ar") === 1)
+      .select(col("vec_id"), col("cent_id").as("cluster_id"))
+    val clustered = base.join(assign, "vec_id")
+    // query side: probe the top-2 clusters
+    val probes = ranked.where(col("ar") <= 2 && col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("cent_id").as("cluster_id"))
+    val q = probes.join(
+      base.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm")), "qid")
+    val c = clustered.select(col("cluster_id"), col("vec_id").as("cid"),
+      col("embedding").as("c_emb"), col("norm").as("c_norm"))
+    val topW = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    q.join(c, "cluster_id")
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        r6(dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm"))).as("cos"))
+      .distinct() // a candidate can appear via both probed clusters
+      .withColumn("rn", row_number().over(topW).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("cid"), col("cos"))
+      .orderBy("qid", "rn")
+  }
+
   // ----------------------------------------------------- multimodal binary
 
   /** Opaque-binary multimodal plumbing: media payloads travel as
@@ -138,6 +179,8 @@ object VectorOps {
     * columns out); the codec library is the only missing piece. */
   def multimodalBinary(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      // single-split testdata: spread the per-row sha/hex work
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         encode(col("text"), "UTF-8").as("payload"),
         struct(lit("text/plain").as("mime"), col("lang").as("lang")).as("meta"))
@@ -154,6 +197,7 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_neardup" -> embeddingNeardup _,
     "q_ann_ivf" -> annIvf _,
+    "q_ann_ivf_multiprobe" -> annIvfMultiprobe _,
     "q_multimodal_binary" -> multimodalBinary _)
 
   private val phDuck = "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
@@ -210,6 +254,44 @@ object VectorOps {
         |  FROM clustered q JOIN clustered c ON q.cluster_id = c.cluster_id
         |  WHERE q.vec_id < 20 AND q.vec_id != c.vec_id)
         |SELECT qid, cluster_id, CAST(row_number() OVER win AS BIGINT) AS rn, cid, cos
+        |FROM pairs
+        |WINDOW win AS (PARTITION BY qid ORDER BY cos DESC, cid)
+        |QUALIFY row_number() OVER win <= 3
+        |ORDER BY qid, rn""".stripMargin,
+    "q_ann_ivf_multiprobe" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS norm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
+        |  FROM base WHERE vec_id < 16),
+        |cc AS (
+        |  SELECT b.vec_id, c.cent_id,
+        |         round(list_reduce(list_transform(list_zip(b.embedding, c.cent_emb),
+        |                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |               / (b.norm * c.cent_norm), 6) AS ccos
+        |  FROM base b, cents c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, cent_id) AS ar FROM cc),
+        |assign AS (SELECT vec_id, cent_id AS cluster_id FROM ranked WHERE ar = 1),
+        |probes AS (SELECT vec_id AS qid, cent_id AS cluster_id
+        |           FROM ranked WHERE ar <= 2 AND vec_id < 20),
+        |clustered AS (
+        |  SELECT b.vec_id, b.embedding, b.norm, a.cluster_id
+        |  FROM base b JOIN assign a USING (vec_id)),
+        |pairs AS (
+        |  SELECT DISTINCT p.qid, c.vec_id AS cid,
+        |         round(list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |               / (q.norm * c.norm), 6) AS cos
+        |  FROM probes p
+        |  JOIN base q ON q.vec_id = p.qid
+        |  JOIN clustered c ON c.cluster_id = p.cluster_id
+        |  WHERE p.qid != c.vec_id)
+        |SELECT qid, CAST(row_number() OVER win AS BIGINT) AS rn, cid, cos
         |FROM pairs
         |WINDOW win AS (PARTITION BY qid ORDER BY cos DESC, cid)
         |QUALIFY row_number() OVER win <= 3
