@@ -499,6 +499,22 @@ object RelationalOps {
         greatest(col("o_totalprice") - 100000.0, lit(0.0)).as("price_excess"))
       .orderBy("o_orderkey")
 
+  /** String transform sweep — the data-cleaning family: regex
+    * replacement, character translation, padding, field extraction,
+    * edit distance (levenshtein semantics match across engines for
+    * ASCII). */
+  def stringTransforms(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .select(
+        col("n_nationkey").cast("long").as("nationkey"),
+        regexp_replace(col("n_name"), "[AEIOU]", "_").as("devoweled"),
+        translate(col("n_name"), "AEIOU", "aeiou").as("lower_vowels"),
+        lpad(col("n_name"), 16, ".").as("padded"),
+        expr("split_part(n_name, ' ', 1)").as("first_word"),
+        levenshtein(col("n_name"), lit("UNITED STATES")).cast("long").as("dist_to_us"),
+        expr("replace(n_name, 'UNITED', 'U.')").as("abbrev"))
+      .orderBy("nationkey")
+
   /** Date/time function sweep (R12's time math generalized). */
   def scalarDatetime(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -618,6 +634,7 @@ object RelationalOps {
     "q_intersect" -> intersectKeys _,
     "q_except" -> exceptKeys _,
     "q_scalar_string" -> scalarString _,
+    "q_string_transforms" -> stringTransforms _,
     "q_scalar_datetime" -> scalarDatetime _,
     "q_scalar_array" -> scalarArray _,
     "q_scalar_map" -> scalarMap _,
@@ -895,6 +912,15 @@ object RelationalOps {
         |       length(c_name) AS name_len,
         |       lower(c_mktsegment) AS seg_lower
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_string_transforms" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+        |       regexp_replace(n_name, '[AEIOU]', '_', 'g') AS devoweled,
+        |       translate(n_name, 'AEIOU', 'aeiou') AS lower_vowels,
+        |       lpad(n_name, 16, '.') AS padded,
+        |       split_part(n_name, ' ', 1) AS first_word,
+        |       CAST(levenshtein(n_name, 'UNITED STATES') AS BIGINT) AS dist_to_us,
+        |       replace(n_name, 'UNITED', 'U.') AS abbrev
+        |FROM nation ORDER BY nationkey""".stripMargin,
     "q_scalar_datetime" ->
       """SELECT o_orderkey,
         |       year(o_orderdate) AS o_year,
