@@ -278,17 +278,47 @@ object RelationalOps {
       .orderBy("l_returnflag")
   }
 
-  /** Exact median / interpolated percentiles (order statistics — both
-    * engines interpolate linearly between the same two sorted values). */
-  def medianPercentile(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        r6(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
-        r6(expr("percentile(l_extendedprice, 0.5)")).as("p50_price"),
-        r6(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"),
-        r6(expr("percentile(l_extendedprice, 0.99)")).as("p99_price"))
+  /** Exact median / interpolated percentiles as DISTRIBUTED order
+    * statistics: rank each group with a sort window, pick the two
+    * bracketing rows per target with conditional aggregates, and
+    * interpolate — one sort per order column, constant memory per
+    * group. (Spark's builtin exact `percentile()` buffers every value
+    * of a group in executor memory — correct here, fatal at 100 TB.)
+    * Interpolation matches quantile_cont to well under the r6 grid. */
+  def medianPercentile(s: SparkSession, dir: String): DataFrame = {
+    val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val wp = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val ranked = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("rq", row_number().over(wq).cast("double") - 1)
+      .withColumn("rp", row_number().over(wp).cast("double") - 1)
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("l_returnflag"))).cast("double"))
+    def lohi(rank: Column, value: Column, q: Double): Seq[Column] = {
+      val pos = (col("n") - 1) * q
+      Seq(max(when(rank === floor(pos), value)),
+        max(when(rank === ceil(pos), value)))
+    }
+    def interp(nn: Column, lo: Column, hi: Column, q: Double): Column = {
+      val pos = (nn - 1) * q
+      r6(lo + (pos - floor(pos)) * (hi - lo))
+    }
+    val aggs =
+      lohi(col("rq"), col("l_quantity"), 0.5) ++
+        lohi(col("rp"), col("l_extendedprice"), 0.5) ++
+        lohi(col("rp"), col("l_extendedprice"), 0.9) ++
+        lohi(col("rp"), col("l_extendedprice"), 0.99)
+    val named = aggs.zipWithIndex.map { case (c, i) => c.as(s"v$i") }
+    ranked.groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("nn"), named: _*)
+      .select(
+        col("l_returnflag"),
+        interp(col("nn"), col("v0"), col("v1"), 0.5).as("median_qty"),
+        interp(col("nn"), col("v2"), col("v3"), 0.5).as("p50_price"),
+        interp(col("nn"), col("v4"), col("v5"), 0.9).as("p90_price"),
+        interp(col("nn"), col("v6"), col("v7"), 0.99).as("p99_price"))
       .orderBy("l_returnflag")
+  }
 
   /** Two-phase salted aggregation — the skew-mitigation pattern for
     * hot keys at scale, expressed so the result is identical to the
