@@ -348,6 +348,40 @@ object RelationalOps {
       .distinct()
       .orderBy("user_id", "event_type")
 
+  /** Bloom-sketch semi-join: build a bloom filter over the high-value
+    * order keys, pre-filter lineitem with might_contain before the
+    * exact join — at 100 TB the sketch prunes the probe-side shuffle
+    * to near the true match volume (false positives only). Output
+    * carries both the candidate and exact counts; no SQL oracle (the
+    * candidate count depends on the bloom implementation) — the
+    * superset + false-positive-rate properties are asserted in
+    * BloomJoinSpec, and n_true is what the exact join must produce. */
+  def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    // bloom_filter_agg/might_contain exist in Catalyst (Spark's own
+    // runtime-filter machinery) but are not SQL-registered — expose
+    // them to this session through the bridge.
+    org.apache.spark.sql.graft.Bridge.registerFunction(s, "bloom_filter_agg",
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1), es(2)))
+    org.apache.spark.sql.graft.Bridge.registerFunction(s, "might_contain",
+      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        es(0), es(1)))
+    s.sql("""
+      WITH bf AS (
+        SELECT bloom_filter_agg(o_orderkey, 2000L, 65536L) AS f
+        FROM orders WHERE o_totalprice > 300000.0),
+      cand AS (
+        SELECT l.l_orderkey FROM lineitem l
+        WHERE might_contain((SELECT f FROM bf), l.l_orderkey)),
+      truth AS (
+        SELECT l.l_orderkey FROM lineitem l
+        WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders
+                               WHERE o_totalprice > 300000.0))
+      SELECT (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM truth) AS n_true""")
+  }
+
   /** HLL approximate distinct (no exact oracle — rows-only check;
     * the companion spec bounds it against the exact count). */
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
@@ -656,6 +690,7 @@ object RelationalOps {
     "q_scalar_conditional" -> scalarConditional _,
     "q_distinct" -> distinctPairs _,
     "q_approx_distinct" -> approxDistinct _,
+    "q_bloom_semi_join" -> bloomSemiJoin _,
     "q_window_rank" -> windowRank _,
     "q_window_analytic" -> windowAnalytic _,
     "q_topk_per_group" -> topkPerGroup _,

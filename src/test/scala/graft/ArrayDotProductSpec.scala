@@ -41,6 +41,22 @@ class ArrayDotProductSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("cosine symmetry and range on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val rows = Seq.fill(100)((
+      Seq.fill(32)(rnd.nextFloat() - 0.5f),
+      Seq.fill(32)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("a", "b").select(
+      GraftFunctions.array_cosine(col("a"), col("b")).as("ab"),
+      GraftFunctions.array_cosine(col("b"), col("a")).as("ba"))
+    val collected = df.collect()
+    // dot is commutative in IEEE only up to reordering — but both
+    // directions multiply pairwise in index order, so they are equal
+    assert(collected.forall(r => r.getDouble(0) == r.getDouble(1)))
+    assert(collected.forall(r => math.abs(r.getDouble(0)) <= 1.0 + 1e-12))
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq.fill(16)(0.25f))).toDF("v")
