@@ -45,4 +45,15 @@ object StreamingWindows {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("avg_value"))
+
+  /** Streaming exact dedup — the streaming twin of q_exact_dedup /
+    * q_dedup_corpus: drop repeated keys across micro-batches while the
+    * watermark allows, then evict state (dropDuplicatesWithinWatermark
+    * keeps per-key state only until the watermark passes — bounded
+    * state, unlike a global dropDuplicates which would grow forever). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermarkDelay: String = "10 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

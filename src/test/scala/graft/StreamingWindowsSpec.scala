@@ -49,6 +49,26 @@ class StreamingWindowsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops repeats across micro-batches, keeps state bounded by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val events = stream.toDF().toDF("user_id", "ts", "value")
+    val query = StreamingWindows.dedupStream(events, Seq("user_id", "value"), "5 seconds")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(Seq(ev(1, 0L, 10.0), ev(1, 100000L, 10.0))) // dup within batch
+      query.processAllAvailable()
+      stream.addData(Seq(ev(1, 200000L, 10.0), ev(2, 200000L, 7.0))) // dup across batches
+      query.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .select(col("user_id"), col("value")).as[(Long, Double)].collect().sorted
+      assert(rows.toSeq == Seq((1L, 10.0), (2L, 7.0))) // one survivor per key
+    } finally query.stop()
+  }
+
   test("session windows merge within gap and split across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
