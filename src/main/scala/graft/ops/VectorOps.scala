@@ -167,6 +167,32 @@ object VectorOps {
       .orderBy("qid", "rn")
   }
 
+  /** Per-vector int8 quantization — the storage-compression pass for
+    * large embedding stores (4 bytes → 1 byte per dim): scale each
+    * vector's range onto 0..255, report the quantization parameters,
+    * the exact code-sum (an integer content check), and the max
+    * reconstruction error. Scan-only; all arithmetic in doubles with
+    * positive operands so both engines round identically. */
+  def embeddingQuantize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("cast(array_min(embedding) as double)").as("qmin"),
+        expr("cast(array_max(embedding) as double)").as("qmax"),
+        col("embedding"))
+      .withColumn("scale", (col("qmax") - col("qmin")) / lit(255.0))
+      .withColumn("codes", expr(
+        "transform(embedding, x -> cast(round((cast(x as double) - qmin) / scale) as bigint))"))
+      .select(
+        col("vec_id"), r6(col("qmin")).as("qmin_r"), r6(col("qmax")).as("qmax_r"),
+        expr("aggregate(codes, cast(0 as bigint), (a, c) -> a + c)").as("code_sum"),
+        r6(expr(
+          """aggregate(
+            |  zip_with(embedding, codes,
+            |    (x, c) -> abs(cast(x as double) - (qmin + c * scale))),
+            |  cast(0.0 as double), (a, e) -> greatest(a, e))""".stripMargin))
+          .as("max_recon_err"))
+      .orderBy("vec_id")
+
   // ----------------------------------------------------- multimodal binary
 
   /** Opaque-binary multimodal plumbing: media payloads travel as
@@ -198,6 +224,7 @@ object VectorOps {
     "q_embedding_neardup" -> embeddingNeardup _,
     "q_ann_ivf" -> annIvf _,
     "q_ann_ivf_multiprobe" -> annIvfMultiprobe _,
+    "q_embedding_quantize" -> embeddingQuantize _,
     "q_multimodal_binary" -> multimodalBinary _)
 
   private val phDuck = "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
@@ -296,6 +323,22 @@ object VectorOps {
         |WINDOW win AS (PARTITION BY qid ORDER BY cos DESC, cid)
         |QUALIFY row_number() OVER win <= 3
         |ORDER BY qid, rn""".stripMargin,
+    "q_embedding_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_min(embedding) AS DOUBLE) AS qmin,
+        |         CAST(list_max(embedding) AS DOUBLE) AS qmax
+        |  FROM embeddings),
+        |s AS (SELECT *, (qmax - qmin) / CAST(255.0 AS DOUBLE) AS scale FROM q),
+        |c AS (
+        |  SELECT *, list_transform(embedding,
+        |    x -> CAST(round((CAST(x AS DOUBLE) - qmin) / scale) AS BIGINT)) AS codes
+        |  FROM s)
+        |SELECT vec_id, round(qmin, 6) AS qmin_r, round(qmax, 6) AS qmax_r,
+        |       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |       round(list_max(list_transform(list_zip(embedding, codes),
+        |         x -> abs(CAST(x[1] AS DOUBLE) - (qmin + x[2] * scale)))), 6) AS max_recon_err
+        |FROM c ORDER BY vec_id""".stripMargin,
     "q_multimodal_binary" ->
       ("""SELECT doc_id,
         |       'text/plain' AS mime,
