@@ -53,4 +53,47 @@ object MultimodalStub {
       it.map(decodeOne)
     }
   }
+
+  /** One sampled frame of a (video-like) payload. frameIdx is the
+    * source frame number, so downstream joins stay keyed to the
+    * original timeline even after sampling. */
+  case class Frame(docId: Long, frameIdx: Int, width: Int, height: Int,
+                   feature: Array[Float])
+
+  /** Resize stage: 1-to-1 over decoded features. STUB scales the
+    * recorded dimensions and renormalizes the feature vector; a real
+    * build calls the resampler here. Pure map — fuses into the decode
+    * stage's partition pass, no extra shuffle, no extra pass over the
+    * payload bytes. */
+  def resize(spark: SparkSession, decoded: Dataset[MediaFeatures],
+             targetW: Int, targetH: Int): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    decoded.map { f =>
+      val sx = targetW.toFloat / math.max(f.width, 1)
+      val sy = targetH.toFloat / math.max(f.height, 1)
+      f.copy(width = targetW, height = targetH,
+        feature = f.feature.map(v => v * sx * sy))
+    }
+  }
+
+  /** Frame sampling: 1-to-many row explosion (every `everyN`-th frame,
+    * frame count stubbed from payload size). The plumbing that matters
+    * at scale: the output is a lazily-consumed Iterator per input row —
+    * a 2-hour video expands to thousands of frame rows WITHOUT ever
+    * materializing them in executor memory at once, and the expansion
+    * happens post-scan so the parquet reader still sees one row. */
+  def frameSample(spark: SparkSession, media: Dataset[MediaIn],
+                  everyN: Int): Dataset[Frame] = {
+    import spark.implicits._
+    require(everyN > 0, "everyN must be positive")
+    media.flatMap { m =>
+      val nFrames = math.max(1, m.payload.length / 16) // STUB: container parse
+      Iterator.range(0, nFrames, everyN).map { idx =>
+        // STUB per-frame decode: a real build seeks + decodes frame idx
+        val b = if (m.payload.isEmpty) 0 else m.payload(idx % m.payload.length).toInt
+        Frame(m.docId, idx, 64 + math.abs(b) % 64, 64,
+          Array.tabulate(8)(i => ((b + i) % 128) / 128.0f))
+      }
+    }
+  }
 }

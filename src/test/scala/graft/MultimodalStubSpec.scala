@@ -31,4 +31,28 @@ class MultimodalStubSpec extends SparkSpec {
     assert(rows.sortBy(_.docId).zip(again.sortBy(_.docId))
       .forall { case (a, b) => a.feature.sameElements(b.feature) })
   }
+
+  test("resize is 1-to-1, hits target dims, and scales features") {
+    import spark.implicits._
+    val media = Seq(MediaIn(1L, Array[Byte](10, 20, 30, 40), "image/x"),
+      MediaIn(2L, Array[Byte](1), "image/x")).toDS()
+    val decoded = MultimodalStub.decode(spark, media)
+    val resized = MultimodalStub.resize(spark, decoded, 224, 224).collect()
+    assert(resized.length == 2)
+    assert(resized.forall(r => r.width == 224 && r.height == 224))
+    assert(resized.forall(_.feature.length == 8)) // width preserved
+  }
+
+  test("frame sampling explodes rows by stride and keys frames to the source timeline") {
+    import spark.implicits._
+    // 64-byte payload → 4 stub frames; stride 2 → frames 0 and 2
+    val media = Seq(MediaIn(7L, Array.tabulate(64)(_.toByte), "video/x")).toDS()
+    val frames = MultimodalStub.frameSample(spark, media, everyN = 2).collect()
+    assert(frames.map(_.frameIdx).sorted.toSeq == Seq(0, 2))
+    assert(frames.forall(_.docId == 7L))
+    assert(frames.forall(_.feature.length == 8))
+    // stride 1 yields every frame
+    val all = MultimodalStub.frameSample(spark, media, everyN = 1).collect()
+    assert(all.map(_.frameIdx).sorted.toSeq == Seq(0, 1, 2, 3))
+  }
 }
