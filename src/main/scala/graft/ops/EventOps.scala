@@ -177,7 +177,38 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Time-series gap fill at hour grain: per-user hourly counts with
+    * MISSING hours materialized (zero-filled) and the hourly average
+    * forward-filled across gaps — the densification step before any
+    * fixed-step model consumes an event stream.
+    *
+    * Scale shape: the spine is generated per user from its own
+    * [first, last] hour via `sequence` + `explode` — row count is
+    * sum-of-spans, never |users| × |global range|, and generation is
+    * distributed (no driver-side range). The fill join is a left join
+    * on (user_id, hour) — same shuffle key as the aggregation, so AQE
+    * coalesces; the forward fill is one ordered window per user. */
+  def gapFillHourly(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val hourly = events(s, dir)
+      .groupBy(col("user_id"), expr(s"ts_us div $hourUs").as("hour"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    val spine = hourly
+      .groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val ffillW = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        r6(last(r6(col("sum_value") / col("n_events")), ignoreNulls = true)
+          .over(ffillW)).as("run_avg"))
+      .orderBy("user_id", "hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill" -> gapFillHourly _,
     "q_demux_window_avg" -> demuxWindowAvg _,
     "q_demux_window_agg_multi" -> demuxWindowAggMulti _,
     "q_demux_window_sliding" -> demuxWindowSliding _,
@@ -191,6 +222,23 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    "q_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+        |         count(*) AS n_events,
+        |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |         FROM hourly GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hour
+        |          FROM span)
+        |SELECT s.user_id, s.hour,
+        |       coalesce(h.n_events, 0) AS n_events,
+        |       round(last_value(round(h.sum_value / h.n_events, 6) IGNORE NULLS)
+        |             OVER (PARTITION BY s.user_id ORDER BY s.hour
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_avg
+        |FROM spine s LEFT JOIN hourly h USING (user_id, hour)
+        |ORDER BY user_id, hour""".stripMargin,
     "q_demux_window_avg" ->
       """SELECT user_id, epoch_us(ts) // 1000000 AS win_start_s,
         |       round(avg(value), 6) AS avg_value

@@ -495,6 +495,41 @@ object RelationalOps {
 
   // -------------------------------------------------------------- set ops
 
+  /** Ordered string aggregation (LISTAGG): per market segment, the
+    * lexicographically-sorted roster of its nations' names. Spark has
+    * no ordered listagg, so the deterministic form is
+    * array_sort(collect_list) + concat_ws — the sort makes the result
+    * independent of partial-aggregation order. collect_list buffers a
+    * GROUP in memory: only safe for groups with a bounded row count
+    * (here ≤ 25 nations per segment); an unbounded listagg at 100 TB
+    * should be a top-N window + concat instead. */
+  def stringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_mktsegment"), col("n_name")).distinct()
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_nations"),
+        concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+      .orderBy("c_mktsegment")
+
+  /** Fixed-width histogram of l_extendedprice (20 buckets of 5000,
+    * clamped): the single-pass profiling shape — bucket arithmetic in
+    * the projection, one combine-enabled shuffle on ≤ 20 keys. Both
+    * engines floor the same IEEE division, so bucket edges agree
+    * exactly. */
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(least(greatest(floor(col("l_extendedprice") / lit(5000.0)),
+        lit(0L)), lit(19L)).as("bucket"),
+        col("l_extendedprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        msum(col("l_extendedprice")).as("total_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy("bucket")
+
   /** UNION ALL (bag) + fold to counts for a stable comparison. */
   def unionAll(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -695,6 +730,8 @@ object RelationalOps {
     "q_window_analytic" -> windowAnalytic _,
     "q_topk_per_group" -> topkPerGroup _,
     "q_sort_limit" -> sortLimit _,
+    "q_string_agg" -> stringAgg _,
+    "q_histogram" -> histogram _,
     "q_union_all" -> unionAll _,
     "q_intersect" -> intersectKeys _,
     "q_except" -> exceptKeys _,
@@ -952,6 +989,19 @@ object RelationalOps {
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_string_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_nations,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM (SELECT DISTINCT c_mktsegment, n_name
+        |      FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(least(greatest(floor(l_extendedprice / 5000.0), 0), 19) AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |       min(l_extendedprice) AS min_price,
+        |       max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_union_all" ->
       """SELECT nationkey, count(*) AS n FROM (
         |  SELECT c_nationkey AS nationkey FROM customer
