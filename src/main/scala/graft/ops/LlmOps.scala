@@ -236,7 +236,53 @@ object LlmOps {
         r6(element_at(col("media.embedding"), 1).cast("double")).as("emb_first"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------- sampling / splits
+
+  /** Deterministic train/valid/test split (90/5/5) by doc_id hash —
+    * the content-independent, engine-independent way to split a
+    * corpus: no RNG, no seed coordination across engines or reruns; a
+    * document's split is a pure function of its id. One scan, one
+    * ≤15-key combine shuffle. */
+  def trainTestSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        (portableHash(col("doc_id").cast("string")) % 100L).as("hb"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .withColumn("split",
+        when(col("hb") < 90, "train").when(col("hb") < 95, "valid")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_tokens"))
+      .orderBy("split", "lang")
+
+  /** Weighted corpus mixing: per-source acceptance rates (derived
+    * arithmetically from the source id here; a real mix ships a weight
+    * table) applied via the same hash-threshold trick — the
+    * domain-reweighting pass of a pretraining data pipeline. The
+    * filter is a pure projection predicate: it pushes no new shuffle,
+    * and the achieved-vs-target rates come from one conditional
+    * aggregation. */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast("long")
+    val thresh = (srcNum % 4L + 1L) * 250L // target rates .25/.5/.75/1.0
+    val accepted = (portableHash(col("doc_id").cast("string")) % 1000L) < thresh
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        accepted.as("keep"), (thresh.cast("double") / lit(1000.0)).as("target_rate"))
+      .groupBy(col("source"))
+      .agg(max(col("target_rate")).as("target_rate"),
+        count(lit(1)).as("n_total"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        sum(when(col("keep"), col("toks")).otherwise(0L)).as("kept_tokens"))
+      .withColumn("achieved_rate",
+        r6(col("n_kept").cast("double") / col("n_total").cast("double")))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_train_test_split" -> trainTestSplit _,
+    "q_corpus_mix" -> corpusMix _,
     "q_text_stats" -> textStats _,
     "q_text_langdist" -> textLangdist _,
     "q_exact_dedup" -> exactDedup _,
@@ -247,6 +293,32 @@ object LlmOps {
     "q_multimodal_project" -> multimodalProject _)
 
   val oracles: Map[String, String] = Map(
+    "q_train_test_split" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |         CAST('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS hb,
+        |         len(string_split(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT CASE WHEN hb < 90 THEN 'train' WHEN hb < 95 THEN 'valid'
+        |            ELSE 'test' END AS split,
+        |       lang, count(*) AS n_docs,
+        |       CAST(sum(toks) AS BIGINT) AS total_tokens
+        |FROM d GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "q_corpus_mix" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS w,
+        |         CAST('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS hb,
+        |         len(string_split(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT source,
+        |       max(CAST(w * 250 AS DOUBLE) / CAST(1000 AS DOUBLE)) AS target_rate,
+        |       count(*) AS n_total,
+        |       count(CASE WHEN hb < w * 250 THEN 1 END) AS n_kept,
+        |       CAST(sum(CASE WHEN hb < w * 250 THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |       round(CAST(count(CASE WHEN hb < w * 250 THEN 1 END) AS DOUBLE) /
+        |             CAST(count(*) AS DOUBLE), 6) AS achieved_rate
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
