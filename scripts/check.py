@@ -3,6 +3,10 @@
 
 Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
 
+GRAFT_SKIP=q_a,q_b skips named queries (e.g. q_dedup_clusters at
+sf >= 0.1: its oracle's recursive transitive closure is quadratic in
+component size — the Spark side is the scalable formulation).
+
 Reads each <out_dir>/<name>/ parquet (Spark result), runs the matching
 oracle SQL from <out_dir>/oracle_sql.json in DuckDB against the sf_dir
 tables, sorts columns by name, and compares values row by row.
@@ -44,10 +48,14 @@ def main(out_dir, sf_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    skip = set(filter(None, os.environ.get("GRAFT_SKIP", "").split(",")))
     ok = fail = 0
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
+            continue
+        if name in skip:
+            print(f"[SKIP ] {name}: GRAFT_SKIP")
             continue
         files = glob.glob(f"{d}/*.parquet")
         if not files:

@@ -242,6 +242,48 @@ object LlmOps {
         r6(element_at(col("media.embedding"), 1).cast("double")).as("emb_first"))
       .orderBy("doc_id")
 
+  /** Connected components over the MinHash candidate pairs: the step
+    * between "near-dup pairs" and "dedup decision" — every doc in a
+    * component gets the component's smallest doc_id as its cluster id
+    * (= the canonical keeper).
+    *
+    * Distributed min-label propagation: each round, every node takes
+    * the min of its own label and its neighbors' labels; converges in
+    * diameter(G) rounds (LSH components are near-cliques, so 2-4 in
+    * practice; capped at 20). Each round is one shuffle-join; the edge
+    * list and each round's labels are locally checkpointed so the
+    * lineage (and the LSH subplan) is materialized once, not replayed
+    * per round. At extreme scale the same loop with the large-star /
+    * small-star edge rewrites (the standard MapReduce CC) halves the
+    * round count; the per-round plan shape is identical. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashDedup(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+        .select(labels("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("lbl", "old"), "id")
+        .where(col("lbl") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------- sampling / splits
 
   /** Deterministic train/valid/test split (90/5/5) by doc_id hash —
@@ -294,6 +336,7 @@ object LlmOps {
     "q_exact_dedup" -> exactDedup _,
     "q_dedup_corpus" -> dedupCorpus _,
     "q_minhash_dedup" -> minhashDedup _,
+    "q_dedup_clusters" -> dedupClusters _,
     "q_cosine_topk" -> cosineTopk _,
     "q_knn_classify" -> knnClassify _,
     "q_multimodal_project" -> multimodalProject _)
@@ -368,6 +411,36 @@ object LlmOps {
         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS n_shared_bands
         |FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_transform(shingles,
+        |           sh -> CAST('0x' || substring(sha256(sh), 1, 15) AS BIGINT) % 2147483647) AS hs
+        |  FROM s),
+        |m AS (
+        |  SELECT doc_id, b.range AS band,
+        |         list_min(list_transform(hs,
+        |           h -> (h * (b.range + 1) + 37 * b.range + 101) % 2147483647)) AS sig
+        |  FROM hs, range(0, 8) b),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a, c.doc_id AS b
+        |  FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig
+        |                   AND a.doc_id < c.doc_id),
+        |sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a)
+        |SELECT src AS doc_id,
+        |       CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "q_cosine_topk" ->
       """WITH base AS (
         |  SELECT vec_id, embedding, label,
