@@ -258,8 +258,19 @@ object LlmOps {
     * round count; the per-round plan shape is identical. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashDedup(s, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
+    connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Distributed connected components over an undirected edge list
+    * (two columns: endpoint a, endpoint b; isolated nodes absent).
+    * Returns (id, lbl) where lbl = smallest node id in the component.
+    * See dedupClusters for the algorithm/scale discussion. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val Seq(ca, cb) = pairs.columns.toSeq.map(pairs.col)
+    val edges = pairs.select(ca, cb)
+      .union(pairs.select(cb, ca))
       .toDF("src", "dst")
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
@@ -267,7 +278,7 @@ object LlmOps {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < 50) {
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
       val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
@@ -280,8 +291,7 @@ object LlmOps {
       converged = changed == 0
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy("doc_id")
+    labels
   }
 
   // ---------------------------------------------------- sampling / splits

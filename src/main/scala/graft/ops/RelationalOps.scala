@@ -391,6 +391,23 @@ object RelationalOps {
         approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** Approximate percentiles via Spark's quantile sketch
+    * (approx_percentile; no exact oracle — rows-only check, the
+    * companion ApproxPercentileSpec bounds it against the exact
+    * distributed order statistics of q_median_percentile). The sketch
+    * is mergeable: partials combine map-side, one small-state shuffle
+    * regardless of group cardinality — the 100 TB answer when exact
+    * order statistics' per-group sort is too expensive. */
+  def approxPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, array(0.5, 0.9, 0.99), 10000)")
+          .as("qty_pcts"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+          .as("price_pcts"))
+      .orderBy("l_returnflag")
+
   // ------------------------------------------------------------- windows
 
   /** Ranking trio per group, top-3 rows kept. */
@@ -730,6 +747,7 @@ object RelationalOps {
     "q_window_analytic" -> windowAnalytic _,
     "q_topk_per_group" -> topkPerGroup _,
     "q_sort_limit" -> sortLimit _,
+    "q_approx_percentile" -> approxPercentile _,
     "q_string_agg" -> stringAgg _,
     "q_histogram" -> histogram _,
     "q_union_all" -> unionAll _,

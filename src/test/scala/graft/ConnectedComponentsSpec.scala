@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the distributed connected-components loop on shapes
+  * the LSH pair data can't be relied on to produce: a long PATH (the
+  * diameter worst case — label propagation needs diameter rounds, a
+  * clique needs one) and multiple components with interleaved ids. */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    graft.ops.LlmOps.connectedComponents(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("path graph: every node converges to the path's smallest id") {
+    // 0-1-2-...-12 as a chain: diameter 12 forces many propagation rounds
+    val path = (0L until 12L).map(i => (i, i + 1))
+    val got = cc(path)
+    assert(got.size == 13)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("two interleaved components + reversed edge direction") {
+    // comp {1,3,5} chained high-to-low, comp {2,4} — min must win
+    // regardless of edge orientation
+    val got = cc(Seq((5L, 3L), (3L, 1L), (4L, 2L)))
+    assert(got == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 2L -> 2L, 4L -> 2L))
+  }
+
+  test("clique and bridge: merging two cliques through one edge") {
+    val cliqueA = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val cliqueB = for (i <- 20L to 23L; j <- (i + 1) to 23L) yield (i, j)
+    val got = cc(cliqueA ++ cliqueB ++ Seq((13L, 20L)))
+    assert(got.values.toSet == Set(10L)) // one merged component
+    assert(got.size == 8)
+  }
+}
