@@ -338,7 +338,29 @@ object LlmOps {
       .orderBy("source")
   }
 
+  /** Weighted sample without replacement (k=20, weight = token count)
+    * via the exponential-keys scheme (Efraimidis–Spirakis A-ES): each
+    * doc gets key = ln(u) / w with u ∈ (0,1] pseudo-random; the k
+    * LARGEST keys are a correct weighted sample. Distributed shape:
+    * keys are computed in the scan projection and the global top-k is
+    * a per-partition top-k + tiny merge (TakeOrdered) — no shuffle of
+    * the corpus, no sequential reservoir. u comes from the portable
+    * doc_id hash, so the "sample" is deterministic and cross-engine:
+    * no RNG state, rerun-stable, and still weight-correct in
+    * distribution across the id space. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        ((portableHash(col("doc_id").cast("string")) % 1000000007L + 1L)
+          .cast("double") / lit(1000000008.0)).as("u"))
+      .select(col("doc_id"), col("w"), (log(col("u")) / col("w")).as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("w"), r6(col("key")).as("key_r"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_sample" -> weightedSample _,
     "q_train_test_split" -> trainTestSplit _,
     "q_corpus_mix" -> corpusMix _,
     "q_text_stats" -> textStats _,
@@ -352,6 +374,16 @@ object LlmOps {
     "q_multimodal_project" -> multimodalProject _)
 
   val oracles: Map[String, String] = Map(
+    "q_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) AS w,
+        |         CAST(CAST('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |              % 1000000007 + 1 AS DOUBLE) / CAST(1000000008 AS DOUBLE) AS u
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w,
+        |       round(ln(u) / w, 6) AS key_r
+        |FROM d ORDER BY ln(u) / w DESC, doc_id LIMIT 20""".stripMargin,
     "q_train_test_split" ->
       """WITH d AS (
         |  SELECT lang,
