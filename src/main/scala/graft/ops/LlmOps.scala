@@ -359,7 +359,41 @@ object LlmOps {
       .limit(20)
       .select(col("doc_id"), col("w"), r6(col("key")).as("key_r"))
 
+  /** Eval-contamination detection: for every TEST-split document, how
+    * many of its distinct word 5-grams also occur anywhere in the
+    * TRAIN split (splits from the same doc_id hash as
+    * q_train_test_split). This is the decontamination pass run before
+    * trusting any eval number. Scale shape: one shuffle keyed on the
+    * 5-gram hash (uniform keys); the train side is distinct-reduced
+    * (combine map-side) before the join; never doc×doc. Ratio ships
+    * as integer parts-per-million — (1e6 * hits) div n — because
+    * n_shingles can exceed the r6 tie-safe range. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"),
+        (portableHash(col("doc_id").cast("string")) % 100L).as("hb"))
+      .where(size(col("toks")) >= 5)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("hb"), explode(expr(
+        """transform(sequence(1, size(toks) - 4),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ',
+          |              element_at(toks, i + 2), ' ', element_at(toks, i + 3), ' ',
+          |              element_at(toks, i + 4)))""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("hb"), portableHash(col("g")).as("gh"))
+    val train = grams.where(col("hb") < 90).select(col("gh")).distinct()
+      .withColumn("hit", lit(1L))
+    val test = grams.where(col("hb") >= 95)
+      .select(col("doc_id"), col("gh")).distinct()
+    test.join(train, Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+      .withColumn("contamination_ppm",
+        expr("(1000000 * n_hit) div n_shingles"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_contamination" -> contamination _,
     "q_weighted_sample" -> weightedSample _,
     "q_train_test_split" -> trainTestSplit _,
     "q_corpus_mix" -> corpusMix _,
@@ -374,6 +408,26 @@ object LlmOps {
     "q_multimodal_project" -> multimodalProject _)
 
   val oracles: Map[String, String] = Map(
+    "q_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS hb
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, hb,
+        |         unnest(list_transform(range(1, len(toks) - 3),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |                toks[i+3] || ' ' || toks[i+4])) AS g
+        |  FROM d WHERE len(toks) >= 5),
+        |hg AS (SELECT doc_id, hb,
+        |              CAST('0x' || substring(sha256(g), 1, 15) AS BIGINT) AS gh
+        |       FROM sh),
+        |train AS (SELECT DISTINCT gh FROM hg WHERE hb < 90),
+        |test AS (SELECT DISTINCT doc_id, gh FROM hg WHERE hb >= 95)
+        |SELECT t.doc_id, count(*) AS n_shingles, count(tr.gh) AS n_hit,
+        |       (1000000 * count(tr.gh)) // count(*) AS contamination_ppm
+        |FROM test t LEFT JOIN train tr ON t.gh = tr.gh
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q_weighted_sample" ->
       """WITH d AS (
         |  SELECT doc_id,
