@@ -50,4 +50,22 @@ object ParquetLayout {
     * from the directory structure). */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Streaming → at-rest bridge: attach a foreachBatch sink that lands
+    * each micro-batch of `stream` as hive-partitioned parquet under
+    * `path`. Append mode per micro-batch (watermarked aggregations
+    * emit each window exactly once, so appends never rewrite a
+    * window); partition columns give downstream batch queries
+    * planning-time pruning over the landed history. This is the
+    * ingest topology: stream job lands partitioned files, the batch
+    * engine (everything in graft.ops) reads them. */
+  def streamToPartitioned(stream: DataFrame, path: String,
+                          partCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(SaveMode.Append)
+          .partitionBy(partCols: _*)
+          .parquet(path)
+      }
 }

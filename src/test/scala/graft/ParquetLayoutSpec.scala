@@ -75,6 +75,41 @@ class ParquetLayoutSpec extends SparkSpec {
     }
   }
 
+  test("streaming windows land as partitioned parquet via foreachBatch") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("graft_stream_land").toString + "/out"
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val windows = graft.streaming.StreamingWindows.demuxWindowAvg(
+      stream.toDF().toDF("user_id", "ts", "value"), "2 seconds")
+    val query = graft.sources.ParquetLayout
+      .streamToPartitioned(windows, dir, Seq("user_id")).start()
+    try {
+      def ev(uid: Long, tsUs: Long, v: Double) =
+        (uid, new Timestamp(1700000000000L + tsUs / 1000), v)
+      stream.addData(Seq(ev(1, 0L, 10.0), ev(1, 500000L, 20.0), ev(2, 0L, 5.0)))
+      query.processAllAvailable()
+      stream.addData(Seq(ev(1, 8000000L, 1.0), ev(2, 8000000L, 1.0))) // close windows
+      query.processAllAvailable()
+
+      val landed = graft.sources.ParquetLayout.readPartitioned(spark, dir)
+      assert(landed.count() >= 2) // both users' first windows closed + landed
+      // layout guarantee carries over: a user_id filter prunes directories
+      val pruned = landed.where(col("user_id") === 1)
+      val scan = pruned.queryExecution.executedPlan.collectFirst {
+        case f: FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec in plan"))
+      assert(scan.selectedPartitions.toPartitionArray
+        .forall(_.filePath.toString.contains("user_id=1")))
+      val w1 = pruned.orderBy("win_start").select(col("avg_value"))
+        .as[Double].head()
+      assert(w1 == 15.0)
+    } finally query.stop()
+  }
+
   test("bucketed groupBy on the bucket key aggregates without a shuffle") {
     import spark.implicits._
     val facts = (1L to 100L).map(i => (i % 20, i.toDouble)).toDF("k", "v")
