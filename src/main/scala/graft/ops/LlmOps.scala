@@ -281,13 +281,15 @@ object LlmOps {
     while (!converged && iter < 50) {
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      // change detection fused into the propagation select — no extra
+      // join against the previous labels afterwards
       val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
-        .select(labels("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(labels("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (col("nlbl") < col("lbl")).as("chg"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("lbl", "old"), "id")
-        .where(col("lbl") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.where(col("chg")).limit(1).count()
+      labels = next.drop("chg")
       converged = changed == 0
       iter += 1
     }
