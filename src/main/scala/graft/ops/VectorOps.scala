@@ -225,7 +225,30 @@ object VectorOps {
     "q_ann_ivf" -> annIvf _,
     "q_ann_ivf_multiprobe" -> annIvfMultiprobe _,
     "q_embedding_quantize" -> embeddingQuantize _,
-    "q_multimodal_binary" -> multimodalBinary _)
+    "q_multimodal_binary" -> multimodalBinary _,
+    "q_frame_sample" -> frameSampleQuery _)
+
+  /** The typed multimodal frame pipeline as a driver-graded query:
+    * documents-as-media → decode → frame-sample every 4th frame →
+    * scalar projection. Deterministic (stub codec is a pure function
+    * of the payload) but typed-Dataset-shaped, so it's a rows-only
+    * entry like the other non-SQL-expressible ops; the stage
+    * semantics are unit-tested in MultimodalStubSpec. */
+  def frameSampleQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        lit("video/x-stub").as("mime"))
+      .as[(Long, Array[Byte], String)]
+      .map { case (id, p, m) => MultimodalStub.MediaIn(id, p, m) }
+    MultimodalStub.frameSample(s, media, everyN = 4)
+      .toDF()
+      .select(col("docId").as("doc_id"), col("frameIdx").as("frame_idx"),
+        col("width").cast("long").as("width"),
+        r6(element_at(col("feature"), 1).cast("double")).as("f0"))
+      .orderBy("doc_id", "frame_idx")
+  }
 
   private val phDuck = "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
