@@ -225,7 +225,25 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Corpus vocabulary heavy-hitters: global top-30 tokens by
+    * occurrence count with document frequency — the frequency table a
+    * tokenizer/stopword/BPE pass starts from. Explode → combine-heavy
+    * groupBy (map-side partials collapse each partition to its
+    * distinct tokens — the shuffle carries vocabulary, not corpus) →
+    * tiny global top-k. At 100 TB the exact version stays viable
+    * precisely because natural-language vocabulary plateaus; for
+    * unbounded key domains the count-min/topk sketch replaces it. */
+  def vocabTopk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(30)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_topk" -> vocabTopk _,
     "q_lang_id" -> langId _,
     "q_quality_score" -> qualityScore _,
     "q_token_count_bpe" -> tokenCountBpe _,
@@ -237,6 +255,13 @@ object TextOps {
     "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_topk" ->
+      """SELECT token, count(*) AS n_occurrences,
+        |       count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY n_occurrences DESC, token LIMIT 30""".stripMargin,
     "q_lang_id" ->
       """WITH cv AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
