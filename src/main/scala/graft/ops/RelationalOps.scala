@@ -167,6 +167,36 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
+  /** Two-STREAM as-of via the merge formulation: each purchase
+    * matched to the user's most recent view at-or-before it — the
+    * attribution join. Instead of joining two tables (range bucketing,
+    * q_range_join) or lagging one stream (q_asof_prev_event), the two
+    * streams are UNIONed, sorted once per user with the reference
+    * stream ordered first at equal timestamps, and the match read off
+    * a running `last(ignoreNulls)`. One shuffle + one sort total,
+    * independent of how many probe rows share a reference row — the
+    * formulation that survives when the probe:reference ratio is
+    * extreme. */
+  def asofMergeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"),
+        when(col("event_type") === "view", col("event_id")).as("view_id"),
+        when(col("event_type") === "view", col("ts_us")).as("view_ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"),
+        when(col("event_type") === "view", 0).otherwise(1), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+      .withColumn("last_view_ts_us", last(col("view_ts_us"), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_ts_us"),
+        coalesce(col("last_view_id"), lit(-1L)).as("view_id"),
+        coalesce(col("last_view_ts_us"), lit(-1L)).as("view_ts_us"))
+      .orderBy("purchase_id")
+  }
+
   // ---------------------------------------------------------- aggregation
 
   /** TPC-H Q1 shape: the canonical hash-agg with exact decimal sums. */
@@ -727,6 +757,7 @@ object RelationalOps {
     "q_unpivot" -> unpivotOrders _,
     "q_range_join" -> rangeJoin _,
     "q_asof_prev_event" -> asofPrevEvent _,
+    "q_asof_merge_join" -> asofMergeJoin _,
     "q_groupby_agg" -> groupbyAgg _,
     "q_rollup" -> rollupAgg _,
     "q_cube" -> cubeAgg _,
@@ -844,6 +875,24 @@ object RelationalOps {
         |SELECT event_id, user_id, ts_us, prev_event_id,
         |       round(prev_value, 6) AS prev_value, prev_ts_us
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_asof_merge_join" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |         CASE WHEN event_type = 'view' THEN event_id END AS view_id,
+        |         CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_ts_us
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |m AS (
+        |  SELECT user_id, event_id, ts_us, event_type,
+        |         last_value(view_id IGNORE NULLS) OVER w AS last_view_id,
+        |         last_value(view_ts_us IGNORE NULLS) OVER w AS last_view_ts_us
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY ts_us, CASE WHEN event_type = 'view' THEN 0 ELSE 1 END, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id AS purchase_id, ts_us AS purchase_ts_us,
+        |       coalesce(last_view_id, -1) AS view_id,
+        |       coalesce(last_view_ts_us, -1) AS view_ts_us
+        |FROM m WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
     "q_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
