@@ -207,7 +207,58 @@ object EventOps {
       .orderBy("user_id", "hour")
   }
 
+  /** Ordered funnel (view → click → purchase): per user, the first
+    * view, the first click AT OR AFTER that view, and the first
+    * purchase at or after that click; then corpus-level conversion
+    * counts. Three per-user conditional-min aggregations chained by
+    * small self-joins on user_id — each stage's input is one row per
+    * user (the aggregate), so the joins never touch event volume
+    * twice; conversion rates ship as integer ppm (cohort sizes exceed
+    * the r6 tie-safe range). */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+    val c = e.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts_us") >= col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts_us") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_view"),
+        count(col("t_click")).as("n_click"),
+        count(col("t_purchase")).as("n_purchase"))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        expr("(1000000 * n_click) div n_view").as("click_ppm"),
+        expr("(1000000 * n_purchase) div n_view").as("purchase_ppm"))
+  }
+
+  /** Cohort retention: users grouped by signup day, counted as active
+    * on each later day they emitted any event (offsets 0..13). Two
+    * combine-enabled aggregations plus one join keyed on user_id —
+    * the join's right side is one row per user (its cohort), so this
+    * broadcast-or-shuffle joins by user count, not event count. */
+  def retentionCohort(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val e = events(s, dir).select(col("user_id"), col("ts_us"), col("event_type"))
+    val cohorts = e.where(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(expr(s"min(ts_us) div $dayUs").as("cohort_day"))
+    val active = e.select(col("user_id"), expr(s"ts_us div $dayUs").as("day")).distinct()
+    active.join(cohorts, "user_id")
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+      .where(col("day_offset").between(0, 13))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> funnel _,
+    "q_retention_cohort" -> retentionCohort _,
     "q_gap_fill" -> gapFillHourly _,
     "q_demux_window_avg" -> demuxWindowAvg _,
     "q_demux_window_agg_multi" -> demuxWindowAggMulti _,
@@ -222,6 +273,37 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts_us) AS t_click
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts_us >= v.t_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts_us) AS t_purchase
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts_us >= c.t_click
+        |      GROUP BY e.user_id),
+        |agg AS (
+        |  SELECT count(*) AS n_view, count(c.t_click) AS n_click,
+        |         count(p.t_purchase) AS n_purchase
+        |  FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |         LEFT JOIN p ON v.user_id = p.user_id)
+        |SELECT n_view, n_click, n_purchase,
+        |       (1000000 * n_click) // n_view AS click_ppm,
+        |       (1000000 * n_purchase) // n_view AS purchase_ppm
+        |FROM agg""".stripMargin,
+    "q_retention_cohort" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |cohorts AS (SELECT user_id, min(ts_us) // 86400000000 AS cohort_day
+        |            FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, ts_us // 86400000000 AS day FROM e)
+        |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+        |       count(DISTINCT a.user_id) AS n_active
+        |FROM active a JOIN cohorts c ON a.user_id = c.user_id
+        |WHERE a.day - c.cohort_day BETWEEN 0 AND 13
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_gap_fill" ->
       """WITH hourly AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
