@@ -394,7 +394,23 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Dedup-graph degree distribution: how many near-dup partners each
+    * doc has, folded to a histogram — the skew diagnostic run before
+    * trusting an LSH pass (a heavy-tailed degree distribution means a
+    * shingle family collapsed and the band join is about to explode).
+    * Two combine-enabled aggregations over the pair list; output is
+    * O(max degree) rows. */
+  def dedupDegree(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashDedup(s, dir).select(col("doc_a"), col("doc_b"))
+    pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_degree" -> dedupDegree _,
     "q_contamination" -> contamination _,
     "q_weighted_sample" -> weightedSample _,
     "q_train_test_split" -> trainTestSplit _,
@@ -410,6 +426,34 @@ object LlmOps {
     "q_multimodal_project" -> multimodalProject _)
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_degree" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_transform(shingles,
+        |           sh -> CAST('0x' || substring(sha256(sh), 1, 15) AS BIGINT) % 2147483647) AS hs
+        |  FROM s),
+        |m AS (
+        |  SELECT doc_id, b.range AS band,
+        |         list_min(list_transform(hs,
+        |           h -> (h * (b.range + 1) + 37 * b.range + 101) % 2147483647)) AS sig
+        |  FROM hs, range(0, 8) b),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a, c.doc_id AS b
+        |  FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig
+        |                   AND a.doc_id < c.doc_id),
+        |deg AS (
+        |  SELECT doc_id, count(*) AS degree FROM (
+        |    SELECT a AS doc_id FROM pairs UNION ALL SELECT b FROM pairs)
+        |  GROUP BY doc_id)
+        |SELECT degree, count(*) AS n_docs FROM deg
+        |GROUP BY degree ORDER BY degree""".stripMargin,
     "q_contamination" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
