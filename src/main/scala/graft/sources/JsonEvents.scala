@@ -65,6 +65,37 @@ object JsonEvents {
     (ok, dead)
   }
 
+  /** `parse` with SINGLE-PASS ingest metrics attached via the observe
+    * API: total/clean/dead counts materialize as a side effect of
+    * whatever action the caller already runs — no second scan. (The
+    * reference pays an extra `points.Count()` iteration per metric,
+    * DispatcherFunction.cs:25,37,49; `observe` is the engine-native
+    * replacement.) Read `obs.get` AFTER an action on the clean frame. */
+  def parseObserved(raw: DataFrame): (DataFrame, DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("ingest")
+    val parsed = raw.select(col("value"), from_json(col("value"), schema,
+      Map("mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt_record")).as("p"))
+      .withColumn("is_dead",
+        col("p._corrupt_record").isNotNull || col("p.Timestamp").isNull)
+      .observe(obs,
+        count(lit(1)).as("n_total"),
+        count(when(!col("is_dead"), 1)).as("n_clean"),
+        count(when(col("is_dead"), 1)).as("n_dead"))
+    val ok = parsed.where(!col("is_dead"))
+      .select(
+        col("p.Timestamp").as("timestamp"),
+        col("p.DeviceId").as("deviceId"),
+        col("p.SessionId").as("sessionId"),
+        col("p.SensorType").as("sensorType"),
+        col("p.Names").as("names"),
+        col("p.Values").as("values"),
+        concat_ws(":", col("p.SessionId"), element_at(col("p.Values"), 2)).as("key"),
+        col("value").as("raw"))
+    val dead = parsed.where(col("is_dead")).select(col("value"))
+    (ok, dead, obs)
+  }
+
   /** Clean parsed events → Dataset[CompatPoint] for the window
     * pipeline (seq = a stable intra-key order; callers supply it when
     * the source has one, else row order by timestamp). */

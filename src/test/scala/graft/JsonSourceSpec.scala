@@ -28,6 +28,20 @@ class JsonSourceSpec extends SparkSpec {
     assert(dead.as[String].collect().exists(_.startsWith("{this")))
   }
 
+  test("observed parse yields single-pass ingest metrics with the action") {
+    import spark.implicits._
+    val lines = Seq(
+      ev("2024-01-01T00:00:00.000Z", "d1", "sessA", "p1", "10"),
+      ev("2024-01-01T00:00:01.000Z", "d1", "sessA", "p1", "20"),
+      ev("2024-01-01T00:00:02.000Z", "d2", "sessB", "p2", "30"),
+      """not json""")
+    val (clean, dead, obs) = JsonEvents.parseObserved(lines.toDF("value"))
+    assert(clean.count() == 3) // the action that materializes the metrics
+    val m = obs.get
+    assert(m("n_total") == 4L && m("n_clean") == 3L && m("n_dead") == 1L)
+    assert(dead.count() == 1)
+  }
+
   test("JSON in → windows → reference-shaped JSON out") {
     import spark.implicits._
     val lines = Seq(
