@@ -29,6 +29,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 2L -> 2L, 4L -> 2L))
   }
 
+  test("on real LSH pairs, both endpoints of every pair share a cluster") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val pairs = graft.ops.LlmOps.queries("q_minhash_dedup")(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val clusters = graft.ops.LlmOps.queries("q_dedup_clusters")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => clusters(a) == clusters(b) })
+    // canonical keeper: every cluster id is a member of its own cluster
+    assert(clusters.values.toSet.forall(cid => clusters(cid) == cid))
+  }
+
   test("clique and bridge: merging two cliques through one edge") {
     val cliqueA = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
     val cliqueB = for (i <- 20L to 23L; j <- (i + 1) to 23L) yield (i, j)
