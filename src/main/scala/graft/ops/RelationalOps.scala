@@ -84,6 +84,19 @@ object RelationalOps {
         msum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spend"))
       .orderBy("c_custkey")
 
+  /** Right outer — the mirror shape (Catalyst plans it as the same
+    * left-outer with sides swapped; present so every join type in the
+    * API surface is exercised and oracle-checked): all orders appear,
+    * orders whose customer row is filtered away keep NULL dims. */
+  def joinRightOuter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "right")
+      .select(col("o_orderkey"),
+        coalesce(col("c_custkey"), lit(-1L)).as("cust_key"),
+        coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+      .orderBy("o_orderkey")
+
   /** Left-semi: customers having at least one high-value order. */
   def joinSemi(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
@@ -750,6 +763,7 @@ object RelationalOps {
     "q_hash_join_inner" -> hashJoinInner _,
     "q_join_multiway" -> joinMultiway _,
     "q_join_left_outer" -> joinLeftOuter _,
+    "q_join_right_outer" -> joinRightOuter _,
     "q_join_semi" -> joinSemi _,
     "q_join_anti" -> joinAnti _,
     "q_join_full_outer" -> joinFullOuter _,
@@ -823,6 +837,13 @@ object RelationalOps {
         |       CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_right_outer" ->
+      """SELECT o_orderkey,
+        |       coalesce(c_custkey, -1) AS cust_key,
+        |       coalesce(c_mktsegment, 'NONE') AS segment
+        |FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |RIGHT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q_join_semi" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer
