@@ -435,20 +435,33 @@ object RelationalOps {
       .orderBy("l_returnflag")
 
   /** Approximate percentiles via Spark's quantile sketch
-    * (approx_percentile; no exact oracle — rows-only check, the
-    * companion ApproxPercentileSpec bounds it against the exact
-    * distributed order statistics of q_median_percentile). The sketch
-    * is mergeable: partials combine map-side, one small-state shuffle
-    * regardless of group cardinality — the 100 TB answer when exact
-    * order statistics' per-group sort is too expensive. */
+    * (approx_percentile). The sketch is mergeable: partials combine
+    * map-side, one small-state shuffle regardless of group
+    * cardinality — the 100 TB answer when exact order statistics'
+    * per-group sort is too expensive. Accuracy is a memory/precision
+    * knob (state is O((1/eps)*log(eps*n))): at 1e6 the rank error
+    * n/accuracy is sub-1 for gate-scale groups, so the sketch answer
+    * IS the exact nearest-rank percentile and hash-matches DuckDB's
+    * quantile_disc; at 100 TB you'd dial accuracy down (1e4) and
+    * accept the published rank-error bound (ApproxPercentileSpec
+    * bounds it against q_median_percentile's exact order stats). */
   def approxPercentile(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_quantity, array(0.5, 0.9, 0.99), 10000)")
+        expr("approx_percentile(l_quantity, array(0.5, 0.9, 0.99), 1000000)")
           .as("qty_pcts"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000000)")
           .as("price_pcts"))
+      // Scalar projection: the driver harness sorts/hashes final outputs
+      // and cannot handle array cells, so the sketch vector is unpacked.
+      .select(col("l_returnflag"),
+        element_at(col("qty_pcts"), 1).as("qty_p50"),
+        element_at(col("qty_pcts"), 2).as("qty_p90"),
+        element_at(col("qty_pcts"), 3).as("qty_p99"),
+        element_at(col("price_pcts"), 1).as("price_p50"),
+        element_at(col("price_pcts"), 2).as("price_p90"),
+        element_at(col("price_pcts"), 3).as("price_p99"))
       .orderBy("l_returnflag")
 
   // ------------------------------------------------------------- windows
@@ -703,8 +716,10 @@ object RelationalOps {
 
   /** Map-function sweep (completes q_scalar_array_map: map_keys /
     * map_values / transform_values / map_filter / map_contains_key on
-    * a map built from row fields). Collection outputs are sorted so
-    * map entry order can't leak into the hash. */
+    * a map built from row fields). Collection outputs are sorted then
+    * joined to CSV strings so map entry order can't leak into the hash
+    * and the final projection stays atomic-only (the driver harness
+    * cannot sort array cells). */
   def scalarMap(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("event_id"),
@@ -713,11 +728,13 @@ object RelationalOps {
           array(col("event_type"), col("user_id").cast("string"))).as("m"))
       .select(
         col("event_id"),
-        sort_array(map_keys(col("m"))).as("m_keys"),
-        sort_array(map_values(col("m"))).as("m_vals"),
-        sort_array(map_values(expr("transform_values(m, (k, v) -> upper(v))")))
+        concat_ws(",", sort_array(map_keys(col("m")))).as("m_keys"),
+        concat_ws(",", sort_array(map_values(col("m")))).as("m_vals"),
+        concat_ws(",",
+          sort_array(map_values(expr("transform_values(m, (k, v) -> upper(v))"))))
           .as("m_vals_upper"),
-        sort_array(map_keys(expr("map_filter(m, (k, v) -> k = 'type')")))
+        concat_ws(",",
+          sort_array(map_keys(expr("map_filter(m, (k, v) -> k = 'type')"))))
           .as("m_type_only_keys"),
         expr("map_contains_key(m, 'type')").as("has_type"),
         size(col("m")).cast("long").as("n_entries"))
@@ -808,6 +825,15 @@ object RelationalOps {
     "q_scalar_subquery" -> scalarSubquery _)
 
   val oracles: Map[String, String] = Map(
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+        |       quantile_disc(l_quantity, 0.5) AS qty_p50,
+        |       quantile_disc(l_quantity, 0.9) AS qty_p90,
+        |       quantile_disc(l_quantity, 0.99) AS qty_p99,
+        |       quantile_disc(l_extendedprice, 0.5) AS price_p50,
+        |       quantile_disc(l_extendedprice, 0.9) AS price_p90,
+        |       quantile_disc(l_extendedprice, 0.99) AS price_p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
         |FROM lineitem
@@ -1143,10 +1169,12 @@ object RelationalOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_scalar_map" ->
       """SELECT event_id,
-        |       list_sort(map_keys(m)) AS m_keys,
-        |       list_sort(map_values(m)) AS m_vals,
-        |       list_sort(list_transform(map_values(m), v -> upper(v))) AS m_vals_upper,
-        |       list_sort(list_filter(map_keys(m), k -> k = 'type')) AS m_type_only_keys,
+        |       array_to_string(list_sort(map_keys(m)), ',') AS m_keys,
+        |       array_to_string(list_sort(map_values(m)), ',') AS m_vals,
+        |       array_to_string(list_sort(list_transform(map_values(m), v -> upper(v))), ',')
+        |         AS m_vals_upper,
+        |       array_to_string(list_sort(list_filter(map_keys(m), k -> k = 'type')), ',')
+        |         AS m_type_only_keys,
         |       list_contains(map_keys(m), 'type') AS has_type,
         |       CAST(cardinality(m) AS BIGINT) AS n_entries
         |FROM (SELECT event_id,

@@ -3,11 +3,13 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ops.RelationalOps
 
-/** Error-bound check for q_approx_percentile (no SQL oracle by design
-  * — quantile sketches differ across engines). With accuracy 10000
-  * the rank error is ≤ 1/10000; on sf0.001 groups (< 15k rows) the
-  * returned value must sit within a ±1% rank window of the exact
-  * percentile. */
+/** Error-bound check for q_approx_percentile: the sketch answer must
+  * sit within a ±1% rank window of the exact order statistic (the
+  * guarantee approx_percentile publishes at any accuracy ≥ 100; at
+  * the query's accuracy=1e6 it is in fact exact at this scale, which
+  * is what the DuckDB quantile_disc oracle asserts — this spec keeps
+  * the weaker published bound so dialing accuracy down for a 100 TB
+  * run doesn't break the suite). */
 class ApproxPercentileSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
@@ -15,7 +17,10 @@ class ApproxPercentileSpec extends SparkSpec {
   test("approx_percentile lands within a 1% rank window of exact") {
     val qs = Seq(0.5, 0.9, 0.99)
     val approx = RelationalOps.approxPercentile(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
 
     val exactRows = Tables(spark, sfDir, "lineitem")
       .select(col("l_returnflag"), col("l_quantity"))
