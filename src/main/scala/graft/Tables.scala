@@ -46,6 +46,16 @@ object Tables {
       val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
       df.createOrReplaceTempView(n)
     }
+
+  /** Spread a single-split scan across the cluster before CPU-heavy
+    * per-row work (sha/hex projections). The driver testdata ships
+    * documents/embeddings as ONE parquet split, which would serialize
+    * those stages on one core. On real multi-split data the shuffle is
+    * pure waste — `SPARK_GRAFT_SINGLE_SPLIT=0` disables it (default:
+    * on, matching the driver environment). */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    if (sys.env.getOrElse("SPARK_GRAFT_SINGLE_SPLIT", "1") == "0") df
+    else df.repartition(spark.sparkContext.defaultParallelism)
 }
 
 object Det {

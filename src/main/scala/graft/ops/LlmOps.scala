@@ -126,10 +126,9 @@ object LlmOps {
     // 2.3x slower — it inserts a full shuffle of every shingle row just
     // to regroup what was already grouped; the one-sha-per-shingle HOF
     // cost does not dominate here, unlike simhash's 32-fold case.)
-    val shingled = t(s, dir, "documents")
+    val shingled = Tables.spread(s, t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .where(size(col("toks")) >= 3)
-      .repartition(s.sparkContext.defaultParallelism)
+      .where(size(col("toks")) >= 3))
       .select(col("doc_id"), expr(
         """transform(sequence(1, size(toks) - 2),
           |  i -> concat(element_at(toks, i), ' ',
@@ -371,11 +370,10 @@ object LlmOps {
     * as integer parts-per-million — (1e6 * hits) div n — because
     * n_shingles can exceed the r6 tie-safe range. */
   def contamination(s: SparkSession, dir: String): DataFrame = {
-    val grams = t(s, dir, "documents")
+    val grams = Tables.spread(s, t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"),
         (portableHash(col("doc_id").cast("string")) % 100L).as("hb"))
-      .where(size(col("toks")) >= 5)
-      .repartition(s.sparkContext.defaultParallelism)
+      .where(size(col("toks")) >= 5))
       .select(col("doc_id"), col("hb"), explode(expr(
         """transform(sequence(1, size(toks) - 4),
           |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ',

@@ -32,7 +32,7 @@ object TextOps {
   private def tokenized(s: SparkSession, dir: String,
                         spread: Boolean = false): DataFrame = {
     val d = t(s, dir, "documents")
-    (if (spread) d.repartition(s.sparkContext.defaultParallelism) else d)
+    (if (spread) Tables.spread(s, d) else d)
       .withColumn("toks", split(col("text"), " "))
   }
 

@@ -40,15 +40,25 @@ object VectorOps {
 
   // ------------------------------------------------- SRP-LSH near-duplicate
 
+  /** Banded SRP-LSH geometry. Bits per band set bucket granularity
+    * (2^bits buckets per band — the 100 TB lever that keeps any one
+    * bucket's candidate join bounded); bands are the recall lever (a
+    * pair is a candidate if it agrees on ALL bits of ANY band — the
+    * standard OR-of-ANDs construction). r2 shipped a single 8-bit
+    * band = 256 global buckets; 4×16 keeps per-band buckets 65536-way
+    * while quadrupling recall via the OR. */
+  private val SrpBands = 4
+  private val SrpBits = 16
+
   /** Random-hyperplane (SRP) LSH coefficients: g(p,i) =
     * (hash(p:i) mod 2001 - 1000)/1000, derived from the portable hash
     * so both engines build the SAME planes with no shared random
-    * state. The 8×64 values are row-independent CONSTANTS, so they are
-    * computed once here (plain JDK sha256 — the exact formula DuckDB's
-    * oracle evaluates in its `gw` CTE) and inlined as an array
-    * literal: the per-row signature is then pure arithmetic, no
-    * crypto hash in the scan at all. */
-  private lazy val srpPlanes: Seq[Seq[Double]] = (0 until 8).map { p =>
+    * state. The (bands*bits)×64 values are row-independent CONSTANTS,
+    * so they are computed once here (plain JDK sha256 — the exact
+    * formula DuckDB's oracle evaluates in its `gw` CTE) and inlined as
+    * an array literal: the per-row signature is then pure arithmetic,
+    * no crypto hash in the scan at all. */
+  private lazy val srpPlanes: Seq[Seq[Double]] = (0 until SrpBands * SrpBits).map { p =>
     (1 to 64).map { i =>
       val md = java.security.MessageDigest.getInstance("SHA-256")
       val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
@@ -57,31 +67,40 @@ object VectorOps {
     }
   }
 
-  /** sig bit p = sign(v · g_p), packed into 8 bits. */
-  private val srpSigSql: String =
-    """cast(aggregate(sequence(0, 7), cast(0 as bigint), (acc, p) ->
-      |  acc + if(
-      |    aggregate(zip_with(embedding, element_at(planes, p + 1),
-      |        (x, w) -> cast(x as double) * w),
-      |      cast(0.0 as double), (a, v) -> a + v) > 0,
-      |    shiftleft(cast(1 as bigint), p), cast(0 as bigint))) as bigint)""".stripMargin
+  /** band b's sig bit i = sign(v · g_{b*bits+i}), packed into `bits`
+    * bits; one signature per band. */
+  private val srpSigsSql: String =
+    s"""transform(sequence(0, ${SrpBands - 1}), b ->
+      |  aggregate(sequence(0, ${SrpBits - 1}), cast(0 as bigint), (acc, i) ->
+      |    acc + if(
+      |      aggregate(zip_with(embedding, element_at(planes, b * $SrpBits + i + 1),
+      |          (x, w) -> cast(x as double) * w),
+      |        cast(0.0 as double), (a, v) -> a + v) > 0,
+      |      shiftleft(cast(1 as bigint), i), cast(0 as bigint))))""".stripMargin
 
-  /** Embedding-cosine near-dup, LSH-bucketed: vectors sharing an 8-bit
-    * SRP signature land in one bucket; exact cosine runs only within
-    * buckets; pairs with cos ≥ 0.25 survive. At 100 TB the plane count
-    * grows (16-24 bits) to keep buckets bounded — the shape stays one
-    * scan + one bucket equi-join. */
+  /** Embedding-cosine near-dup, banded-LSH-bucketed: vectors sharing a
+    * full 16-bit SRP signature in any of 4 bands become a candidate
+    * pair; exact cosine runs only over DISTINCT candidates; pairs with
+    * cos ≥ 0.25 survive. Never all-pairs: per-band candidate volume is
+    * set by bucket collisions (65536-way), recall by the band count —
+    * both config constants above. */
   def embeddingNeardup(s: SparkSession, dir: String): DataFrame = {
-    val sigd = withNorm(s, dir)
+    val banded = withNorm(s, dir)
       .withColumn("planes", typedLit(srpPlanes))
-      .withColumn("sig", expr(srpSigSql))
-      .drop("planes")
-    val a = sigd.select(col("sig"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"), col("norm").as("norm_a"))
-    val b = sigd.select(col("sig"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"), col("norm").as("norm_b"))
-    a.join(b, "sig")
+      .withColumn("band_sigs", expr(srpSigsSql))
+      .select(col("vec_id"), posexplode(col("band_sigs")).as(Seq("band", "sig")))
+    val cand = banded.select(col("band"), col("sig"), col("vec_id").as("vec_a"))
+      .join(banded.select(col("band"), col("sig"), col("vec_id").as("vec_b")),
+        Seq("band", "sig"))
       .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    val e = withNorm(s, dir)
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("norm").as("norm_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("norm").as("norm_b")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         r6(dot("emb_a", "emb_b") / (col("norm_a") * col("norm_b"))).as("cos"))
       .where(col("cos") >= 0.25)
@@ -172,14 +191,20 @@ object VectorOps {
     * vector's range onto 0..255, report the quantization parameters,
     * the exact code-sum (an integer content check), and the max
     * reconstruction error. Scan-only; all arithmetic in doubles with
-    * positive operands so both engines round identically. */
+    * positive operands so both engines round identically. The scale
+    * divisor is clamped away from zero: a constant vector has
+    * qmax == qmin, and an unguarded 0/0 is NaN — which Spark's
+    * bigint cast silently maps to 0 while DuckDB's errors (a latent
+    * cross-engine gate crash). Clamped, constant vectors quantize to
+    * all-zero codes with zero reconstruction error in both engines. */
   def embeddingQuantize(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"),
         expr("cast(array_min(embedding) as double)").as("qmin"),
         expr("cast(array_max(embedding) as double)").as("qmax"),
         col("embedding"))
-      .withColumn("scale", (col("qmax") - col("qmin")) / lit(255.0))
+      .withColumn("scale",
+        greatest((col("qmax") - col("qmin")) / lit(255.0), lit(1e-12)))
       .withColumn("codes", expr(
         "transform(embedding, x -> cast(round((cast(x as double) - qmin) / scale) as bigint))"))
       .select(
@@ -204,9 +229,7 @@ object VectorOps {
     * schema and batch shape (payload binary + meta struct in, feature
     * columns out); the codec library is the only missing piece. */
   def multimodalBinary(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      // single-split testdata: spread the per-row sha/hex work
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.spread(s, t(s, dir, "documents"))
       .select(col("doc_id"),
         encode(col("text"), "UTF-8").as("payload"),
         struct(lit("text/plain").as("mime"), col("lang").as("lang")).as("meta"))
@@ -236,8 +259,7 @@ object VectorOps {
     * semantics are unit-tested in MultimodalStubSpec. */
   def frameSampleQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = t(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    val media = Tables.spread(s, t(s, dir, "documents"))
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
         lit("video/x-stub").as("mime"))
       .as[(Long, Array[Byte], String)]
@@ -256,26 +278,35 @@ object VectorOps {
     "q_embedding_neardup" ->
       ("""WITH gw AS (
         |  SELECT p.range AS p, i.range AS i,
-        |         CAST(""" + phDuck.format("CAST(p.range AS VARCHAR) || ':' || CAST(i.range AS VARCHAR)") + """ % 2001 - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE) AS w
-        |  FROM range(0, 8) p, range(1, 65) i),
+        |         CAST(""" + phDuck.format("CAST(p.range AS VARCHAR) || ':' || CAST(i.range AS VARCHAR)") + s""" % 2001 - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE) AS w
+        |  FROM range(0, ${SrpBands * SrpBits}) p, range(1, 65) i),
         |planes AS (SELECT p, list(w ORDER BY i) AS pw FROM gw GROUP BY p),
-        |s AS (
-        |  SELECT e.vec_id, e.embedding,
-        |         sqrt(list_reduce(list_transform(e.embedding,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS norm,
-        |         CAST(sum(CASE WHEN list_reduce(list_transform(list_zip(e.embedding, pl.pw),
+        |bits AS (
+        |  SELECT e.vec_id, pl.p // $SrpBits AS band,
+        |         CASE WHEN list_reduce(list_transform(list_zip(e.embedding, pl.pw),
         |                  x -> CAST(x[1] AS DOUBLE) * x[2]), (a, v) -> a + v) > 0
-        |           THEN 1::BIGINT << pl.p ELSE 0::BIGINT END) AS BIGINT) AS sig
-        |  FROM embeddings e, planes pl
-        |  GROUP BY e.vec_id, e.embedding)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |       round(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
-        |               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
-        |             / (a.norm * b.norm), 6) AS cos
-        |FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
-        |WHERE round(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
-        |               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
-        |             / (a.norm * b.norm), 6) >= 0.25
+        |           THEN 1::BIGINT << (pl.p % $SrpBits) ELSE 0::BIGINT END AS bit
+        |  FROM embeddings e, planes pl),
+        |s AS (SELECT vec_id, band, CAST(sum(bit) AS BIGINT) AS sig
+        |      FROM bits GROUP BY vec_id, band),
+        |e2 AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS norm
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM s a JOIN s b ON a.band = b.band AND a.sig = b.sig
+        |                   AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b,
+        |       round(list_reduce(list_transform(list_zip(x.embedding, y.embedding),
+        |               t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), (acc, v) -> acc + v)
+        |             / (x.norm * y.norm), 6) AS cos
+        |FROM cand JOIN e2 x ON x.vec_id = cand.vec_a
+        |          JOIN e2 y ON y.vec_id = cand.vec_b
+        |WHERE round(list_reduce(list_transform(list_zip(x.embedding, y.embedding),
+        |               t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), (acc, v) -> acc + v)
+        |             / (x.norm * y.norm), 6) >= 0.25
         |ORDER BY vec_a, vec_b""").stripMargin,
     "q_ann_ivf" ->
       """WITH base AS (
@@ -352,7 +383,8 @@ object VectorOps {
         |         CAST(list_min(embedding) AS DOUBLE) AS qmin,
         |         CAST(list_max(embedding) AS DOUBLE) AS qmax
         |  FROM embeddings),
-        |s AS (SELECT *, (qmax - qmin) / CAST(255.0 AS DOUBLE) AS scale FROM q),
+        |s AS (SELECT *, greatest((qmax - qmin) / CAST(255.0 AS DOUBLE),
+        |                         CAST(1e-12 AS DOUBLE)) AS scale FROM q),
         |c AS (
         |  SELECT *, list_transform(embedding,
         |    x -> CAST(round((CAST(x AS DOUBLE) - qmin) / scale) AS BIGINT)) AS codes
