@@ -249,12 +249,18 @@ object LlmOps {
     * Distributed min-label propagation: each round, every node takes
     * the min of its own label and its neighbors' labels; converges in
     * diameter(G) rounds (LSH components are near-cliques, so 2-4 in
-    * practice; capped at 20). Each round is one shuffle-join; the edge
-    * list and each round's labels are locally checkpointed so the
-    * lineage (and the LSH subplan) is materialized once, not replayed
-    * per round. At extreme scale the same loop with the large-star /
-    * small-star edge rewrites (the standard MapReduce CC) halves the
-    * round count; the per-round plan shape is identical. */
+    * practice; capped at 50, and the cap throws rather than returning
+    * partial labels). Each round is one shuffle-join; the edge list
+    * and each round's labels are checkpointed so the lineage (and the
+    * LSH subplan) is materialized once, not replayed per round. When
+    * the session has a checkpoint dir configured
+    * (`sparkContext.setCheckpointDir`) the checkpoints are RELIABLE
+    * (survive executor loss — what a real cluster run wants);
+    * otherwise they fall back to executor-memory localCheckpoint,
+    * fine for single-JVM gate runs. At extreme scale the same loop
+    * with the large-star / small-star edge rewrites (the standard
+    * MapReduce CC) halves the round count; the per-round plan shape
+    * is identical. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashDedup(s, dir).select(col("doc_a"), col("doc_b"))
     connectedComponents(pairs)
@@ -267,31 +273,41 @@ object LlmOps {
     * Returns (id, lbl) where lbl = smallest node id in the component.
     * See dedupClusters for the algorithm/scale discussion. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val maxIters = 50
+    // Reliable (HDFS/object-store) checkpoints when the session has a
+    // checkpoint dir; executor-memory localCheckpoint otherwise.
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     val Seq(ca, cb) = pairs.columns.toSeq.map(pairs.col)
-    val edges = pairs.select(ca, cb)
+    val edges = ckpt(pairs.select(ca, cb)
       .union(pairs.select(cb, ca))
-      .toDF("src", "dst")
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+      .toDF("src", "dst"))
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")))
     var converged = false
     var iter = 0
-    while (!converged && iter < 50) {
+    while (!converged && iter < maxIters) {
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
       // change detection fused into the propagation select — no extra
       // join against the previous labels afterwards
-      val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+      val next = ckpt(labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(labels("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          (col("nlbl") < col("lbl")).as("chg"))
-        .localCheckpoint(true)
+          (col("nlbl") < col("lbl")).as("chg")))
       val changed = next.where(col("chg")).limit(1).count()
       labels = next.drop("chg")
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      // partial labels are silently WRONG (they look like clusters) —
+      // refuse rather than return them
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds; " +
+          "graph diameter exceeds the cap — raise it or pre-contract " +
+          "the graph (large-star/small-star)")
     labels
   }
 

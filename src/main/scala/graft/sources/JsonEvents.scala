@@ -97,15 +97,28 @@ object JsonEvents {
   }
 
   /** Clean parsed events → Dataset[CompatPoint] for the window
-    * pipeline (seq = a stable intra-key order; callers supply it when
-    * the source has one, else row order by timestamp). */
+    * pipeline. seq is a stable intra-key order: row_number over
+    * (timestamp, content-hash of the raw blob) per key — a pure
+    * function of the data, identical across runs/retries/partition
+    * layouts (monotonically_increasing_id is NOT: it bakes in the
+    * partition layout, so equal-ts replay order would differ run to
+    * run). Equal-(ts, blob) duplicates remain interchangeable — and
+    * are literally identical rows, so any order among them yields the
+    * same windows. The window shuffle is on key, which the compat
+    * pipeline regroups by anyway. */
   def toCompatPoints(spark: SparkSession, clean: DataFrame): Dataset[CompatPoint] = {
     import spark.implicits._
+    val seqW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"))
+      .orderBy(col("tsUs"), sha2(col("raw"), 256))
     clean.select(
       col("key"),
       unix_micros(col("timestamp")).as("tsUs"),
-      monotonically_increasing_id().as("seq"),
-      col("deviceId"), col("sessionId"), col("names"), col("values"))
+      col("deviceId"), col("sessionId"), col("names"), col("values"),
+      col("raw"))
+      .withColumn("seq", row_number().over(seqW).cast("long"))
+      .select(col("key"), col("tsUs"), col("seq"),
+        col("deviceId"), col("sessionId"), col("names"), col("values"))
       .as[(String, Long, Long, String, String, Seq[String], Seq[String])]
       .map { case (key, tsUs, seq, dev, sess, names, values) =>
         CompatPoint(key, tsUs, seq, dev, sess,

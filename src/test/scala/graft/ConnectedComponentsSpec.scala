@@ -49,4 +49,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(10L)) // one merged component
     assert(got.size == 8)
   }
+
+  test("reliable-checkpoint mode (checkpoint dir set) matches local mode") {
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      val path = (0L until 12L).map(i => (i, i + 1))
+      val got = cc(path)
+      assert(got.size == 13)
+      assert(got.values.forall(_ == 0L))
+      // the reliable path actually wrote checkpoint data
+      val wrote = new java.io.File(ckptDir).listFiles()
+      assert(wrote != null && wrote.nonEmpty,
+        "checkpoint dir is empty — reliable mode was not exercised")
+    } finally {
+      // unset so other suites sharing the session stay on localCheckpoint
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
 }
