@@ -23,24 +23,35 @@ import org.apache.spark.sql.types._
   * Semantics match the HOF formulation bit-for-bit: elements are cast
   * float→double, products accumulate left-to-right from 0.0 — the
   * same IEEE sequence DuckDB's `list_reduce` fold performs, so the
-  * DuckDB oracles are unchanged. Unequal lengths use the shorter
-  * prefix; null ELEMENTS are not supported (embeddings are dense —
-  * the HOF would return null, this returns the zero-slot product). */
+  * DuckDB oracles are unchanged. Each side may be array<float> or
+  * array<double> (double sides — e.g. inlined hyperplane literals —
+  * are used as-is; no precision is invented). Unequal lengths use the
+  * shorter prefix; null ELEMENTS are not supported (embeddings are
+  * dense — the HOF would return null, this returns the zero-slot
+  * product). */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
+    (elemType(left), elemType(right)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"array_dot requires two array<float> inputs, got " +
+        s"array_dot requires array<float>/array<double> inputs, got " +
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
     }
 
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "array_dot"
+
+  @transient private lazy val leftIsFloat = elemType(left).contains(FloatType)
+  @transient private lazy val rightIsFloat = elemType(right).contains(FloatType)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -49,7 +60,9 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
       i += 1
     }
     s
@@ -60,12 +73,14 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("sum")
+      val xv = if (leftIsFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val yv = if (rightIsFloat) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
          |int $n = $x.numElements() < $y.numElements()
          |    ? $x.numElements() : $y.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  $s += $xv * $yv;
          |}
          |${ev.value} = $s;
        """.stripMargin

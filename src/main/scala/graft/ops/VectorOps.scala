@@ -68,15 +68,12 @@ object VectorOps {
   }
 
   /** band b's sig bit i = sign(v · g_{b*bits+i}), packed into `bits`
-    * bits; one signature per band. */
-  private val srpSigsSql: String =
-    s"""transform(sequence(0, ${SrpBands - 1}), b ->
-      |  aggregate(sequence(0, ${SrpBits - 1}), cast(0 as bigint), (acc, i) ->
-      |    acc + if(
-      |      aggregate(zip_with(embedding, element_at(planes, b * $SrpBits + i + 1),
-      |          (x, w) -> cast(x as double) * w),
-      |        cast(0.0 as double), (a, v) -> a + v) > 0,
-      |      shiftleft(cast(1 as bigint), i), cast(0 as bigint))))""".stripMargin
+    * bits; one signature per band — computed by the native
+    * SrpSignatures expression (one flat generated loop over all
+    * bands×bits planes; see its Scaladoc for why neither the HOF form
+    * nor a 64-dot expression tree survives at scale). */
+  private def srpBandSigs: Column =
+    graft.functions.SrpSignatures.signatures(col("embedding"), srpPlanes, SrpBits)
 
   /** Embedding-cosine near-dup, banded-LSH-bucketed: vectors sharing a
     * full 16-bit SRP signature in any of 4 bands become a candidate
@@ -86,8 +83,7 @@ object VectorOps {
     * both config constants above. */
   def embeddingNeardup(s: SparkSession, dir: String): DataFrame = {
     val banded = withNorm(s, dir)
-      .withColumn("planes", typedLit(srpPlanes))
-      .withColumn("band_sigs", expr(srpSigsSql))
+      .withColumn("band_sigs", srpBandSigs)
       .select(col("vec_id"), posexplode(col("band_sigs")).as(Seq("band", "sig")))
     val cand = banded.select(col("band"), col("sig"), col("vec_id").as("vec_a"))
       .join(banded.select(col("band"), col("sig"), col("vec_id").as("vec_b")),
