@@ -39,6 +39,21 @@ import graft.streaming.DataDrivenWindow.CompatPoint
   */
 object StreamSource {
 
+  /** The reference's JSON event envelope from a (timestamp, counter)
+    * pair: 8 synthetic sessions, Values = [measurement, playerId]
+    * (Values[1] is the key-synthesis field, cs:179-181). Used by the
+    * rate-source branch below and by LoadGen's file writer. */
+  def envelopeJson(ts: org.apache.spark.sql.Column,
+                   counter: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    to_json(struct(
+      ts.as("Timestamp"),
+      concat(lit("dev-"), pmod(counter, lit(3))).as("DeviceId"),
+      concat(lit("sess-"), pmod(counter, lit(8))).as("SessionId"),
+      lit("rate").as("SensorType"),
+      array(lit("speed"), lit("player")).as("Names"),
+      array(pmod(counter, lit(100)).cast("string"),
+        pmod(counter, lit(8)).cast("string")).as("Values")))
+
   /** Load `format` with `options` and normalize to
     * `(value string, seq long)`. */
   def raw(spark: SparkSession, format: String,
@@ -51,18 +66,9 @@ object StreamSource {
           col("offset").as("seq"))
       case "rate" | "rate-micro-batch" =>
         // built-in generator (timestamp, value) → the reference's JSON
-        // envelope: 8 synthetic sessions, Values = [measurement,
-        // playerId] (Values[1] is the key-synthesis field, cs:179-181)
+        // envelope (8 synthetic sessions; shared with LoadGen)
         src.select(
-          to_json(struct(
-            col("timestamp").as("Timestamp"),
-            concat(lit("dev-"), pmod(col("value"), lit(3))).as("DeviceId"),
-            concat(lit("sess-"), pmod(col("value"), lit(8))).as("SessionId"),
-            lit("rate").as("SensorType"),
-            array(lit("speed"), lit("player")).as("Names"),
-            array(pmod(col("value"), lit(100)).cast("string"),
-              pmod(col("value"), lit(8)).cast("string")).as("Values")))
-            .as("value"),
+          envelopeJson(col("timestamp"), col("value")).as("value"),
           col("value").as("seq"))
       case _ =>
         // text/socket/json-file/... : expect a string-able `value`
