@@ -423,7 +423,26 @@ object LlmOps {
       .orderBy("degree")
   }
 
+  /** Deterministic stratified sample: exactly 5 docs per language,
+    * chosen by portable-hash order within each stratum — the
+    * "inspect a fixed-size slice of every language/domain" primitive
+    * for corpus QA. No RNG: the sample is a pure function of content
+    * ids, so reruns and both engines agree. One window sort per
+    * stratum (at scale: rank only within size-bounded strata, or
+    * pre-filter with a hash threshold to cap the sort input). */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        portableHash(concat(lit("strat:"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 5)
+      .select(col("lang"), col("rn"), col("doc_id"), col("source"))
+      .orderBy("lang", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stratified_sample" -> stratifiedSample _,
     "q_dedup_degree" -> dedupDegree _,
     "q_contamination" -> contamination _,
     "q_weighted_sample" -> weightedSample _,
@@ -440,6 +459,15 @@ object LlmOps {
     "q_multimodal_project" -> multimodalProject _)
 
   val oracles: Map[String, String] = Map(
+    "q_stratified_sample" ->
+      """SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, source FROM (
+        |  SELECT lang, doc_id, source,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY CAST('0x' || substring(sha256(
+        |             'strat:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+        |             doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
     "q_dedup_degree" ->
       """WITH s AS (
         |  SELECT doc_id,

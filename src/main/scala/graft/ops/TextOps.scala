@@ -126,6 +126,72 @@ object TextOps {
           .as("avg_re_len"))
       .orderBy("doc_id")
 
+  // ----------------------------------------------------------- PII redact
+
+  /** Identical char-class-only regexes in Java regex and RE2. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+1 555-[0-9]{4}"
+
+  /** PII scrubbing pass: detect and mask email/phone contacts before a
+    * corpus reaches training. The driver testdata is synthetic word
+    * salad with no PII, so the query first plants deterministic contact
+    * strings on a doc_id-derived subset (emails on ~2/3, phones on
+    * 1/2) — the oracle then genuinely tests regex-engine parity and
+    * that redaction removed every match, not just that 0 == 0. Ships
+    * the redacted text as the portable hash (content check without
+    * megabyte projections) plus a residual-free boolean. Scan-only —
+    * the 100 TB shape is a straight projection. Regexes stick to
+    * character classes + bounded quantifiers, where Java regex (Spark)
+    * and RE2 (DuckDB) agree. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val email = when(pmod(col("doc_id"), lit(3)) =!= 0,
+      concat(lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com"))).otherwise(lit(""))
+    val phone = when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit(" call +1 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .otherwise(lit(""))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 40), email, phone).as("dirty"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("dirty"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("dirty"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("dirty"), lit(PhoneRe)).cast("long").as("n_phones"),
+        expr(s"${ph("redacted")}").as("redacted_hash"),
+        (regexp_count(col("redacted"), lit(EmailRe)) +
+          regexp_count(col("redacted"), lit(PhoneRe)) === 0).as("clean"))
+      .orderBy("doc_id")
+  }
+
+  // ----------------------------------------------------- repetition filter
+
+  /** Repetition-based quality rule (the Gopher-style "fraction of
+    * duplicate n-grams" signal): per doc, the share of word 2-grams
+    * that are repeats of an earlier 2-gram, as integer ppm
+    * (floor(1e6·(t−d)/t) of the same IEEE double both engines
+    * compute). Docs ≥ 10% duplicate 2-grams are flagged for drop —
+    * calibrated so the flag bites a real tail at sf0.01 AND sf0.1
+    * (p50 ≈ 2.6%, max ≈ 18%). Scan-only, no shuffle. */
+  def repetitionFilter(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir)
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+          .stripMargin).as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ppm",
+        floor(lit(1000000.0) * (col("n_grams") - col("n_distinct"))
+          / col("n_grams")).cast("long"))
+      .withColumn("flagged", col("rep_ppm") >= 100000L)
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------- fingerprints
 
   /** Document fingerprinting (winnowing-lite): hash every 3-gram
@@ -249,7 +315,9 @@ object TextOps {
     "q_token_count_bpe" -> tokenCountBpe _,
     "q_doc_fingerprint" -> docFingerprint _,
     "q_simhash_dedup" -> simhashDedup _,
-    "q_ngram_jaccard" -> ngramJaccard _)
+    "q_ngram_jaccard" -> ngramJaccard _,
+    "q_pii_redact" -> piiRedact _,
+    "q_repetition_filter" -> repetitionFilter _)
 
   private val phSqlDuck =
     "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
@@ -262,6 +330,45 @@ object TextOps {
         |      FROM documents)
         |GROUP BY token
         |ORDER BY n_occurrences DESC, token LIMIT 30""".stripMargin,
+    "q_pii_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         substring(text, 1, 40)
+        |         || CASE WHEN doc_id % 3 <> 0
+        |              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |              ELSE '' END
+        |         || CASE WHEN doc_id % 2 = 0
+        |              THEN ' call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |              ELSE '' END AS dirty
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, dirty,
+        |         regexp_replace(regexp_replace(dirty,
+        |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\+1 555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |  FROM d)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(dirty,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(dirty, '\+1 555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |       CAST('0x' || substring(sha256(redacted), 1, 15) AS BIGINT) AS redacted_hash,
+        |       (len(regexp_extract_all(redacted,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |        + len(regexp_extract_all(redacted, '\+1 555-[0-9]{4}')) = 0) AS clean
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_repetition_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(1, len(toks)),
+        |          i -> toks[i] || ' ' || toks[i + 1]) AS grams
+        |      FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |        CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct FROM g)
+        |SELECT doc_id, n_grams, n_distinct,
+        |       CAST(floor(1e6 * (n_grams - n_distinct) / n_grams) AS BIGINT) AS rep_ppm,
+        |       (CAST(floor(1e6 * (n_grams - n_distinct) / n_grams) AS BIGINT)
+        |          >= 100000) AS flagged
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH cv AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
