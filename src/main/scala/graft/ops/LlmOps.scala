@@ -441,7 +441,73 @@ object LlmOps {
       .orderBy("lang", "rn")
   }
 
+  /** Context-window sequence packing: docs are laid into fixed 2048-
+    * token packs per language shard, in portable-hash order (the
+    * deterministic "shuffle" a training run wants). pack_id comes from
+    * the exclusive running token count — a doc straddling a boundary
+    * belongs to the pack it started in, packs can overflow by less
+    * than one doc (standard greedy packing). One partitioned window
+    * per shard — no global sort; per-pack stats out. */
+  def sequencePack(s: SparkSession, dir: String): DataFrame = {
+    val ctx = 2048L
+    val w = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        portableHash(concat(lit("pack:"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .select(col("lang"), expr(s"(cum - toks) div $ctx").as("pack_id"), col("toks"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .withColumn("fill_ppm", expr(s"(1000000 * n_tokens) div $ctx"))
+      .orderBy("lang", "pack_id")
+  }
+
+  /** Data selection under a token budget: take documents in quality
+    * order (type-token-ratio micro-units, doc_id tiebreak) until the
+    * corpus-wide 20k-token budget is exhausted. The running token
+    * count is a DISTRIBUTED two-phase prefix sum — per-score-bucket
+    * partials (≤ 101 rows) window-offset on the driver-sized side,
+    * then a window partitioned BY bucket adds within-bucket prefixes —
+    * never a global single-partition sort (the naive global-window
+    * cumsum is exactly the WindowExec scale smell this avoids).
+    * (bucket DESC, ttr_u DESC, doc_id) totals to the plain
+    * (ttr_u DESC, doc_id) order since bucket = ttr_u div 10^4. */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val budget = 20000L
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("dtoks"))
+      .withColumn("ttr_u",
+        floor(lit(1000000.0) * col("dtoks") / col("toks")).cast("long"))
+      .withColumn("bucket", expr("ttr_u div 10000"))
+    val offW = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("bucket"))
+      .agg(sum(col("toks")).as("btoks"), count(lit(1)).as("bdocs"))
+      .select(col("bucket"),
+        coalesce(sum(col("btoks")).over(offW), lit(0L)).as("off_toks"),
+        coalesce(sum(col("bdocs")).over(offW), lit(0L)).as("off_docs"))
+    val inW = Window.partitionBy(col("bucket"))
+      .orderBy(col("ttr_u").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), "bucket")
+      .withColumn("wcum", sum(col("toks")).over(inW))
+      .withColumn("wrank", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("ttr_u").desc, col("doc_id"))))
+      .select(
+        (col("off_docs") + col("wrank")).cast("long").as("sel_rank"),
+        col("doc_id"), col("ttr_u"), col("toks"),
+        (col("off_toks") + col("wcum")).as("cum_toks"))
+      .where(col("cum_toks") - col("toks") < budget)
+      .orderBy("sel_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sequence_pack" -> sequencePack _,
+    "q_token_budget" -> tokenBudget _,
     "q_stratified_sample" -> stratifiedSample _,
     "q_dedup_degree" -> dedupDegree _,
     "q_contamination" -> contamination _,
@@ -459,6 +525,40 @@ object LlmOps {
     "q_multimodal_project" -> multimodalProject _)
 
   val oracles: Map[String, String] = Map(
+    "q_sequence_pack" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |         CAST('0x' || substring(sha256(
+        |           'pack:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, toks,
+        |         CAST(sum(toks) OVER (PARTITION BY lang ORDER BY hk, doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM b)
+        |SELECT lang, (cum - toks) // 2048 AS pack_id,
+        |       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |       (1000000 * CAST(sum(toks) AS BIGINT)) // 2048 AS fill_ppm
+        |FROM c GROUP BY lang, (cum - toks) // 2048
+        |ORDER BY lang, pack_id""".stripMargin,
+    "q_token_budget" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |         CAST(floor(1e6 * len(list_distinct(string_split(text, ' ')))
+        |           / len(string_split(text, ' '))) AS BIGINT) AS ttr_u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, ttr_u, toks,
+        |         CAST(row_number() OVER win AS BIGINT) AS sel_rank,
+        |         CAST(sum(toks) OVER (win ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS cum_toks
+        |  FROM base
+        |  WINDOW win AS (ORDER BY ttr_u DESC, doc_id))
+        |SELECT sel_rank, doc_id, ttr_u, toks, cum_toks
+        |FROM r WHERE cum_toks - toks < 20000
+        |ORDER BY sel_rank""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, source FROM (
         |  SELECT lang, doc_id, source,
