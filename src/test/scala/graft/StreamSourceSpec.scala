@@ -38,6 +38,32 @@ class StreamSourceSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("rate source → events projection → idiomatic streaming windows") {
+    val events = StreamSource.events(spark,
+      StreamSource.raw(spark, "rate",
+        Map("rowsPerSecond" -> "200", "numPartitions" -> "2")))
+    assert(events.isStreaming)
+    assert(events.schema.fieldNames.toSeq == Seq("user_id", "ts", "value"))
+    // update mode surfaces per-window running aggregates without
+    // waiting out the watermark
+    val query = graft.streaming.StreamingWindows.demuxWindowAvg(events)
+      .writeStream.format("memory").queryName("rate_win_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("rate_win_out").isEmpty &&
+             System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        query.processAllAvailable()
+      }
+      val rows = spark.table("rate_win_out").collect()
+      assert(rows.nonEmpty, "no window aggregate emitted in 30s")
+      // player ids 0..7 from the synthesized envelope; counts positive
+      assert(rows.forall(r => (0L to 7L).contains(r.getLong(0))))
+      assert(rows.forall(_.getLong(3) > 0))
+    } finally query.stop()
+  }
+
   test("rate source → compatPoints → streaming compat windows emit rows") {
     import spark.implicits._
     val points = StreamSource.compatPoints(spark,
