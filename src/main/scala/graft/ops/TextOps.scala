@@ -308,7 +308,48 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(30)
 
+  /** Count-min-sketch frequency estimation: the bounded-state
+    * replacement for exact vocabulary counting when the key domain is
+    * unbounded (vocabTopk's documented scale limit). Four counter rows
+    * of width 1024; per-token cells come from universal hashes
+    * (a_i·h + b_i mod 2^31−1 mod w) derived arithmetically from ONE
+    * portable hash per token — both engines build the identical
+    * sketch. The sketch build is a ≤4096-key combine shuffle no matter
+    * the corpus (the 100 TB point); estimates for the top-20 true
+    * tokens are read back with the standard min-over-rows rule, and
+    * the output carries est − exact so the one-sided overestimate
+    * guarantee is visible (CountMinSpec asserts it). */
+  def countminFreq(s: SparkSession, dir: String): DataFrame = {
+    val p = 2147483647L
+    val w = 1024
+    val as = Seq(3L, 5L, 7L, 11L)
+    val bs = Seq(13L, 17L, 19L, 23L)
+    val vocab = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", pmod(expr(ph("concat('cm:', token)")), lit(p)))
+    val cells = vocab.select(col("token"), col("cnt"), col("h"),
+      posexplode(array((0 until 4).map(i =>
+        pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(p)) % w): _*))
+        .as(Seq("row_i", "cell")))
+    val sketch = cells.groupBy(col("row_i"), col("cell"))
+      .agg(sum(col("cnt")).as("counter"))
+    val probes = vocab
+      .orderBy(col("cnt").desc, col("token")).limit(20)
+      .select(col("token"), col("cnt").as("exact_cnt"), col("h"))
+    val probeCells = probes.select(col("token"), col("exact_cnt"),
+      posexplode(array((0 until 4).map(i =>
+        pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(p)) % w): _*))
+        .as(Seq("row_i", "cell")))
+    probeCells.join(sketch, Seq("row_i", "cell"))
+      .groupBy(col("token"), col("exact_cnt"))
+      .agg(min(col("counter")).as("est_cnt"))
+      .withColumn("overestimate", col("est_cnt") - col("exact_cnt"))
+      .orderBy("token")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_countmin_freq" -> countminFreq _,
     "q_vocab_topk" -> vocabTopk _,
     "q_lang_id" -> langId _,
     "q_quality_score" -> qualityScore _,
@@ -323,6 +364,33 @@ object TextOps {
     "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_countmin_freq" ->
+      """WITH vocab AS (
+        |  SELECT token, count(*) AS cnt,
+        |         CAST('0x' || substring(sha256('cm:' || token), 1, 15) AS BIGINT)
+        |           % 2147483647 AS h
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |ab(row_i, a, b) AS (VALUES (0, 3, 13), (1, 5, 17), (2, 7, 19), (3, 11, 23)),
+        |cells AS (
+        |  SELECT token, cnt, ab.row_i,
+        |         (ab.a * h + ab.b) % 2147483647 % 1024 AS cell
+        |  FROM vocab, ab),
+        |sketch AS (
+        |  SELECT row_i, cell, CAST(sum(cnt) AS BIGINT) AS counter
+        |  FROM cells GROUP BY row_i, cell),
+        |probes AS (
+        |  SELECT token, cnt AS exact_cnt, h
+        |  FROM vocab ORDER BY cnt DESC, token LIMIT 20),
+        |pc AS (
+        |  SELECT token, exact_cnt, ab.row_i,
+        |         (ab.a * h + ab.b) % 2147483647 % 1024 AS cell
+        |  FROM probes, ab)
+        |SELECT token, exact_cnt, min(counter) AS est_cnt,
+        |       min(counter) - exact_cnt AS overestimate
+        |FROM pc JOIN sketch USING (row_i, cell)
+        |GROUP BY token, exact_cnt
+        |ORDER BY token""".stripMargin,
     "q_vocab_topk" ->
       """SELECT token, count(*) AS n_occurrences,
         |       count(DISTINCT doc_id) AS n_docs
