@@ -256,7 +256,42 @@ object EventOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** SCD2 / temporal interval construction: collapse each user's event
+    * stream into validity intervals of the event_type attribute —
+    * consecutive same-type events merge into one segment
+    * [valid_from, valid_to), the open segment carries valid_to = −1
+    * and is_current = true. The islands-and-gaps classic: a lag marks
+    * change points, a running sum numbers segments, lead supplies each
+    * segment's end — all windows partitioned by user, so the shape is
+    * per-key sorts, never a global one. */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    // seg is the SCD2 version number: strictly increasing in stream
+    // order, so it totalizes every downstream sort even when two
+    // segments of one user start at the same timestamp
+    val segW = Window.partitionBy(col("user_id")).orderBy(col("seg"))
+    events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("seg", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("seg"), col("event_type"))
+      .agg(min(col("ts_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(segW), lit(-1L)))
+      .withColumn("is_current", col("valid_to_us") === -1L)
+      .select(col("user_id"), col("seg").as("seg_no"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"),
+        col("is_current"))
+      .orderBy("user_id", "seg_no")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_intervals" -> scd2Intervals _,
     "q_funnel" -> funnel _,
     "q_retention_cohort" -> retentionCohort _,
     "q_gap_fill" -> gapFillHourly _,
@@ -273,6 +308,33 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    "q_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts_us, event_id, event_type,
+        |         CASE WHEN lag(event_type) OVER w IS NULL
+        |                OR lag(event_type) OVER w <> event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |seg AS (
+        |  SELECT user_id, ts_us, event_type,
+        |         CAST(sum(chg) OVER (PARTITION BY user_id
+        |           ORDER BY ts_us, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, seg, event_type,
+        |         min(ts_us) AS valid_from_us, count(*) AS n_events
+        |  FROM seg GROUP BY user_id, seg, event_type)
+        |SELECT user_id, seg AS seg_no, event_type, valid_from_us,
+        |       coalesce(lead(valid_from_us) OVER (PARTITION BY user_id
+        |         ORDER BY seg), -1) AS valid_to_us,
+        |       n_events,
+        |       coalesce(lead(valid_from_us) OVER (PARTITION BY user_id
+        |         ORDER BY seg), -1) = -1 AS is_current
+        |FROM g ORDER BY user_id, seg_no""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
         |v AS (SELECT user_id, min(ts_us) AS t_view FROM e
