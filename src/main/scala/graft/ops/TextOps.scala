@@ -348,7 +348,54 @@ object TextOps {
       .orderBy("token")
   }
 
+  /** BM25 relevance scoring for a fixed query over the corpus — the
+    * retrieval scorer a training-data search/dedup-adjacent pipeline
+    * wants (Robertson/Sparck Jones; k1=1.2, b=0.75, the +1 idf
+    * variant). Corpus stats (N, avgdl, per-term df) are tiny
+    * aggregates broadcast against the scan; per-doc work is pure
+    * column arithmetic. Scoring is one scan + one ≤3-row broadcast
+    * join — no shuffle of the corpus. Every arithmetic step is the
+    * same IEEE double expression in the DuckDB oracle (generic
+    * irrational products — r6-safe per the verify playbook); output
+    * orders by doc_id so no rank-on-double tie can differ. */
+  def bm25Score(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "query", "window")
+    val base = terms.zipWithIndex.foldLeft(
+      tokenized(s, dir).select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("double").as("dl"))) {
+      case (df, (t, i)) => df.withColumn(s"tf_$i",
+        expr(s"cast(size(filter(toks, x -> x = '$t')) as double)"))
+    }
+    // corpus stats in ONE combine-enabled aggregate (never a global
+    // window): N, avgdl, and per-term document frequencies — a 1-row
+    // frame broadcast back against the scan
+    val aggCols =
+      count(lit(1)).cast("double").as("n_docs") +:
+        avg(col("dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0d, 1d).otherwise(0d)).as(s"df_$i"))
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val scored = terms.indices.foldLeft(base.crossJoin(broadcast(stats))) {
+      (df, i) =>
+        df.withColumn(s"s_$i",
+          log(lit(1.0) + (col("n_docs") - col(s"df_$i") + lit(0.5)) /
+            (col(s"df_$i") + lit(0.5))) *
+            (col(s"tf_$i") * lit(2.2)) /
+            (col(s"tf_$i") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    }
+    scored
+      .withColumn("n_terms_matched",
+        terms.indices.map(i => when(col(s"tf_$i") > 0d, 1L).otherwise(0L))
+          .reduce(_ + _))
+      .where(col("n_terms_matched") > 0)
+      .select(col("doc_id"), col("n_terms_matched"),
+        r6(terms.indices.map(i => col(s"s_$i")).reduce(_ + _)).as("bm25_r6"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_score" -> bm25Score _,
     "q_countmin_freq" -> countminFreq _,
     "q_vocab_topk" -> vocabTopk _,
     "q_lang_id" -> langId _,
@@ -364,6 +411,39 @@ object TextOps {
     "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_bm25_score" ->
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS DOUBLE) AS tf_0,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x = 'query')) AS DOUBLE) AS tf_1,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x = 'window')) AS DOUBLE) AS tf_2
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+        |         sum(CASE WHEN tf_0 > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS df_0,
+        |         sum(CASE WHEN tf_1 > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS df_1,
+        |         sum(CASE WHEN tf_2 > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS df_2
+        |  FROM tf),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END
+        |            + CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END
+        |            + CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_terms_matched,
+        |         ln(CAST(1.0 AS DOUBLE) + (n_docs - df_0 + CAST(0.5 AS DOUBLE)) / (df_0 + CAST(0.5 AS DOUBLE)))
+        |           * (tf_0 * CAST(2.2 AS DOUBLE))
+        |           / (tf_0 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+        |         + ln(CAST(1.0 AS DOUBLE) + (n_docs - df_1 + CAST(0.5 AS DOUBLE)) / (df_1 + CAST(0.5 AS DOUBLE)))
+        |           * (tf_1 * CAST(2.2 AS DOUBLE))
+        |           / (tf_1 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+        |         + ln(CAST(1.0 AS DOUBLE) + (n_docs - df_2 + CAST(0.5 AS DOUBLE)) / (df_2 + CAST(0.5 AS DOUBLE)))
+        |           * (tf_2 * CAST(2.2 AS DOUBLE))
+        |           / (tf_2 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+        |           AS raw
+        |  FROM tf, stats)
+        |SELECT doc_id, n_terms_matched, round(raw, 6) AS bm25_r6
+        |FROM s WHERE n_terms_matched > 0
+        |ORDER BY doc_id""".stripMargin,
     "q_countmin_freq" ->
       """WITH vocab AS (
         |  SELECT token, count(*) AS cnt,
