@@ -283,8 +283,13 @@ object LlmOps {
     val edges = ckpt(pairs.select(ca, cb)
       .union(pairs.select(cb, ca))
       .toDF("src", "dst"))
-    var labels = ckpt(edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")))
+    // Seed with least(id, min neighbor) — exactly the state after the
+    // first propagation round over identity labels, for the price of
+    // the initialization agg the identity seed needed anyway (one
+    // fewer join round; near-clique LSH graphs then converge in 1-2).
+    var labels = ckpt(edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("lbl")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
