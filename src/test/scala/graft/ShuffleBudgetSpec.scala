@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Shuffle budgets, plan-asserted: the scale claims SURVEY §8 makes
+  * per operator family ("scan-only", "one combine shuffle") must be
+  * visible in the physical plan, and stay true as queries evolve. A
+  * regression that sneaks an extra hash exchange into a scan-only
+  * projection (or drops a broadcast and shuffles a corpus) fails here,
+  * not in a 100 TB postmortem. Budgets count `Exchange
+  * hashpartitioning` only — range partitioning for the final
+  * presentation ORDER BY and single-partition reads of already-tiny
+  * frames are not data-scaled movement. */
+class ShuffleBudgetSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def hashExchanges(df: DataFrame): Int = {
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.treeString
+      case p => p.treeString
+    }
+    "Exchange hashpartitioning".r.findAllIn(plan).length
+  }
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("scan-only operators plan zero hash exchanges") {
+    val scanOnly = Seq(
+      "q_scan_filter_project", "q_quality_score", "q_token_count_bpe",
+      "q_doc_fingerprint", "q_pii_redact", "q_repetition_filter",
+      "q_embedding_quantize", "q_multimodal_binary",
+      "q_scalar_math", "q_scalar_conditional", "q_event_sort")
+    val offenders = scanOnly.flatMap { name =>
+      val n = hashExchanges(q(name))
+      if (n > 0) Some(s"$name: $n") else None
+    }
+    assert(offenders.isEmpty,
+      s"scan-only queries with hash exchanges: ${offenders.mkString(", ")}")
+  }
+
+  test("combine-aggregate operators stay within one hash shuffle") {
+    val oneShuffle = Seq(
+      "q_text_stats", "q_exact_dedup", "q_histogram",
+      "q_train_test_split", "q_corpus_mix")
+    val offenders = oneShuffle.flatMap { name =>
+      val n = hashExchanges(q(name))
+      if (n > 1) Some(s"$name: $n") else None
+    }
+    assert(offenders.isEmpty,
+      s"single-shuffle queries over budget: ${offenders.mkString(", ")}")
+    // exact count_distinct legitimately costs a second (expand)
+    // shuffle — the budget documents it rather than hiding it
+    assert(hashExchanges(q("q_groupby_agg")) <= 2)
+  }
+
+  test("broadcast-side similarity search never shuffles the corpus scan") {
+    // brute-force top-k: the only hash exchange allowed is the final
+    // per-query ranking of the tiny (queries x k) candidate frame
+    assert(hashExchanges(q("q_cosine_topk")) <= 1)
+    // BM25: stats broadcast back against the scan - zero hash exchanges
+    assert(hashExchanges(q("q_bm25_score")) == 0)
+  }
+}
