@@ -290,7 +290,38 @@ object EventOps {
       .orderBy("user_id", "seg_no")
   }
 
+  /** Rolling order statistics per key: trailing 10-event median, min,
+    * max, and average of `value` — the windowed profile a monitoring /
+    * feature pipeline computes per entity. The median is an exact
+    * order statistic over the frame (sorted frame buffer →
+    * nearest-rank pick, the same floor(q·(n−1)) convention DuckDB's
+    * windowed quantile_disc uses), so no rounding is involved; the
+    * frame average routes through decimal so summation-tree order
+    * (Spark frame re-aggregation vs DuckDB segment trees) can't leak
+    * into the double. Per-key sorts only. */
+  def rollingStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-9, Window.currentRow)
+    events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .withColumn("vals", sort_array(collect_list(col("value")).over(w)))
+      .withColumn("n_frame", size(col("vals")).cast("long"))
+      .withColumn("dsum",
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+      .select(
+        col("user_id"), col("ts_us"), col("event_id"),
+        col("n_frame"),
+        expr("element_at(vals, cast(floor(0.5 * (size(vals) - 1)) as int) + 1)")
+          .as("roll_med"),
+        element_at(col("vals"), 1).as("roll_min"),
+        element_at(col("vals"), col("n_frame").cast("int")).as("roll_max"),
+        r6(col("dsum") / col("n_frame").cast("double")).as("roll_avg"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_stats" -> rollingStats _,
     "q_scd2_intervals" -> scd2Intervals _,
     "q_funnel" -> funnel _,
     "q_retention_cohort" -> retentionCohort _,
@@ -308,6 +339,18 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_stats" ->
+      """SELECT user_id, ts_us, event_id,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_frame,
+        |       quantile_disc(value, 0.5) OVER w AS roll_med,
+        |       min(value) OVER w AS roll_min,
+        |       max(value) OVER w AS roll_max,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |             / CAST(count(*) OVER w AS DOUBLE), 6) AS roll_avg
+        |FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "q_scd2_intervals" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
