@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Det, Tables}
@@ -320,7 +320,33 @@ object EventOps {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** Batch anomaly flagging: events whose value sits more than 3
+    * per-user standard deviations from the user's mean — the
+    * oracle-checked batch twin of StreamingAnomaly's running z-score.
+    * Moments come from exact DECIMAL power sums (the q_agg_stats
+    * discipline: engine accumulation order can't perturb them; only
+    * the final scalar arithmetic is in doubles). Per-user stats are a
+    * tiny combine agg joined back against the scan. */
+  def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(28,8)")
+    val e = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+    val stats = e.groupBy(col("user_id")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(d(col("value"))).cast("double").as("sx"),
+      sum(d(col("value")) * d(col("value"))).cast("double").as("sxx"))
+    val std = sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+    e.join(broadcast(stats), "user_id")
+      .where(std > 0d)
+      .withColumn("z", (col("value") - col("sx") / col("n")) / std)
+      .where(abs(col("z")) > 3d)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"),
+        r6(col("z")).as("z"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_zscore" -> anomalyZscore _,
     "q_rolling_stats" -> rollingStats _,
     "q_scd2_intervals" -> scd2Intervals _,
     "q_funnel" -> funnel _,
@@ -339,6 +365,24 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    "q_anomaly_zscore" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |st AS (
+        |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(value AS DECIMAL(28,8))
+        |                  * CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+        |  FROM e GROUP BY user_id),
+        |z AS (
+        |  SELECT e.user_id, event_id, ts_us, value,
+        |         (value - sx / n)
+        |           / sqrt((sxx - sx * sx / n) / (n - 1)) AS z
+        |  FROM e JOIN st ON e.user_id = st.user_id
+        |  WHERE sqrt((sxx - sx * sx / n) / (n - 1)) > 0)
+        |SELECT user_id, event_id, ts_us, value, round(z, 6) AS z
+        |FROM z WHERE abs(z) > 3
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_rolling_stats" ->
       """SELECT user_id, ts_us, event_id,
         |       CAST(count(*) OVER w AS BIGINT) AS n_frame,
