@@ -394,7 +394,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF document vectors, top-5 terms per doc — the sparse
+    * representation a retrieval index or keyword extractor ingests.
+    * Document frequencies ride the same vocabulary-sized combine
+    * shuffle as vocabTopk (the shuffle carries (doc, token) pairs —
+    * inherent to exact tf); weights are tf · ln(N/df), a generic
+    * double both engines compute identically; ties (same tf, same df)
+    * break on the token. */
+  def tfidfTopterms(s: SparkSession, dir: String): DataFrame = {
+    val tokens = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tokens.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val nDocs = t(s, dir, "documents")
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_raw").desc, col("token"))
+    tf.join(df, "token").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_raw",
+        col("tf").cast("double") * log(col("n_docs") / col("df")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        r6(col("tfidf_raw")).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf_topterms" -> tfidfTopterms _,
     "q_bm25_score" -> bm25Score _,
     "q_countmin_freq" -> countminFreq _,
     "q_vocab_topk" -> vocabTopk _,
@@ -411,6 +440,24 @@ object TextOps {
     "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf_topterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |wgt AS (
+        |  SELECT doc_id, token, tf,
+        |         CAST(tf AS DOUBLE) * ln(n_docs / df) AS tfidf_raw
+        |  FROM tf JOIN df USING (token), nd)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf,
+        |       round(tfidf_raw, 6) AS tfidf
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf_raw DESC, token) AS rank
+        |  FROM wgt)
+        |WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
     "q_bm25_score" ->
       """WITH tf AS (
         |  SELECT doc_id,
