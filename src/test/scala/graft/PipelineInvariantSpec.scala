@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the r3 pipeline operators that the
+  * value-hash oracle can't express: conservation (packing loses no
+  * tokens), prefix/monotonicity (budget selection is a quality-order
+  * prefix), partition-shape (strata sizes, SCD2 interval disjointness)
+  * — the properties that must survive refactors. */
+class PipelineInvariantSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("sequence packing conserves tokens and numbers packs contiguously") {
+    import spark.implicits._
+    val packs = q("q_sequence_pack").collect()
+    val perLang = packs.groupBy(_.getString(0))
+    val corpusTokens = Tables(spark, sf, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
+      .as[(String, Long)].collect().toMap
+    perLang.foreach { case (lang, rows) =>
+      assert(rows.map(_.getAs[Long]("n_tokens")).sum == corpusTokens(lang),
+        s"$lang: packing lost tokens")
+      val ids = rows.map(_.getAs[Long]("pack_id")).sorted
+      assert(ids.toSeq == (0L until ids.length).toSeq,
+        s"$lang: pack ids not contiguous")
+    }
+  }
+
+  test("token budget selects a strictly increasing prefix under budget") {
+    val sel = q("q_token_budget").collect().sortBy(_.getAs[Long]("sel_rank"))
+    assert(sel.nonEmpty)
+    assert(sel.head.getAs[Long]("sel_rank") == 1L)
+    // ranks contiguous (a prefix of the quality order) and cum strictly grows
+    sel.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("sel_rank") == a.getAs[Long]("sel_rank") + 1)
+        assert(b.getAs[Long]("cum_toks") > a.getAs[Long]("cum_toks"))
+      case _ =>
+    }
+    // every selected doc STARTED inside the budget
+    assert(sel.forall(r =>
+      r.getAs[Long]("cum_toks") - r.getAs[Long]("toks") < 20000L))
+  }
+
+  test("stratified sample takes min(5, stratum size) per language") {
+    import spark.implicits._
+    val got = q("q_stratified_sample").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val sizes = Tables(spark, sf, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet == sizes.keySet)
+    got.foreach { case (lang, n) =>
+      assert(n == math.min(5L, sizes(lang)), s"$lang: got $n")
+    }
+  }
+
+  test("SCD2 intervals are disjoint, ordered, one current per user") {
+    val rows = q("q_scd2_intervals").collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("seg_no"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // each interval ends exactly where the next begins
+          assert(a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us"),
+            s"user $uid: gap/overlap between segments")
+        case _ =>
+      }
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1,
+        s"user $uid: not exactly one open interval")
+      assert(sorted.last.getAs[Long]("valid_to_us") == -1L)
+    }
+  }
+
+  test("anomaly flags only |z| > 3 and tf-idf ranks are per-doc top-5") {
+    assert(q("q_anomaly_zscore").collect()
+      .forall(r => math.abs(r.getAs[Double]("z")) > 3.0))
+    val tfidf = q("q_tfidf_topterms").collect()
+    tfidf.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.length))
+      // weights nonincreasing in rank order
+      val ws = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("tfidf"))
+      ws.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b)
+        case _ =>
+      }
+    }
+  }
+}
