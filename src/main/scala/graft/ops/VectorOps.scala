@@ -47,8 +47,8 @@ object VectorOps {
     * standard OR-of-ANDs construction). r2 shipped a single 8-bit
     * band = 256 global buckets; 4×16 keeps per-band buckets 65536-way
     * while quadrupling recall via the OR. */
-  private val SrpBands = 4
-  private val SrpBits = 16
+  private[graft] val SrpBands = 4
+  private[graft] val SrpBits = 16
 
   /** Random-hyperplane (SRP) LSH coefficients: g(p,i) =
     * (hash(p:i) mod 2001 - 1000)/1000, derived from the portable hash
@@ -58,7 +58,7 @@ object VectorOps {
     * formula DuckDB's oracle evaluates in its `gw` CTE) and inlined as
     * an array literal: the per-row signature is then pure arithmetic,
     * no crypto hash in the scan at all. */
-  private lazy val srpPlanes: Seq[Seq[Double]] = (0 until SrpBands * SrpBits).map { p =>
+  private[graft] lazy val srpPlanes: Seq[Seq[Double]] = (0 until SrpBands * SrpBits).map { p =>
     (1 to 64).map { i =>
       val md = java.security.MessageDigest.getInstance("SHA-256")
       val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
