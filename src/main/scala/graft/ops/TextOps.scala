@@ -422,7 +422,42 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Corpus drift detector: KL divergence of each language slice's
+    * token distribution from the corpus-wide distribution, over the
+    * global top-50 vocabulary (out-of-vocabulary mass excluded from
+    * both sides — this is drift over the head, where shifts show
+    * first). Per-token contributions p·ln(p/q) are generic doubles,
+    * but their SUM over 50 terms is order-sensitive in the last ulp —
+    * so each contribution ships as floor(c·1e9) micro-nats and the
+    * aggregate is an exact BIGINT sum (order-free in both engines).
+    * Shuffles carry vocabulary-sized frames only. */
+  def corpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val tokens = t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+    val top = tokens.groupBy(col("token"))
+      .agg(count(lit(1)).as("gcnt"))
+      .orderBy(col("gcnt").desc, col("token")).limit(50)
+    val gTotal = top.agg(sum(col("gcnt")).as("gtot"))
+    val slice = tokens.join(broadcast(top.select("token")), "token")
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("lcnt"))
+    val lTotal = slice.groupBy(col("lang")).agg(sum(col("lcnt")).as("ltot"))
+    slice
+      .join(broadcast(top), "token")
+      .join(broadcast(lTotal), "lang")
+      .crossJoin(broadcast(gTotal))
+      .withColumn("contrib_nano",
+        floor((col("lcnt").cast("double") / col("ltot").cast("double")) *
+          log((col("lcnt").cast("double") / col("ltot").cast("double")) /
+            (col("gcnt").cast("double") / col("gtot").cast("double"))) *
+          lit(1000000000.0)).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_head_terms"),
+        sum(col("contrib_nano")).as("kl_nano"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_drift" -> corpusDrift _,
     "q_tfidf_topterms" -> tfidfTopterms _,
     "q_bm25_score" -> bm25Score _,
     "q_countmin_freq" -> countminFreq _,
@@ -440,6 +475,27 @@ object TextOps {
     "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_drift" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |top AS (
+        |  SELECT token, count(*) AS gcnt FROM tok GROUP BY token
+        |  ORDER BY gcnt DESC, token LIMIT 50),
+        |gt AS (SELECT CAST(sum(gcnt) AS BIGINT) AS gtot FROM top),
+        |sl AS (
+        |  SELECT lang, token, count(*) AS lcnt
+        |  FROM tok JOIN top USING (token) GROUP BY lang, token),
+        |lt AS (SELECT lang, CAST(sum(lcnt) AS BIGINT) AS ltot FROM sl GROUP BY lang),
+        |c AS (
+        |  SELECT sl.lang,
+        |         CAST(floor((CAST(lcnt AS DOUBLE) / CAST(ltot AS DOUBLE)) *
+        |           ln((CAST(lcnt AS DOUBLE) / CAST(ltot AS DOUBLE)) /
+        |              (CAST(gcnt AS DOUBLE) / CAST(gtot AS DOUBLE))) *
+        |           CAST(1000000000.0 AS DOUBLE)) AS BIGINT) AS contrib_nano
+        |  FROM sl JOIN top USING (token) JOIN lt ON sl.lang = lt.lang, gt)
+        |SELECT lang, count(*) AS n_head_terms,
+        |       CAST(sum(contrib_nano) AS BIGINT) AS kl_nano
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     "q_tfidf_topterms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
