@@ -326,7 +326,10 @@ object EventOps {
     * Moments come from exact DECIMAL power sums (the q_agg_stats
     * discipline: engine accumulation order can't perturb them; only
     * the final scalar arithmetic is in doubles). Per-user stats are a
-    * tiny combine agg joined back against the scan. */
+    * combine agg joined back against the scan; the join side scales
+    * with |users|, so no broadcast hint — AQE broadcasts it at small
+    * SF and falls back to a shuffle join when users outgrow the
+    * threshold (SURVEY §8: broadcast only provably bounded sides). */
   def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
     val d = (c: Column) => c.cast("decimal(28,8)")
     val e = events(s, dir)
@@ -336,7 +339,7 @@ object EventOps {
       sum(d(col("value"))).cast("double").as("sx"),
       sum(d(col("value")) * d(col("value"))).cast("double").as("sxx"))
     val std = sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
-    e.join(broadcast(stats), "user_id")
+    e.join(stats, "user_id")
       .where(std > 0d)
       .withColumn("z", (col("value") - col("sx") / col("n")) / std)
       .where(abs(col("z")) > 3d)

@@ -432,14 +432,34 @@ object LlmOps {
     * chosen by portable-hash order within each stratum — the
     * "inspect a fixed-size slice of every language/domain" primitive
     * for corpus QA. No RNG: the sample is a pure function of content
-    * ids, so reruns and both engines agree. One window sort per
-    * stratum (at scale: rank only within size-bounded strata, or
-    * pre-filter with a hash threshold to cap the sort input). */
+    * ids, so reruns and both engines agree.
+    *
+    * Scale path (r4): the per-stratum window sort never sees the whole
+    * stratum. An adaptive hash-threshold pre-filter keeps only
+    * `hk < 2^60 * min(1, C/n)` per stratum (C = [[StratPrefilterC]],
+    * n = stratum size from a tiny count agg joined back), i.e. the
+    * expected ~C smallest-hash docs — so the sort input is O(C) rows
+    * per stratum REGARDLESS of corpus size, while the top-5-by-hash
+    * answer is provably unchanged whenever ≥ 5 docs survive
+    * (P[Poisson(64) < 5] ≈ 1e-20; the unfiltered DuckDB oracle staying
+    * green is the end-to-end proof, StratifiedPrefilterSpec asserts
+    * filtered ≡ unfiltered + the filter sits below the window sort). */
+  val StratPrefilterC = 64L
+  private val HashSpan = math.pow(2d, 60) // portableHash range [0, 2^60)
+
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
-    t(s, dir, "documents")
+    val base = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
         portableHash(concat(lit("strat:"), col("doc_id").cast("string"))).as("hk"))
+    // one row per stratum; AQE broadcasts it (no hint: |langs| is
+    // small but not provably bounded — SURVEY §8 rule)
+    val counts = base.groupBy(col("lang")).agg(count(lit(1)).as("n_stratum"))
+    val threshold = least(
+      lit(HashSpan).cast("long"),
+      ceil(lit(StratPrefilterC.toDouble * HashSpan) / col("n_stratum")).cast("long"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+    base.join(counts, "lang")
+      .where(col("hk") < threshold)
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= 5)
       .select(col("lang"), col("rn"), col("doc_id"), col("source"))
