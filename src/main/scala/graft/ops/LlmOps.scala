@@ -249,18 +249,16 @@ object LlmOps {
     * Distributed min-label propagation: each round, every node takes
     * the min of its own label and its neighbors' labels; converges in
     * diameter(G) rounds (LSH components are near-cliques, so 2-4 in
-    * practice; capped at 50, and the cap throws rather than returning
-    * partial labels). Each round is one shuffle-join; the edge list
-    * and each round's labels are checkpointed so the lineage (and the
-    * LSH subplan) is materialized once, not replayed per round. When
-    * the session has a checkpoint dir configured
+    * practice). Each round is one shuffle-join; the edge list and each
+    * round's labels are checkpointed so the lineage (and the LSH
+    * subplan) is materialized once, not replayed per round. When the
+    * session has a checkpoint dir configured
     * (`sparkContext.setCheckpointDir`) the checkpoints are RELIABLE
     * (survive executor loss — what a real cluster run wants);
     * otherwise they fall back to executor-memory localCheckpoint,
-    * fine for single-JVM gate runs. At extreme scale the same loop
-    * with the large-star / small-star edge rewrites (the standard
-    * MapReduce CC) halves the round count; the per-round plan shape
-    * is identical. */
+    * fine for single-JVM gate runs. Graphs whose diameter exceeds the
+    * propagation cap (r3 threw here) switch to large-star/small-star
+    * contraction — see [[starContract]]. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashDedup(s, dir).select(col("doc_a"), col("doc_b"))
     connectedComponents(pairs)
@@ -273,7 +271,10 @@ object LlmOps {
     * Returns (id, lbl) where lbl = smallest node id in the component.
     * See dedupClusters for the algorithm/scale discussion. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
-    val maxIters = 50
+    // propagation needs diameter(G) rounds; past this cap the graph is
+    // not the near-clique shape LSH produces, so switch algorithms
+    // instead of burning a shuffle-join per extra diameter step
+    val propagationCap = 8
     // Reliable (HDFS/object-store) checkpoints when the session has a
     // checkpoint dir; executor-memory localCheckpoint otherwise.
     val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
@@ -292,7 +293,7 @@ object LlmOps {
       .select(col("id"), least(col("id"), col("mn")).as("lbl")))
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIters) {
+    while (!converged && iter < propagationCap) {
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
       // change detection fused into the propagation select — no extra
@@ -306,14 +307,72 @@ object LlmOps {
       converged = changed == 0
       iter += 1
     }
-    if (!converged)
-      // partial labels are silently WRONG (they look like clusters) —
-      // refuse rather than return them
+    if (converged) labels
+    else starContract(edges, ckpt) // high-diameter graph: O(log² n) path
+  }
+
+  /** Large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): alternating edge
+    * rewrites that converge in O(log² n) rounds REGARDLESS of graph
+    * diameter — the fallback [[connectedComponents]] switches to when
+    * plain min-label propagation (diameter rounds) meets a long-path
+    * graph.
+    *
+    * Large-star: every node v > u re-attaches to m(u) = min(Γ⁺(u)).
+    * Small-star: every smaller-neighbor a of b re-attaches to
+    * m(b) = min of b's smaller neighbors (plus the (b, m(b)) edge).
+    * Both preserve connectivity; the fixed point of the alternation is
+    * a disjoint union of stars centered at component minima, so the
+    * final labels are one min-neighbor aggregation. Each round is two
+    * groupBy+join rewrites over a canonical (a < b) distinct edge
+    * list; edge count never grows, and every node incident to an edge
+    * stays incident throughout (no satellite is ever dropped).
+    *
+    * Input: the symmetric (src, dst) edge list; ckpt: the caller's
+    * checkpoint discipline (reliable on clusters, local in gate runs). */
+  private def starContract(
+      symEdges: DataFrame, ckpt: DataFrame => DataFrame): DataFrame = {
+    val maxRounds = 60 // ~2·log₂(n) alternations observed; 60 covers any real n
+    var e = ckpt(symEdges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    var stable = false
+    var round = 0
+    while (!stable && round < maxRounds) {
+      // large-star: emit (m(u), v) for every neighbor v > u;
+      // m(u) ≤ u < v, so the emitted edge is already canonical
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = ckpt(sym.where(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct())
+      // small-star: per node b, smaller neighbors S(b) re-attach to
+      // m(b) = min(S(b)): emit (m(b), a) for a ∈ S(b)\{m}, + (m(b), b)
+      val smallMins = ls.groupBy(col("b").as("sb")).agg(min(col("a")).as("m"))
+      val part1 = ls.join(smallMins, ls("b") === col("sb"))
+        .where(col("a") =!= col("m"))
+        .select(col("m").as("a2"), col("a").as("b2"))
+      val part2 = smallMins.select(col("m").as("a2"), col("sb").as("b2"))
+      val ss = ckpt(part1.union(part2).toDF("a", "b").distinct())
+      // fixed point: both rewrites left the (distinct) edge set intact
+      stable = ss.count() == e.count() &&
+        ss.except(e).limit(1).count() == 0
+      e = ss
+      round += 1
+    }
+    if (!stable)
+      // partial contraction is silently WRONG — refuse to label it
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds; " +
-          "graph diameter exceeds the cap — raise it or pre-contract " +
-          "the graph (large-star/small-star)")
-    labels
+        s"starContract did not stabilize in $maxRounds rounds")
+    // stars centered at component minima: label = min neighbor (or self)
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    sym.groupBy(col("u").as("id")).agg(min(col("v")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("lbl"))
   }
 
   // ---------------------------------------------------- sampling / splits

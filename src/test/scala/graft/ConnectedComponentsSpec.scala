@@ -42,6 +42,50 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(clusters.values.toSet.forall(cid => clusters(cid) == cid))
   }
 
+  /** Component-min labels via union-find — the sequential oracle. */
+  private def ufOracle(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.toSeq.map(v => v -> find(v)).toMap
+  }
+
+  test("long path (diameter 200) far beyond the propagation cap") {
+    // r3's propagation loop refused this shape (cap exhausted); the
+    // large-star/small-star fallback must converge in O(log n) rounds
+    val path = (0L until 200L).map(i => (i, i + 1))
+    val got = cc(path)
+    assert(got.size == 201)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("scrambled-id long path: star fallback finds non-trivial minima") {
+    // permute ids so the component min sits mid-path, not at an end —
+    // catches any hidden assumption that labels flow from an endpoint
+    val rnd = new scala.util.Random(11)
+    val ids = rnd.shuffle((100L until 250L).toVector)
+    val edges = ids.sliding(2).map { case Vector(a, b) => (a, b) }.toSeq
+    val got = cc(edges)
+    assert(got == ufOracle(edges))
+  }
+
+  test("random graphs match the union-find oracle") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(45)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      assert(cc(edges) == ufOracle(edges))
+    }
+  }
+
   test("clique and bridge: merging two cliques through one edge") {
     val cliqueA = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
     val cliqueB = for (i <- 20L to 23L; j <- (i + 1) to 23L) yield (i, j)
