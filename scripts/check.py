@@ -3,13 +3,20 @@
 
 Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
 
-GRAFT_SKIP=q_a,q_b skips named queries (e.g. q_dedup_clusters at
-sf >= 0.1: its oracle's recursive transitive closure is quadratic in
-component size — the Spark side is the scalable formulation).
+GRAFT_SKIP=q_a,q_b skips named queries.
 
 Reads each <out_dir>/<name>/ parquet (Spark result), runs the matching
 oracle SQL from <out_dir>/oracle_sql.json in DuckDB against the sf_dir
 tables, sorts columns by name, and compares values row by row.
+
+q_dedup_clusters gets special handling at bench scale (documents >
+1000 rows): the declared single-statement oracle's recursive closure
+is quadratic in component size — fine at the driver's sf0.01 gate,
+hangs at sf0.1 — so check.py recomputes the same answer with an
+iterative temp-table min-label loop (diameter rounds, linear state),
+seeded from the declared q_minhash_dedup oracle so the pair semantics
+can't drift. At gate SFs the declared SQL runs as-is, keeping this
+script a faithful replica of what the driver executes.
 """
 import glob
 import json
@@ -41,6 +48,47 @@ def norm(v):
     return v
 
 
+def iterative_cc_oracle(con, oracle):
+    """q_dedup_clusters as an iterative DuckDB min-label loop.
+
+    Same answer as the declared recursive-CTE oracle, but per-round
+    state is one row per node instead of the transitive closure:
+    temp tables hold (id, lbl); each round takes the min over
+    neighbors' labels until a fixed point (diameter rounds)."""
+    pairs_sql = oracle["q_minhash_dedup"]  # (doc_a, doc_b, n_shared_bands)
+    con.execute("DROP TABLE IF EXISTS cc_sym")
+    con.execute(f"""
+        CREATE TEMP TABLE cc_sym AS
+        WITH p AS ({pairs_sql})
+        SELECT doc_a AS u, doc_b AS v FROM p
+        UNION SELECT doc_b, doc_a FROM p""")
+    con.execute("DROP TABLE IF EXISTS cc_lbl")
+    con.execute("""
+        CREATE TEMP TABLE cc_lbl AS
+        SELECT u AS id, least(u, min(v)) AS lbl FROM cc_sym GROUP BY u""")
+    for _ in range(200):
+        con.execute("DROP TABLE IF EXISTS cc_next")
+        con.execute("""
+            CREATE TEMP TABLE cc_next AS
+            SELECT l.id, least(l.lbl, coalesce(min(nb.lbl), l.lbl)) AS lbl
+            FROM cc_lbl l
+            LEFT JOIN cc_sym e ON e.v = l.id
+            LEFT JOIN cc_lbl nb ON nb.id = e.u
+            GROUP BY l.id, l.lbl""")
+        changed = con.execute("""
+            SELECT count(*) FROM cc_next n JOIN cc_lbl o USING (id)
+            WHERE n.lbl < o.lbl""").fetchone()[0]
+        con.execute("DROP TABLE cc_lbl")
+        con.execute("ALTER TABLE cc_next RENAME TO cc_lbl")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("iterative CC oracle did not converge")
+    return con.execute("""
+        SELECT id AS doc_id, CAST(lbl AS BIGINT) AS cluster_id
+        FROM cc_lbl ORDER BY doc_id""").fetch_arrow_table()
+
+
 def main(out_dir, sf_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -68,7 +116,11 @@ def main(out_dir, sf_dir):
             print(f"[ROWS ] {name}: {got.num_rows} rows (no oracle declared)")
             continue
         try:
-            want = con.execute(oracle[name]).fetch_arrow_table()
+            if name == "q_dedup_clusters" and con.execute(
+                    "SELECT count(*) FROM documents").fetchone()[0] > 1000:
+                want = iterative_cc_oracle(con, oracle)
+            else:
+                want = con.execute(oracle[name]).fetch_arrow_table()
         except Exception as e:
             print(f"[OERR ] {name}: oracle failed: {e}")
             fail += 1
