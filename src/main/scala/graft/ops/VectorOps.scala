@@ -40,50 +40,67 @@ object VectorOps {
 
   // ------------------------------------------------- SRP-LSH near-duplicate
 
-  /** Banded SRP-LSH geometry. Bits per band set bucket granularity
-    * (2^bits buckets per band — the 100 TB lever that keeps any one
-    * bucket's candidate join bounded); bands are the recall lever (a
-    * pair is a candidate if it agrees on ALL bits of ANY band — the
-    * standard OR-of-ANDs construction). r2 shipped a single 8-bit
-    * band = 256 global buckets; 4×16 keeps per-band buckets 65536-way
-    * while quadrupling recall via the OR. */
+  /** Banded SRP-LSH geometry DEFAULTS. Bits per band set bucket
+    * granularity (2^bits buckets per band — the 100 TB lever that
+    * keeps any one bucket's candidate join bounded); bands are the
+    * recall lever (a pair is a candidate if it agrees on ALL bits of
+    * ANY band — the standard OR-of-ANDs construction). r2 shipped a
+    * single 8-bit band = 256 global buckets; 4×16 keeps per-band
+    * buckets 65536-way while quadrupling recall via the OR.
+    *
+    * r4: the geometry is a RUNTIME conf — `spark.graft.srp.bands` /
+    * `spark.graft.srp.bits` override the defaults per session, and
+    * [[neardupOracle]] derives the matching DuckDB SQL for any
+    * geometry (the declared `oracles` entry is generated for the
+    * defaults, so driver runs are unchanged). SrpGeometrySpec proves
+    * the operator + recall hold at a second (6×24) geometry. */
   private[graft] val SrpBands = 4
   private[graft] val SrpBits = 16
+
+  private def srpGeometry(s: SparkSession): (Int, Int) = (
+    s.conf.get("spark.graft.srp.bands", SrpBands.toString).toInt,
+    s.conf.get("spark.graft.srp.bits", SrpBits.toString).toInt)
 
   /** Random-hyperplane (SRP) LSH coefficients: g(p,i) =
     * (hash(p:i) mod 2001 - 1000)/1000, derived from the portable hash
     * so both engines build the SAME planes with no shared random
-    * state. The (bands*bits)×64 values are row-independent CONSTANTS,
-    * so they are computed once here (plain JDK sha256 — the exact
-    * formula DuckDB's oracle evaluates in its `gw` CTE) and inlined as
-    * an array literal: the per-row signature is then pure arithmetic,
-    * no crypto hash in the scan at all. */
-  private[graft] lazy val srpPlanes: Seq[Seq[Double]] = (0 until SrpBands * SrpBits).map { p =>
-    (1 to 64).map { i =>
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString.substring(0, 15)
-      ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000).toDouble / 1000.0
-    }
-  }
+    * state. A given plane's values are independent of the geometry
+    * (plane p is the same vector whether it serves band p/16 or band
+    * p/24), so coefficients are computed once per plane-count here
+    * (plain JDK sha256 — the exact formula DuckDB's oracle evaluates
+    * in its `gw` CTE) and inlined as an array literal: the per-row
+    * signature is then pure arithmetic, no crypto hash in the scan. */
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Seq[Seq[Double]]]
+  private[graft] def srpPlanes(nPlanes: Int): Seq[Seq[Double]] =
+    planeCache.getOrElseUpdate(nPlanes, (0 until nPlanes).map { p =>
+      (1 to 64).map { i =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.substring(0, 15)
+        ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000).toDouble / 1000.0
+      }
+    })
 
   /** band b's sig bit i = sign(v · g_{b*bits+i}), packed into `bits`
     * bits; one signature per band — computed by the native
     * SrpSignatures expression (one flat generated loop over all
     * bands×bits planes; see its Scaladoc for why neither the HOF form
     * nor a 64-dot expression tree survives at scale). */
-  private def srpBandSigs: Column =
-    graft.functions.SrpSignatures.signatures(col("embedding"), srpPlanes, SrpBits)
+  private def srpBandSigs(bands: Int, bits: Int): Column =
+    graft.functions.SrpSignatures.signatures(
+      col("embedding"), srpPlanes(bands * bits), bits)
 
   /** Embedding-cosine near-dup, banded-LSH-bucketed: vectors sharing a
-    * full 16-bit SRP signature in any of 4 bands become a candidate
+    * full bits-wide SRP signature in any band become a candidate
     * pair; exact cosine runs only over DISTINCT candidates; pairs with
     * cos ≥ 0.25 survive. Never all-pairs: per-band candidate volume is
-    * set by bucket collisions (65536-way), recall by the band count —
-    * both config constants above. */
+    * set by bucket collisions (2^bits-way), recall by the band count —
+    * both session confs (see SrpBands/SrpBits above). */
   def embeddingNeardup(s: SparkSession, dir: String): DataFrame = {
+    val (bands, bits) = srpGeometry(s)
     val banded = withNorm(s, dir)
-      .withColumn("band_sigs", srpBandSigs)
+      .withColumn("band_sigs", srpBandSigs(bands, bits))
       .select(col("vec_id"), posexplode(col("band_sigs")).as(Seq("band", "sig")))
     val cand = banded.select(col("band"), col("sig"), col("vec_id").as("vec_a"))
       .join(banded.select(col("band"), col("sig"), col("vec_id").as("vec_b")),
@@ -270,18 +287,21 @@ object VectorOps {
 
   private val phDuck = "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
-  val oracles: Map[String, String] = Map(
-    "q_embedding_neardup" ->
-      ("""WITH gw AS (
+  /** DuckDB oracle for q_embedding_neardup at ANY geometry — the same
+    * generator the declared default-geometry oracle comes from, so a
+    * deployment overriding `spark.graft.srp.*` derives its matching
+    * oracle instead of editing SQL by hand. */
+  private[graft] def neardupOracle(bands: Int, bits: Int): String =
+    ("""WITH gw AS (
         |  SELECT p.range AS p, i.range AS i,
         |         CAST(""" + phDuck.format("CAST(p.range AS VARCHAR) || ':' || CAST(i.range AS VARCHAR)") + s""" % 2001 - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE) AS w
-        |  FROM range(0, ${SrpBands * SrpBits}) p, range(1, 65) i),
+        |  FROM range(0, ${bands * bits}) p, range(1, 65) i),
         |planes AS (SELECT p, list(w ORDER BY i) AS pw FROM gw GROUP BY p),
         |bits AS (
-        |  SELECT e.vec_id, pl.p // $SrpBits AS band,
+        |  SELECT e.vec_id, pl.p // $bits AS band,
         |         CASE WHEN list_reduce(list_transform(list_zip(e.embedding, pl.pw),
         |                  x -> CAST(x[1] AS DOUBLE) * x[2]), (a, v) -> a + v) > 0
-        |           THEN 1::BIGINT << (pl.p % $SrpBits) ELSE 0::BIGINT END AS bit
+        |           THEN 1::BIGINT << (pl.p % $bits) ELSE 0::BIGINT END AS bit
         |  FROM embeddings e, planes pl),
         |s AS (SELECT vec_id, band, CAST(sum(bit) AS BIGINT) AS sig
         |      FROM bits GROUP BY vec_id, band),
@@ -303,7 +323,10 @@ object VectorOps {
         |WHERE round(list_reduce(list_transform(list_zip(x.embedding, y.embedding),
         |               t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), (acc, v) -> acc + v)
         |             / (x.norm * y.norm), 6) >= 0.25
-        |ORDER BY vec_a, vec_b""").stripMargin,
+        |ORDER BY vec_a, vec_b""").stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_embedding_neardup" -> neardupOracle(SrpBands, SrpBits),
     "q_ann_ivf" ->
       """WITH base AS (
         |  SELECT vec_id, embedding, label,

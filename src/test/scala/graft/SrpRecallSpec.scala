@@ -26,7 +26,8 @@ class SrpRecallSpec extends SparkSpec {
     val sigs = rows.toDF("vec_id", "embedding")
       .select(col("vec_id"),
         SrpSignatures.signatures(col("embedding").cast("array<float>"),
-          VectorOps.srpPlanes, VectorOps.SrpBits).as("band_sigs"))
+          VectorOps.srpPlanes(VectorOps.SrpBands * VectorOps.SrpBits),
+          VectorOps.SrpBits).as("band_sigs"))
       .as[(Long, Seq[Long])].collect().toMap
 
     def collide(a: Long, b: Long): Boolean =
