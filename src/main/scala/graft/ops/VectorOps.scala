@@ -266,10 +266,13 @@ object VectorOps {
 
   /** The typed multimodal frame pipeline as a driver-graded query:
     * documents-as-media → decode → frame-sample every 4th frame →
-    * scalar projection. Deterministic (stub codec is a pure function
-    * of the payload) but typed-Dataset-shaped, so it's a rows-only
-    * entry like the other non-SQL-expressible ops; the stage
-    * semantics are unit-tested in MultimodalStubSpec. */
+    * scalar projection. The typed lazy-Iterator pipeline is the
+    * operator; the stub codec is a pure byte-arithmetic function of
+    * the payload, so its output is replayed exactly by the DuckDB
+    * oracle (byte extraction via hex substrings) — the oracle checks
+    * the whole typed path end to end, not just rows > 0. f0 values
+    * are k/128 with k ∈ [-128,127]: exact in float and double, no
+    * rounding needed on either engine. */
   def frameSampleQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.spread(s, t(s, dir, "documents"))
@@ -279,9 +282,10 @@ object VectorOps {
       .map { case (id, p, m) => MultimodalStub.MediaIn(id, p, m) }
     MultimodalStub.frameSample(s, media, everyN = 4)
       .toDF()
-      .select(col("docId").as("doc_id"), col("frameIdx").as("frame_idx"),
+      .select(col("docId").as("doc_id"),
+        col("frameIdx").cast("long").as("frame_idx"),
         col("width").cast("long").as("width"),
-        r6(element_at(col("feature"), 1).cast("double")).as("f0"))
+        element_at(col("feature"), 1).cast("double").as("f0"))
       .orderBy("doc_id", "frame_idx")
   }
 
@@ -327,6 +331,35 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "q_embedding_neardup" -> neardupOracle(SrpBands, SrpBits),
+    // Replays MultimodalStub.frameSample(everyN=4) byte-for-byte:
+    // frame count = max(1, bytes/16), byte b = payload[idx % n]
+    // (signed), width = 64 + |b| % 64, f0 = (b % 128)/128 (exact
+    // power-of-two double). Both engines' % preserves dividend sign.
+    "q_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS ph,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, ph, n,
+        |         CAST(unnest(range(0, greatest(1, n // 16), 4)) AS BIGINT)
+        |           AS frame_idx
+        |  FROM m),
+        |b AS (
+        |  SELECT doc_id, frame_idx,
+        |         CASE WHEN ub >= 128 THEN ub - 256 ELSE ub END AS sb
+        |  FROM (
+        |    SELECT doc_id, frame_idx,
+        |           CASE WHEN n = 0 THEN 0
+        |                ELSE CAST('0x' || substring(
+        |                       ph, CAST(2 * (frame_idx % n) + 1 AS INT), 2)
+        |                     AS INT) END AS ub
+        |    FROM f))
+        |SELECT doc_id, frame_idx,
+        |       CAST(64 + abs(sb) % 64 AS BIGINT) AS width,
+        |       CAST(sb % 128 AS DOUBLE) / CAST(128 AS DOUBLE) AS f0
+        |FROM b
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_ann_ivf" ->
       """WITH base AS (
         |  SELECT vec_id, embedding, label,
