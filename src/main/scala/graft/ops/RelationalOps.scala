@@ -391,15 +391,54 @@ object RelationalOps {
       .distinct()
       .orderBy("user_id", "event_type")
 
-  /** Bloom-sketch semi-join: build a bloom filter over the high-value
-    * order keys, pre-filter lineitem with might_contain before the
-    * exact join — at 100 TB the sketch prunes the probe-side shuffle
-    * to near the true match volume (false positives only). Output
-    * carries both the candidate and exact counts; no SQL oracle (the
-    * candidate count depends on the bloom implementation) — the
-    * superset + false-positive-rate properties are asserted in
-    * BloomJoinSpec, and n_true is what the exact join must produce. */
+  /** Bloom-sketch semi-join, portable construction: a classic
+    * m=65536-bit / k=8 bloom filter whose bit positions are derived by
+    * double hashing from the one portable 60-bit sha hash
+    * (pos_j = (h1 + j*h2) mod m), so DuckDB computes the identical
+    * filter and the candidate count — false positives included — is
+    * hash-checked, not just bounded. The "bitmap" is the DISTINCT
+    * position set: at most m = 65536 rows no matter how many build
+    * keys, so it is provably-bounded broadcast material, and the 8
+    * membership conjuncts become 8 broadcast semi-probes per row —
+    * the fact table is filtered in its scan pipeline and NEVER
+    * shuffles, which is the entire point of a bloom pre-filter at
+    * 100 TB. Spark's own runtime-filter machinery (bloom_filter_agg /
+    * might_contain, the production fast path with a real bitmap
+    * instead of a position set) is demonstrated against this in
+    * BloomJoinSpec via [[bloomSemiJoinNative]]. */
   def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    val ph = "cast(conv(substring(sha2(cast(%s as string), 256), 1, 15), 16, 10) as bigint)"
+    val conj = (0 until 8)
+      .map(j => s"(h1 + $j * h2) % 65536 IN (SELECT pos FROM bits)")
+      .mkString("\n          AND ")
+    s.sql(s"""
+      WITH bits AS (
+        SELECT DISTINCT (h % 65536 + t.j * ((h div 65536) % 65535 + 1)) % 65536 AS pos
+        FROM (SELECT ${ph.format("o_orderkey")} AS h
+              FROM orders WHERE o_totalprice > 300000.0)
+        LATERAL VIEW explode(sequence(0, 7)) t AS j),
+      probe AS (
+        SELECT l_orderkey, h % 65536 AS h1, (h div 65536) % 65535 + 1 AS h2
+        FROM (SELECT l_orderkey, ${ph.format("l_orderkey")} AS h FROM lineitem)),
+      cand AS (
+        SELECT l_orderkey FROM probe
+        WHERE $conj),
+      truth AS (
+        SELECT l.l_orderkey FROM lineitem l
+        WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders
+                               WHERE o_totalprice > 300000.0))
+      SELECT (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM truth) AS n_true""")
+  }
+
+  /** The same pre-filter through Spark's own runtime-filter
+    * expressions (BloomFilterAggregate / BloomFilterMightContain,
+    * bridge-registered Catalyst internals) — the production path with
+    * a real bitmap. Exercised by BloomJoinSpec; its candidate count is
+    * implementation-specific, so the oracled query is the portable
+    * construction above. */
+  def bloomSemiJoinNative(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     // bloom_filter_agg/might_contain exist in Catalyst (Spark's own
     // runtime-filter machinery) but are not SQL-registered — expose
@@ -425,9 +464,69 @@ object RelationalOps {
              (SELECT count(*) FROM truth) AS n_true""")
   }
 
-  /** HLL approximate distinct (no exact oracle — rows-only check;
-    * the companion spec bounds it against the exact count). */
-  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+  /** HyperLogLog approximate distinct, portable construction: p=9
+    * (m=512 registers), hash = the portable 60-bit sha hash, bucket =
+    * low 9 bits, rho = leading-zero rank of the remaining 51 bits
+    * (exact integer log2 via length(bin(w)) — no floating log). The
+    * register table is at most groups × 512 rows with map-side max
+    * combine, so the shuffle is sketch-sized regardless of input
+    * cardinality — the HLL scale contract. The estimate's harmonic
+    * sum is computed as the exact integer sum(2^(52-M)) (order-free),
+    * and the final alpha*m^2/S division is a fixed sequence of IEEE
+    * double ops both engines perform identically, so the estimate —
+    * bias and all — is hash-checked against DuckDB computing the same
+    * sketch. A portable register format is itself the scale feature:
+    * sketches can be handed across engines/serving layers and merged
+    * by max. Spark's built-in approx_count_distinct (the production
+    * one-liner, engine-specific sketch) is demonstrated in
+    * ApproxDistinctSpec via [[approxDistinctNative]]. Exact distinct
+    * counts ride along to exhibit the sketch error (at 100 TB you'd
+    * drop them — they are the cost the sketch avoids). The raw
+    * estimate is emitted without HLL's small-range linear-counting
+    * correction (that needs ln(), which is not bit-identical across
+    * engines); empty-register counts are emitted so a consumer can
+    * apply it. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    val ph = "cast(conv(substring(sha2(cast(%s as string), 256), 1, 15), 16, 10) as bigint)"
+    def sketch(key: String, alias: String) = s"""
+      ${alias}_reg AS (
+        SELECT l_returnflag, h % 512 AS bucket,
+               max(CASE WHEN h div 512 = 0 THEN 52
+                        ELSE 52 - length(bin(h div 512)) END) AS m
+        FROM (SELECT l_returnflag, ${ph.format(key)} AS h FROM lineitem)
+        GROUP BY l_returnflag, h % 512),
+      ${alias}_est AS (
+        SELECT l_returnflag,
+               cast(512 - count(*) AS bigint) AS ${alias}_empty,
+               cast(floor(
+                 cast(0.7213 as double)
+                   / (cast(1.0 as double) + cast(1.079 as double) / cast(512.0 as double))
+                   * cast(262144 as double) * cast(4503599627370496 as double)
+                   / cast(sum(shiftleft(cast(1 as bigint), 52 - m))
+                          + (512 - count(*)) * shiftleft(cast(1 as bigint), 52) as double)
+               ) AS bigint) AS ${alias}_hll
+        FROM ${alias}_reg GROUP BY l_returnflag)"""
+    s.sql(s"""
+      WITH ${sketch("l_orderkey", "o")},
+      ${sketch("l_partkey", "p")},
+      exact AS (
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS o_exact,
+               count(DISTINCT l_partkey) AS p_exact
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT e.l_returnflag, e.o_exact, o_est.o_hll, o_est.o_empty,
+             e.p_exact, p_est.p_hll, p_est.p_empty
+      FROM exact e
+      JOIN o_est ON e.l_returnflag = o_est.l_returnflag
+      JOIN p_est ON e.l_returnflag = p_est.l_returnflag
+      ORDER BY e.l_returnflag""")
+  }
+
+  /** Spark's built-in HLL (engine-specific sketch, so no cross-engine
+    * oracle) — the production one-liner, error-bounded against exact
+    * counts in ApproxDistinctSpec. */
+  def approxDistinctNative(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
@@ -825,6 +924,67 @@ object RelationalOps {
     "q_scalar_subquery" -> scalarSubquery _)
 
   val oracles: Map[String, String] = Map(
+    // Same m=65536/k=8 double-hashed bloom filter, DuckDB dialect
+    // (// for div, sha256 hex-prefix for the portable hash).
+    "q_bloom_semi_join" -> {
+      val ph = "CAST('0x' || substring(sha256(CAST(%s AS VARCHAR)), 1, 15) AS BIGINT)"
+      val conj = (0 until 8)
+        .map(j => s"(h1 + $j * h2) % 65536 IN (SELECT pos FROM bits)")
+        .mkString("\n          AND ")
+      s"""WITH bits AS (
+        |  SELECT DISTINCT (h % 65536 + t.j * ((h // 65536) % 65535 + 1)) % 65536 AS pos
+        |  FROM (SELECT ${ph.format("o_orderkey")} AS h
+        |        FROM orders WHERE o_totalprice > 300000.0), range(0, 8) t(j)),
+        |probe AS (
+        |  SELECT l_orderkey, h % 65536 AS h1, (h // 65536) % 65535 + 1 AS h2
+        |  FROM (SELECT l_orderkey, ${ph.format("l_orderkey")} AS h FROM lineitem)),
+        |cand AS (
+        |  SELECT l_orderkey FROM probe
+        |  WHERE $conj),
+        |truth AS (
+        |  SELECT l.l_orderkey FROM lineitem l
+        |  WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders
+        |                         WHERE o_totalprice > 300000.0))
+        |SELECT (SELECT count(*) FROM cand) AS n_candidates,
+        |       (SELECT count(*) FROM truth) AS n_true""".stripMargin
+    },
+    // Same p=9 portable HLL: identical registers from the shared
+    // 60-bit hash, exact-integer harmonic sum, identical IEEE
+    // division sequence.
+    "q_approx_distinct" -> {
+      val ph = "CAST('0x' || substring(sha256(CAST(%s AS VARCHAR)), 1, 15) AS BIGINT)"
+      def sketch(key: String, alias: String) = s"""
+        |${alias}_reg AS (
+        |  SELECT l_returnflag, h % 512 AS bucket,
+        |         max(CASE WHEN h // 512 = 0 THEN 52
+        |                  ELSE 52 - length(bin(h // 512)) END) AS m
+        |  FROM (SELECT l_returnflag, ${ph.format(key)} AS h FROM lineitem)
+        |  GROUP BY l_returnflag, h % 512),
+        |${alias}_est AS (
+        |  SELECT l_returnflag,
+        |         CAST(512 - count(*) AS BIGINT) AS ${alias}_empty,
+        |         CAST(floor(
+        |           CAST(0.7213 AS DOUBLE)
+        |             / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(512.0 AS DOUBLE))
+        |             * CAST(262144 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |             / CAST(sum(CAST(1 AS BIGINT) << (52 - m))
+        |                    + (512 - count(*)) * (CAST(1 AS BIGINT) << 52) AS DOUBLE)
+        |         ) AS BIGINT) AS ${alias}_hll
+        |  FROM ${alias}_reg GROUP BY l_returnflag)"""
+      s"""WITH ${sketch("l_orderkey", "o")},
+        |${sketch("l_partkey", "p")},
+        |exact AS (
+        |  SELECT l_returnflag,
+        |         count(DISTINCT l_orderkey) AS o_exact,
+        |         count(DISTINCT l_partkey) AS p_exact
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT e.l_returnflag, e.o_exact, o_est.o_hll, o_est.o_empty,
+        |       e.p_exact, p_est.p_hll, p_est.p_empty
+        |FROM exact e
+        |JOIN o_est ON e.l_returnflag = o_est.l_returnflag
+        |JOIN p_est ON e.l_returnflag = p_est.l_returnflag
+        |ORDER BY e.l_returnflag""".stripMargin
+    },
     "q_approx_percentile" ->
       """SELECT l_returnflag,
         |       quantile_disc(l_quantity, 0.5) AS qty_p50,

@@ -2,20 +2,46 @@ package graft
 
 import graft.ops.RelationalOps
 
-/** Bloom-sketch semi-join invariants (q_bloom_semi_join has no SQL
-  * oracle — the candidate count is implementation-specific): no false
-  * negatives (candidates ⊇ true matches) and a sane false-positive
-  * rate at the configured sizing. */
+/** Bloom-sketch semi-join invariants, for both the portable
+  * double-hashed construction (q_bloom_semi_join, cross-engine
+  * oracled) and Spark's native runtime-filter expressions
+  * (bloomSemiJoinNative, engine-specific bitmap): no false negatives
+  * (candidates ⊇ true matches) and a sane false-positive rate at the
+  * configured m=65536 sizing. */
 class BloomJoinSpec extends SparkSpec {
 
-  test("bloom candidates are a superset of true matches with bounded false positives") {
-    val r = RelationalOps.bloomSemiJoin(spark, "/root/testdata/sf0.001").head()
-    val (cand, truth) = (r.getLong(0), r.getLong(1))
+  private def checkSupersetWithBoundedFp(cand: Long, truth: Long): Unit = {
     assert(truth > 0, "fixture should produce matches")
     assert(cand >= truth, s"bloom dropped true matches: $cand < $truth")
     // 65536 bits for ~<=2000 keys: FPR well under 10% of the probe side
     val probeRows = Tables(spark, "/root/testdata/sf0.001", "lineitem").count()
     assert(cand - truth <= probeRows / 10,
       s"false positives ${cand - truth} exceed 10% of $probeRows")
+  }
+
+  test("portable bloom candidates are a superset of true matches with bounded false positives") {
+    val r = RelationalOps.bloomSemiJoin(spark, "/root/testdata/sf0.001").head()
+    checkSupersetWithBoundedFp(r.getLong(0), r.getLong(1))
+  }
+
+  test("native runtime-filter bloom has the same invariants") {
+    val r = RelationalOps.bloomSemiJoinNative(spark, "/root/testdata/sf0.001").head()
+    checkSupersetWithBoundedFp(r.getLong(0), r.getLong(1))
+  }
+
+  test("the 8 portable bit-probes plan as broadcast semi-joins, keeping the probe scan pipelined") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = RelationalOps.bloomSemiJoin(spark, "/root/testdata/sf0.001")
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.treeString
+      case p => p.treeString
+    }
+    val semis = "BroadcastHashJoin .*LeftSemi".r.findAllIn(plan).length
+    // 8 bit-probe conjuncts + the truth-branch IN: all broadcast, so
+    // the lineitem scan never hits an exchange on its way through them
+    assert(semis >= 8, s"expected >=8 broadcast left-semi probes, got $semis in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"probe side fell back to a shuffled join:\n$plan")
   }
 }
