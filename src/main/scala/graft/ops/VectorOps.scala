@@ -120,6 +120,91 @@ object VectorOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * drop all but one member of each semantic-duplicate neighborhood,
+    * keeping the member FARTHEST from its cluster centroid (the
+    * paper's rule — low-centroid-similarity examples carry the most
+    * marginal information). Composed from this repo's proven pieces,
+    * never all-pairs:
+    *  - candidate pairs from the banded-SRP signatures (codegen'd
+    *    SrpSignatures, same `spark.graft.srp.*` geometry conf as
+    *    q_embedding_neardup) — candidate volume is set by bucket
+    *    collisions, not n^2;
+    *  - exact cosine only over distinct candidates (codegen'd
+    *    ArrayDotProduct);
+    *  - the q_ann_ivf centroid assignment (16 deterministic coarse
+    *    centroids, broadcast) supplies the cluster scope and the
+    *    centroid similarity;
+    *  - pair-local keep rule: a vector is dropped iff some
+    *    tau-similar same-cluster partner has strictly lower
+    *    (ccos, vec_id) — so every duplicate pair destroys exactly one
+    *    side and the locally-most-marginal member survives. The
+    *    emitted witness is the strongest dominating partner
+    *    (max cos, then min id).
+    * Output: one row per dropped vector. All arithmetic is the
+    * engine-portable fold/round already used by the ANN family, so
+    * the whole operator — LSH recall, clustering, and keep rule —
+    * hash-checks against DuckDB. */
+  /** SemDeDup's own LSH geometry (conf-overridable like the SRP one):
+    * coarser than q_embedding_neardup's 4×16 because the cluster
+    * scope prunes candidates AFTER banding — 8 bands × 8 bits casts a
+    * wide recall net whose volume the same-cluster filter then cuts
+    * ~16×. `bits` stays the 100 TB bucket-granularity lever. */
+  private def semdedupGeometry(s: SparkSession): (Int, Int) = (
+    s.conf.get("spark.graft.semdedup.bands", "8").toInt,
+    s.conf.get("spark.graft.semdedup.bits", "8").toInt)
+
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val (bands, bits) = semdedupGeometry(s)
+    val base = withNorm(s, dir)
+    val cents = base.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        col("norm").as("cent_norm"))
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assign = base.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        r6(dot("embedding", "cent_emb") / (col("norm") * col("cent_norm"))).as("ccos"))
+      .withColumn("ar", row_number().over(assignW)).where(col("ar") === 1)
+      .select(col("vec_id"), col("cent_id").as("cluster_id"), col("ccos"))
+    val banded = base
+      .withColumn("band_sigs", srpBandSigs(bands, bits))
+      .select(col("vec_id"), posexplode(col("band_sigs")).as(Seq("band", "sig")))
+    val cand = banded.select(col("band"), col("sig"), col("vec_id").as("vec_a"))
+      .join(banded.select(col("band"), col("sig"), col("vec_id").as("vec_b")),
+        Seq("band", "sig"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    val pairs = cand
+      .join(base.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("norm").as("norm_a")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("norm").as("norm_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        r6(dot("emb_a", "emb_b") / (col("norm_a") * col("norm_b"))).as("cos"))
+      .where(col("cos") >= 0.25)
+    val withClusters = pairs
+      .join(assign.select(col("vec_id").as("vec_a"),
+        col("cluster_id").as("cl_a"), col("ccos").as("ccos_a")), "vec_a")
+      .join(assign.select(col("vec_id").as("vec_b"),
+        col("cluster_id").as("cl_b"), col("ccos").as("ccos_b")), "vec_b")
+      .where(col("cl_a") === col("cl_b"))
+    val aDropped = col("ccos_a") > col("ccos_b") ||
+      (col("ccos_a") === col("ccos_b") && col("vec_a") > col("vec_b"))
+    val drops = withClusters.select(
+      col("cl_a").as("cluster_id"),
+      when(aDropped, col("vec_a")).otherwise(col("vec_b")).as("dropped_id"),
+      when(aDropped, col("vec_b")).otherwise(col("vec_a")).as("witness_id"),
+      col("cos"))
+    val bestW = Window.partitionBy(col("dropped_id"))
+      .orderBy(col("cos").desc, col("witness_id"))
+    drops.withColumn("rn", row_number().over(bestW)).where(col("rn") === 1)
+      .select(col("cluster_id"), col("dropped_id"), col("witness_id"), col("cos"))
+      .orderBy("cluster_id", "dropped_id")
+  }
+
   // --------------------------------------------------------------- IVF ANN
 
   /** IVF-style ANN: 16 coarse centroids (deterministically the first
@@ -258,6 +343,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_neardup" -> embeddingNeardup _,
+    "q_semantic_dedup" -> semanticDedup _,
     "q_ann_ivf" -> annIvf _,
     "q_ann_ivf_multiprobe" -> annIvfMultiprobe _,
     "q_embedding_quantize" -> embeddingQuantize _,
@@ -291,12 +377,12 @@ object VectorOps {
 
   private val phDuck = "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
-  /** DuckDB oracle for q_embedding_neardup at ANY geometry — the same
-    * generator the declared default-geometry oracle comes from, so a
-    * deployment overriding `spark.graft.srp.*` derives its matching
-    * oracle instead of editing SQL by hand. */
-  private[graft] def neardupOracle(bands: Int, bits: Int): String =
-    ("""WITH gw AS (
+  /** Shared DuckDB CTE prefix (planes → per-band signatures →
+    * distinct SRP candidate pairs → normed embeddings) used by both
+    * the near-dup and SemDeDup oracle generators, parameterized on
+    * geometry exactly like the Spark side. */
+  private def srpCandidateCtes(bands: Int, bits: Int): String =
+    ("""gw AS (
         |  SELECT p.range AS p, i.range AS i,
         |         CAST(""" + phDuck.format("CAST(p.range AS VARCHAR) || ':' || CAST(i.range AS VARCHAR)") + s""" % 2001 - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE) AS w
         |  FROM range(0, ${bands * bits}) p, range(1, 65) i),
@@ -317,8 +403,15 @@ object VectorOps {
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         |  FROM s a JOIN s b ON a.band = b.band AND a.sig = b.sig
-        |                   AND a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b,
+        |                   AND a.vec_id < b.vec_id)""").stripMargin
+
+  /** DuckDB oracle for q_embedding_neardup at ANY geometry — the same
+    * generator the declared default-geometry oracle comes from, so a
+    * deployment overriding `spark.graft.srp.*` derives its matching
+    * oracle instead of editing SQL by hand. */
+  private[graft] def neardupOracle(bands: Int, bits: Int): String =
+    s"WITH ${srpCandidateCtes(bands, bits)}\n" +
+    """SELECT vec_a, vec_b,
         |       round(list_reduce(list_transform(list_zip(x.embedding, y.embedding),
         |               t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), (acc, v) -> acc + v)
         |             / (x.norm * y.norm), 6) AS cos
@@ -327,10 +420,57 @@ object VectorOps {
         |WHERE round(list_reduce(list_transform(list_zip(x.embedding, y.embedding),
         |               t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), (acc, v) -> acc + v)
         |             / (x.norm * y.norm), 6) >= 0.25
-        |ORDER BY vec_a, vec_b""").stripMargin
+        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** DuckDB oracle for q_semantic_dedup: SRP candidates + the
+    * q_ann_ivf centroid assignment + the pair-local keep rule, all in
+    * the dialect-shared arithmetic, generated per geometry like
+    * [[neardupOracle]]. */
+  private[graft] def semanticDedupOracle(bands: Int, bits: Int): String =
+    s"WITH ${srpCandidateCtes(bands, bits)},\n" +
+    """cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
+        |  FROM e2 WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cluster_id, ccos FROM (
+        |    SELECT b.vec_id, c.cent_id,
+        |           round(list_reduce(list_transform(list_zip(b.embedding, c.cent_emb),
+        |                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |                 / (b.norm * c.cent_norm), 6) AS ccos
+        |    FROM e2 b, cents c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) = 1),
+        |pairs AS (
+        |  SELECT cand.vec_a, cand.vec_b,
+        |         round(list_reduce(list_transform(list_zip(x.embedding, y.embedding),
+        |                 t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), (acc, v) -> acc + v)
+        |               / (x.norm * y.norm), 6) AS cos
+        |  FROM cand JOIN e2 x ON x.vec_id = cand.vec_a
+        |            JOIN e2 y ON y.vec_id = cand.vec_b
+        |  WHERE round(list_reduce(list_transform(list_zip(x.embedding, y.embedding),
+        |                 t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), (acc, v) -> acc + v)
+        |               / (x.norm * y.norm), 6) >= 0.25),
+        |wc AS (
+        |  SELECT a.cluster_id, p.vec_a, p.vec_b, p.cos,
+        |         a.ccos AS ccos_a, b.ccos AS ccos_b
+        |  FROM pairs p JOIN assign a ON p.vec_a = a.vec_id
+        |               JOIN assign b ON p.vec_b = b.vec_id
+        |  WHERE a.cluster_id = b.cluster_id),
+        |drops AS (
+        |  SELECT cluster_id,
+        |         CASE WHEN ccos_a > ccos_b OR (ccos_a = ccos_b AND vec_a > vec_b)
+        |              THEN vec_a ELSE vec_b END AS dropped_id,
+        |         CASE WHEN ccos_a > ccos_b OR (ccos_a = ccos_b AND vec_a > vec_b)
+        |              THEN vec_b ELSE vec_a END AS witness_id,
+        |         cos
+        |  FROM wc)
+        |SELECT cluster_id, dropped_id, witness_id, cos
+        |FROM drops
+        |QUALIFY row_number() OVER (PARTITION BY dropped_id ORDER BY cos DESC, witness_id) = 1
+        |ORDER BY cluster_id, dropped_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_embedding_neardup" -> neardupOracle(SrpBands, SrpBits),
+    "q_semantic_dedup" -> semanticDedupOracle(8, 8),
     // Replays MultimodalStub.frameSample(everyN=4) byte-for-byte:
     // frame count = max(1, bytes/16), byte b = payload[idx % n]
     // (signed), width = 64 + |b| % 64, f0 = (b % 128)/128 (exact
