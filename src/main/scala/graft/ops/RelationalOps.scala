@@ -874,7 +874,50 @@ object RelationalOps {
       ORDER BY c_custkey""")
   }
 
+  /** Z-order (Morton) clustering layout — the multi-dimensional
+    * data-skipping op (Delta/Iceberg `OPTIMIZE ZORDER BY`). Both
+    * layout dimensions are scaled onto a 16-bit grid with pure
+    * integer arithmetic (bounds from one tiny agg broadcast back),
+    * bit-interleaved into a 32-bit z-value by the classic shift-mask
+    * spreading (5 codegen'd bitwise steps, no loops, identical in
+    * DuckDB), and binned into files by z-prefix (top 6 bits → ≤64
+    * files). Output is the per-file skipping index (row count +
+    * min/max of BOTH dims): z-order's point is that every file gets a
+    * tight bounding box in every interleaved dimension, so a 2-D
+    * range predicate prunes files on either column, where a
+    * single-column sort is tight in that column only (quantified in
+    * ZorderSpec). At 100 TB the layout job is a range-partitioned
+    * sort by z — layout jobs are sorts by definition — and the index
+    * is O(files), not O(rows). */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    def spread(c: Column): Column = {
+      val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+      d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    val o = t(s, dir, "orders").select(
+      col("o_custkey"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+    val bounds = o.agg(
+      min("o_custkey").as("cmin"), max("o_custkey").as("cmax"),
+      min("day").as("dmin"), max("day").as("dmax"))
+    val grid = o.crossJoin(broadcast(bounds)).select(
+      expr("(o_custkey - cmin) * 65536 div (cmax - cmin + 1)").as("x"),
+      expr("(day - dmin) * 65536 div (dmax - dmin + 1)").as("y"))
+    grid
+      .select(col("x"), col("y"),
+        shiftright(spread(col("x")).bitwiseOR(shiftleft(spread(col("y")), 1)), 26)
+          .as("file_id"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+      .orderBy("file_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_layout" -> zorderLayout _,
     "q_scan_filter_project" -> scanFilterProject _,
     "q_hash_join_inner" -> hashJoinInner _,
     "q_join_multiway" -> joinMultiway _,
@@ -924,6 +967,33 @@ object RelationalOps {
     "q_scalar_subquery" -> scalarSubquery _)
 
   val oracles: Map[String, String] = Map(
+    // Same 16-bit grid + shift-mask Morton spreading in DuckDB
+    // (integer // division, identical bitwise ops).
+    "q_zorder_layout" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day
+        |  FROM orders),
+        |b AS (
+        |  SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+        |         min(day) AS dmin, max(day) AS dmax FROM o),
+        |g AS (
+        |  SELECT (o_custkey - cmin) * 65536 // (cmax - cmin + 1) AS x,
+        |         (day - dmin) * 65536 // (dmax - dmin + 1) AS y
+        |  FROM o, b),
+        |s1 AS (SELECT x, y, ((x | (x << 8)) & 16711935) AS xa,
+        |                    ((y | (y << 8)) & 16711935) AS ya FROM g),
+        |s2 AS (SELECT x, y, ((xa | (xa << 4)) & 252645135) AS xb,
+        |                    ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+        |s3 AS (SELECT x, y, ((xb | (xb << 2)) & 858993459) AS xc,
+        |                    ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+        |s4 AS (SELECT x, y, ((xc | (xc << 1)) & 1431655765) AS xs,
+        |                    ((yc | (yc << 1)) & 1431655765) AS ys FROM s3),
+        |z AS (SELECT x, y, (xs | (ys << 1)) >> 26 AS file_id FROM s4)
+        |SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(x) AS x_min, max(x) AS x_max,
+        |       min(y) AS y_min, max(y) AS y_max
+        |FROM z GROUP BY file_id
+        |ORDER BY file_id""".stripMargin,
     // Same m=65536/k=8 double-hashed bloom filter, DuckDB dialect
     // (// for div, sha256 hex-prefix for the portable hash).
     "q_bloom_semi_join" -> {
