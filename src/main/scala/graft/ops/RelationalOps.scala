@@ -396,40 +396,75 @@ object RelationalOps {
     * double hashing from the one portable 60-bit sha hash
     * (pos_j = (h1 + j*h2) mod m), so DuckDB computes the identical
     * filter and the candidate count — false positives included — is
-    * hash-checked, not just bounded. The "bitmap" is the DISTINCT
-    * position set: at most m = 65536 rows no matter how many build
-    * keys, so it is provably-bounded broadcast material, and the 8
-    * membership conjuncts become 8 broadcast semi-probes per row —
-    * the fact table is filtered in its scan pipeline and NEVER
-    * shuffles, which is the entire point of a bloom pre-filter at
-    * 100 TB. Spark's own runtime-filter machinery (bloom_filter_agg /
-    * might_contain, the production fast path with a real bitmap
-    * instead of a position set) is demonstrated against this in
+    * hash-checked, not just bounded. The build side runs distributed
+    * (scan + distinct positions), then the bounded bitmap — m/64 =
+    * 1024 longs, 8 KB regardless of build cardinality — is collected
+    * and re-enters the plan as a LITERAL the probe tests with 8
+    * codegen'd bit-probes per row: the exact physics of Spark's own
+    * runtime-filter broadcast (an O(m) sketch moves to every task;
+    * the fact scan stays a pipelined Filter, zero joins, zero probe
+    * shuffles — the entire point of a bloom pre-filter at 100 TB).
+    * Spark's native machinery (bloom_filter_agg / might_contain, the
+    * production fast path) is demonstrated against this in
     * BloomJoinSpec via [[bloomSemiJoinNative]]. */
   def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val pass = bloomPass(s, dir) // registers the tables
+    val truth = s.sql("""
+      SELECT count(*) AS n_true FROM lineitem l
+      WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_totalprice > 300000.0)""")
+    pass
+      .agg(sum(when(col("pass"), 1L).otherwise(0L)).cast("long").as("n_candidates"))
+      .crossJoin(truth)
+  }
+
+  private val phSql =
+    "cast(conv(substring(sha2(cast(%s as string), 256), 1, 15), 16, 10) as bigint)"
+
+  /** Bloom geometry: m = 2^20 bits (a 128 KB word array — still
+    * trivially broadcastable, and the 8 probes stay far from
+    * saturation at bench-scale build cardinalities), k = 8. */
+  private val BloomM = 1 << 20
+
+  /** The probe side of [[bloomSemiJoin]]: every lineitem row tagged
+    * with whether its 8 double-hashed positions are all set in the
+    * bitmap. The probe is a PROJECTION, deliberately consumed by an
+    * aggregate in the query rather than a Filter: predicate pushdown
+    * substitutes aliases into filter conjuncts unconditionally (the
+    * sha would re-evaluate per conjunct on the scan — benched 18 s),
+    * while CollapseProject's cost guard keeps a non-cheap alias that
+    * is referenced twice — the hash — materialized once per row. All
+    * 8 bit-tests are codegen'd bitwise ops over the two derived hash
+    * columns. Exposed so BloomJoinSpec can assert the invariants and
+    * the plan shape (no joins, no hash exchanges on the probe). */
+  private[graft] def bloomPass(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
-    val ph = "cast(conv(substring(sha2(cast(%s as string), 256), 1, 15), 16, 10) as bigint)"
-    val conj = (0 until 8)
-      .map(j => s"(h1 + $j * h2) % 65536 IN (SELECT pos FROM bits)")
-      .mkString("\n          AND ")
+    val m = BloomM
+    // distributed build, bounded collect: ≤ m distinct positions →
+    // an m/8-byte word array (what a runtime filter broadcasts)
+    val words = new Array[Long](m / 64)
     s.sql(s"""
-      WITH bits AS (
-        SELECT DISTINCT (h % 65536 + t.j * ((h div 65536) % 65535 + 1)) % 65536 AS pos
-        FROM (SELECT ${ph.format("o_orderkey")} AS h
-              FROM orders WHERE o_totalprice > 300000.0)
-        LATERAL VIEW explode(sequence(0, 7)) t AS j),
-      probe AS (
-        SELECT l_orderkey, h % 65536 AS h1, (h div 65536) % 65535 + 1 AS h2
-        FROM (SELECT l_orderkey, ${ph.format("l_orderkey")} AS h FROM lineitem)),
-      cand AS (
-        SELECT l_orderkey FROM probe
-        WHERE $conj),
-      truth AS (
-        SELECT l.l_orderkey FROM lineitem l
-        WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders
-                               WHERE o_totalprice > 300000.0))
-      SELECT (SELECT count(*) FROM cand) AS n_candidates,
-             (SELECT count(*) FROM truth) AS n_true""")
+      SELECT DISTINCT (h % $m + t.j * ((h div $m) % ${m - 1} + 1)) % $m AS pos
+      FROM (SELECT ${phSql.format("o_orderkey")} AS h
+            FROM orders WHERE o_totalprice > 300000.0)
+      LATERAL VIEW explode(sequence(0, 7)) t AS j""")
+      .collect().foreach { r =>
+        val p = r.getLong(0).toInt
+        words(p >> 6) |= 1L << (p & 63)
+      }
+    val probeTest = (0 until 8)
+      .map { j =>
+        val pos = s"pmod(h1 + $j * h2, $m)"
+        s"(element_at(bloom_mask, cast($pos div 64 as int) + 1)" +
+          s" & shiftleft(cast(1 as bigint), cast($pos % 64 as int))) != 0"
+      }
+      .mkString(" AND ")
+    Tables.spread(s, s.table("lineitem").select(col("l_orderkey")))
+      .select(col("l_orderkey"), expr(phSql.format("l_orderkey")).as("h"))
+      .select(col("l_orderkey"),
+        expr(s"h % $m").as("h1"), expr(s"(h div $m) % ${m - 1} + 1").as("h2"))
+      .withColumn("bloom_mask", lit(words))
+      .select(col("l_orderkey"), expr(probeTest).as("pass"))
   }
 
   /** The same pre-filter through Spark's own runtime-filter
@@ -994,19 +1029,21 @@ object RelationalOps {
         |       min(y) AS y_min, max(y) AS y_max
         |FROM z GROUP BY file_id
         |ORDER BY file_id""".stripMargin,
-    // Same m=65536/k=8 double-hashed bloom filter, DuckDB dialect
-    // (// for div, sha256 hex-prefix for the portable hash).
+    // Same m=2^20/k=8 double-hashed bloom filter, DuckDB dialect
+    // (// for div, sha256 hex-prefix for the portable hash; position
+    // set membership ≡ the Spark side's bitmask bit-tests).
     "q_bloom_semi_join" -> {
       val ph = "CAST('0x' || substring(sha256(CAST(%s AS VARCHAR)), 1, 15) AS BIGINT)"
+      val m = 1 << 20
       val conj = (0 until 8)
-        .map(j => s"(h1 + $j * h2) % 65536 IN (SELECT pos FROM bits)")
+        .map(j => s"(h1 + $j * h2) % $m IN (SELECT pos FROM bits)")
         .mkString("\n          AND ")
       s"""WITH bits AS (
-        |  SELECT DISTINCT (h % 65536 + t.j * ((h // 65536) % 65535 + 1)) % 65536 AS pos
+        |  SELECT DISTINCT (h % $m + t.j * ((h // $m) % ${m - 1} + 1)) % $m AS pos
         |  FROM (SELECT ${ph.format("o_orderkey")} AS h
         |        FROM orders WHERE o_totalprice > 300000.0), range(0, 8) t(j)),
         |probe AS (
-        |  SELECT l_orderkey, h % 65536 AS h1, (h // 65536) % 65535 + 1 AS h2
+        |  SELECT l_orderkey, h % $m AS h1, (h // $m) % ${m - 1} + 1 AS h2
         |  FROM (SELECT l_orderkey, ${ph.format("l_orderkey")} AS h FROM lineitem)),
         |cand AS (
         |  SELECT l_orderkey FROM probe

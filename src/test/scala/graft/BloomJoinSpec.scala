@@ -29,19 +29,22 @@ class BloomJoinSpec extends SparkSpec {
     checkSupersetWithBoundedFp(r.getLong(0), r.getLong(1))
   }
 
-  test("the 8 portable bit-probes plan as broadcast semi-joins, keeping the probe scan pipelined") {
+  test("the portable bit-probe is a pure pipelined projection: no joins, no hash exchanges") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    val df = RelationalOps.bloomSemiJoin(spark, "/root/testdata/sf0.001")
+    val df = RelationalOps.bloomPass(spark, "/root/testdata/sf0.001")
     df.collect() // finalize AQE
     val plan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan.treeString
       case p => p.treeString
     }
-    val semis = "BroadcastHashJoin .*LeftSemi".r.findAllIn(plan).length
-    // 8 bit-probe conjuncts + the truth-branch IN: all broadcast, so
-    // the lineitem scan never hits an exchange on its way through them
-    assert(semis >= 8, s"expected >=8 broadcast left-semi probes, got $semis in:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      s"probe side fell back to a shuffled join:\n$plan")
+    // the 128 KB bitmask is a plan literal; probing it must not add
+    // any join or keyed data movement to the fact scan, and the
+    // 60-bit hash must be materialized exactly once per row (the
+    // conjuncts reference h1/h2, never the sha directly)
+    assert(!plan.contains("Join"), s"probe side plans a join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"probe side shuffles the fact scan by key:\n$plan")
+    assert("sha2".r.findAllIn(plan).length <= 1,
+      s"hash re-evaluated across conjuncts:\n$plan")
   }
 }
