@@ -523,13 +523,19 @@ object RelationalOps {
     * apply it. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
+    // the sha register pass is CPU-bound — parallelize the one-split
+    // testdata scan (no-op at real scale, SURVEY §8)
+    Tables.spread(s, s.table("lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_partkey")))
+      .createOrReplaceTempView("lineitem_hll_spread")
     val ph = "cast(conv(substring(sha2(cast(%s as string), 256), 1, 15), 16, 10) as bigint)"
     def sketch(key: String, alias: String) = s"""
       ${alias}_reg AS (
         SELECT l_returnflag, h % 512 AS bucket,
                max(CASE WHEN h div 512 = 0 THEN 52
                         ELSE 52 - length(bin(h div 512)) END) AS m
-        FROM (SELECT l_returnflag, ${ph.format(key)} AS h FROM lineitem)
+        FROM (SELECT l_returnflag, ${ph.format(key)} AS h
+              FROM lineitem_hll_spread)
         GROUP BY l_returnflag, h % 512),
       ${alias}_est AS (
         SELECT l_returnflag,
