@@ -299,6 +299,31 @@ object TextOps {
     * tiny global top-k. At 100 TB the exact version stays viable
     * precisely because natural-language vocabulary plateaus; for
     * unbounded key domains the count-min/topk sketch replaces it. */
+  /** Unigram log-frequency rarity score — the deterministic,
+    * cross-engine-exact stand-in for an LM-perplexity quality filter
+    * (CCNet-style): documents dominated by corpus-rare tokens score
+    * low, boilerplate scores high. Per token the log-probability
+    * proxy is the EXACT integer log2 of its corpus frequency
+    * (length(bin(freq)) = bitlength — no floating log, so the score
+    * hash-matches DuckDB bit-for-bit, where a real ln()-based
+    * perplexity cannot be made engine-portable). Integer arithmetic
+    * end to end; the mean is scaled to ppm with integer div. Scale
+    * shape: the frequency frame rides the vocabulary shuffle (same
+    * as TF-IDF's df) and scoring joins tokens back on the vocabulary
+    * — the vocab frame is O(terms), never O(corpus). */
+  def tokenRarity(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(s, t(s, dir, "documents"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+    toks.join(freq, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(length(bin(col("freq")))).cast("long").as("sum_log2f"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_log2f"),
+        expr("sum_log2f * 1000000 div n_tokens").as("mean_log2f_ppm"))
+      .orderBy("doc_id")
+  }
+
   def vocabTopk(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
@@ -462,6 +487,7 @@ object TextOps {
     "q_bm25_score" -> bm25Score _,
     "q_countmin_freq" -> countminFreq _,
     "q_vocab_topk" -> vocabTopk _,
+    "q_token_rarity" -> tokenRarity _,
     "q_lang_id" -> langId _,
     "q_quality_score" -> qualityScore _,
     "q_token_count_bpe" -> tokenCountBpe _,
@@ -574,6 +600,20 @@ object TextOps {
         |FROM pc JOIN sketch USING (row_i, cell)
         |GROUP BY token, exact_cnt
         |ORDER BY token""".stripMargin,
+    // Same integer-log2 rarity: bin() bitlength and integer div are
+    // exact in both engines; DuckDB's HUGEINT sums cast back.
+    "q_token_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, count(*) AS freq FROM toks GROUP BY token)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(length(bin(freq))) AS BIGINT) AS sum_log2f,
+        |       CAST(sum(length(bin(freq))) * 1000000 // count(*) AS BIGINT)
+        |         AS mean_log2f_ppm
+        |FROM toks JOIN freq USING (token)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_vocab_topk" ->
       """SELECT token, count(*) AS n_occurrences,
         |       count(DISTINCT doc_id) AS n_docs
