@@ -104,6 +104,40 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Normalization-exact dedup (C4-style "fuzzy exact" matching):
+    * documents are canonicalized — lowercase, non-alphanumerics to
+    * spaces, whitespace collapsed, trimmed — before hashing, so
+    * case / punctuation / spacing variants collapse into one group
+    * where byte-exact dedup sees distinct rows. The gate corpus
+    * plants no normalization variants, so the query unions a
+    * deterministically perturbed copy (ids offset by 1e6; three
+    * perturbation classes by doc_id mod 3: uppercase+punctuation,
+    * comma/double-space injection, edge padding — the same
+    * deterministic-injection pattern as q_pii_redact) and proves
+    * every perturbed row folds back onto its original: the regex
+    * canonicalization parity is exercised for real instead of 0 == 0.
+    * Scale shape identical to q_exact_dedup: normalization is a
+    * scan-side projection, then one combine-enabled shuffle on the
+    * uniform content hash. */
+  def dedupNormalized(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val noised = docs.select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(upper(col("text")), lit("!!")))
+        .when(col("doc_id") % 3 === 1,
+          regexp_replace(col("text"), " ", "  ,  "))
+        .otherwise(concat(lit("  "), col("text"), lit("  "))).as("text"))
+    docs.unionByName(noised)
+      .select(col("doc_id"), sha2(trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), 256).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        max(col("doc_id")).as("max_member"),
+        count(lit(1)).as("n_members"))
+      .select(col("keep_doc_id"), col("max_member"), col("n_members"))
+      .orderBy("keep_doc_id")
+  }
+
   /** MinHash-LSH near-dup candidates (bands=8, rows/band=1) over word
     * 3-gram shingles. Each shingle is sha-hashed ONCE; the 8 band hash
     * functions are derived arithmetically (universal hashing mod
@@ -602,6 +636,7 @@ object LlmOps {
     "q_text_langdist" -> textLangdist _,
     "q_exact_dedup" -> exactDedup _,
     "q_dedup_corpus" -> dedupCorpus _,
+    "q_dedup_normalized" -> dedupNormalized _,
     "q_minhash_dedup" -> minhashDedup _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_cosine_topk" -> cosineTopk _,
@@ -758,6 +793,25 @@ object LlmOps {
         |QUALIFY row_number() OVER (PARTITION BY sha256(text)
         |  ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_normalized" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN upper(text) || '!!'
+        |              WHEN doc_id % 3 = 1
+        |                THEN regexp_replace(text, ' ', '  ,  ', 'g')
+        |              ELSE '  ' || text || '  ' END AS text
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id,
+        |         sha256(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+        |  FROM all_docs)
+        |SELECT min(doc_id) AS keep_doc_id, max(doc_id) AS max_member,
+        |       count(*) AS n_members
+        |FROM norm GROUP BY h
+        |ORDER BY keep_doc_id""".stripMargin,
     "q_minhash_dedup" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -251,27 +251,19 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram Jaccard similarity, computed only on MinHash band
-    * candidates (same one-sha-per-shingle universal-hash banding as
-    * LlmOps.minhashDedup) — the verify step of a near-dup pipeline:
-    * LSH proposes, Jaccard disposes. Jaccard runs over the DISTINCT
-    * HASHED shingle sets: long-array intersects are ~3x cheaper than
-    * string-array ones and the carried set payload shrinks the same
-    * way; both engines use the identical hash, so any (rare) collision
-    * is still deterministic cross-engine. min-over-distinct equals
-    * min-over-multiset, so the band signatures are unchanged. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val nBands = 8
-    // Carry hset THROUGH the band join instead of joining it back: the
-    // sha-shingling subplan executes twice (the band self-join), not
-    // four times (self-joins re-execute their subplan — no CSE), at
-    // the cost of shipping the ~100-long hashed set with each of the 8
-    // band rows. The Jaccard is computed per colliding band and
-    // deduped after — identical value on every copy (pure function of
-    // the two sets), so the distinct is exact. Hashing stays a narrow
-    // per-doc HOF pipeline: an explode→groupBy reformulation benched
-    // 2.3x slower (it shuffles every shingle row just to regroup).
-    val banded = shingled(s, dir)
+  /** Banded MinHash rows with the hashed shingle set carried along:
+    * (doc_id, hset, band, sig) — the shared candidate-generation core
+    * of q_ngram_jaccard and q_minhash_containment. The hset is carried
+    * THROUGH the band join instead of joined back: the sha-shingling
+    * subplan executes twice (the band self-join), not four times
+    * (self-joins re-execute their subplan — no CSE), at the cost of
+    * shipping the ~100-long hashed set with each of the 8 band rows.
+    * Hashing stays a narrow per-doc HOF pipeline: an explode→groupBy
+    * reformulation benched 2.3x slower (it shuffles every shingle row
+    * just to regroup). */
+  private def bandedHset(s: SparkSession, dir: String,
+                         nBands: Int = 8): DataFrame =
+    shingled(s, dir)
       .select(col("doc_id"), array_distinct(
         expr(s"transform(shingles, sh -> ${ph("sh")} % 2147483647)")).as("hset"))
       .select(col("doc_id"), col("hset"), explode(expr(
@@ -280,6 +272,21 @@ object TextOps {
            |  array_min(transform(hset,
            |    h -> (h * (b + 1) + 37 * b + 101) % 2147483647)) AS sig))""".stripMargin)).as("bs"))
       .select(col("doc_id"), col("hset"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  /** Exact n-gram Jaccard similarity, computed only on MinHash band
+    * candidates (same one-sha-per-shingle universal-hash banding as
+    * LlmOps.minhashDedup) — the verify step of a near-dup pipeline:
+    * LSH proposes, Jaccard disposes. Jaccard runs over the DISTINCT
+    * HASHED shingle sets: long-array intersects are ~3x cheaper than
+    * string-array ones and the carried set payload shrinks the same
+    * way; both engines use the identical hash, so any (rare) collision
+    * is still deterministic cross-engine. min-over-distinct equals
+    * min-over-multiset, so the band signatures are unchanged. The
+    * Jaccard is computed per colliding band and deduped after —
+    * identical value on every copy (pure function of the two sets),
+    * so the distinct is exact. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val banded = bandedHset(s, dir)
     banded.select(col("band"), col("sig"), col("doc_id").as("doc_a"), col("hset").as("set_a"))
       .join(banded.select(col("band"), col("sig"), col("doc_id").as("doc_b"),
         col("hset").as("set_b")), Seq("band", "sig"))
@@ -287,6 +294,31 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), r6(
         size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
         size(array_union(col("set_a"), col("set_b"))).cast("double")).as("jaccard"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Asymmetric containment |A∩B|/|A| (and the reverse direction)
+    * over the same MinHash band candidates as q_ngram_jaccard — the
+    * doc-in-doc signal Jaccard hides: a short document wholly quoted
+    * inside a long one has low Jaccard but containment ≈ 1, which is
+    * what dedup-by-subsumption and quote/boilerplate detection key
+    * on. Same carried-hset band join and post-join distinct; shingle
+    * sets are < 128 elements, so round-6 on the k/n ratios is
+    * cross-engine exact (no 7-decimal half boundary exists). */
+  def minhashContainment(s: SparkSession, dir: String): DataFrame = {
+    val banded = bandedHset(s, dir)
+    banded.select(col("band"), col("sig"), col("doc_id").as("doc_a"), col("hset").as("set_a"))
+      .join(banded.select(col("band"), col("sig"), col("doc_id").as("doc_b"),
+        col("hset").as("set_b")), Seq("band", "sig"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        r6(col("n_common").cast("double") /
+          size(col("set_a")).cast("double")).as("contain_a"),
+        r6(col("n_common").cast("double") /
+          size(col("set_b")).cast("double")).as("contain_b"))
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
@@ -332,6 +364,31 @@ object TextOps {
         countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(30)
+
+  /** One BPE-trainer merge iteration at corpus scale: the adjacent
+    * character-pair counts that pick the next merge rule. The
+    * corpus-sized pass collapses to the word-frequency vocabulary
+    * FIRST (the shuffle carries vocabulary, not corpus — the same
+    * plateau argument as vocabTopk), then pair extraction runs over
+    * the bounded vocab weighted by word frequency — exactly how
+    * production BPE trainers split the work: one distributed corpus
+    * pass, then the merge loop iterates on the tiny vocab
+    * (BpeTrainSpec runs that loop driver-side and checks its first
+    * merge equals this query's top pair). Top-20 merge candidates,
+    * ties to the lexicographically smaller pair. */
+  def bpePairCounts(s: SparkSession, dir: String): DataFrame = {
+    val wf = tokenized(s, dir)
+      .select(explode(col("toks")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    wf.select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"),
+        col("freq"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).cast("long").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(20)
+  }
 
   /** Count-min-sketch frequency estimation: the bounded-state
     * replacement for exact vocabulary counting when the key domain is
@@ -488,6 +545,8 @@ object TextOps {
     "q_countmin_freq" -> countminFreq _,
     "q_vocab_topk" -> vocabTopk _,
     "q_token_rarity" -> tokenRarity _,
+    "q_bpe_pair_counts" -> bpePairCounts _,
+    "q_minhash_containment" -> minhashContainment _,
     "q_lang_id" -> langId _,
     "q_quality_score" -> qualityScore _,
     "q_token_count_bpe" -> tokenCountBpe _,
@@ -777,5 +836,48 @@ object TextOps {
         |FROM cand
         |JOIN sets x ON x.doc_id = cand.doc_a
         |JOIN sets y ON y.doc_id = cand.doc_b
-        |ORDER BY doc_a, doc_b""").stripMargin)
+        |ORDER BY doc_a, doc_b""").stripMargin,
+    "q_minhash_containment" ->
+      ("""WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sets AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(shingles,
+        |           sh -> """ + phSqlDuck.format("sh") + """ % 2147483647)) AS hset
+        |  FROM s),
+        |m AS (
+        |  SELECT doc_id, b.range AS band,
+        |         list_min(list_transform(hset,
+        |           h -> (h * (b.range + 1) + 37 * b.range + 101) % 2147483647)) AS sig
+        |  FROM sets, range(0, 8) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id)
+        |SELECT cand.doc_a, cand.doc_b,
+        |       CAST(len(list_intersect(x.hset, y.hset)) AS BIGINT) AS n_common,
+        |       round(CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE) /
+        |             CAST(len(x.hset) AS DOUBLE), 6) AS contain_a,
+        |       round(CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE) /
+        |             CAST(len(y.hset) AS DOUBLE), 6) AS contain_b
+        |FROM cand
+        |JOIN sets x ON x.doc_id = cand.doc_a
+        |JOIN sets y ON y.doc_id = cand.doc_b
+        |ORDER BY doc_a, doc_b""").stripMargin,
+    "q_bpe_pair_counts" ->
+      """WITH wf AS (
+        |  SELECT w, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |           i -> substr(w, CAST(i AS INT), 2))) AS pair, freq
+        |  FROM wf)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+        |FROM p GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin)
 }

@@ -90,4 +90,34 @@ class PipelineInvariantSpec extends SparkSpec {
       }
     }
   }
+
+  test("normalized dedup folds every perturbed copy onto its original") {
+    val groups = q("q_dedup_normalized").collect()
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(groups.length == nDocs, "one group per original document")
+    groups.foreach { r =>
+      assert(r.getAs[Long]("n_members") == 2L,
+        s"group ${r.getAs[Long]("keep_doc_id")} did not pair up")
+      assert(r.getAs[Long]("max_member") ==
+        r.getAs[Long]("keep_doc_id") + 1000000L,
+        "perturbed copy landed in the wrong group")
+    }
+  }
+
+  test("containment dominates jaccard on the identical candidate set") {
+    val jac = q("q_ngram_jaccard").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val con = q("q_minhash_containment").collect()
+    assert(con.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet == jac.keySet, "candidate pair sets must be identical")
+    con.foreach { r =>
+      val ca = r.getAs[Double]("contain_a")
+      val cb = r.getAs[Double]("contain_b")
+      val j = jac((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      assert(ca > 0.0 && ca <= 1.0 && cb > 0.0 && cb <= 1.0)
+      // |A∩B|/|A| >= |A∩B|/|A∪B| always (r6 on both sides is monotone)
+      assert(ca >= j && cb >= j, s"containment below jaccard: $r vs $j")
+    }
+  }
 }
