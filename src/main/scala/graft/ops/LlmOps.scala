@@ -168,8 +168,12 @@ object LlmOps {
           |  i -> concat(element_at(toks, i), ' ',
           |              element_at(toks, i + 1), ' ',
           |              element_at(toks, i + 2)))""".stripMargin).as("shingles"))
-      .select(col("doc_id"), expr(
-        s"transform(shingles, sh -> ${portableHashSql("sh")} % 2147483647)").as("hs"))
+      .select(col("doc_id"),
+        // native codegen'd hashing: transform-lambda bodies always run
+        // interpreted, and interpreted Sha2 re-resolves the digest
+        // provider per call (PortableHashes scaladoc; same values)
+        graft.functions.PortableHashes.hashes(
+          col("shingles"), 2147483647L).as("hs"))
     val banded = shingled
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${nBands - 1}), b -> struct(

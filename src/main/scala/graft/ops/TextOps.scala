@@ -203,7 +203,8 @@ object TextOps {
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     shingled(s, dir)
       .select(col("doc_id"), col("shingles"),
-        expr(s"filter(transform(shingles, sh -> ${ph("sh")}), h -> h % 16 = 0)").as("fps"))
+        filter(graft.functions.PortableHashes.hashes(col("shingles")),
+          h => h % 16 === 0).as("fps"))
       .select(
         col("doc_id"),
         size(col("shingles")).cast("long").as("n_shingles"),
@@ -265,7 +266,10 @@ object TextOps {
                          nBands: Int = 8): DataFrame =
     shingled(s, dir)
       .select(col("doc_id"), array_distinct(
-        expr(s"transform(shingles, sh -> ${ph("sh")} % 2147483647)")).as("hset"))
+        // native codegen'd hashing (PortableHashes scaladoc) — the
+        // transform-lambda form runs interpreted; identical values
+        graft.functions.PortableHashes.hashes(
+          col("shingles"), 2147483647L)).as("hset"))
       .select(col("doc_id"), col("hset"), explode(expr(
         s"""transform(sequence(0, ${nBands - 1}), b -> struct(
            |  b AS band,
