@@ -56,6 +56,18 @@ class ShuffleBudgetSpec extends SparkSpec {
     assert(hashExchanges(q("q_groupby_agg")) <= 2)
   }
 
+  test("r4 pipeline ops hold their declared shuffle budgets") {
+    // normalization dedup: union + canonicalize are scan-side; the
+    // only data-scaled movement is one combine shuffle on the hash
+    assert(hashExchanges(q("q_dedup_normalized")) <= 1)
+    // BPE pair pass: corpus collapses to vocabulary (shuffle 1), pair
+    // counts ride a vocabulary-sized shuffle (shuffle 2) — the corpus
+    // is never shuffled as pairs
+    assert(hashExchanges(q("q_bpe_pair_counts")) <= 2)
+    // token rarity: vocabulary shuffle + token join + per-doc agg
+    assert(hashExchanges(q("q_token_rarity")) <= 3)
+  }
+
   test("broadcast-side similarity search never shuffles the corpus scan") {
     // brute-force top-k: the only hash exchange allowed is the final
     // per-query ranking of the tiny (queries x k) candidate frame
