@@ -327,6 +327,53 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash-estimated Jaccard vs exact — the sketch-quality eval a
+    * pipeline runs before trusting signature-only dedup at scale
+    * (where carrying full shingle sets is no longer affordable and
+    * the 128-int signature is all that ships). Per doc, 128 minhash
+    * values from the same universal-hash family the bands use — the
+    * 8 band signatures ARE entries 0..7 of the family, so banding
+    * falls out of the signature array for free. Estimate = agreeing
+    * functions / 128, a dyadic-exact double emitted unrounded (k/128
+    * cannot round differently across engines); the absolute
+    * estimation error vs the exact Jaccard ships as floor-micro-unit
+    * BIGINTs. At scale only the 128-long signature rides the join —
+    * the hset here is carried solely to compute the ground truth. */
+  def minhashJaccardEst(s: SparkSession, dir: String): DataFrame = {
+    val base = shingled(s, dir)
+      .select(col("doc_id"), array_distinct(
+        graft.functions.PortableHashes.hashes(
+          col("shingles"), 2147483647L)).as("hset"))
+      .select(col("doc_id"), col("hset"), expr(
+        """transform(sequence(0, 127), j -> array_min(transform(hset,
+          |  h -> (h * (j + 1) + 37 * j + 101) % 2147483647)))""".stripMargin)
+        .as("mh"))
+    val banded = base.select(col("doc_id"), col("hset"), col("mh"),
+      explode(expr(
+        """transform(sequence(0, 7), b -> struct(
+          |  b AS band, element_at(mh, b + 1) AS sig))""".stripMargin)).as("bs"))
+      .select(col("doc_id"), col("hset"), col("mh"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    banded.select(col("band"), col("sig"), col("doc_id").as("doc_a"),
+        col("hset").as("set_a"), col("mh").as("mh_a"))
+      .join(banded.select(col("band"), col("sig"), col("doc_id").as("doc_b"),
+        col("hset").as("set_b"), col("mh").as("mh_b")), Seq("band", "sig"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v))")
+          .cast("long").as("n_agree"),
+        (expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v))")
+          .cast("double") / lit(128.0)).as("est_jaccard"),
+        r6(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))).cast("double"))
+          .as("jaccard"))
+      .distinct()
+      .withColumn("abs_err_u",
+        floor(abs(col("est_jaccard") - col("jaccard")) * lit(1000000.0))
+          .cast("long"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Corpus vocabulary heavy-hitters: global top-30 tokens by
     * occurrence count with document frequency — the frequency table a
     * tokenizer/stopword/BPE pass starts from. Explode → combine-heavy
@@ -551,6 +598,7 @@ object TextOps {
     "q_token_rarity" -> tokenRarity _,
     "q_bpe_pair_counts" -> bpePairCounts _,
     "q_minhash_containment" -> minhashContainment _,
+    "q_minhash_jaccard_est" -> minhashJaccardEst _,
     "q_lang_id" -> langId _,
     "q_quality_score" -> qualityScore _,
     "q_token_count_bpe" -> tokenCountBpe _,
@@ -871,6 +919,50 @@ object TextOps {
         |FROM cand
         |JOIN sets x ON x.doc_id = cand.doc_a
         |JOIN sets y ON y.doc_id = cand.doc_b
+        |ORDER BY doc_a, doc_b""").stripMargin,
+    "q_minhash_jaccard_est" ->
+      ("""WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sets AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(shingles,
+        |           sh -> """ + phSqlDuck.format("sh") + """ % 2147483647)) AS hset
+        |  FROM s),
+        |m AS (
+        |  SELECT doc_id, hset,
+        |         list_transform(range(0, 128), j -> list_min(list_transform(hset,
+        |           h -> (h * (j + 1) + 37 * j + 101) % 2147483647))) AS mh
+        |  FROM sets),
+        |bands AS (
+        |  SELECT doc_id, b.range AS band,
+        |         mh[CAST(b.range AS INT) + 1] AS sig
+        |  FROM m, range(0, 8) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM bands a JOIN bands c
+        |    ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id),
+        |scored AS (
+        |  SELECT cand.doc_a, cand.doc_b,
+        |         CAST(len(list_filter(range(0, 128),
+        |           j -> x.mh[CAST(j AS INT) + 1] = y.mh[CAST(j AS INT) + 1]))
+        |           AS BIGINT) AS n_agree,
+        |         round(CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE) /
+        |               CAST(len(list_distinct(list_concat(x.hset, y.hset)))
+        |                 AS DOUBLE), 6) AS jaccard
+        |  FROM cand
+        |  JOIN m x ON x.doc_id = cand.doc_a
+        |  JOIN m y ON y.doc_id = cand.doc_b)
+        |SELECT doc_a, doc_b, n_agree,
+        |       CAST(n_agree AS DOUBLE) / CAST(128 AS DOUBLE) AS est_jaccard,
+        |       jaccard,
+        |       CAST(floor(abs(CAST(n_agree AS DOUBLE) / CAST(128 AS DOUBLE)
+        |         - jaccard) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS abs_err_u
+        |FROM scored
         |ORDER BY doc_a, doc_b""").stripMargin,
     "q_bpe_pair_counts" ->
       """WITH wf AS (

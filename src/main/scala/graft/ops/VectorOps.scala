@@ -284,6 +284,48 @@ object VectorOps {
       .orderBy("qid", "rn")
   }
 
+  /** ANN recall eval: per query, recall@3 of IVF (nprobe=1) and
+    * multi-probe IVF (nprobe=2) against exact brute-force ground
+    * truth — the eval-harness number a pipeline needs before trusting
+    * ANN for retrieval or semantic dedup at scale. The truth pass is
+    * the bounded broadcast query block × one corpus scan (exact); the
+    * two ANN paths are the production operators reused verbatim; the
+    * recall join then touches only (queries × 3)-row frames.
+    * Multiprobe recall ≥ single-probe per query (candidate superset —
+    * property-asserted in AnnRecallSpec; this query puts the number
+    * in the data where a capacity dashboard reads it). k = 3 < 128,
+    * so r6 on the recall ratios is cross-engine exact. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(s, dir)
+    val q = base.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val c = base.select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"))
+    val truthW = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    val truth = c.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        r6(dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm"))).as("cos"))
+      .withColumn("rn", row_number().over(truthW))
+      .where(col("rn") <= 3)
+      .select(col("qid"), col("cid"))
+    val ivf = annIvf(s, dir).select(col("qid"), col("cid"), lit(1L).as("hit_i"))
+    val mp = annIvfMultiprobe(s, dir)
+      .select(col("qid"), col("cid"), lit(1L).as("hit_m"))
+    truth.join(ivf, Seq("qid", "cid"), "left")
+      .join(mp, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("hit_i")).as("n_hit_ivf"),
+        count(col("hit_m")).as("n_hit_mp"))
+      .select(col("qid"), col("n_hit_ivf"),
+        r6(col("n_hit_ivf").cast("double") / lit(3.0)).as("recall_ivf"),
+        col("n_hit_mp"),
+        r6(col("n_hit_mp").cast("double") / lit(3.0)).as("recall_mp"))
+      .orderBy("qid")
+  }
+
   /** Per-vector int8 quantization — the storage-compression pass for
     * large embedding stores (4 bytes → 1 byte per dim): scale each
     * vector's range onto 0..255, report the quantization parameters,
@@ -346,6 +388,7 @@ object VectorOps {
     "q_semantic_dedup" -> semanticDedup _,
     "q_ann_ivf" -> annIvf _,
     "q_ann_ivf_multiprobe" -> annIvfMultiprobe _,
+    "q_ann_recall" -> annRecall _,
     "q_embedding_quantize" -> embeddingQuantize _,
     "q_multimodal_binary" -> multimodalBinary _,
     "q_frame_sample" -> frameSampleQuery _)
@@ -569,6 +612,69 @@ object VectorOps {
         |WINDOW win AS (PARTITION BY qid ORDER BY cos DESC, cid)
         |QUALIFY row_number() OVER win <= 3
         |ORDER BY qid, rn""".stripMargin,
+    "q_ann_recall" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS norm
+        |  FROM embeddings),
+        |truth AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |           round(list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |                 / (q.norm * c.norm), 6) AS cos
+        |    FROM base q, base c WHERE q.vec_id < 20 AND q.vec_id != c.vec_id)
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= 3),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
+        |  FROM base WHERE vec_id < 16),
+        |cc AS (
+        |  SELECT b.vec_id, c.cent_id,
+        |         round(list_reduce(list_transform(list_zip(b.embedding, c.cent_emb),
+        |                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |               / (b.norm * c.cent_norm), 6) AS ccos
+        |  FROM base b, cents c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, cent_id) AS ar FROM cc),
+        |assign AS (SELECT vec_id, cent_id AS cluster_id FROM ranked WHERE ar = 1),
+        |clustered AS (
+        |  SELECT b.vec_id, b.embedding, b.norm, a.cluster_id
+        |  FROM base b JOIN assign a USING (vec_id)),
+        |ivf AS (
+        |  SELECT qid, cid, 1 AS hit_i FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |           round(list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |                 / (q.norm * c.norm), 6) AS cos
+        |    FROM clustered q JOIN clustered c ON q.cluster_id = c.cluster_id
+        |    WHERE q.vec_id < 20 AND q.vec_id != c.vec_id)
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= 3),
+        |probes AS (SELECT vec_id AS qid, cent_id AS cluster_id
+        |           FROM ranked WHERE ar <= 2 AND vec_id < 20),
+        |mp AS (
+        |  SELECT qid, cid, 1 AS hit_m FROM (
+        |    SELECT DISTINCT p.qid, c.vec_id AS cid,
+        |           round(list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |                 / (q.norm * c.norm), 6) AS cos
+        |    FROM probes p
+        |    JOIN base q ON q.vec_id = p.qid
+        |    JOIN clustered c ON c.cluster_id = p.cluster_id
+        |    WHERE p.qid != c.vec_id)
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= 3)
+        |SELECT t.qid, count(i.hit_i) AS n_hit_ivf,
+        |       round(CAST(count(i.hit_i) AS DOUBLE) / CAST(3 AS DOUBLE), 6)
+        |         AS recall_ivf,
+        |       count(m.hit_m) AS n_hit_mp,
+        |       round(CAST(count(m.hit_m) AS DOUBLE) / CAST(3 AS DOUBLE), 6)
+        |         AS recall_mp
+        |FROM truth t
+        |LEFT JOIN ivf i ON i.qid = t.qid AND i.cid = t.cid
+        |LEFT JOIN mp m ON m.qid = t.qid AND m.cid = t.cid
+        |GROUP BY t.qid
+        |ORDER BY t.qid""".stripMargin,
     "q_embedding_quantize" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,
