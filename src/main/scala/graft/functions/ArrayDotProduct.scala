@@ -106,18 +106,27 @@ object GraftFunctions {
     array_dot(a, b) / (sqrt(array_dot(a, a)) * sqrt(array_dot(b, b)))
   }
 
-  /** Make `array_dot` callable from SQL in an existing session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Make the library's SQL functions callable in an existing
+    * session (the driver contract hands us pre-built sessions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.registerFunction(spark, "array_dot",
       exprs => ArrayDotProduct(exprs(0), exprs(1)))
+    Bridge.registerFunction(spark, "portable_hashes",
+      PortableHashes.sqlBuilder)
+  }
 }
 
 /** SparkSessionExtensions hook: ship the library's SQL functions via
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
       (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("portable_hashes"),
+      new ExpressionInfo(classOf[PortableHashes].getName, "portable_hashes"),
+      (exprs: Seq[Expression]) => PortableHashes.sqlBuilder(exprs)))
+  }
 }

@@ -126,4 +126,22 @@ object PortableHashes {
     * optional per-element modulus (0 = raw hash). */
   def hashes(arr: Column, mod: Long = 0L): Column =
     Bridge.column(PortableHashes(Bridge.expression(arr), mod))
+
+  /** SQL builder: `portable_hashes(arr)` or
+    * `portable_hashes(arr, mod)` with an integer-literal modulus
+    * (a non-literal modulus would defeat per-class codegen of the
+    * folded `% mod`). Shared by GraftFunctions.register and the
+    * GraftExtensions `spark.sql.extensions` hook. */
+  private[functions] def sqlBuilder(
+      exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val mod = exprs match {
+      case Seq(_) => 0L
+      case Seq(_, Literal(v: Long, LongType)) => v
+      case Seq(_, Literal(v: Int, IntegerType)) => v.toLong
+      case _ => throw new IllegalArgumentException(
+        "portable_hashes(arr[, mod]): mod must be an integer literal")
+    }
+    PortableHashes(exprs.head, mod)
+  }
 }

@@ -31,6 +31,50 @@ class PortableHashesSpec extends SparkSpec {
     }
   }
 
+  test("SQL registration: portable_hashes callable with and without mod") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      s"""SELECT portable_hashes(array('abc')) AS raw,
+         |       portable_hashes(array('abc'), 2147483647) AS modded,
+         |       transform(array('abc'), x -> $ph) AS want
+         |""".stripMargin).collect().head
+    assert(r.getSeq[Long](0) == r.getSeq[Long](2))
+    assert(r.getSeq[Long](1) == r.getSeq[Long](2).map(_ % 2147483647L))
+  }
+
+  test("SparkSessionExtensions hook registers the functions") {
+    import org.apache.spark.sql.SparkSession
+    spark // force the shared session first so we can restore it
+    // getOrCreate returns the active/default session, which would make
+    // this test silently reuse imperative registration — clear both
+    // and build a genuinely new session (same SparkContext) through
+    // the GraftExtensions injector. The `spark.sql.extensions` conf
+    // is STATIC (read only at SparkContext creation, so inert on a
+    // reused test context); `withExtensions` is the public
+    // programmatic route to the same injection point.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[1]")
+      .appName("graft-ext-test")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      assert(s2 ne spark, "extension test must not reuse the shared session")
+      val r = s2.sql(
+        """SELECT portable_hashes(array('xyz'), 16) AS h,
+          |       array_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d
+          |""".stripMargin).collect().head
+      assert(r.getSeq[Long](0).head >= 0L && r.getSeq[Long](0).head < 16L)
+      assert(r.getDouble(1) == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("null elements pass through as nulls") {
     val df = spark.sql("SELECT array('a', CAST(NULL AS STRING), 'b') AS arr")
     val r = df.select(PortableHashes.hashes(col("arr")).as("h"))
