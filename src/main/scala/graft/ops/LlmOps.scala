@@ -175,11 +175,11 @@ object LlmOps {
         graft.functions.PortableHashes.hashes(
           col("shingles"), 2147483647L).as("hs"))
     val banded = shingled
+      .select(col("doc_id"),
+        graft.functions.MinhashSigs.sigs(col("hs"), nBands).as("sigs"))
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${nBands - 1}), b -> struct(
-           |  b AS band,
-           |  array_min(transform(hs,
-           |    h -> (h * (b + 1) + 37 * b + 101) % 2147483647)) AS sig))""".stripMargin)).as("bs"))
+           |  b AS band, element_at(sigs, b + 1) AS sig))""".stripMargin)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val left = banded.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val right = banded.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
