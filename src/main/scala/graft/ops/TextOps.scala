@@ -327,6 +327,33 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Sliding-window document chunking (chunk = 32 tokens, stride =
+    * 24, 8-token overlap) — the context-window prep stage of a
+    * RAG / pretraining pipeline: every token lands in ≥ 1 chunk,
+    * boundaries overlap so no phrase is ever split across a hard
+    * edge, and each chunk ships a portable content hash so chunk-
+    * level dedup / retrieval downstream never re-reads the text.
+    * Pure scan + explode — output rows scale with corpus tokens and
+    * no shuffle exists until a downstream op introduces one; the
+    * chunk count per doc is ceil(n / stride) (exact integer div, no
+    * floating ceil), and slice() clamps the tail chunk identically
+    * in both engines. */
+  def docChunk(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir)
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n"))
+      .where(col("n") >= 1)
+      .select(col("doc_id"),
+        explode(expr("sequence(0L, (n + 23) div 24 - 1)")).as("chunk_id"),
+        col("toks"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * 24 + 1).as("start_tok"),
+        expr("slice(toks, cast(chunk_id * 24 + 1 as int), 32)").as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        expr(ph("concat_ws(' ', chunk)")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+
   /** MinHash-estimated Jaccard vs exact — the sketch-quality eval a
     * pipeline runs before trusting signature-only dedup at scale
     * (where carrying full shingle sets is no longer affordable and
@@ -600,6 +627,7 @@ object TextOps {
     "q_bpe_pair_counts" -> bpePairCounts _,
     "q_minhash_containment" -> minhashContainment _,
     "q_minhash_jaccard_est" -> minhashJaccardEst _,
+    "q_doc_chunk" -> docChunk _,
     "q_lang_id" -> langId _,
     "q_quality_score" -> qualityScore _,
     "q_token_count_bpe" -> tokenCountBpe _,
@@ -921,6 +949,26 @@ object TextOps {
         |JOIN sets x ON x.doc_id = cand.doc_a
         |JOIN sets y ON y.doc_id = cand.doc_b
         |ORDER BY doc_a, doc_b""").stripMargin,
+    "q_doc_chunk" ->
+      ("""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |c AS (
+        |  SELECT doc_id, unnest(range(0, (n + 23) // 24)) AS chunk_id, toks
+        |  FROM d),
+        |sl AS (
+        |  SELECT doc_id, chunk_id,
+        |         CAST(chunk_id * 24 + 1 AS BIGINT) AS start_tok,
+        |         toks[CAST(chunk_id * 24 + 1 AS INT) :
+        |              CAST(chunk_id * 24 + 32 AS INT)] AS chunk
+        |  FROM c)
+        |SELECT doc_id, chunk_id, start_tok,
+        |       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+        |       """ + phSqlDuck.format("array_to_string(chunk, ' ')") + """
+        |         AS chunk_hash
+        |FROM sl
+        |ORDER BY doc_id, chunk_id""").stripMargin,
     "q_minhash_jaccard_est" ->
       ("""WITH s AS (
         |  SELECT doc_id,

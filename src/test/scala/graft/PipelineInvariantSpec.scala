@@ -104,6 +104,30 @@ class PipelineInvariantSpec extends SparkSpec {
     }
   }
 
+  test("doc chunks tile every token with the declared stride") {
+    import spark.implicits._
+    val n = Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    q("q_doc_chunk").collect().groupBy(_.getAs[Long]("doc_id"))
+      .foreach { case (doc, rows) =>
+        val sorted = rows.sortBy(_.getAs[Long]("chunk_id"))
+        assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq ==
+          (0L until sorted.length), s"doc $doc: chunk ids not contiguous")
+        sorted.foreach { r =>
+          val start = r.getAs[Long]("start_tok")
+          assert(start == r.getAs[Long]("chunk_id") * 24 + 1)
+          assert(start <= n(doc), s"doc $doc: chunk starts past the end")
+          assert(r.getAs[Long]("n_chunk_tokens") ==
+            math.min(32L, n(doc) - start + 1))
+        }
+        val last = sorted.last
+        assert(last.getAs[Long]("start_tok") +
+          last.getAs[Long]("n_chunk_tokens") - 1 == n(doc),
+          s"doc $doc: tail tokens uncovered")
+      }
+  }
+
   test("containment dominates jaccard on the identical candidate set") {
     val jac = q("q_ngram_jaccard").collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
