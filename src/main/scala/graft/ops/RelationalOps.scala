@@ -384,6 +384,31 @@ object RelationalOps {
       .orderBy("l_suppkey")
   }
 
+  /** Join-key skew diagnostic — the probe a pipeline runs BEFORE
+    * choosing salt factors (q_salted_agg) or trusting AQE skew
+    * splitting: the 10 hottest l_orderkey values with their row
+    * counts against the global key statistics, and the hot key's
+    * load as ppm of the mean (an exact integer — cnt·1e6·n_keys div
+    * total — so no floating skew "ratio" can diverge cross-engine).
+    * Shape: one combine-enabled count shuffle (the same exchange the
+    * downstream join would make anyway), a one-row global stats
+    * frame joined back as a bounded broadcast, and a top-k sort of
+    * key-count rows — never data rows. */
+  def keySkew(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).cast("long").as("total_rows"),
+      max(col("cnt")).as("max_rows"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("l_orderkey"), col("cnt"), col("n_keys"),
+        col("total_rows"), col("max_rows"),
+        expr("cnt * 1000000 * n_keys div total_rows").as("load_ppm_of_mean"))
+      .orderBy(col("cnt").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** DISTINCT — dedup shuffle on the full row. */
   def distinctPairs(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -979,6 +1004,7 @@ object RelationalOps {
     "q_pivot" -> pivotEvents _,
     "q_agg_stats" -> aggStats _,
     "q_salted_agg" -> saltedAgg _,
+    "q_key_skew" -> keySkew _,
     "q_median_percentile" -> medianPercentile _,
     "q_window_navigation" -> windowNavigation _,
     "q_window_range_frame" -> windowRangeFrame _,
@@ -1291,6 +1317,18 @@ object RelationalOps {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |       count(*) AS n_items
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q_key_skew" ->
+      """WITH counts AS (
+        |  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows,
+        |         max(cnt) AS max_rows
+        |  FROM counts)
+        |SELECT l_orderkey, cnt, n_keys, total_rows, max_rows,
+        |       CAST(cnt * 1000000 * n_keys // total_rows AS BIGINT)
+        |         AS load_ppm_of_mean
+        |FROM counts, stats
+        |ORDER BY cnt DESC, l_orderkey LIMIT 10""".stripMargin,
     "q_median_percentile" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,

@@ -354,6 +354,27 @@ object TextOps {
         expr(ph("concat_ws(' ', chunk)")).as("chunk_hash"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Chunk-level exact dedup over the q_doc_chunk hashes — repeated-
+    * passage (boilerplate) detection: a 32-token window that recurs
+    * across documents is exactly the shared template/quote content a
+    * pretraining pipeline strips even when whole documents are
+    * unique. GroupBy on the already-computed chunk hash (one combine
+    * shuffle, uniform key); the keeper slot packs (doc, chunk) into
+    * one integer min so "first occurrence" needs no second pass —
+    * chunk_id < 1e6 by construction (docs are bounded by the chunk
+    * stride long before that). */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    docChunk(s, dir)
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id") * 1000000L + col("chunk_id")).as("slot"))
+      .where(col("n_occurrences") > 1)
+      .select(col("chunk_hash"), col("n_occurrences"), col("n_docs"),
+        expr("slot div 1000000").as("first_doc"),
+        (col("slot") % 1000000L).as("first_chunk"))
+      .orderBy("chunk_hash")
+
   /** MinHash-estimated Jaccard vs exact — the sketch-quality eval a
     * pipeline runs before trusting signature-only dedup at scale
     * (where carrying full shingle sets is no longer affordable and
@@ -628,6 +649,7 @@ object TextOps {
     "q_minhash_containment" -> minhashContainment _,
     "q_minhash_jaccard_est" -> minhashJaccardEst _,
     "q_doc_chunk" -> docChunk _,
+    "q_chunk_dedup" -> chunkDedup _,
     "q_lang_id" -> langId _,
     "q_quality_score" -> qualityScore _,
     "q_token_count_bpe" -> tokenCountBpe _,
@@ -969,6 +991,29 @@ object TextOps {
         |         AS chunk_hash
         |FROM sl
         |ORDER BY doc_id, chunk_id""").stripMargin,
+    "q_chunk_dedup" ->
+      ("""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |c AS (
+        |  SELECT doc_id, unnest(range(0, (n + 23) // 24)) AS chunk_id, toks
+        |  FROM d),
+        |sl AS (
+        |  SELECT doc_id, chunk_id,
+        |         """ + phSqlDuck.format(
+                   "array_to_string(toks[CAST(chunk_id * 24 + 1 AS INT) : " +
+                   "CAST(chunk_id * 24 + 32 AS INT)], ' ')") + """
+        |           AS chunk_hash
+        |  FROM c)
+        |SELECT chunk_hash, count(*) AS n_occurrences,
+        |       count(DISTINCT doc_id) AS n_docs,
+        |       CAST(min(doc_id * 1000000 + chunk_id) // 1000000 AS BIGINT)
+        |         AS first_doc,
+        |       CAST(min(doc_id * 1000000 + chunk_id) % 1000000 AS BIGINT)
+        |         AS first_chunk
+        |FROM sl GROUP BY chunk_hash HAVING count(*) > 1
+        |ORDER BY chunk_hash""").stripMargin,
     "q_minhash_jaccard_est" ->
       ("""WITH s AS (
         |  SELECT doc_id,
