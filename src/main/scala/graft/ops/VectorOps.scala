@@ -284,6 +284,51 @@ object VectorOps {
       .orderBy("qid", "rn")
   }
 
+  /** One k-means training iteration for the IVF coarse quantizer —
+    * the step that turns q_ann_ivf's fixed seed centroids into
+    * learned ones: assign every vector to its nearest centroid (the
+    * same broadcast-16-centroids × scan shape the IVF query uses),
+    * then recompute each centroid as the member mean, emitted as
+    * (cluster, dim) rows so the output stays atomic for the gate.
+    * The per-dimension sums ride ONE combine-enabled shuffle keyed on
+    * (cluster, dim) — 16 × 64 groups regardless of corpus size — and
+    * are routed through DECIMAL(18,6), with the mean shipped as exact
+    * integer micro-units so partial-aggregation order AND the mean
+    * division stay engine-exact (the double mean ties at the 7th
+    * decimal). Iterating to convergence is a driver-side loop
+    * over this step with reseeded centroid literals — each round is
+    * one scan + one bounded shuffle, the standard distributed k-means
+    * shape. */
+  def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(s, dir)
+    val cents = base.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        col("norm").as("cent_norm"))
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assign = base.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        r6(dot("embedding", "cent_emb") / (col("norm") * col("cent_norm"))).as("ccos"))
+      .withColumn("ar", row_number().over(assignW)).where(col("ar") === 1)
+      .select(col("vec_id"), col("cent_id").as("cluster_id"))
+    base.join(assign, "vec_id")
+      .select(col("cluster_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("cluster_id"), col("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        // exact integer micro-units end to end: the decimal(18,6) sum
+        // times 1e6 is integer-valued, and integer div truncates
+        // toward zero in both engines — a double mean + round(_, 6)
+        // ties at the 7th decimal (decimal-sum/n has exact 7-decimal
+        // representations) and the engines round ties apart
+        (sum(col("v").cast("double").cast("decimal(18,6)")) * lit(1000000))
+          .cast("long").as("sum_u"))
+      .select(col("cluster_id"), col("dim").cast("long").as("dim"),
+        col("n_members"),
+        expr("sum_u div n_members").as("centroid_u"))
+      .orderBy("cluster_id", "dim")
+  }
+
   /** ANN recall eval: per query, recall@3 of IVF (nprobe=1) and
     * multi-probe IVF (nprobe=2) against exact brute-force ground
     * truth — the eval-harness number a pipeline needs before trusting
@@ -389,6 +434,7 @@ object VectorOps {
     "q_ann_ivf" -> annIvf _,
     "q_ann_ivf_multiprobe" -> annIvfMultiprobe _,
     "q_ann_recall" -> annRecall _,
+    "q_kmeans_step" -> kmeansStep _,
     "q_embedding_quantize" -> embeddingQuantize _,
     "q_multimodal_binary" -> multimodalBinary _,
     "q_frame_sample" -> frameSampleQuery _)
@@ -612,6 +658,38 @@ object VectorOps {
         |WINDOW win AS (PARTITION BY qid ORDER BY cos DESC, cid)
         |QUALIFY row_number() OVER win <= 3
         |ORDER BY qid, rn""".stripMargin,
+    "q_kmeans_step" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS norm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
+        |  FROM base WHERE vec_id < 16),
+        |cc AS (
+        |  SELECT b.vec_id, c.cent_id,
+        |         round(list_reduce(list_transform(list_zip(b.embedding, c.cent_emb),
+        |                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |               / (b.norm * c.cent_norm), 6) AS ccos
+        |  FROM base b, cents c),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cluster_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cent_id) AS ar FROM cc)
+        |  WHERE ar = 1),
+        |m AS (
+        |  SELECT a.cluster_id,
+        |         unnest(b.embedding) AS v,
+        |         unnest(range(0, len(b.embedding))) AS dim
+        |  FROM base b JOIN assign a USING (vec_id))
+        |SELECT cluster_id, CAST(dim AS BIGINT) AS dim,
+        |       count(*) AS n_members,
+        |       CAST(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)))
+        |              * 1000000 AS BIGINT) // count(*) AS BIGINT)
+        |         AS centroid_u
+        |FROM m GROUP BY cluster_id, dim
+        |ORDER BY cluster_id, dim""".stripMargin,
     "q_ann_recall" ->
       """WITH base AS (
         |  SELECT vec_id, embedding,
