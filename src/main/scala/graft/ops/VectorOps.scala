@@ -33,7 +33,7 @@ object VectorOps {
     graft.functions.GraftFunctions.array_dot(col(a), col(b))
 
   /** embeddings + precomputed L2 norm (once per vector, not per pair). */
-  private def withNorm(s: SparkSession, dir: String): DataFrame =
+  private[graft] def withNorm(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"),
         sqrt(graft.functions.GraftFunctions.array_dot(col("embedding"), col("embedding"))).as("norm"))
@@ -299,11 +299,23 @@ object VectorOps {
     * over this step with reseeded centroid literals — each round is
     * one scan + one bounded shuffle, the standard distributed k-means
     * shape. */
-  def kmeansStep(s: SparkSession, dir: String): DataFrame = {
-    val base = withNorm(s, dir)
-    val cents = base.where(col("vec_id") < 16)
+  def kmeansStep(s: SparkSession, dir: String): DataFrame =
+    kmeansStepFrom(s, dir, seedCentroids(s, dir))
+
+  /** The IVF seed centroids (first 16 vectors) with norms — the
+    * iteration-0 input of the training loop. */
+  private[graft] def seedCentroids(s: SparkSession, dir: String): DataFrame =
+    withNorm(s, dir).where(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
         col("norm").as("cent_norm"))
+
+  /** One k-means step against an arbitrary centroid frame
+    * (cent_id long, cent_emb array<float>, cent_norm double) — the
+    * reseedable core the driver-side training loop iterates
+    * (KmeansTrainSpec proves the objective is non-decreasing). */
+  private[graft] def kmeansStepFrom(s: SparkSession, dir: String,
+                                    cents: DataFrame): DataFrame = {
+    val base = withNorm(s, dir)
     val assignW = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
     val assign = base.crossJoin(broadcast(cents))
