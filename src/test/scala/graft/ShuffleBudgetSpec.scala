@@ -68,6 +68,25 @@ class ShuffleBudgetSpec extends SparkSpec {
     assert(hashExchanges(q("q_token_rarity")) <= 3)
   }
 
+  test("r4 third-wave ops hold their declared shuffle budgets") {
+    // chunking is scan + explode — zero data-scaled movement
+    assert(hashExchanges(q("q_doc_chunk")) == 0)
+    // chunk dedup: the combine shuffle on the hash, plus the second
+    // expand shuffle its exact count_distinct(doc_id) costs — same
+    // documented trade as q_groupby_agg above
+    assert(hashExchanges(q("q_chunk_dedup")) <= 2)
+    // key skew: count shuffle + the tiny stats agg's single-partition
+    // exchange; never a shuffle of data rows
+    assert(hashExchanges(q("q_key_skew")) <= 2)
+    // curation pipeline: dedup window + stratum window + final agg —
+    // the quality filter must stay on the scan, adding nothing
+    assert(hashExchanges(q("q_curation_pipeline")) <= 3)
+    // k-means step: assignment is broadcast-side; the only hash
+    // exchanges are the assign join-back and the (cluster, dim)
+    // combine agg
+    assert(hashExchanges(q("q_kmeans_step")) <= 3)
+  }
+
   test("broadcast-side similarity search never shuffles the corpus scan") {
     // brute-force top-k: the only hash exchange allowed is the final
     // per-query ranking of the tiny (queries x k) candidate frame
