@@ -138,6 +138,43 @@ object LlmOps {
       .orderBy("keep_doc_id")
   }
 
+  /** PageRank over the near-dup graph (3 power iterations, d = 0.85)
+    * — centrality finds the template/boilerplate HUBS: a document
+    * near-duplicating many others concentrates mass, which
+    * keep-first dedup and degree counting both miss (degree sees
+    * local fan-out; PageRank sees transitive reach). All arithmetic
+    * is integer: mass lives in units of 1e-12 (pr0 = 1e12 div N),
+    * neighbor contributions are `pr div deg`, and damping is
+    * `85 · inflow div 100` — integer div truncates toward zero in
+    * both engines, so three unrolled iterations hash-match with no
+    * floating sums to order. Scale shape: per iteration one edge
+    * join + one combine sum keyed on the node — the same per-round
+    * cost as connectedComponents, with the iteration count FIXED
+    * (power iteration, not convergence-bound). */
+  def dedupPagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashDedup(s, dir).select(col("doc_a"), col("doc_b"))
+    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val nodes = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    var pr = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
+      .select(col("id"), col("deg"), col("n"),
+        expr("1000000000000 div n").as("pr_u"))
+    (1 to 3).foreach { _ =>
+      val contrib = e
+        .join(pr.select(col("id").as("src"), col("deg").as("sdeg"),
+          col("pr_u").as("spr")), "src")
+        .select(col("dst").as("id"), expr("spr div sdeg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).cast("long").as("inflow"))
+      pr = pr.join(contrib, Seq("id"), "left")
+        .select(col("id"), col("deg"), col("n"),
+          (expr("150000000000 div n") +
+            expr("85 * coalesce(inflow, 0L) div 100")).as("pr_u"))
+    }
+    pr.select(col("id").as("doc_id"), col("deg"), col("pr_u"))
+      .orderBy("doc_id")
+  }
+
   /** The curation pipeline as ONE composed DAG — quality filter →
     * normalization dedup (keep-first) → deterministic stratified cap
     * → per-language corpus stats. Each stage exists as its own
@@ -682,6 +719,7 @@ object LlmOps {
     "q_dedup_corpus" -> dedupCorpus _,
     "q_dedup_normalized" -> dedupNormalized _,
     "q_curation_pipeline" -> curationPipeline _,
+    "q_dedup_pagerank" -> dedupPagerank _,
     "q_minhash_dedup" -> minhashDedup _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_cosine_topk" -> cosineTopk _,
@@ -909,6 +947,60 @@ object LlmOps {
         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS n_shared_bands
         |FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_dedup_pagerank" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_transform(shingles,
+        |           sh -> CAST('0x' || substring(sha256(sh), 1, 15) AS BIGINT) % 2147483647) AS hs
+        |  FROM s),
+        |m AS (
+        |  SELECT doc_id, b.range AS band,
+        |         list_min(list_transform(hs,
+        |           h -> (h * (b.range + 1) + 37 * b.range + 101) % 2147483647)) AS sig
+        |  FROM hs, range(0, 8) b),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id),
+        |e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |nodes AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |p0 AS (
+        |  SELECT id, deg, n, 1000000000000 // n AS pr_u FROM nodes, nn),
+        |p1 AS (
+        |  SELECT p.id, p.deg, p.n,
+        |         150000000000 // p.n +
+        |           85 * coalesce(CAST(sum(q.pr_u // q.deg) AS BIGINT), 0) // 100 AS pr_u
+        |  FROM p0 p
+        |  LEFT JOIN e ON e.dst = p.id
+        |  LEFT JOIN p0 q ON q.id = e.src
+        |  GROUP BY p.id, p.deg, p.n),
+        |p2 AS (
+        |  SELECT p.id, p.deg, p.n,
+        |         150000000000 // p.n +
+        |           85 * coalesce(CAST(sum(q.pr_u // q.deg) AS BIGINT), 0) // 100 AS pr_u
+        |  FROM p1 p
+        |  LEFT JOIN e ON e.dst = p.id
+        |  LEFT JOIN p1 q ON q.id = e.src
+        |  GROUP BY p.id, p.deg, p.n),
+        |p3 AS (
+        |  SELECT p.id, p.deg, p.n,
+        |         150000000000 // p.n +
+        |           85 * coalesce(CAST(sum(q.pr_u // q.deg) AS BIGINT), 0) // 100 AS pr_u
+        |  FROM p2 p
+        |  LEFT JOIN e ON e.dst = p.id
+        |  LEFT JOIN p2 q ON q.id = e.src
+        |  GROUP BY p.id, p.deg, p.n)
+        |SELECT id AS doc_id, deg, pr_u FROM p3 ORDER BY doc_id""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE s AS (
         |  SELECT doc_id,
