@@ -465,6 +465,41 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(30)
 
+  /** Bigram conditional log-probability score — q_token_rarity's
+    * order-2 sibling and the closest engine-exact stand-in for an
+    * n-gram-LM perplexity filter: per bigram the proxy for
+    * log2 P(w2 | w1) is bitlength(count(w1 w2)) − bitlength(count(w1
+    * as context)) — exact integers via length(bin(x)), never a
+    * floating log — summed per document with an integer-div ppm
+    * mean (negative; integer div truncates toward zero identically
+    * in both engines). Fluent text (frequent continuations) scores
+    * near 0, incoherent text deeply negative. Scale shape: both
+    * count frames ride bigram/unigram VOCABULARY shuffles (the same
+    * plateau argument as vocabTopk; count-min is the documented
+    * unbounded-domain fallback), scoring joins the bigram stream
+    * back on those vocabularies. */
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.spread(s, t(s, dir, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1), i -> struct(
+          |  element_at(toks, i) AS w1,
+          |  concat(element_at(toks, i), ' ',
+          |         element_at(toks, i + 1)) AS bgr))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bgr").as("bgr"))
+    val bgc = bg.groupBy(col("bgr")).agg(count(lit(1)).as("bc"))
+    val ugc = bg.groupBy(col("w1")).agg(count(lit(1)).as("uc"))
+    bg.join(bgc, "bgr").join(ugc, "w1")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(length(bin(col("bc"))) - length(bin(col("uc"))))
+          .cast("long").as("sum_dlog2"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_dlog2"),
+        expr("sum_dlog2 * 1000000 div n_bigrams").as("mean_dlog2_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** One BPE-trainer merge iteration at corpus scale: the adjacent
     * character-pair counts that pick the next merge rule. The
     * corpus-sized pass collapses to the word-frequency vocabulary
@@ -645,6 +680,7 @@ object TextOps {
     "q_countmin_freq" -> countminFreq _,
     "q_vocab_topk" -> vocabTopk _,
     "q_token_rarity" -> tokenRarity _,
+    "q_bigram_lm" -> bigramLm _,
     "q_bpe_pair_counts" -> bpePairCounts _,
     "q_minhash_containment" -> minhashContainment _,
     "q_minhash_jaccard_est" -> minhashJaccardEst _,
@@ -991,6 +1027,30 @@ object TextOps {
         |         AS chunk_hash
         |FROM sl
         |ORDER BY doc_id, chunk_id""").stripMargin,
+    // Parallel unnests zip positionally in DuckDB, pairing each w1
+    // with its bigram; both integer-div operands can be negative —
+    // `//` truncates toward zero like Spark's div.
+    "q_bigram_lm" ->
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(toks)),
+        |           i -> toks[CAST(i AS INT)])) AS w1,
+        |         unnest(list_transform(range(1, len(toks)),
+        |           i -> toks[CAST(i AS INT)] || ' ' ||
+        |                toks[CAST(i AS INT) + 1])) AS bgr
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 2)),
+        |bgc AS (SELECT bgr, count(*) AS bc FROM bg GROUP BY bgr),
+        |ugc AS (SELECT w1, count(*) AS uc FROM bg GROUP BY w1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(length(bin(bc)) - length(bin(uc))) AS BIGINT)
+        |         AS sum_dlog2,
+        |       CAST(CAST(sum(length(bin(bc)) - length(bin(uc))) AS BIGINT)
+        |              * 1000000 // count(*) AS BIGINT) AS mean_dlog2_ppm
+        |FROM bg JOIN bgc USING (bgr) JOIN ugc USING (w1)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_chunk_dedup" ->
       ("""WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
