@@ -138,6 +138,19 @@ object LlmOps {
       .orderBy("keep_doc_id")
   }
 
+  /** Near-dup cluster size distribution — the dedup IMPACT report: a
+    * corpus with many size-2 clusters has scattered duplication; a
+    * few giant clusters mean template content, and (csize − 1) docs
+    * per cluster are what keep-first dedup deletes. Two combine aggs
+    * stacked on the connected-components output; the histogram is
+    * O(max cluster size) rows. */
+  def clusterStats(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"),
+        sum(col("csize")).cast("long").as("n_docs"))
+      .orderBy("csize")
+
   /** PageRank over the near-dup graph (3 power iterations, d = 0.85)
     * — centrality finds the template/boilerplate HUBS: a document
     * near-duplicating many others concentrates mass, which
@@ -720,6 +733,7 @@ object LlmOps {
     "q_dedup_normalized" -> dedupNormalized _,
     "q_curation_pipeline" -> curationPipeline _,
     "q_dedup_pagerank" -> dedupPagerank _,
+    "q_cluster_stats" -> clusterStats _,
     "q_minhash_dedup" -> minhashDedup _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_cosine_topk" -> cosineTopk _,
@@ -1031,6 +1045,42 @@ object LlmOps {
         |SELECT src AS doc_id,
         |       CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q_cluster_stats" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_transform(shingles,
+        |           sh -> CAST('0x' || substring(sha256(sh), 1, 15) AS BIGINT) % 2147483647) AS hs
+        |  FROM s),
+        |m AS (
+        |  SELECT doc_id, b.range AS band,
+        |         list_min(list_transform(hs,
+        |           h -> (h * (b.range + 1) + 37 * b.range + 101) % 2147483647)) AS sig
+        |  FROM hs, range(0, 8) b),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a, c.doc_id AS b
+        |  FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig
+        |                   AND a.doc_id < c.doc_id),
+        |sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a),
+        |cl AS (
+        |  SELECT src AS doc_id,
+        |         CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |sizes AS (
+        |  SELECT cluster_id, count(*) AS csize FROM cl GROUP BY cluster_id)
+        |SELECT csize, count(*) AS n_clusters,
+        |       CAST(sum(csize) AS BIGINT) AS n_docs
+        |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
     "q_cosine_topk" ->
       """WITH base AS (
         |  SELECT vec_id, embedding, label,
