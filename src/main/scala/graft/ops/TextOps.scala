@@ -611,6 +611,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Chunk-granularity BM25 retrieval — the RAG serving query: score
+    * every 32-token chunk (q_doc_chunk's grid) against the bounded
+    * query-term set and return the global top-10 passages. Same
+    * one-combine-agg corpus-stats shape as q_bm25_score (N, avgdl,
+    * dfs over CHUNKS in one 1-row broadcast frame; scoring is a
+    * projection), and the top-k is orderBy+limit — Spark plans
+    * TakeOrderedAndProject, a per-partition top-10 + tiny merge,
+    * never a single-partition global window sort. Ranking compares
+    * the ROUNDED score (r6 before rank, ties to (doc, chunk)) so
+    * rank order is cross-engine deterministic even for identical
+    * repeated passages. */
+  def chunkBm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "query", "window")
+    val chunks = tokenized(s, dir)
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n"))
+      .where(col("n") >= 1)
+      .select(col("doc_id"),
+        explode(expr("sequence(0L, (n + 23) div 24 - 1)")).as("chunk_id"),
+        col("toks"))
+      .select(col("doc_id"), col("chunk_id"),
+        expr("slice(toks, cast(chunk_id * 24 + 1 as int), 32)").as("ctoks"))
+      .withColumn("dl", size(col("ctoks")).cast("double"))
+    val base = terms.zipWithIndex.foldLeft(chunks) {
+      case (df, (t, i)) => df.withColumn(s"tf_$i",
+        expr(s"cast(size(filter(ctoks, x -> x = '$t')) as double)"))
+    }
+    val aggCols =
+      count(lit(1)).cast("double").as("n_chunks") +:
+        avg(col("dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0d, 1d).otherwise(0d)).as(s"df_$i"))
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val scored = terms.indices.foldLeft(base.crossJoin(broadcast(stats))) {
+      (df, i) =>
+        df.withColumn(s"s_$i",
+          log(lit(1.0) + (col("n_chunks") - col(s"df_$i") + lit(0.5)) /
+            (col(s"df_$i") + lit(0.5))) *
+            (col(s"tf_$i") * lit(2.2)) /
+            (col(s"tf_$i") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    }
+    scored
+      .withColumn("n_terms_matched",
+        terms.indices.map(i => when(col(s"tf_$i") > 0d, 1L).otherwise(0L))
+          .reduce(_ + _))
+      .where(col("n_terms_matched") > 0)
+      .select(col("doc_id"), col("chunk_id"), col("n_terms_matched"),
+        r6(terms.indices.map(i => col(s"s_$i")).reduce(_ + _)).as("bm25_r6"))
+      .orderBy(col("bm25_r6").desc, col("doc_id"), col("chunk_id"))
+      .limit(10)
+  }
+
   /** TF-IDF document vectors, top-5 terms per doc — the sparse
     * representation a retrieval index or keyword extractor ingests.
     * Document frequencies ride the same vocabulary-sized combine
@@ -677,6 +730,7 @@ object TextOps {
     "q_corpus_drift" -> corpusDrift _,
     "q_tfidf_topterms" -> tfidfTopterms _,
     "q_bm25_score" -> bm25Score _,
+    "q_chunk_bm25" -> chunkBm25 _,
     "q_countmin_freq" -> countminFreq _,
     "q_vocab_topk" -> vocabTopk _,
     "q_token_rarity" -> tokenRarity _,
@@ -771,6 +825,49 @@ object TextOps {
         |SELECT doc_id, n_terms_matched, round(raw, 6) AS bm25_r6
         |FROM s WHERE n_terms_matched > 0
         |ORDER BY doc_id""".stripMargin,
+    "q_chunk_bm25" ->
+      """WITH ch AS (
+        |  SELECT doc_id, chunk_id,
+        |         toks[CAST(chunk_id * 24 + 1 AS INT) :
+        |              CAST(chunk_id * 24 + 32 AS INT)] AS ctoks
+        |  FROM (
+        |    SELECT doc_id, unnest(range(0, (n + 23) // 24)) AS chunk_id, toks
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                 len(string_split(text, ' ')) AS n
+        |          FROM documents WHERE len(string_split(text, ' ')) >= 1))),
+        |tf AS (
+        |  SELECT doc_id, chunk_id,
+        |         CAST(len(ctoks) AS DOUBLE) AS dl,
+        |         CAST(len(list_filter(ctoks, x -> x = 'spark')) AS DOUBLE) AS tf_0,
+        |         CAST(len(list_filter(ctoks, x -> x = 'query')) AS DOUBLE) AS tf_1,
+        |         CAST(len(list_filter(ctoks, x -> x = 'window')) AS DOUBLE) AS tf_2
+        |  FROM ch),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_chunks, avg(dl) AS avgdl,
+        |         sum(CASE WHEN tf_0 > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS df_0,
+        |         sum(CASE WHEN tf_1 > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS df_1,
+        |         sum(CASE WHEN tf_2 > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS df_2
+        |  FROM tf),
+        |s AS (
+        |  SELECT doc_id, chunk_id,
+        |         CAST(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END
+        |            + CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END
+        |            + CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_terms_matched,
+        |         round(
+        |           ln(CAST(1.0 AS DOUBLE) + (n_chunks - df_0 + CAST(0.5 AS DOUBLE)) / (df_0 + CAST(0.5 AS DOUBLE)))
+        |             * (tf_0 * CAST(2.2 AS DOUBLE))
+        |             / (tf_0 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+        |           + ln(CAST(1.0 AS DOUBLE) + (n_chunks - df_1 + CAST(0.5 AS DOUBLE)) / (df_1 + CAST(0.5 AS DOUBLE)))
+        |             * (tf_1 * CAST(2.2 AS DOUBLE))
+        |             / (tf_1 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+        |           + ln(CAST(1.0 AS DOUBLE) + (n_chunks - df_2 + CAST(0.5 AS DOUBLE)) / (df_2 + CAST(0.5 AS DOUBLE)))
+        |             * (tf_2 * CAST(2.2 AS DOUBLE))
+        |             / (tf_2 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)),
+        |           6) AS bm25_r6
+        |  FROM tf, stats)
+        |SELECT doc_id, chunk_id, n_terms_matched, bm25_r6
+        |FROM s WHERE n_terms_matched > 0
+        |ORDER BY bm25_r6 DESC, doc_id, chunk_id LIMIT 10""".stripMargin,
     "q_countmin_freq" ->
       """WITH vocab AS (
         |  SELECT token, count(*) AS cnt,
