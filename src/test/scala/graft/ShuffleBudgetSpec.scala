@@ -87,6 +87,22 @@ class ShuffleBudgetSpec extends SparkSpec {
     assert(hashExchanges(q("q_kmeans_step")) <= 3)
   }
 
+  test("r4 fourth-wave ops hold their declared shapes") {
+    // bigram LM: two vocabulary count shuffles + two join-backs on
+    // those vocabularies + the per-doc agg
+    assert(hashExchanges(q("q_bigram_lm")) <= 5)
+    // pagerank: per iteration one edge join + one combine sum; three
+    // iterations over the minhash candidate graph
+    assert(hashExchanges(q("q_dedup_pagerank")) <= 12)
+    // chunk BM25's global top-10 must be TakeOrderedAndProject — a
+    // per-partition top-k + merge — never a single-partition sort
+    val df = q("q_chunk_bm25")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"chunk BM25 lost its distributed top-k:\n$plan")
+  }
+
   test("broadcast-side similarity search never shuffles the corpus scan") {
     // brute-force top-k: the only hash exchange allowed is the final
     // per-query ranking of the tiny (queries x k) candidate frame
