@@ -120,6 +120,55 @@ object VectorOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SRP-LSH recall/precision eval on a bounded slice — the
+    * q_ann_recall twin for the near-dup path: exact cosine truth is
+    * only computable all-pairs, so the eval runs on a fixed 200-
+    * vector sample (broadcastable at any corpus scale — the standard
+    * way recall is monitored in production, since full-corpus truth
+    * is exactly what LSH exists to avoid). Emits raw band-candidate
+    * count, truth count, hits, and recall/precision as exact ppm
+    * integers (ratios of arbitrary counts can tie at the 7th
+    * decimal; `div greatest(n, 1)` also keeps an empty slice from
+    * dividing by zero differently per engine). Candidates come from
+    * banding the slice itself — a vector's signature is independent
+    * of the rest of the corpus, so this equals restricting the
+    * corpus-wide band join to the slice.
+    *
+    * Reading the number: truth uses the operator's own mild 0.25
+    * emit threshold, where SRP recall is LOW BY DESIGN — at cos =
+    * 0.25 (θ ≈ 75°) the per-bit agreement is ~0.58, so a 16-bit
+    * band matches with p ≈ 0.58^16 ≈ 1.6e-4 and 4 bands give ~6e-4;
+    * the measured 2/442 at gate SF is that OR-of-ANDs prediction,
+    * not a defect. LSH is a near-DUPLICATE sieve: on planted
+    * high-cosine dups SrpRecallSpec demonstrates the high-recall
+    * regime, and this query is the production dashboard number that
+    * would catch a mis-tuned geometry drifting either way. */
+  def srpRecall(s: SparkSession, dir: String): DataFrame = {
+    val (bands, bits) = srpGeometry(s)
+    val slice = withNorm(s, dir).where(col("vec_id") < 200)
+    val banded = slice.withColumn("band_sigs", srpBandSigs(bands, bits))
+      .select(col("vec_id"), posexplode(col("band_sigs")).as(Seq("band", "sig")))
+    val cand = banded.select(col("band"), col("sig"), col("vec_id").as("vec_a"))
+      .join(banded.select(col("band"), col("sig"), col("vec_id").as("vec_b")),
+        Seq("band", "sig"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val truth = slice.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("norm").as("na"))
+      .crossJoin(broadcast(slice.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("norm").as("nb"))))
+      .where(col("vec_a") < col("vec_b"))
+      .where(r6(dot("ea", "eb") / (col("na") * col("nb"))) >= 0.25)
+      .select(col("vec_a"), col("vec_b"))
+    val hit = truth.join(cand, Seq("vec_a", "vec_b"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        expr("1000000 * n_hit div greatest(n_truth, 1)").as("recall_ppm"),
+        expr("1000000 * n_hit div greatest(n_cand, 1)").as("precision_ppm"))
+  }
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", arXiv:2303.09540):
     * drop all but one member of each semantic-duplicate neighborhood,
@@ -442,6 +491,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_neardup" -> embeddingNeardup _,
+    "q_srp_recall" -> srpRecall _,
     "q_semantic_dedup" -> semanticDedup _,
     "q_ann_ivf" -> annIvf _,
     "q_ann_ivf_multiprobe" -> annIvfMultiprobe _,
@@ -569,8 +619,32 @@ object VectorOps {
         |QUALIFY row_number() OVER (PARTITION BY dropped_id ORDER BY cos DESC, witness_id) = 1
         |ORDER BY cluster_id, dropped_id""".stripMargin
 
+  /** DuckDB oracle for q_srp_recall, generated per geometry like
+    * [[neardupOracle]]. */
+  private[graft] def srpRecallOracle(bands: Int, bits: Int): String =
+    s"WITH ${srpCandidateCtes(bands, bits)},\n" +
+    """scand AS (
+        |  SELECT vec_a, vec_b FROM cand WHERE vec_a < 200 AND vec_b < 200),
+        |truth AS (
+        |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |  FROM e2 x, e2 y
+        |  WHERE x.vec_id < y.vec_id AND x.vec_id < 200 AND y.vec_id < 200
+        |    AND round(list_reduce(list_transform(list_zip(x.embedding, y.embedding),
+        |              t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), (acc, v) -> acc + v)
+        |            / (x.norm * y.norm), 6) >= 0.25),
+        |hit AS (SELECT truth.vec_a, truth.vec_b
+        |        FROM truth JOIN scand USING (vec_a, vec_b)),
+        |t AS (SELECT count(*) AS n_truth FROM truth),
+        |c AS (SELECT count(*) AS n_cand FROM scand),
+        |h AS (SELECT count(*) AS n_hit FROM hit)
+        |SELECT n_truth, n_cand, n_hit,
+        |       CAST(1000000 * n_hit // greatest(n_truth, 1) AS BIGINT) AS recall_ppm,
+        |       CAST(1000000 * n_hit // greatest(n_cand, 1) AS BIGINT) AS precision_ppm
+        |FROM t, c, h""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_embedding_neardup" -> neardupOracle(SrpBands, SrpBits),
+    "q_srp_recall" -> srpRecallOracle(SrpBands, SrpBits),
     "q_semantic_dedup" -> semanticDedupOracle(8, 8),
     // Replays MultimodalStub.frameSample(everyN=4) byte-for-byte:
     // frame count = max(1, bytes/16), byte b = payload[idx % n]
