@@ -64,10 +64,14 @@ object Bench {
       }.filterNot(_.isNaN)
       name -> times
     }
-    def median(ts: Seq[Double]): Double =
-      if (ts.isEmpty) 0d
-      else { val s = ts.sorted; s((s.size - 1) / 2) }
-    val results = raw.map { case (k, ts) => k -> median(ts) }
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted; s((s.size - 1) / 2)
+    }
+    // A query that failed EVERY run has no timing: it is excluded from
+    // `queries`/`value`/`n_queries` (it stays visible in `errors` and
+    // as an empty list in `runs`) — otherwise median(empty)=0 would
+    // silently deflate totals versus rounds where it ran (ADVICE r4).
+    val results = raw.collect { case (k, ts) if ts.nonEmpty => k -> median(ts) }
     val runsJson = raw.map { case (k, ts) =>
       "\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -94,7 +98,7 @@ object Bench {
     val r1Subset = sec3(results.collect { case (k, v) if r1Keys(k) => v }.sum)
     // `runs` first: the archived artifact keeps the stdout tail, so the
     // aggregate fields and per-query medians must come last.
-    println(s"""{"runs":$runsJson,"n_runs":$nRuns,"stat":"median","metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${results.size},"baseline_subset":$r1Subset,"sf":"$sfDir"}""")
+    println(s"""{"runs":$runsJson,"n_runs":$nRuns,"stat":"median","metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${results.size},"n_excluded":${names.size - results.size},"baseline_subset":$r1Subset,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

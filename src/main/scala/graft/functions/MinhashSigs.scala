@@ -21,6 +21,13 @@ import org.apache.spark.sql.types._
   * already-reduced 31-bit hashes, h * 129 < 2^39 never overflows,
   * and `%` on non-negative operands agrees across engines.
   *
+  * PRECONDITION (enforced at eval time): every element must lie in
+  * [0, 2^31-1). A raw 60-bit portable hash fed here un-reduced would
+  * silently wrap in Java's long multiply while the equivalent DuckDB
+  * SQL raises an overflow error — a cross-engine divergence. Reduce
+  * with `pmod(h, 2147483647)` first (what all callers do); violations
+  * throw instead of diverging.
+  *
   * Null elements are skipped exactly as `array_min` skips them; a
   * set with no non-null elements yields null signatures (matching
   * `array_min(empty) = null`). */
@@ -51,7 +58,11 @@ case class MinhashSigs(child: Expression, nFuncs: Int)
       var i = 0
       while (i < n) {
         if (!arr.isNullAt(i)) {
-          val v = (arr.getLong(i) * (j + 1) + 37L * j + 101L) % 2147483647L
+          val h = arr.getLong(i)
+          if (h < 0L || h >= 2147483647L)
+            throw new IllegalArgumentException(
+              s"minhash_sigs input $h outside [0, 2^31-1); reduce with pmod first")
+          val v = (h * (j + 1) + 37L * j + 101L) % 2147483647L
           if (v < best) best = v
           any = true
         }
@@ -80,8 +91,12 @@ case class MinhashSigs(child: Expression, nFuncs: Int)
          |  boolean $any = false;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if (!$v.isNullAt($i)) {
-         |      long $hv = ($v.getLong($i) * ($j + 1) + 37L * $j + 101L)
-         |        % 2147483647L;
+         |      long $hv = $v.getLong($i);
+         |      if ($hv < 0L || $hv >= 2147483647L)
+         |        throw new IllegalArgumentException(
+         |          "minhash_sigs input " + $hv +
+         |          " outside [0, 2^31-1); reduce with pmod first");
+         |      $hv = ($hv * ($j + 1) + 37L * $j + 101L) % 2147483647L;
          |      if ($hv < $best) $best = $hv;
          |      $any = true;
          |    }

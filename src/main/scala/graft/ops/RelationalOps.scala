@@ -417,13 +417,13 @@ object RelationalOps {
       .orderBy("user_id", "event_type")
 
   /** Bloom-sketch semi-join, portable construction: a classic
-    * m=65536-bit / k=8 bloom filter whose bit positions are derived by
-    * double hashing from the one portable 60-bit sha hash
-    * (pos_j = (h1 + j*h2) mod m), so DuckDB computes the identical
+    * m = [[BloomM]] = 2^20-bit / k=8 bloom filter whose bit positions
+    * are derived by double hashing from the one portable 60-bit sha
+    * hash (pos_j = (h1 + j*h2) mod m), so DuckDB computes the identical
     * filter and the candidate count — false positives included — is
     * hash-checked, not just bounded. The build side runs distributed
     * (scan + distinct positions), then the bounded bitmap — m/64 =
-    * 1024 longs, 8 KB regardless of build cardinality — is collected
+    * 16384 longs, 128 KB regardless of build cardinality — is collected
     * and re-enters the plan as a LITERAL the probe tests with 8
     * codegen'd bit-probes per row: the exact physics of Spark's own
     * runtime-filter broadcast (an O(m) sketch moves to every task;

@@ -32,6 +32,20 @@ class MinhashSigsSpec extends SparkSpec {
     }
   }
 
+  test("un-reduced inputs throw instead of silently wrapping") {
+    // A raw 60-bit portable hash would overflow h*(j+1) in Java while
+    // the DuckDB SQL form errors — the guard turns that silent
+    // cross-engine divergence into a loud failure (ADVICE r4).
+    import spark.implicits._
+    val df = Seq(Seq(1L << 40)).toDF("hs")
+    val e = intercept[Exception] {
+      df.select(MinhashSigs.sigs(col("hs"), 8)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("outside [0, 2^31-1)")))
+  }
+
   test("null elements are skipped like array_min skips them") {
     val df = spark.sql(
       "SELECT array(CAST(7 AS BIGINT), CAST(NULL AS BIGINT)) AS hs")
