@@ -348,7 +348,99 @@ object EventOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** Event-type transition matrix (order-1 Markov view of the event
+    * stream): per user, consecutive event pairs by event time, counted
+    * per (from, to) and normalized per source state — the journey/
+    * path-analysis primitive behind "what do users do after X".
+    *
+    * Scale shape: one per-user ordered window builds the pairs (sorts
+    * parallelize across users), then the count shuffle carries the
+    * TRANSITION VOCABULARY (|event types|² ≤ 25 rows), not events; the
+    * per-source totals frame is vocabulary-bounded, so broadcasting it
+    * is safe at any corpus size. Probabilities ship as exact integer
+    * ppm (`1e6·cnt div total` — truncating division agrees across
+    * engines; a double ratio of arbitrary counts can tie at the 7th
+    * decimal). */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val counts = events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("cnt")).cast("long").as("src_total"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("cnt"), col("src_total"),
+        expr("1000000 * cnt div src_total").as("prob_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Concurrency profile: how many 30-min-gap sessions (q_sessionize's
+    * exact session definition) are active in each 1-minute bucket —
+    * the load curve capacity planning reads off an event stream.
+    *
+    * Scale shape: the classic sweep-line (+1/-1 running sum over all
+    * boundaries) needs ONE GLOBAL ORDERED WINDOW — a single-partition
+    * WindowExec at 100 TB. Instead each session explodes to its own
+    * minute spine (`sequence` + `explode`, distributed; row count =
+    * total session-minutes) and a combine-enabled count per bucket
+    * replaces the running sum. Same answer, no global sort. */
+  def concurrentSessions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val gapUs = 1800L * 1000000L
+    val sessions = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts_us").isNull ||
+          col("ts_us") - col("prev_ts_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+    sessions
+      .select(explode(expr(
+        "sequence(start_us div 60000000, end_us div 60000000)")).as("bucket_min"))
+      .groupBy(col("bucket_min"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("bucket_min")
+  }
+
+  /** EWMA smoothing over the trailing 8 events per user with exact
+    * dyadic weights 128,64,…,1 (α = 1/2, truncated) — the streaming-
+    * friendly smoother as a batch query. A true infinite-history EWMA
+    * is an order-dependent float recurrence no oracle could replay;
+    * the truncated form is a FIXED 8-term linear combination, so the
+    * whole thing routes through DECIMAL (exact at every step) and
+    * ships as integer micro-units divided by the weight sum 255 —
+    * engine-exact end to end. Only rows with a full 8-event history
+    * emit (row_number ≥ 8), which also makes the result independent
+    * of how partial frames would be weighted.
+    *
+    * Scale shape: one per-user ordered window, 8 lag columns — the
+    * same per-key-sort-only shape as q_rolling_stats; no shuffle
+    * beyond the window's key partitioning. */
+  def ewmaSmooth(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val dec = (c: Column) => c.cast("decimal(18,6)")
+    val weighted = (0 to 7).map { k =>
+      dec(lag(col("value"), k).over(w)) * lit(1L << (7 - k))
+    }.reduce(_ + _)
+    events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("wsum", weighted)
+      .where(col("rn") >= 8)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"),
+        expr("cast(wsum * 1000000 as bigint) div 255").as("ewma_u"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> eventTransitions _,
+    "q_concurrent_sessions" -> concurrentSessions _,
+    "q_ewma_smooth" -> ewmaSmooth _,
     "q_anomaly_zscore" -> anomalyZscore _,
     "q_rolling_stats" -> rollingStats _,
     "q_scd2_intervals" -> scd2Intervals _,
@@ -368,6 +460,67 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    "q_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS from_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, event_type AS to_type, count(*) AS cnt
+        |  FROM seq WHERE from_type IS NOT NULL
+        |  GROUP BY from_type, event_type),
+        |t AS (
+        |  SELECT from_type, CAST(sum(cnt) AS BIGINT) AS src_total
+        |  FROM c GROUP BY from_type)
+        |SELECT from_type, to_type, cnt, src_total,
+        |       CAST(1000000 * cnt // src_total AS BIGINT) AS prob_ppm
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    "q_concurrent_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |m AS (
+        |  SELECT user_id, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                OR ts_us - lag(ts_us) OVER w > 1800 * 1000000
+        |              THEN 1 ELSE 0 END AS new_session,
+        |         event_id
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id
+        |           ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+        |           AS BIGINT) AS session_id,
+        |         ts_us
+        |  FROM m),
+        |spans AS (
+        |  SELECT user_id, session_id,
+        |         min(ts_us) // 60000000 AS sm, max(ts_us) // 60000000 AS em
+        |  FROM sess GROUP BY user_id, session_id),
+        |buckets AS (
+        |  SELECT unnest(range(sm, em + 1)) AS bucket_min FROM spans)
+        |SELECT bucket_min, count(*) AS n_active
+        |FROM buckets GROUP BY bucket_min ORDER BY bucket_min""".stripMargin,
+    "q_ewma_smooth" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+        |l AS (
+        |  SELECT user_id, ts_us, event_id, value,
+        |         row_number() OVER w AS rn,
+        |         CAST(lag(value, 0) OVER w AS DECIMAL(18,6)) * 128
+        |       + CAST(lag(value, 1) OVER w AS DECIMAL(18,6)) * 64
+        |       + CAST(lag(value, 2) OVER w AS DECIMAL(18,6)) * 32
+        |       + CAST(lag(value, 3) OVER w AS DECIMAL(18,6)) * 16
+        |       + CAST(lag(value, 4) OVER w AS DECIMAL(18,6)) * 8
+        |       + CAST(lag(value, 5) OVER w AS DECIMAL(18,6)) * 4
+        |       + CAST(lag(value, 6) OVER w AS DECIMAL(18,6)) * 2
+        |       + CAST(lag(value, 7) OVER w AS DECIMAL(18,6)) * 1 AS wsum
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, ts_us, event_id, value,
+        |       CAST(CAST(wsum * 1000000 AS BIGINT) // 255 AS BIGINT) AS ewma_u
+        |FROM l WHERE rn >= 8
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "q_anomaly_zscore" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),

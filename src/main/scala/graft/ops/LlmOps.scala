@@ -280,6 +280,39 @@ object LlmOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Triangle census + global clustering coefficient over the near-dup
+    * candidate graph — the graph-shape diagnostic that distinguishes
+    * template farms (near-cliques: high closure) from chains of
+    * borderline matches (low closure) before trusting transitive
+    * cluster dedup. Edges are [[minhashDedup]]'s candidate pairs
+    * (canonical u < v); triangles count via the standard two-join
+    * ordered enumeration (u < v < w, each triangle found exactly
+    * once); wedges come from the degree frame, and closure ships as
+    * exact ppm (3·triangles / wedges, truncating division,
+    * `greatest(…, 1)` guarding the empty graph).
+    *
+    * Scale shape: this is the canonical distributed triangle count —
+    * two shuffle joins keyed on node ids over the CANDIDATE edge list
+    * (bounded by LSH collisions, never |corpus|²); the ordered (u<v<w)
+    * form keeps the wedge join from materializing each triangle 6×.
+    * Degree/wedge stats are one combine agg, output is one row. */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val e = minhashDedup(s, dir).select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val wedge = e.join(e.toDF("v", "w"), "v")
+    val tri = wedge.join(e.toDF("u", "w"), Seq("u", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val st = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).cast("long").as("n_wedges"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    st.crossJoin(ne).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("1000000 * 3 * n_triangles div greatest(n_wedges, 1)")
+          .as("closure_ppm"))
+  }
+
   // ------------------------------------------------------ similarity search
 
   /** Embeddings with a precomputed L2 norm (computed once per vector,
@@ -735,6 +768,7 @@ object LlmOps {
     "q_dedup_pagerank" -> dedupPagerank _,
     "q_cluster_stats" -> clusterStats _,
     "q_minhash_dedup" -> minhashDedup _,
+    "q_triangle_count" -> triangleCount _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_cosine_topk" -> cosineTopk _,
     "q_knn_classify" -> knnClassify _,
@@ -784,6 +818,45 @@ object LlmOps {
         |             doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "q_triangle_count" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_transform(shingles,
+        |           sh -> CAST('0x' || substring(sha256(sh), 1, 15) AS BIGINT) % 2147483647) AS hs
+        |  FROM s),
+        |m AS (
+        |  SELECT doc_id, b.range AS band,
+        |         list_min(list_transform(hs,
+        |           h -> (h * (b.range + 1) + 37 * b.range + 101) % 2147483647)) AS sig
+        |  FROM hs, range(0, 8) b),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS u, c.doc_id AS v
+        |  FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig
+        |                   AND a.doc_id < c.doc_id),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM pairs e1 JOIN pairs e2 ON e1.v = e2.u
+        |       JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+        |  GROUP BY node),
+        |st AS (
+        |  SELECT count(*) AS n_nodes,
+        |         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+        |  FROM deg),
+        |ne AS (SELECT count(*) AS n_edges FROM pairs)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |       CAST(1000000 * 3 * n_triangles // greatest(n_wedges, 1) AS BIGINT)
+        |         AS closure_ppm
+        |FROM st, ne, tri""".stripMargin,
     "q_dedup_degree" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -416,6 +416,44 @@ object RelationalOps {
       .distinct()
       .orderBy("user_id", "event_type")
 
+  /** MERGE / upsert (the lakehouse `MERGE INTO` snapshot semantics —
+    * SCD type 1): apply a change batch (updates, deletes, inserts) to
+    * a base table and emit the post-merge snapshot. The change set is
+    * derived deterministically from the base (doc_id mod 7: 0 →
+    * update, 1 → delete, 2 → insert-as-new-id) so the oracle replays
+    * the identical merge; content ships as the portable hash so the
+    * snapshot check covers the merged TEXT, not just row membership.
+    *
+    * Scale shape: one full-outer shuffle join on the merge key — the
+    * minimum data movement any MERGE needs; the change side scales
+    * with the batch, so no broadcast hint (AQE broadcasts small
+    * batches on its own). On a bucketed base layout
+    * (ParquetLayout.writeBucketed) the base-side exchange disappears
+    * entirely — the standard production MERGE physical plan. */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").as("base_text"), col("lang").as("base_lang"))
+    val changes = Tables(s, dir, "documents")
+      .where(col("doc_id") % 7 < 3)
+      .select(
+        when(col("doc_id") % 7 === 2, col("doc_id") + 10000000L)
+          .otherwise(col("doc_id")).as("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(lit("updated: "), col("text")))
+          .when(col("doc_id") % 7 === 2, concat(lit("inserted: "), col("text")))
+          .otherwise(lit(null).cast("string")).as("new_text"),
+        (col("doc_id") % 7 === 1).as("is_delete"),
+        col("lang").as("chg_lang"))
+    base.join(changes, Seq("doc_id"), "full_outer")
+      .where(!coalesce(col("is_delete"), lit(false)))
+      .select(col("doc_id"),
+        when(col("new_text").isNotNull && col("base_text").isNotNull, lit("update"))
+          .when(col("new_text").isNotNull, lit("insert"))
+          .otherwise(lit("keep")).as("op"),
+        coalesce(col("base_lang"), col("chg_lang")).as("lang"),
+        expr(phSql.format("coalesce(new_text, base_text)")).as("content_h"))
+      .orderBy("doc_id")
+  }
+
   /** Bloom-sketch semi-join, portable construction: a classic
     * m = [[BloomM]] = 2^20-bit / k=8 bloom filter whose bit positions
     * are derived by double hashing from the one portable 60-bit sha
@@ -992,6 +1030,7 @@ object RelationalOps {
     "q_join_semi" -> joinSemi _,
     "q_join_anti" -> joinAnti _,
     "q_join_full_outer" -> joinFullOuter _,
+    "q_merge_upsert" -> mergeUpsert _,
     "q_not_in_null" -> notInNullSemantics _,
     "q_unpivot" -> unpivotOrders _,
     "q_range_join" -> rangeJoin _,
@@ -1143,6 +1182,33 @@ object RelationalOps {
       """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT doc_id, text AS base_text, lang AS base_lang FROM documents),
+        |chg AS (
+        |  SELECT CASE WHEN doc_id % 7 = 2 THEN doc_id + 10000000
+        |              ELSE doc_id END AS doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN 'updated: ' || text
+        |              WHEN doc_id % 7 = 2 THEN 'inserted: ' || text
+        |         END AS new_text,
+        |         doc_id % 7 = 1 AS is_delete,
+        |         lang AS chg_lang
+        |  FROM documents WHERE doc_id % 7 < 3),
+        |m AS (
+        |  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+        |         b.base_text, c.new_text, c.is_delete,
+        |         coalesce(b.base_lang, c.chg_lang) AS lang
+        |  FROM base b FULL OUTER JOIN chg c ON b.doc_id = c.doc_id)
+        |SELECT doc_id,
+        |       CASE WHEN new_text IS NOT NULL AND base_text IS NOT NULL
+        |              THEN 'update'
+        |            WHEN new_text IS NOT NULL THEN 'insert'
+        |            ELSE 'keep' END AS op,
+        |       lang,
+        |       CAST('0x' || substring(sha256(coalesce(new_text, base_text)),
+        |            1, 15) AS BIGINT) AS content_h
+        |FROM m WHERE NOT coalesce(is_delete, false)
+        |ORDER BY doc_id""".stripMargin,
     "q_join_multiway" ->
       """SELECT n_name,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

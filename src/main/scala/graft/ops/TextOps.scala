@@ -726,7 +726,94 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Exact-substring span dedup report (the span-granular exact-dedup
+    * signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499 — their suffix-array ExactSubstr
+    * finds byte spans repeated across a corpus; suffix arrays are a
+    * single-node structure, so at distributed scale the standard
+    * reformulation is fixed-length rolling span hashes + one combine
+    * count, which is what this computes): every 3-token span is hashed
+    * (one sha per span via the codegen'd PortableHashes), spans whose
+    * hash occurs more than once ANYWHERE (within or across docs) are
+    * duplicated spans, and each doc reports its span count, duplicated
+    * span count/share, and first duplicated offset — the trim signal a
+    * curation pass consumes. Production uses ~50-token spans; 3 here
+    * matches the corpus' vocabulary density so the signal is non-empty
+    * at gate SF.
+    *
+    * Scale shape: scan + explode (no pre-shuffle), one combine count
+    * keyed on the UNIFORM span hash, one join back on the same key,
+    * one per-doc agg — every shuffle key is either uniform (hash) or
+    * the natural doc key; nothing is all-pairs and no suffix array is
+    * ever materialized. */
+  def substringSpans(s: SparkSession, dir: String): DataFrame = {
+    val spans = tokenized(s, dir, spread = true)
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.PortableHashes.hashes(expr(
+          """transform(sequence(1, size(toks) - 2),
+            |  i -> concat_ws(' ', slice(toks, i, 3)))""".stripMargin)).as("hs"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
+    val counts = spans.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+    spans.join(counts, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_spans"),
+        coalesce(min(when(col("n_occ") > 1, col("pos"))), lit(-1L))
+          .as("first_dup_pos"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        col("first_dup_pos"),
+        expr("1000000 * n_dup_spans div n_spans").as("dup_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Pointwise mutual information over co-occurring head-vocabulary
+    * token pairs — the association-mining pass behind collocation
+    * extraction and word-vector co-occurrence matrices. The pair space
+    * is bounded FIRST (top-50 corpus vocabulary, the q_corpus_drift
+    * head), then document-level presence pairs are counted and PMI is
+    * proxied in exact integer bits: bitlength(n_xy·N) −
+    * bitlength(n_x·n_y) ≈ log2(P(x,y)/(P(x)P(y))) — the q_bigram_lm
+    * trick, bit-for-bit reproducible where a floating ln() could
+    * accumulate apart.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (doc, head-token)
+    * presence rows against a broadcast 50-row vocabulary; the pair
+    * self-join keys on doc_id with per-doc expansion capped at
+    * C(50,2); pair counts ride a vocabulary²-bounded combine shuffle.
+    * Nothing scales with corpus size except the initial scan. */
+  def pmiCooccur(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tokens = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val top = tokens.groupBy(col("token")).agg(count(lit(1)).as("gcnt"))
+      .orderBy(col("gcnt").desc, col("token")).limit(50)
+    val dt = tokens.join(broadcast(top.select("token")), "token")
+      .select("doc_id", "token").distinct()
+    val nx = dt.groupBy(col("token")).agg(count(lit(1)).as("n_x"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    dt.select(col("doc_id"), col("token").as("token_a"))
+      .join(dt.select(col("doc_id"), col("token").as("token_b")), "doc_id")
+      .where(col("token_a") < col("token_b"))
+      .groupBy(col("token_a"), col("token_b")).agg(count(lit(1)).as("n_xy"))
+      .join(broadcast(nx.select(col("token").as("token_a"),
+        col("n_x").as("n_a"))), "token_a")
+      .join(broadcast(nx.select(col("token").as("token_b"),
+        col("n_x").as("n_b"))), "token_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("token_a"), col("token_b"), col("n_xy"), col("n_a"),
+        col("n_b"),
+        (length(expr("bin(n_xy * n_docs)")) - length(expr("bin(n_a * n_b)")))
+          .cast("long").as("pmi_bits"))
+      .orderBy(col("n_xy").desc, col("token_a"), col("token_b"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_substring_spans" -> substringSpans _,
+    "q_pmi_cooccur" -> pmiCooccur _,
     "q_corpus_drift" -> corpusDrift _,
     "q_tfidf_topterms" -> tfidfTopterms _,
     "q_bm25_score" -> bm25Score _,
@@ -753,6 +840,47 @@ object TextOps {
     "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_substring_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sp0 AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos FROM tok),
+        |sp AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |         CAST('0x' || substring(sha256(
+        |           array_to_string(toks[pos:pos+2], ' ')), 1, 15) AS BIGINT) AS h
+        |  FROM sp0),
+        |c AS (SELECT h, count(*) AS n_occ FROM sp GROUP BY h),
+        |j AS (SELECT doc_id, pos, n_occ FROM sp JOIN c USING (h))
+        |SELECT doc_id, count(*) AS n_spans,
+        |       CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_spans,
+        |       coalesce(min(CASE WHEN n_occ > 1 THEN pos END),
+        |                CAST(-1 AS BIGINT)) AS first_dup_pos,
+        |       CAST(1000000 * sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)
+        |            // count(*) AS BIGINT) AS dup_ppm
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_pmi_cooccur" ->
+      """WITH alltok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |top AS (
+        |  SELECT token, count(*) AS gcnt FROM alltok GROUP BY token
+        |  ORDER BY gcnt DESC, token LIMIT 50),
+        |dt AS (
+        |  SELECT DISTINCT doc_id, token FROM alltok JOIN top USING (token)),
+        |nx AS (SELECT token, count(*) AS n_x FROM dt GROUP BY token),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |p AS (
+        |  SELECT a.token AS token_a, b.token AS token_b, count(*) AS n_xy
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+        |  GROUP BY 1, 2)
+        |SELECT token_a, token_b, n_xy, xa.n_x AS n_a, xb.n_x AS n_b,
+        |       CAST(length(bin(n_xy * n_docs)) - length(bin(xa.n_x * xb.n_x))
+        |            AS BIGINT) AS pmi_bits
+        |FROM p JOIN nx xa ON token_a = xa.token
+        |       JOIN nx xb ON token_b = xb.token, nd
+        |ORDER BY n_xy DESC, token_a, token_b LIMIT 100""".stripMargin,
     "q_corpus_drift" ->
       """WITH tok AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -464,6 +464,54 @@ object VectorOps {
           .as("max_recon_err"))
       .orderBy("vec_id")
 
+  /** Product quantization encode (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011 — the codebook side of
+    * IVF-PQ, the standard storage layout for billion-vector ANN): the
+    * 64-dim vector splits into 4 contiguous 16-dim subspaces, each
+    * with its own 16-codeword codebook (deterministically the first 16
+    * vectors' subvectors — the same seed rule q_ann_ivf uses, which a
+    * real deployment replaces with per-subspace k-means via
+    * q_kmeans_step's loop); every vector encodes to 4 codes = 2 bytes
+    * total, a 128× compression of the float payload. Emits the codes
+    * plus the total squared reconstruction error in exact micro-units
+    * (each subspace's ‖x−c‖² = x·x + c·c − 2·x·c is one fixed IEEE
+    * expression from codegen'd dots — bit-identical cross-engine —
+    * floored to integer BEFORE the order-free 4-term sum).
+    *
+    * Scale shape: vector × 4 subspaces × broadcast 64-row codebook —
+    * assignment work is a bounded 16× expansion per subspace row, the
+    * argmin is a per-(vector, subspace) window over 16 rows, and
+    * nothing shuffles except that window's key partitioning (keys =
+    * 4 × corpus rows, uniform). The codebook is provably bounded, so
+    * the broadcast obeys SURVEY §8. */
+  def productQuantize(s: SparkSession, dir: String): DataFrame = {
+    val subCols = array(
+      slice(col("embedding"), 1, 16), slice(col("embedding"), 17, 16),
+      slice(col("embedding"), 33, 16), slice(col("embedding"), 49, 16))
+    def subbed(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), posexplode(subCols).as(Seq("sub", "subvec")))
+      .withColumn("xx",
+        graft.functions.GraftFunctions.array_dot(col("subvec"), col("subvec")))
+    val base = subbed(t(s, dir, "embeddings"))
+    val cents = subbed(t(s, dir, "embeddings").where(col("vec_id") < 16))
+      .select(col("vec_id").as("cent_id"), col("sub"),
+        col("subvec").as("cent_sub"), col("xx").as("cc"))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2"), col("cent_id"))
+    base.join(broadcast(cents), "sub")
+      .withColumn("d2", col("xx") + col("cc") - lit(2.0) *
+        graft.functions.GraftFunctions.array_dot(col("subvec"), col("cent_sub")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        max(when(col("sub") === 0, col("cent_id"))).as("code_0"),
+        max(when(col("sub") === 1, col("cent_id"))).as("code_1"),
+        max(when(col("sub") === 2, col("cent_id"))).as("code_2"),
+        max(when(col("sub") === 3, col("cent_id"))).as("code_3"),
+        sum(floor(col("d2") * lit(1000000.0)).cast("long")).as("err_u"))
+      .orderBy("vec_id")
+  }
+
   // ----------------------------------------------------- multimodal binary
 
   /** Opaque-binary multimodal plumbing: media payloads travel as
@@ -497,6 +545,7 @@ object VectorOps {
     "q_ann_ivf_multiprobe" -> annIvfMultiprobe _,
     "q_ann_recall" -> annRecall _,
     "q_kmeans_step" -> kmeansStep _,
+    "q_product_quantize" -> productQuantize _,
     "q_embedding_quantize" -> embeddingQuantize _,
     "q_multimodal_binary" -> multimodalBinary _,
     "q_frame_sample" -> frameSampleQuery _)
@@ -675,6 +724,42 @@ object VectorOps {
         |       CAST(sb % 128 AS DOUBLE) / CAST(128 AS DOUBLE) AS f0
         |FROM b
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_product_quantize" ->
+      """WITH sub AS (
+        |  SELECT vec_id,
+        |         unnest([embedding[1:16], embedding[17:32],
+        |                 embedding[33:48], embedding[49:64]]) AS subvec,
+        |         unnest([0, 1, 2, 3]) AS sub
+        |  FROM embeddings),
+        |v AS (
+        |  SELECT vec_id, sub, subvec,
+        |         list_reduce(list_transform(subvec,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS xx
+        |  FROM sub),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, sub, subvec AS cent_sub, xx AS cc
+        |  FROM v WHERE vec_id < 16),
+        |d AS (
+        |  SELECT v.vec_id, v.sub, c.cent_id,
+        |         v.xx + c.cc - CAST(2.0 AS DOUBLE) *
+        |           list_reduce(list_transform(list_zip(v.subvec, c.cent_sub),
+        |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |             (a, b) -> a + b) AS d2
+        |  FROM v JOIN cents c ON v.sub = c.sub),
+        |a AS (
+        |  SELECT vec_id, sub, cent_id, d2,
+        |         row_number() OVER (PARTITION BY vec_id, sub
+        |           ORDER BY d2, cent_id) AS rn
+        |  FROM d)
+        |SELECT vec_id,
+        |       max(CASE WHEN sub = 0 THEN cent_id END) AS code_0,
+        |       max(CASE WHEN sub = 1 THEN cent_id END) AS code_1,
+        |       max(CASE WHEN sub = 2 THEN cent_id END) AS code_2,
+        |       max(CASE WHEN sub = 3 THEN cent_id END) AS code_3,
+        |       CAST(sum(CAST(floor(d2 * CAST(1000000.0 AS DOUBLE)) AS BIGINT))
+        |            AS BIGINT) AS err_u
+        |FROM a WHERE rn = 1
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_ann_ivf" ->
       """WITH base AS (
         |  SELECT vec_id, embedding, label,
