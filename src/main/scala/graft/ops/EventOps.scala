@@ -421,13 +421,18 @@ object EventOps {
     * Scale shape: one per-user ordered window, 8 lag columns — the
     * same per-key-sort-only shape as q_rolling_stats; no shuffle
     * beyond the window's key partitioning. */
-  def ewmaSmooth(s: SparkSession, dir: String): DataFrame = {
+  def ewmaSmooth(s: SparkSession, dir: String): DataFrame =
+    ewmaOf(events(s, dir))
+
+  /** The EWMA core over any (user_id, ts_us, event_id, value) frame —
+    * EwmaSpec pins the weighting against a hand-computed fixture. */
+  private[graft] def ewmaOf(df: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val dec = (c: Column) => c.cast("decimal(18,6)")
     val weighted = (0 to 7).map { k =>
       dec(lag(col("value"), k).over(w)) * lit(1L << (7 - k))
     }.reduce(_ + _)
-    events(s, dir)
+    df
       .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
       .withColumn("rn", row_number().over(w))
       .withColumn("wsum", weighted)

@@ -296,8 +296,16 @@ object LlmOps {
     * (bounded by LSH collisions, never |corpus|²); the ordered (u<v<w)
     * form keeps the wedge join from materializing each triangle 6×.
     * Degree/wedge stats are one combine agg, output is one row. */
-  def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val e = minhashDedup(s, dir).select(col("doc_a").as("u"), col("doc_b").as("v"))
+  def triangleCount(s: SparkSession, dir: String): DataFrame =
+    triangleStats(
+      minhashDedup(s, dir).select(col("doc_a").as("u"), col("doc_b").as("v")))
+
+  /** The triangle census core over a canonical (u < v) edge list —
+    * TriangleSpec pins the counts on hand-built graphs (clique, path)
+    * so the ordered-enumeration joins can't silently over- or
+    * under-count. */
+  private[graft] def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("u", "v")
     val wedge = e.join(e.toDF("v", "w"), "v")
     val tri = wedge.join(e.toDF("u", "w"), Seq("u", "w"))
       .agg(count(lit(1)).as("n_triangles"))

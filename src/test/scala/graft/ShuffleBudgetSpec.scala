@@ -103,6 +103,34 @@ class ShuffleBudgetSpec extends SparkSpec {
       s"chunk BM25 lost its distributed top-k:\n$plan")
   }
 
+  test("r5 fifth-wave ops hold their declared shuffle budgets") {
+    for ((name, budget) <- Seq(
+      // per-user window + vocabulary pair count + totals + ppm join prep
+      "q_event_transitions" -> 4,
+      // per-user session window + bucket combine count; the minute
+      // spine explode adds NO exchange (the whole point vs sweep-line)
+      "q_concurrent_sessions" -> 2,
+      // one per-key ordered window, nothing else moves
+      "q_ewma_smooth" -> 1,
+      // combine count on the uniform span hash + per-doc agg; the
+      // join-back rides the count's partitioning
+      "q_substring_spans" -> 2,
+      // vocab count + distinct presence + n_x + doc-keyed pair
+      // self-join + pair combine — all vocabulary- or doc-keyed
+      "q_pmi_cooccur" -> 6,
+      // the full-outer merge join: one exchange per side, nothing else
+      "q_merge_upsert" -> 2,
+      // argmin window on (vec, sub) + per-vector code pivot; codebook
+      // is broadcast so assignment adds nothing
+      "q_product_quantize" -> 2,
+      // two triangle joins + degree/wedge combine aggs over the
+      // CANDIDATE edge list; the corpus itself never re-shuffles
+      "q_triangle_count" -> 6)) {
+      val n = hashExchanges(q(name))
+      assert(n <= budget, s"$name over budget: $n > $budget")
+    }
+  }
+
   test("broadcast-side similarity search never shuffles the corpus scan") {
     // brute-force top-k: the only hash exchange allowed is the final
     // per-query ranking of the tiny (queries x k) candidate frame
