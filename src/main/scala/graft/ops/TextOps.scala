@@ -755,8 +755,12 @@ object TextOps {
             |  i -> concat_ws(' ', slice(toks, i, 3)))""".stripMargin)).as("hs"))
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
-    val counts = spans.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
-    spans.join(counts, "h")
+    // occurrence count as an UNORDERED window over the uniform hash —
+    // one shuffle on h carrying (doc, pos) along, where the
+    // groupBy-count + join-back formulation re-shuffles the span set a
+    // third time (benched ~2x slower at sf0.1)
+    spans
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_spans"),
