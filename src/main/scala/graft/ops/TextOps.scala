@@ -56,7 +56,16 @@ object TextOps {
     * doc by distinct-token overlap, ties to the lexicographically
     * smaller language. Emits the true-label comparison so downstream
     * can measure heuristic accuracy. */
-  def langId(s: SparkSession, dir: String): DataFrame = {
+  def langId(s: SparkSession, dir: String): DataFrame =
+    langPredictions(s, dir)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("n_matches"),
+        (col("cand_lang") === col("true_lang")).as("is_correct"))
+      .orderBy("doc_id")
+
+  /** Per-doc language prediction frame (doc_id, true_lang, cand_lang,
+    * n_matches) at the argmax row — shared by the per-doc projection
+    * ([[langId]]) and the corpus eval ([[langidConfusion]]). */
+  private def langPredictions(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val vocabW = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("token"))
     val vocab = docs
@@ -72,9 +81,29 @@ object TextOps {
       .groupBy(col("doc_id"), col("true_lang"), col("cand_lang"))
       .agg(count(lit(1)).as("n_matches"))
       .withColumn("pr", row_number().over(predW)).where(col("pr") === 1)
-      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("n_matches"),
-        (col("cand_lang") === col("true_lang")).as("is_correct"))
-      .orderBy("doc_id")
+  }
+
+  /** Language-ID confusion matrix — the eval the heuristic needs
+    * before anyone trusts its labels for corpus routing: per
+    * (true, predicted) pair, the doc count plus the share of the true
+    * language's predictions as exact ppm (recall on the diagonal,
+    * leakage off it). Same eval-op family as q_ann_recall /
+    * q_srp_recall.
+    *
+    * Scale shape: everything after [[langPredictions]]' per-doc argmax
+    * is (|langs|²)-bounded — the confusion counts ride one tiny
+    * combine shuffle and the per-language totals broadcast. */
+  def langidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val cells = langPredictions(s, dir)
+      .groupBy(col("true_lang"), col("cand_lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy(col("true_lang"))
+      .agg(sum(col("n_docs")).cast("long").as("lang_total"))
+    cells.join(broadcast(totals), "true_lang")
+      .select(col("true_lang"), col("pred_lang"), col("n_docs"),
+        col("lang_total"),
+        expr("1000000 * n_docs div lang_total").as("share_ppm"))
+      .orderBy("true_lang", "pred_lang")
   }
 
   // --------------------------------------------------------- quality score
@@ -832,6 +861,7 @@ object TextOps {
     "q_doc_chunk" -> docChunk _,
     "q_chunk_dedup" -> chunkDedup _,
     "q_lang_id" -> langId _,
+    "q_langid_confusion" -> langidConfusion _,
     "q_quality_score" -> qualityScore _,
     "q_token_count_bpe" -> tokenCountBpe _,
     "q_doc_fingerprint" -> docFingerprint _,
@@ -1108,6 +1138,35 @@ object TextOps {
         |QUALIFY row_number() OVER (PARTITION BY doc_id
         |  ORDER BY n_matches DESC, cand_lang) = 1
         |ORDER BY doc_id""".stripMargin,
+    "q_langid_confusion" ->
+      """WITH cv AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |vocab AS (
+        |  SELECT lang AS cand_lang, token FROM (
+        |    SELECT lang, token, count(*) AS cnt,
+        |           row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS r
+        |    FROM cv GROUP BY lang, token) WHERE r <= 5),
+        |tok AS (
+        |  SELECT doc_id, lang AS true_lang,
+        |         unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, true_lang, cand_lang, count(*) AS n_matches
+        |  FROM tok JOIN vocab USING (token) GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT doc_id, true_lang, cand_lang AS pred_lang FROM m
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY n_matches DESC, cand_lang) = 1),
+        |cells AS (
+        |  SELECT true_lang, pred_lang, count(*) AS n_docs
+        |  FROM pred GROUP BY true_lang, pred_lang),
+        |tot AS (
+        |  SELECT true_lang, CAST(sum(n_docs) AS BIGINT) AS lang_total
+        |  FROM cells GROUP BY true_lang)
+        |SELECT true_lang, pred_lang, n_docs, lang_total,
+        |       CAST(1000000 * n_docs // lang_total AS BIGINT) AS share_ppm
+        |FROM cells JOIN tot USING (true_lang)
+        |ORDER BY true_lang, pred_lang""".stripMargin,
     "q_quality_score" ->
       """SELECT doc_id,
         |       CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -263,18 +263,26 @@ object VectorOps {
     * its own cluster (nprobe=1) for its top-3 neighbors. The search
     * shuffle is on cluster id — candidate work per query is |cluster|,
     * not |corpus|. */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  /** IVF coarse assignment (vec_id → nearest of the 16 seed
+    * centroids) — the shared scope rule of the ANN queries and the
+    * cluster-labeling composition (q_cluster_topterms). */
+  private[graft] def ivfAssign(s: SparkSession, dir: String): DataFrame = {
     val base = withNorm(s, dir)
     val cents = base.where(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
         col("norm").as("cent_norm"))
     val assignW = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
-    val assign = base.crossJoin(broadcast(cents))
+    base.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         r6(dot("embedding", "cent_emb") / (col("norm") * col("cent_norm"))).as("ccos"))
       .withColumn("ar", row_number().over(assignW)).where(col("ar") === 1)
       .select(col("vec_id"), col("cent_id").as("cluster_id"))
+  }
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(s, dir)
+    val assign = ivfAssign(s, dir)
     val clustered = base.join(assign, "vec_id")
     val q = clustered.where(col("vec_id") < 20)
       .select(col("cluster_id"), col("vec_id").as("qid"),
@@ -484,24 +492,8 @@ object VectorOps {
     * nothing shuffles except that window's key partitioning (keys =
     * 4 × corpus rows, uniform). The codebook is provably bounded, so
     * the broadcast obeys SURVEY §8. */
-  def productQuantize(s: SparkSession, dir: String): DataFrame = {
-    val subCols = array(
-      slice(col("embedding"), 1, 16), slice(col("embedding"), 17, 16),
-      slice(col("embedding"), 33, 16), slice(col("embedding"), 49, 16))
-    def subbed(df: DataFrame): DataFrame = df
-      .select(col("vec_id"), posexplode(subCols).as(Seq("sub", "subvec")))
-      .withColumn("xx",
-        graft.functions.GraftFunctions.array_dot(col("subvec"), col("subvec")))
-    val base = subbed(t(s, dir, "embeddings"))
-    val cents = subbed(t(s, dir, "embeddings").where(col("vec_id") < 16))
-      .select(col("vec_id").as("cent_id"), col("sub"),
-        col("subvec").as("cent_sub"), col("xx").as("cc"))
-    val w = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("d2"), col("cent_id"))
-    base.join(broadcast(cents), "sub")
-      .withColumn("d2", col("xx") + col("cc") - lit(2.0) *
-        graft.functions.GraftFunctions.array_dot(col("subvec"), col("cent_sub")))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+  def productQuantize(s: SparkSession, dir: String): DataFrame =
+    pqAssigned(s, dir)
       .groupBy(col("vec_id"))
       .agg(
         max(when(col("sub") === 0, col("cent_id"))).as("code_0"),
@@ -510,6 +502,99 @@ object VectorOps {
         max(when(col("sub") === 3, col("cent_id"))).as("code_3"),
         sum(floor(col("d2") * lit(1000000.0)).cast("long")).as("err_u"))
       .orderBy("vec_id")
+
+  /** (vec_id, sub, subvec, xx): the vector split into the 4 PQ
+    * subspaces with each subvector's self-dot precomputed. */
+  private def pqSubbed(df: DataFrame): DataFrame = df
+    .select(col("vec_id"), posexplode(array(
+      slice(col("embedding"), 1, 16), slice(col("embedding"), 17, 16),
+      slice(col("embedding"), 33, 16), slice(col("embedding"), 49, 16)))
+      .as(Seq("sub", "subvec")))
+    .withColumn("xx",
+      graft.functions.GraftFunctions.array_dot(col("subvec"), col("subvec")))
+
+  /** The 4 × 16 PQ codebook (seed rule: first 16 vectors' subvectors)
+    * with per-codeword self-dots. Provably bounded → broadcastable. */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    pqSubbed(t(s, dir, "embeddings").where(col("vec_id") < 16))
+      .select(col("vec_id").as("cent_id"), col("sub"),
+        col("subvec").as("cent_sub"), col("xx").as("cc"))
+
+  /** Per-(vector, subspace) PQ assignment: (vec_id, sub, cent_id, d2)
+    * for the argmin codeword — the shared core of the encode
+    * ([[productQuantize]]) and the ADC search ([[annPqSearch]]). */
+  private[graft] def pqAssigned(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2"), col("cent_id"))
+    pqSubbed(t(s, dir, "embeddings"))
+      .join(broadcast(pqCodebook(s, dir)), "sub")
+      .withColumn("d2", col("xx") + col("cc") - lit(2.0) *
+        graft.functions.GraftFunctions.array_dot(col("subvec"), col("cent_sub")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cent_id"), col("d2"))
+  }
+
+  /** PQ asymmetric-distance search (ADC — Jégou et al. 2011 §IV): the
+    * serving half of [[productQuantize]]. Each query precomputes a
+    * 4 × 16 distance TABLE to every codeword (‖q_sub − c‖², the same
+    * fixed IEEE expression the encoder uses, floored to micro-units);
+    * a candidate's approximate distance is then 4 integer TABLE
+    * LOOKUPS summed — no float arithmetic ever touches the corpus
+    * row. Emits top-5 per query by ADC distance.
+    *
+    * Scale shape: the corpus-side input is the 4-codes frame (2
+    * bytes/vector of true payload — the 128× scan-size win that makes
+    * PQ the billion-vector standard); the lookup join is against a
+    * broadcast (queries × 4 × 16)-row table; distance assembly is a
+    * combine-enabled (qid, vec) sum of 4 integers. The per-query
+    * ranking window partitions |queries| ways — at real scale ADC
+    * composes with IVF pruning (q_ann_ivf's cluster scope) so each
+    * query ranks one cluster's codes, not the corpus. */
+  def annPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val codes = pqAssigned(s, dir).select(col("vec_id"), col("sub"), col("cent_id"))
+    val table = pqSubbed(t(s, dir, "embeddings").where(col("vec_id") < 10))
+      .select(col("vec_id").as("qid"), col("sub"),
+        col("subvec").as("q_sub"), col("xx").as("qxx"))
+      .join(broadcast(pqCodebook(s, dir)), "sub")
+      .select(col("qid"), col("sub"), col("cent_id"),
+        floor((col("qxx") + col("cc") - lit(2.0) *
+          graft.functions.GraftFunctions.array_dot(col("q_sub"), col("cent_sub")))
+          * lit(1000000.0)).cast("long").as("d2q_u"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist_u"), col("vec_id"))
+    codes.join(broadcast(table), Seq("sub", "cent_id"))
+      .where(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d2q_u")).as("adist_u"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("vec_id"), col("adist_u"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Semantic cluster labeling: the doc side of each IVF cluster gets
+    * its top-5 terms by raw count — the "what is this embedding
+    * cluster about" report that names clusters after k-means/IVF
+    * training (documents and embeddings share the id space:
+    * embedding vec_id i embeds document doc_id i).
+    *
+    * Scale shape: the IVF assignment is the broadcast-16-centroids ×
+    * scan shape every ANN query uses; the doc join keys on the shared
+    * id (one shuffle); term counts ride a (clusters × vocabulary)-
+    * bounded combine shuffle; the rank window partitions per cluster
+    * over vocabulary-sized frames. */
+  def clusterTopterms(s: SparkSession, dir: String): DataFrame = {
+    val assign = ivfAssign(s, dir)
+      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("cnt").desc, col("token"))
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .join(assign, "doc_id")
+      .select(col("cluster_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("cluster_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("cluster_id"), col("rank"), col("token"), col("cnt"))
+      .orderBy("cluster_id", "rank")
   }
 
   // ----------------------------------------------------- multimodal binary
@@ -546,6 +631,8 @@ object VectorOps {
     "q_ann_recall" -> annRecall _,
     "q_kmeans_step" -> kmeansStep _,
     "q_product_quantize" -> productQuantize _,
+    "q_ann_pq_search" -> annPqSearch _,
+    "q_cluster_topterms" -> clusterTopterms _,
     "q_embedding_quantize" -> embeddingQuantize _,
     "q_multimodal_binary" -> multimodalBinary _,
     "q_frame_sample" -> frameSampleQuery _)
@@ -760,6 +847,80 @@ object VectorOps {
         |            AS BIGINT) AS err_u
         |FROM a WHERE rn = 1
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q_ann_pq_search" ->
+      """WITH sub AS (
+        |  SELECT vec_id,
+        |         unnest([embedding[1:16], embedding[17:32],
+        |                 embedding[33:48], embedding[49:64]]) AS subvec,
+        |         unnest([0, 1, 2, 3]) AS sub
+        |  FROM embeddings),
+        |v AS (
+        |  SELECT vec_id, sub, subvec,
+        |         list_reduce(list_transform(subvec,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS xx
+        |  FROM sub),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, sub, subvec AS cent_sub, xx AS cc
+        |  FROM v WHERE vec_id < 16),
+        |d AS (
+        |  SELECT v.vec_id, v.sub, c.cent_id,
+        |         v.xx + c.cc - CAST(2.0 AS DOUBLE) *
+        |           list_reduce(list_transform(list_zip(v.subvec, c.cent_sub),
+        |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |             (a, b) -> a + b) AS d2
+        |  FROM v JOIN cents c ON v.sub = c.sub),
+        |codes AS (
+        |  SELECT vec_id, sub, cent_id FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY d2, cent_id) = 1),
+        |qt AS (
+        |  SELECT v.vec_id AS qid, v.sub, c.cent_id,
+        |         CAST(floor((v.xx + c.cc - CAST(2.0 AS DOUBLE) *
+        |           list_reduce(list_transform(list_zip(v.subvec, c.cent_sub),
+        |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |             (a, b) -> a + b)) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+        |           AS d2q_u
+        |  FROM v JOIN cents c ON v.sub = c.sub
+        |  WHERE v.vec_id < 10),
+        |ad AS (
+        |  SELECT qt.qid, codes.vec_id, CAST(sum(d2q_u) AS BIGINT) AS adist_u
+        |  FROM codes JOIN qt ON codes.sub = qt.sub AND codes.cent_id = qt.cent_id
+        |  WHERE qt.qid != codes.vec_id
+        |  GROUP BY qt.qid, codes.vec_id)
+        |SELECT qid, CAST(row_number() OVER w AS BIGINT) AS rn, vec_id, adist_u
+        |FROM ad
+        |WINDOW w AS (PARTITION BY qid ORDER BY adist_u, vec_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY qid, rn""".stripMargin,
+    "q_cluster_topterms" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS norm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
+        |  FROM base WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cluster_id FROM (
+        |    SELECT b.vec_id, c.cent_id,
+        |           round(list_reduce(list_transform(list_zip(b.embedding, c.cent_emb),
+        |                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |                 / (b.norm * c.cent_norm), 6) AS ccos
+        |    FROM base b, cents c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) = 1),
+        |tok AS (
+        |  SELECT a.cluster_id, unnest(string_split(d.text, ' ')) AS token
+        |  FROM documents d JOIN assign a ON d.doc_id = a.vec_id),
+        |c AS (
+        |  SELECT cluster_id, token, count(*) AS cnt
+        |  FROM tok GROUP BY cluster_id, token)
+        |SELECT cluster_id, CAST(row_number() OVER w AS BIGINT) AS rank,
+        |       token, cnt
+        |FROM c
+        |WINDOW w AS (PARTITION BY cluster_id ORDER BY cnt DESC, token)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY cluster_id, rank""".stripMargin,
     "q_ann_ivf" ->
       """WITH base AS (
         |  SELECT vec_id, embedding, label,

@@ -125,7 +125,17 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_product_quantize" -> 2,
       // two triangle joins + degree/wedge combine aggs over the
       // CANDIDATE edge list; the corpus itself never re-shuffles
-      "q_triangle_count" -> 6)) {
+      "q_triangle_count" -> 6,
+      // ADC: codes window + (qid, vec) combine sum + per-query rank;
+      // the distance table is broadcast, never shuffled
+      "q_ann_pq_search" -> 4,
+      // assignment is broadcast-side; doc join on the shared id +
+      // (cluster, token) combine + per-cluster rank window
+      "q_cluster_topterms" -> 4,
+      // inherits langId's vocab-build + per-doc argmax exchanges
+      // (vocabulary- and doc-keyed); the confusion cells and totals
+      // past the argmax add only langs^2-bounded movement
+      "q_langid_confusion" -> 7)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
