@@ -416,6 +416,92 @@ object RelationalOps {
       .distinct()
       .orderBy("user_id", "event_type")
 
+  /** Data-profiling pass (the Deequ/Great-Expectations-style audit a
+    * pipeline runs before trusting a new drop): per column of
+    * lineitem — null count, exact distinct count, numeric min/max
+    * (timestamps as epoch-µs), lexicographic min/max for strings —
+    * emitted as one row per column.
+    *
+    * Scale shape: ONE scan; the multi-column exact count_distinct
+    * plans as a single Expand (one row per (input row, column group))
+    * feeding one combine shuffle — the documented cost of exact
+    * profiling (the approx variant swaps in approx_count_distinct and
+    * drops the Expand; q_approx_distinct demonstrates that sketch).
+    * The final per-column explode runs on the ONE aggregated row. */
+  private val ProfileNumeric = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val ProfileStrings = Seq("l_returnflag", "l_linestatus")
+  private val ProfileDates = Seq("l_shipdate")
+
+  /** The q_profile_stats DuckDB oracle, generated from the SAME column
+    * lists the query uses so the two surfaces cannot drift. */
+  private[graft] def profileOracle: String = {
+    def branch(c: String, kind: String): String = {
+      val (mn, mx, ms, xs) = kind match {
+        case "num" => (s"round(CAST(min($c) AS DOUBLE), 6)",
+          s"round(CAST(max($c) AS DOUBLE), 6)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        case "str" => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+          s"min($c)", s"max($c)")
+        case _ => (s"CAST(epoch_us(min($c)) AS DOUBLE)",
+          s"CAST(epoch_us(max($c)) AS DOUBLE)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      }
+      s"""SELECT '$c' AS col_name,
+         |  (SELECT count(*) FROM lineitem) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  $mn AS min_num, $mx AS max_num,
+         |  $ms AS min_str, $xs AS max_str
+         |FROM lineitem""".stripMargin
+    }
+    val branches =
+      ProfileNumeric.map(branch(_, "num")) ++
+      ProfileStrings.map(branch(_, "str")) ++
+      ProfileDates.map(branch(_, "date"))
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  def profileStats(s: SparkSession, dir: String): DataFrame = {
+    val numeric = ProfileNumeric
+    val strings = ProfileStrings
+    val dates = ProfileDates
+    def m(c: String, suffix: String): String = s"${c}__$suffix"
+    val aggs =
+      numeric.flatMap(c => Seq(
+        count(col(c)).as(m(c, "cnt")),
+        countDistinct(col(c)).as(m(c, "nd")),
+        r6(min(col(c)).cast("double")).as(m(c, "min")),
+        r6(max(col(c)).cast("double")).as(m(c, "max")))) ++
+      strings.flatMap(c => Seq(
+        count(col(c)).as(m(c, "cnt")),
+        countDistinct(col(c)).as(m(c, "nd")),
+        min(col(c)).as(m(c, "mins")),
+        max(col(c)).as(m(c, "maxs")))) ++
+      dates.flatMap(c => Seq(
+        count(col(c)).as(m(c, "cnt")),
+        countDistinct(col(c)).as(m(c, "nd")),
+        Det.epochUs(min(col(c))).cast("double").as(m(c, "min")),
+        Det.epochUs(max(col(c))).cast("double").as(m(c, "max"))))
+    val one = Tables(s, dir, "lineitem")
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val entries =
+      (numeric ++ dates).map(c =>
+        s"""struct('$c' as col_name, n_rows - `${m(c, "cnt")}` as n_nulls,
+           |  `${m(c, "nd")}` as n_distinct,
+           |  `${m(c, "min")}` as min_num, `${m(c, "max")}` as max_num,
+           |  cast(null as string) as min_str,
+           |  cast(null as string) as max_str)""".stripMargin) ++
+      strings.map(c =>
+        s"""struct('$c' as col_name, n_rows - `${m(c, "cnt")}` as n_nulls,
+           |  `${m(c, "nd")}` as n_distinct,
+           |  cast(null as double) as min_num, cast(null as double) as max_num,
+           |  `${m(c, "mins")}` as min_str, `${m(c, "maxs")}` as max_str)""".stripMargin)
+    one
+      .select(explode(array(entries.map(expr): _*)).as("e"))
+      .select(col("e.*"))
+      .orderBy("col_name")
+  }
+
   /** MERGE / upsert (the lakehouse `MERGE INTO` snapshot semantics —
     * SCD type 1): apply a change batch (updates, deletes, inserts) to
     * a base table and emit the post-merge snapshot. The change set is
@@ -1031,6 +1117,7 @@ object RelationalOps {
     "q_join_anti" -> joinAnti _,
     "q_join_full_outer" -> joinFullOuter _,
     "q_merge_upsert" -> mergeUpsert _,
+    "q_profile_stats" -> profileStats _,
     "q_not_in_null" -> notInNullSemantics _,
     "q_unpivot" -> unpivotOrders _,
     "q_range_join" -> rangeJoin _,
@@ -1182,6 +1269,7 @@ object RelationalOps {
       """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q_profile_stats" -> profileOracle,
     "q_merge_upsert" ->
       """WITH base AS (
         |  SELECT doc_id, text AS base_text, lang AS base_lang FROM documents),
