@@ -844,7 +844,57 @@ object TextOps {
       .limit(100)
   }
 
+  /** Heuristic-filter battery report (the C4/Gopher-style rule sheet a
+    * curation run publishes): each drop rule — too short, repetitive
+    * 2-grams (q_repetition_filter's exact signal), low type-token
+    * ratio, no stopwords — reports how many documents it flags and
+    * its corpus share, plus the union row ('any') that says what the
+    * whole battery would drop. Rules are exact-integer ppm
+    * thresholds, so the report hash-checks.
+    *
+    * Scale shape: the signals are ONE scan-side projection (no
+    * shuffle), the battery collapses to a single 1-row aggregate, and
+    * the per-rule explode runs on that one row — the cheapest possible
+    * shape for a corpus-wide report. */
+  def filterBattery(s: SparkSession, dir: String): DataFrame = {
+    val sigs = tokenized(s, dir)
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("n_dist"),
+        expr("cast(size(filter(toks, x -> x in ('a','the','of','and','in'))) as bigint)")
+          .as("n_stop"),
+        expr(
+          """case when size(toks) >= 2 then cast(floor(1e6 *
+            |  (size(toks) - 1 - size(array_distinct(transform(
+            |     sequence(1, size(toks) - 1),
+            |     i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))))
+            |  / (size(toks) - 1)) as bigint)
+            |else cast(0 as bigint) end""".stripMargin).as("rep_ppm"))
+      .select(
+        (col("n_toks") < 10L).as("r_short"),
+        (col("rep_ppm") >= 100000L).as("r_repetitive"),
+        (expr("1000000 * n_dist div n_toks") < 300000L).as("r_low_ttr"),
+        (col("n_stop") === 0L).as("r_no_stopwords"))
+    def flagged(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(s"c_$c")
+    val one = sigs.agg(count(lit(1)).as("n_docs"),
+      flagged("r_short"), flagged("r_repetitive"),
+      flagged("r_low_ttr"), flagged("r_no_stopwords"),
+      sum(when(col("r_short") || col("r_repetitive") ||
+        col("r_low_ttr") || col("r_no_stopwords"), 1L).otherwise(0L)).as("c_any"))
+    val entries = Seq(
+      "any" -> "c_any", "r_low_ttr" -> "c_r_low_ttr",
+      "r_no_stopwords" -> "c_r_no_stopwords",
+      "r_repetitive" -> "c_r_repetitive", "r_short" -> "c_r_short"
+    ).map { case (r, c) =>
+      s"""struct('$r' as rule, $c as n_flagged, n_docs,
+         |  1000000 * $c div n_docs as share_ppm)""".stripMargin
+    }
+    one.select(explode(array(entries.map(expr): _*)).as("e"))
+      .select(col("e.*")).orderBy("rule")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_battery" -> filterBattery _,
     "q_substring_spans" -> substringSpans _,
     "q_pmi_cooccur" -> pmiCooccur _,
     "q_corpus_drift" -> corpusDrift _,
@@ -874,6 +924,43 @@ object TextOps {
     "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_filter_battery" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sig AS (
+        |  SELECT CAST(len(toks) AS BIGINT) AS n_toks,
+        |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist,
+        |         CAST(len(list_filter(toks,
+        |           x -> x IN ('a','the','of','and','in'))) AS BIGINT) AS n_stop,
+        |         CASE WHEN len(toks) >= 2 THEN CAST(floor(1e6 *
+        |             (len(toks) - 1 - len(list_distinct(list_transform(
+        |                range(1, len(toks)),
+        |                i -> toks[i] || ' ' || toks[i + 1]))))
+        |             / (len(toks) - 1)) AS BIGINT)
+        |         ELSE 0 END AS rep_ppm
+        |  FROM t),
+        |f AS (
+        |  SELECT n_toks < 10 AS r_short, rep_ppm >= 100000 AS r_repetitive,
+        |         1000000 * n_dist // n_toks < 300000 AS r_low_ttr,
+        |         n_stop = 0 AS r_no_stopwords
+        |  FROM sig),
+        |a AS (
+        |  SELECT count(*) AS n_docs,
+        |         CAST(sum(CASE WHEN r_short THEN 1 ELSE 0 END) AS BIGINT) AS c_short,
+        |         CAST(sum(CASE WHEN r_repetitive THEN 1 ELSE 0 END) AS BIGINT) AS c_rep,
+        |         CAST(sum(CASE WHEN r_low_ttr THEN 1 ELSE 0 END) AS BIGINT) AS c_ttr,
+        |         CAST(sum(CASE WHEN r_no_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS c_stop,
+        |         CAST(sum(CASE WHEN r_short OR r_repetitive OR r_low_ttr
+        |           OR r_no_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS c_any
+        |  FROM f)
+        |SELECT rule, n_flagged, n_docs,
+        |       CAST(1000000 * n_flagged // n_docs AS BIGINT) AS share_ppm
+        |FROM (
+        |  SELECT 'any' AS rule, c_any AS n_flagged, n_docs FROM a
+        |  UNION ALL SELECT 'r_low_ttr', c_ttr, n_docs FROM a
+        |  UNION ALL SELECT 'r_no_stopwords', c_stop, n_docs FROM a
+        |  UNION ALL SELECT 'r_repetitive', c_rep, n_docs FROM a
+        |  UNION ALL SELECT 'r_short', c_short, n_docs FROM a)
+        |ORDER BY rule""".stripMargin,
     "q_substring_spans" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

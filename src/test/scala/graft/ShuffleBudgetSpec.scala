@@ -132,6 +132,12 @@ class ShuffleBudgetSpec extends SparkSpec {
       // assignment is broadcast-side; doc join on the shared id +
       // (cluster, token) combine + per-cluster rank window
       "q_cluster_topterms" -> 4,
+      // signals are scan-side, the battery is one global 1-row agg
+      // (single-partition exchange, not data-scaled hash movement)
+      "q_filter_battery" -> 0,
+      // one scan; the multi-column exact distinct is ONE Expand into
+      // one combine shuffle — the documented exact-profiling cost
+      "q_profile_stats" -> 2,
       // inherits langId's vocab-build + per-doc argmax exchanges
       // (vocabulary- and doc-keyed); the confusion cells and totals
       // past the argmax add only langs^2-bounded movement
