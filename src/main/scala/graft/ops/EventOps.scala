@@ -442,7 +442,75 @@ object EventOps {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** Interval union / temporal coverage (the islands-and-gaps interval
+    * merge — the temporal-algebra dual of q_scd2_intervals' segment
+    * build): each event opens a 5-minute activity interval; per user,
+    * overlapping intervals merge into islands (new island ⇔ the event
+    * starts after the running max of prior interval ends), and the
+    * report is islands, exactly-covered time, span, and coverage as
+    * exact ppm — all epoch-µs integer arithmetic end to end.
+    *
+    * Scale shape: two per-user ordered windows (running max of ends,
+    * running island counter) + one (user, island) combine agg + one
+    * per-user agg — per-key sorts only, no global ordering, nothing
+    * all-pairs (the naive interval-overlap self-join is quadratic per
+    * user; the sweep is linear). */
+  def intervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val lenUs = 300L * 1000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val prevMax = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        (col("ts_us") + lenUs).as("end_us"))
+      .withColumn("new_island",
+        when(col("ts_us") > coalesce(max(col("end_us")).over(prevMax),
+          lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(byUser))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("ts_us")).as("island_start_us"),
+        max(col("end_us")).as("island_end_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("island_end_us") - col("island_start_us")).cast("long")
+          .as("covered_us"),
+        (max(col("island_end_us")) - min(col("island_start_us")))
+          .as("span_us"))
+      .select(col("user_id"), col("n_islands"), col("covered_us"), col("span_us"),
+        expr("1000000 * covered_us div span_us").as("coverage_ppm"))
+      .orderBy("user_id")
+  }
+
+  /** Min/max decimation (the M3/Grafana-style plot downsample that
+    * keeps spike fidelity where plain averaging erases it): per
+    * (user, hour) bucket, keep exactly the bucket's minimum-value and
+    * maximum-value events, ties broken on event_id so both engines
+    * pick the same row.
+    *
+    * Scale shape: two rank windows over the same (user, bucket)
+    * partitioning — per-key sorts that parallelize across buckets; the
+    * output is 2 rows per bucket regardless of input density, which is
+    * the whole point of decimation at 100 TB. */
+  def downsampleMinmax(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        expr("ts_us div 3600000000").as("bucket_hr"))
+    val minW = Window.partitionBy(col("user_id"), col("bucket_hr"))
+      .orderBy(col("value"), col("event_id"))
+    val maxW = Window.partitionBy(col("user_id"), col("bucket_hr"))
+      .orderBy(col("value").desc, col("event_id"))
+    val mins = e.withColumn("rn", row_number().over(minW))
+      .where(col("rn") === 1).withColumn("kind", lit("min"))
+    val maxs = e.withColumn("rn", row_number().over(maxW))
+      .where(col("rn") === 1).withColumn("kind", lit("max"))
+    mins.union(maxs)
+      .select(col("user_id"), col("bucket_hr"), col("kind"),
+        col("event_id"), col("value"))
+      .orderBy("user_id", "bucket_hr", "kind", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_union" -> intervalUnion _,
+    "q_downsample_minmax" -> downsampleMinmax _,
     "q_event_transitions" -> eventTransitions _,
     "q_concurrent_sessions" -> concurrentSessions _,
     "q_ewma_smooth" -> ewmaSmooth _,
@@ -465,6 +533,53 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    "q_interval_union" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         epoch_us(ts) + 300 * 1000000 AS end_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, ts_us, end_us,
+        |         CASE WHEN ts_us > coalesce(max(end_us) OVER (
+        |                PARTITION BY user_id ORDER BY ts_us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |              -9223372036854775808)
+        |              THEN 1 ELSE 0 END AS new_island
+        |  FROM e),
+        |isl AS (
+        |  SELECT user_id, ts_us, end_us,
+        |         CAST(sum(new_island) OVER (PARTITION BY user_id
+        |           ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+        |           AS BIGINT) AS island
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, island,
+        |         min(ts_us) AS island_start_us, max(end_us) AS island_end_us
+        |  FROM isl GROUP BY user_id, island),
+        |u AS (
+        |  SELECT user_id, count(*) AS n_islands,
+        |         CAST(sum(island_end_us - island_start_us) AS BIGINT)
+        |           AS covered_us,
+        |         max(island_end_us) - min(island_start_us) AS span_us
+        |  FROM g GROUP BY user_id)
+        |SELECT user_id, n_islands, covered_us, span_us,
+        |       CAST(1000000 * covered_us // span_us AS BIGINT) AS coverage_ppm
+        |FROM u ORDER BY user_id""".stripMargin,
+    "q_downsample_minmax" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         epoch_us(ts) // 3600000000 AS bucket_hr
+        |  FROM events),
+        |mins AS (
+        |  SELECT user_id, bucket_hr, 'min' AS kind, event_id, value FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, bucket_hr
+        |    ORDER BY value, event_id) = 1),
+        |maxs AS (
+        |  SELECT user_id, bucket_hr, 'max' AS kind, event_id, value FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, bucket_hr
+        |    ORDER BY value DESC, event_id) = 1)
+        |SELECT * FROM (SELECT * FROM mins UNION ALL SELECT * FROM maxs)
+        |ORDER BY user_id, bucket_hr, kind, event_id""".stripMargin,
     "q_event_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

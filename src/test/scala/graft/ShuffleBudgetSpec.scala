@@ -132,6 +132,11 @@ class ShuffleBudgetSpec extends SparkSpec {
       // assignment is broadcast-side; doc join on the shared id +
       // (cluster, token) combine + per-cluster rank window
       "q_cluster_topterms" -> 4,
+      // two per-user windows + (user, island) agg + per-user agg, all
+      // user-keyed — AQE reuses the partitioning where it can
+      "q_interval_union" -> 3,
+      // two rank windows over the same (user, bucket) partitioning
+      "q_downsample_minmax" -> 2,
       // signals are scan-side, the battery is one global 1-row agg
       // (single-partition exchange, not data-scaled hash movement)
       "q_filter_battery" -> 0,
