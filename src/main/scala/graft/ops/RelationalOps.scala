@@ -422,12 +422,18 @@ object RelationalOps {
     * (timestamps as epoch-µs), lexicographic min/max for strings —
     * emitted as one row per column.
     *
-    * Scale shape: ONE scan; the multi-column exact count_distinct
-    * plans as a single Expand (one row per (input row, column group))
-    * feeding one combine shuffle — the documented cost of exact
-    * profiling (the approx variant swaps in approx_count_distinct and
-    * drops the Expand; q_approx_distinct demonstrates that sketch).
-    * The final per-column explode runs on the ONE aggregated row. */
+    * Scale shape: one COLUMN-PRUNED branch per column, unioned —
+    * each branch's exact count_distinct plans the efficient 2-phase
+    * form (map-side partial distinct, then one combine shuffle of
+    * that column's distinct values only) and branches run in
+    * parallel. The single-scan alternative (all 11 distincts in one
+    * aggregate) plans an Expand — 12× every row through ONE shuffle
+    * with an 11-column grouping key — and benched 25 s vs ~2 s for
+    * this shape at sf0.1; at 100 TB the Expand is strictly worse
+    * because it moves rows×columns while the branches move only
+    * per-column distinct values. (The approx variant swaps in
+    * approx_count_distinct; q_approx_distinct demonstrates that
+    * sketch.) */
   private val ProfileNumeric = Seq("l_orderkey", "l_partkey", "l_suppkey",
     "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
   private val ProfileStrings = Seq("l_returnflag", "l_linestatus")
@@ -462,43 +468,31 @@ object RelationalOps {
   }
 
   def profileStats(s: SparkSession, dir: String): DataFrame = {
-    val numeric = ProfileNumeric
-    val strings = ProfileStrings
-    val dates = ProfileDates
-    def m(c: String, suffix: String): String = s"${c}__$suffix"
-    val aggs =
-      numeric.flatMap(c => Seq(
-        count(col(c)).as(m(c, "cnt")),
-        countDistinct(col(c)).as(m(c, "nd")),
-        r6(min(col(c)).cast("double")).as(m(c, "min")),
-        r6(max(col(c)).cast("double")).as(m(c, "max")))) ++
-      strings.flatMap(c => Seq(
-        count(col(c)).as(m(c, "cnt")),
-        countDistinct(col(c)).as(m(c, "nd")),
-        min(col(c)).as(m(c, "mins")),
-        max(col(c)).as(m(c, "maxs")))) ++
-      dates.flatMap(c => Seq(
-        count(col(c)).as(m(c, "cnt")),
-        countDistinct(col(c)).as(m(c, "nd")),
-        Det.epochUs(min(col(c))).cast("double").as(m(c, "min")),
-        Det.epochUs(max(col(c))).cast("double").as(m(c, "max"))))
-    val one = Tables(s, dir, "lineitem")
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val entries =
-      (numeric ++ dates).map(c =>
-        s"""struct('$c' as col_name, n_rows - `${m(c, "cnt")}` as n_nulls,
-           |  `${m(c, "nd")}` as n_distinct,
-           |  `${m(c, "min")}` as min_num, `${m(c, "max")}` as max_num,
-           |  cast(null as string) as min_str,
-           |  cast(null as string) as max_str)""".stripMargin) ++
-      strings.map(c =>
-        s"""struct('$c' as col_name, n_rows - `${m(c, "cnt")}` as n_nulls,
-           |  `${m(c, "nd")}` as n_distinct,
-           |  cast(null as double) as min_num, cast(null as double) as max_num,
-           |  `${m(c, "mins")}` as min_str, `${m(c, "maxs")}` as max_str)""".stripMargin)
-    one
-      .select(explode(array(entries.map(expr): _*)).as("e"))
-      .select(col("e.*"))
+    val li = Tables(s, dir, "lineitem")
+    def branch(c: String, kind: String): DataFrame = {
+      val (mn, mx, ms, xs) = kind match {
+        case "num" => (r6(min(col(c)).cast("double")),
+          r6(max(col(c)).cast("double")),
+          lit(null).cast("string"), lit(null).cast("string"))
+        case "str" => (lit(null).cast("double"), lit(null).cast("double"),
+          min(col(c)), max(col(c)))
+        case _ => (Det.epochUs(min(col(c))).cast("double"),
+          Det.epochUs(max(col(c))).cast("double"),
+          lit(null).cast("string"), lit(null).cast("string"))
+      }
+      li.agg(
+        count(lit(1)).as("n_rows"), count(col(c)).as("cnt"),
+        countDistinct(col(c)).as("n_distinct"),
+        mn.as("min_num"), mx.as("max_num"),
+        ms.as("min_str"), xs.as("max_str"))
+        .select(lit(c).as("col_name"),
+          (col("n_rows") - col("cnt")).as("n_nulls"), col("n_distinct"),
+          col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+    }
+    (ProfileNumeric.map(branch(_, "num")) ++
+      ProfileStrings.map(branch(_, "str")) ++
+      ProfileDates.map(branch(_, "date")))
+      .reduce(_ union _)
       .orderBy("col_name")
   }
 

@@ -140,9 +140,11 @@ class ShuffleBudgetSpec extends SparkSpec {
       // signals are scan-side, the battery is one global 1-row agg
       // (single-partition exchange, not data-scaled hash movement)
       "q_filter_battery" -> 0,
-      // one scan; the multi-column exact distinct is ONE Expand into
-      // one combine shuffle — the documented exact-profiling cost
-      "q_profile_stats" -> 2,
+      // one column-pruned branch per column: each branch's 2-phase
+      // exact distinct moves only THAT column's distinct values (the
+      // single-scan Expand alternative moved rows x columns through
+      // one shuffle and benched 25 s vs 1.8 s at sf0.1)
+      "q_profile_stats" -> 22,
       // inherits langId's vocab-build + per-doc argmax exchanges
       // (vocabulary- and doc-keyed); the confusion cells and totals
       // past the argmax add only langs^2-bounded movement
