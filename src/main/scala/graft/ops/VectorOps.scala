@@ -492,31 +492,134 @@ object VectorOps {
     * nothing shuffles except that window's key partitioning (keys =
     * 4 × corpus rows, uniform). The codebook is provably bounded, so
     * the broadcast obeys SURVEY §8. */
-  def productQuantize(s: SparkSession, dir: String): DataFrame =
+  /** PQ geometry DEFAULTS: m subspaces of 64/m dims with k codewords
+    * each. m is the compression/accuracy lever (codes = m small ints
+    * per vector), k the per-subspace codebook granularity — both are
+    * RUNTIME confs (`spark.graft.pq.m` / `spark.graft.pq.k`) like the
+    * SRP geometry, with the DuckDB oracle derived per geometry
+    * ([[pqOracle]]/[[annPqOracle]]; the declared `oracles` entries are
+    * generated for the defaults, so driver runs are unchanged).
+    * PqGeometrySpec pins the conf plumbing and a second (8×8)
+    * geometry; parity at a non-default geometry is probed by flipping
+    * the defaults — the oracle follows automatically. */
+  private[graft] val PqM = 4
+  private[graft] val PqK = 16
+
+  private def pqGeometry(s: SparkSession): (Int, Int) = {
+    val m = s.conf.get("spark.graft.pq.m", PqM.toString).toInt
+    val k = s.conf.get("spark.graft.pq.k", PqK.toString).toInt
+    require(m > 0 && 64 % m == 0, s"pq.m must divide 64, got $m")
+    require(k > 0, s"pq.k must be positive, got $k")
+    (m, k)
+  }
+
+  def productQuantize(s: SparkSession, dir: String): DataFrame = {
+    val (m, _) = pqGeometry(s)
+    val codeCols = (0 until m).map(i =>
+      max(when(col("sub") === i, col("cent_id"))).as(s"code_$i"))
     pqAssigned(s, dir)
       .groupBy(col("vec_id"))
-      .agg(
-        max(when(col("sub") === 0, col("cent_id"))).as("code_0"),
-        max(when(col("sub") === 1, col("cent_id"))).as("code_1"),
-        max(when(col("sub") === 2, col("cent_id"))).as("code_2"),
-        max(when(col("sub") === 3, col("cent_id"))).as("code_3"),
-        sum(floor(col("d2") * lit(1000000.0)).cast("long")).as("err_u"))
+      .agg(codeCols.head,
+        codeCols.tail :+
+          sum(floor(col("d2") * lit(1000000.0)).cast("long")).as("err_u"): _*)
       .orderBy("vec_id")
+  }
 
-  /** (vec_id, sub, subvec, xx): the vector split into the 4 PQ
+  /** Shared CTE chain of the per-geometry PQ oracles: subspace
+    * slices, self-dots, the k-seed codebook, and the full
+    * vector × codeword distance frame. */
+  private def pqCommonCtes(m: Int, k: Int): String = {
+    val w = 64 / m
+    val slices = (0 until m)
+      .map(i => s"embedding[${i * w + 1}:${(i + 1) * w}]")
+      .mkString("[", ", ", "]")
+    val subIdx = (0 until m).mkString("[", ", ", "]")
+    s"""WITH sub AS (
+       |  SELECT vec_id,
+       |         unnest($slices) AS subvec,
+       |         unnest($subIdx) AS sub
+       |  FROM embeddings),
+       |v AS (
+       |  SELECT vec_id, sub, subvec,
+       |         list_reduce(list_transform(subvec,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS xx
+       |  FROM sub),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, sub, subvec AS cent_sub, xx AS cc
+       |  FROM v WHERE vec_id < $k),
+       |d AS (
+       |  SELECT v.vec_id, v.sub, c.cent_id,
+       |         v.xx + c.cc - CAST(2.0 AS DOUBLE) *
+       |           list_reduce(list_transform(list_zip(v.subvec, c.cent_sub),
+       |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+       |             (a, b) -> a + b) AS d2
+       |  FROM v JOIN cents c ON v.sub = c.sub)""".stripMargin
+  }
+
+  /** The q_product_quantize DuckDB oracle for an (m, k) geometry —
+    * generated so the declared default-geometry oracle and any
+    * probed geometry derive from one source. */
+  private[graft] def pqOracle(m: Int, k: Int): String = {
+    val codeCols = (0 until m).map(i =>
+      s"       max(CASE WHEN sub = $i THEN cent_id END) AS code_$i,")
+      .mkString("\n")
+    s"""${pqCommonCtes(m, k)},
+       |a AS (
+       |  SELECT vec_id, sub, cent_id, d2,
+       |         row_number() OVER (PARTITION BY vec_id, sub
+       |           ORDER BY d2, cent_id) AS rn
+       |  FROM d)
+       |SELECT vec_id,
+       |$codeCols
+       |       CAST(sum(CAST(floor(d2 * CAST(1000000.0 AS DOUBLE)) AS BIGINT))
+       |            AS BIGINT) AS err_u
+       |FROM a WHERE rn = 1
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  /** The q_ann_pq_search DuckDB oracle for an (m, k) geometry. */
+  private[graft] def annPqOracle(m: Int, k: Int): String =
+    s"""${pqCommonCtes(m, k)},
+       |codes AS (
+       |  SELECT vec_id, sub, cent_id FROM d
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+       |    ORDER BY d2, cent_id) = 1),
+       |qt AS (
+       |  SELECT v.vec_id AS qid, v.sub, c.cent_id,
+       |         CAST(floor((v.xx + c.cc - CAST(2.0 AS DOUBLE) *
+       |           list_reduce(list_transform(list_zip(v.subvec, c.cent_sub),
+       |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+       |             (a, b) -> a + b)) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+       |           AS d2q_u
+       |  FROM v JOIN cents c ON v.sub = c.sub
+       |  WHERE v.vec_id < 10),
+       |ad AS (
+       |  SELECT qt.qid, codes.vec_id, CAST(sum(d2q_u) AS BIGINT) AS adist_u
+       |  FROM codes JOIN qt ON codes.sub = qt.sub AND codes.cent_id = qt.cent_id
+       |  WHERE qt.qid != codes.vec_id
+       |  GROUP BY qt.qid, codes.vec_id)
+       |SELECT qid, CAST(row_number() OVER w AS BIGINT) AS rn, vec_id, adist_u
+       |FROM ad
+       |WINDOW w AS (PARTITION BY qid ORDER BY adist_u, vec_id)
+       |QUALIFY row_number() OVER w <= 5
+       |ORDER BY qid, rn""".stripMargin
+
+  /** (vec_id, sub, subvec, xx): the vector split into the m PQ
     * subspaces with each subvector's self-dot precomputed. */
-  private def pqSubbed(df: DataFrame): DataFrame = df
-    .select(col("vec_id"), posexplode(array(
-      slice(col("embedding"), 1, 16), slice(col("embedding"), 17, 16),
-      slice(col("embedding"), 33, 16), slice(col("embedding"), 49, 16)))
+  private def pqSubbed(df: DataFrame, m: Int): DataFrame = {
+    val w = 64 / m
+    df.select(col("vec_id"), posexplode(array(
+      (0 until m).map(i => slice(col("embedding"), i * w + 1, w)): _*))
       .as(Seq("sub", "subvec")))
-    .withColumn("xx",
-      graft.functions.GraftFunctions.array_dot(col("subvec"), col("subvec")))
+      .withColumn("xx",
+        graft.functions.GraftFunctions.array_dot(col("subvec"), col("subvec")))
+  }
 
-  /** The 4 × 16 PQ codebook (seed rule: first 16 vectors' subvectors)
+  /** The m × k PQ codebook (seed rule: first k vectors' subvectors)
     * with per-codeword self-dots. Provably bounded → broadcastable. */
-  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
-    pqSubbed(t(s, dir, "embeddings").where(col("vec_id") < 16))
+  private def pqCodebook(s: SparkSession, dir: String,
+                         m: Int, k: Int): DataFrame =
+    pqSubbed(t(s, dir, "embeddings").where(col("vec_id") < k), m)
       .select(col("vec_id").as("cent_id"), col("sub"),
         col("subvec").as("cent_sub"), col("xx").as("cc"))
 
@@ -524,10 +627,11 @@ object VectorOps {
     * for the argmin codeword — the shared core of the encode
     * ([[productQuantize]]) and the ADC search ([[annPqSearch]]). */
   private[graft] def pqAssigned(s: SparkSession, dir: String): DataFrame = {
+    val (m, k) = pqGeometry(s)
     val w = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("d2"), col("cent_id"))
-    pqSubbed(t(s, dir, "embeddings"))
-      .join(broadcast(pqCodebook(s, dir)), "sub")
+    pqSubbed(t(s, dir, "embeddings"), m)
+      .join(broadcast(pqCodebook(s, dir, m, k)), "sub")
       .withColumn("d2", col("xx") + col("cc") - lit(2.0) *
         graft.functions.GraftFunctions.array_dot(col("subvec"), col("cent_sub")))
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
@@ -551,11 +655,12 @@ object VectorOps {
     * composes with IVF pruning (q_ann_ivf's cluster scope) so each
     * query ranks one cluster's codes, not the corpus. */
   def annPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val (m, k) = pqGeometry(s)
     val codes = pqAssigned(s, dir).select(col("vec_id"), col("sub"), col("cent_id"))
-    val table = pqSubbed(t(s, dir, "embeddings").where(col("vec_id") < 10))
+    val table = pqSubbed(t(s, dir, "embeddings").where(col("vec_id") < 10), m)
       .select(col("vec_id").as("qid"), col("sub"),
         col("subvec").as("q_sub"), col("xx").as("qxx"))
-      .join(broadcast(pqCodebook(s, dir)), "sub")
+      .join(broadcast(pqCodebook(s, dir, m, k)), "sub")
       .select(col("qid"), col("sub"), col("cent_id"),
         floor((col("qxx") + col("cc") - lit(2.0) *
           graft.functions.GraftFunctions.array_dot(col("q_sub"), col("cent_sub")))
@@ -811,87 +916,8 @@ object VectorOps {
         |       CAST(sb % 128 AS DOUBLE) / CAST(128 AS DOUBLE) AS f0
         |FROM b
         |ORDER BY doc_id, frame_idx""".stripMargin,
-    "q_product_quantize" ->
-      """WITH sub AS (
-        |  SELECT vec_id,
-        |         unnest([embedding[1:16], embedding[17:32],
-        |                 embedding[33:48], embedding[49:64]]) AS subvec,
-        |         unnest([0, 1, 2, 3]) AS sub
-        |  FROM embeddings),
-        |v AS (
-        |  SELECT vec_id, sub, subvec,
-        |         list_reduce(list_transform(subvec,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS xx
-        |  FROM sub),
-        |cents AS (
-        |  SELECT vec_id AS cent_id, sub, subvec AS cent_sub, xx AS cc
-        |  FROM v WHERE vec_id < 16),
-        |d AS (
-        |  SELECT v.vec_id, v.sub, c.cent_id,
-        |         v.xx + c.cc - CAST(2.0 AS DOUBLE) *
-        |           list_reduce(list_transform(list_zip(v.subvec, c.cent_sub),
-        |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
-        |             (a, b) -> a + b) AS d2
-        |  FROM v JOIN cents c ON v.sub = c.sub),
-        |a AS (
-        |  SELECT vec_id, sub, cent_id, d2,
-        |         row_number() OVER (PARTITION BY vec_id, sub
-        |           ORDER BY d2, cent_id) AS rn
-        |  FROM d)
-        |SELECT vec_id,
-        |       max(CASE WHEN sub = 0 THEN cent_id END) AS code_0,
-        |       max(CASE WHEN sub = 1 THEN cent_id END) AS code_1,
-        |       max(CASE WHEN sub = 2 THEN cent_id END) AS code_2,
-        |       max(CASE WHEN sub = 3 THEN cent_id END) AS code_3,
-        |       CAST(sum(CAST(floor(d2 * CAST(1000000.0 AS DOUBLE)) AS BIGINT))
-        |            AS BIGINT) AS err_u
-        |FROM a WHERE rn = 1
-        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
-    "q_ann_pq_search" ->
-      """WITH sub AS (
-        |  SELECT vec_id,
-        |         unnest([embedding[1:16], embedding[17:32],
-        |                 embedding[33:48], embedding[49:64]]) AS subvec,
-        |         unnest([0, 1, 2, 3]) AS sub
-        |  FROM embeddings),
-        |v AS (
-        |  SELECT vec_id, sub, subvec,
-        |         list_reduce(list_transform(subvec,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS xx
-        |  FROM sub),
-        |cents AS (
-        |  SELECT vec_id AS cent_id, sub, subvec AS cent_sub, xx AS cc
-        |  FROM v WHERE vec_id < 16),
-        |d AS (
-        |  SELECT v.vec_id, v.sub, c.cent_id,
-        |         v.xx + c.cc - CAST(2.0 AS DOUBLE) *
-        |           list_reduce(list_transform(list_zip(v.subvec, c.cent_sub),
-        |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
-        |             (a, b) -> a + b) AS d2
-        |  FROM v JOIN cents c ON v.sub = c.sub),
-        |codes AS (
-        |  SELECT vec_id, sub, cent_id FROM d
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
-        |    ORDER BY d2, cent_id) = 1),
-        |qt AS (
-        |  SELECT v.vec_id AS qid, v.sub, c.cent_id,
-        |         CAST(floor((v.xx + c.cc - CAST(2.0 AS DOUBLE) *
-        |           list_reduce(list_transform(list_zip(v.subvec, c.cent_sub),
-        |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
-        |             (a, b) -> a + b)) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
-        |           AS d2q_u
-        |  FROM v JOIN cents c ON v.sub = c.sub
-        |  WHERE v.vec_id < 10),
-        |ad AS (
-        |  SELECT qt.qid, codes.vec_id, CAST(sum(d2q_u) AS BIGINT) AS adist_u
-        |  FROM codes JOIN qt ON codes.sub = qt.sub AND codes.cent_id = qt.cent_id
-        |  WHERE qt.qid != codes.vec_id
-        |  GROUP BY qt.qid, codes.vec_id)
-        |SELECT qid, CAST(row_number() OVER w AS BIGINT) AS rn, vec_id, adist_u
-        |FROM ad
-        |WINDOW w AS (PARTITION BY qid ORDER BY adist_u, vec_id)
-        |QUALIFY row_number() OVER w <= 5
-        |ORDER BY qid, rn""".stripMargin,
+    "q_product_quantize" -> pqOracle(PqM, PqK),
+    "q_ann_pq_search" -> annPqOracle(PqM, PqK),
     "q_cluster_topterms" ->
       """WITH base AS (
         |  SELECT vec_id, embedding,
