@@ -434,6 +434,76 @@ object RelationalOps {
     * per-column distinct values. (The approx variant swaps in
     * approx_count_distinct; q_approx_distinct demonstrates that
     * sketch.) */
+  /** Salted join — the manual skew-mitigation twin of q_salted_agg
+    * (AQE's automatic skew split is demonstrated in AqeSkewJoinSpec;
+    * this is the pattern for engines/paths where AQE can't help, e.g.
+    * a skewed key feeding a non-AQE sink stage): the fact side gets a
+    * salt from a row-local hash, the dimension side REPLICATES once
+    * per salt value (explode over the salt domain), and the join key
+    * becomes (key, salt) — a hot key's rows now spread across 8
+    * reducers instead of one. The aggregate over the salted join is
+    * provably identical to the plain join's (the oracle computes the
+    * plain form), which is the whole point: same answer, no hot
+    * partition.
+    *
+    * Scale shape: dimension replication costs salt-factor × |dim| —
+    * bounded and chosen; the fact side shuffles once on (key, salt)
+    * with uniform load by construction. */
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val saltN = 8
+    val fact = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        pmod(col("l_linenumber"), lit(saltN)).as("salt"))
+    val dim = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        explode(sequence(lit(0), lit(saltN - 1))).as("salt"))
+    fact
+      .join(dim, fact("l_orderkey") === dim("o_orderkey") &&
+        fact("salt") === dim("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+          .as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Range-partition planning (the TeraSort/global-sort step that
+    * never shows up in the query text): pick 7 balanced boundaries
+    * for l_extendedprice from a MERGEABLE quantile sketch — never a
+    * global sort — then validate the plan by counting rows per
+    * planned range and reporting each range's load as exact ppm.
+    * This is exactly how Spark's own RangePartitioner plans a
+    * 100 TB orderBy: sample/sketch, cut, then shuffle into ranges.
+    * At accuracy 1e6 the sketch's rank error is sub-1 at gate scale,
+    * so `approx_percentile` returns EXACTLY DuckDB's quantile_disc
+    * (the q_approx_percentile trick) and the plan is hash-checkable.
+    *
+    * Scale shape: the sketch is one combine agg (mergeable state,
+    * O(sketch) per partition); boundaries come back as a bounded
+    * 7-element frame CROSS-joined (broadcast, 1 row) onto the scan;
+    * range assignment is a projection (count of boundaries ≤ value);
+    * the validation count is one ≤8-key combine shuffle. */
+  def sortBoundaries(s: SparkSession, dir: String): DataFrame = {
+    val qs = (1 to 7).map(i => i / 8.0)
+    val sketch = t(s, dir, "lineitem")
+      .agg(expr(s"approx_percentile(l_extendedprice, array(${qs.mkString(", ")}), 1000000)")
+        .as("bounds"))
+    t(s, dir, "lineitem")
+      .select(col("l_extendedprice"))
+      .crossJoin(broadcast(sketch))
+      .select(expr("size(filter(bounds, b -> b <= l_extendedprice))")
+        .cast("long").as("range_id"),
+        col("l_extendedprice"))
+      .groupBy(col("range_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("range_min"),
+        max(col("l_extendedprice")).as("range_max"))
+      .select(col("range_id"), col("n_rows"), col("range_min"),
+        col("range_max"),
+        expr("1000000 * n_rows div sum(n_rows) over ()").as("load_ppm"))
+      .orderBy("range_id")
+  }
+
   private val ProfileNumeric = Seq("l_orderkey", "l_partkey", "l_suppkey",
     "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
   private val ProfileStrings = Seq("l_returnflag", "l_linestatus")
@@ -1124,6 +1194,8 @@ object RelationalOps {
     "q_pivot" -> pivotEvents _,
     "q_agg_stats" -> aggStats _,
     "q_salted_agg" -> saltedAgg _,
+    "q_salted_join" -> saltedJoin _,
+    "q_sort_boundaries" -> sortBoundaries _,
     "q_key_skew" -> keySkew _,
     "q_median_percentile" -> medianPercentile _,
     "q_window_navigation" -> windowNavigation _,
@@ -1465,6 +1537,31 @@ object RelationalOps {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |       count(*) AS n_items
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    // the PLAIN join — the salted plan must be answer-identical to it
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sort_boundaries" ->
+      """WITH b AS (
+        |  SELECT quantile_disc(l_extendedprice,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bounds
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT CAST(len(list_filter(bounds, x -> x <= l_extendedprice))
+        |           AS BIGINT) AS range_id,
+        |         l_extendedprice
+        |  FROM lineitem, b),
+        |g AS (
+        |  SELECT range_id, count(*) AS n_rows,
+        |         min(l_extendedprice) AS range_min,
+        |         max(l_extendedprice) AS range_max
+        |  FROM r GROUP BY range_id)
+        |SELECT range_id, n_rows, range_min, range_max,
+        |       CAST(1000000 * n_rows
+        |            // CAST(sum(n_rows) OVER () AS BIGINT) AS BIGINT) AS load_ppm
+        |FROM g ORDER BY range_id""".stripMargin,
     "q_key_skew" ->
       """WITH counts AS (
         |  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1),
