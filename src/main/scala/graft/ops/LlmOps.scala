@@ -300,6 +300,42 @@ object LlmOps {
     triangleStats(
       minhashDedup(s, dir).select(col("doc_a").as("u"), col("doc_b").as("v")))
 
+  /** Multi-signal near-duplicate consensus: every candidate pair any
+    * of the three independent detectors fires on — lexical MinHash-LSH
+    * bands, bit-level SimHash hamming, semantic SRP-bucketed cosine
+    * (documents and embeddings share the id space) — with per-signal
+    * flags and the agreement count. This is how production dedup
+    * decides what to trust: pairs all three signals agree on are
+    * near-certain duplicates; single-signal pairs get the cheap
+    * verify pass (q_ngram_jaccard's role). Each family is the
+    * standalone operator reused verbatim, and the oracle embeds the
+    * three declared oracles, so the consensus view can never drift.
+    *
+    * Scale shape: the three candidate generators are each LSH-bounded
+    * (never all-pairs); the consensus itself is two full-outer joins
+    * over CANDIDATE-PAIR frames — volume set by band collisions, not
+    * corpus size. */
+  def dedupConsensus(s: SparkSession, dir: String): DataFrame = {
+    val lex = minhashDedup(s, dir)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("lex"))
+    val simh = TextOps.simhashDedup(s, dir)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("simh"))
+    val emb = VectorOps.embeddingNeardup(s, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+        lit(true).as("emb"))
+    lex.join(simh, Seq("doc_a", "doc_b"), "full_outer")
+      .join(emb, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("lex"), lit(false)).as("lex"),
+        coalesce(col("simh"), lit(false)).as("simh"),
+        coalesce(col("emb"), lit(false)).as("emb"))
+      .withColumn("n_signals",
+        when(col("lex"), 1L).otherwise(0L) +
+          when(col("simh"), 1L).otherwise(0L) +
+          when(col("emb"), 1L).otherwise(0L))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The triangle census core over a canonical (u < v) edge list —
     * TriangleSpec pins the counts on hand-built graphs (clique, path)
     * so the ordered-enumeration joins can't silently over- or
@@ -777,12 +813,66 @@ object LlmOps {
     "q_cluster_stats" -> clusterStats _,
     "q_minhash_dedup" -> minhashDedup _,
     "q_triangle_count" -> triangleCount _,
+    "q_dedup_consensus" -> dedupConsensus _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_cosine_topk" -> cosineTopk _,
     "q_knn_classify" -> knnClassify _,
     "q_multimodal_project" -> multimodalProject _)
 
+  /** The q_minhash_dedup oracle, factored so the consensus oracle can
+    * embed it verbatim — the pair semantics cannot drift between the
+    * standalone query and the consensus view. */
+  private val minhashOracleSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |           i -> string_split(text, ' ')[i] || ' ' ||
+      |                string_split(text, ' ')[i + 1] || ' ' ||
+      |                string_split(text, ' ')[i + 2]) AS shingles
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |hs AS (
+      |  SELECT doc_id,
+      |         list_transform(shingles,
+      |           sh -> CAST('0x' || substring(sha256(sh), 1, 15) AS BIGINT) % 2147483647) AS hs
+      |  FROM s),
+      |m AS (
+      |  SELECT doc_id, b.range AS band,
+      |         list_min(list_transform(hs,
+      |           h -> (h * (b.range + 1) + 37 * b.range + 101) % 2147483647)) AS sig
+      |  FROM hs, range(0, 8) b)
+      |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS n_shared_bands
+      |FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The q_dedup_consensus oracle, assembled from the three signal
+    * families' own declared oracles (minhash verbatim; simhash from
+    * TextOps; SRP generated at the default geometry) so the consensus
+    * view can never drift from the standalone operators. */
+  private[graft] def consensusOracle: String =
+    s"""WITH lex_q AS (
+       |${minhashOracleSql}),
+       |sim_q AS (
+       |${TextOps.oracles("q_simhash_dedup")}),
+       |emb_q AS (
+       |${VectorOps.neardupOracle(VectorOps.SrpBands, VectorOps.SrpBits)}),
+       |l2 AS (SELECT doc_a, doc_b, TRUE AS lex FROM lex_q),
+       |s2 AS (SELECT doc_a, doc_b, TRUE AS simh FROM sim_q),
+       |e2c AS (SELECT vec_a AS doc_a, vec_b AS doc_b, TRUE AS emb FROM emb_q),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |         coalesce(lex, false) AS lex, coalesce(simh, false) AS simh,
+       |         coalesce(emb, false) AS emb
+       |  FROM l2
+       |  FULL OUTER JOIN s2 USING (doc_a, doc_b)
+       |  FULL OUTER JOIN e2c USING (doc_a, doc_b))
+       |SELECT doc_a, doc_b, lex, simh, emb,
+       |       CAST((CASE WHEN lex THEN 1 ELSE 0 END) +
+       |            (CASE WHEN simh THEN 1 ELSE 0 END) +
+       |            (CASE WHEN emb THEN 1 ELSE 0 END) AS BIGINT) AS n_signals
+       |FROM j ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_consensus" -> consensusOracle,
     "q_sequence_pack" ->
       """WITH b AS (
         |  SELECT lang, doc_id,
@@ -1021,27 +1111,7 @@ object LlmOps {
         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |       CAST(sum(quality_u) AS BIGINT) AS sum_quality_u
         |FROM capped GROUP BY lang ORDER BY lang""").stripMargin,
-    "q_minhash_dedup" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
-        |           i -> string_split(text, ' ')[i] || ' ' ||
-        |                string_split(text, ' ')[i + 1] || ' ' ||
-        |                string_split(text, ' ')[i + 2]) AS shingles
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |hs AS (
-        |  SELECT doc_id,
-        |         list_transform(shingles,
-        |           sh -> CAST('0x' || substring(sha256(sh), 1, 15) AS BIGINT) % 2147483647) AS hs
-        |  FROM s),
-        |m AS (
-        |  SELECT doc_id, b.range AS band,
-        |         list_min(list_transform(hs,
-        |           h -> (h * (b.range + 1) + 37 * b.range + 101) % 2147483647)) AS sig
-        |  FROM hs, range(0, 8) b)
-        |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS n_shared_bands
-        |FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_minhash_dedup" -> minhashOracleSql,
     "q_dedup_pagerank" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -126,6 +126,9 @@ class ShuffleBudgetSpec extends SparkSpec {
       // two triangle joins + degree/wedge combine aggs over the
       // CANDIDATE edge list; the corpus itself never re-shuffles
       "q_triangle_count" -> 6,
+      // three LSH-bounded candidate generators (their own band joins)
+      // + two full-outer joins over candidate-PAIR frames
+      "q_dedup_consensus" -> 12,
       // ADC: codes window + (qid, vec) combine sum + per-query rank;
       // the distance table is broadcast, never shuffled
       "q_ann_pq_search" -> 4,
