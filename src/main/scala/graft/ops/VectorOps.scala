@@ -604,6 +604,36 @@ object VectorOps {
        |QUALIFY row_number() OVER w <= 5
        |ORDER BY qid, rn""".stripMargin
 
+  /** The q_pq_recall DuckDB oracle for an (m, k) geometry — embeds
+    * [[annPqOracle]] so the eval can't drift from the search. */
+  private[graft] def pqRecallOracle(m: Int, k: Int): String =
+    s"""WITH adc AS (
+       |${annPqOracle(m, k)}),
+       |fv AS (
+       |  SELECT vec_id, embedding,
+       |         list_reduce(list_transform(embedding,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS xx
+       |  FROM embeddings),
+       |truth AS (
+       |  SELECT q.vec_id AS qid, c.vec_id,
+       |         CAST(floor((q.xx + c.xx - CAST(2.0 AS DOUBLE) *
+       |           list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+       |             t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+       |             (a, b) -> a + b)) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+       |           AS d2u
+       |  FROM fv q, fv c
+       |  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
+       |t5 AS (
+       |  SELECT qid, vec_id FROM truth
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |    ORDER BY d2u, vec_id) <= 5),
+       |h AS (
+       |  SELECT t5.qid, count(adc.vec_id) AS n_hit
+       |  FROM t5 LEFT JOIN adc ON t5.qid = adc.qid AND t5.vec_id = adc.vec_id
+       |  GROUP BY t5.qid)
+       |SELECT qid, n_hit, CAST(1000000 * n_hit // 5 AS BIGINT) AS recall_ppm
+       |FROM h ORDER BY qid""".stripMargin
+
   /** (vec_id, sub, subvec, xx): the vector split into the m PQ
     * subspaces with each subvector's self-dot precomputed. */
   private def pqSubbed(df: DataFrame, m: Int): DataFrame = {
@@ -676,6 +706,43 @@ object VectorOps {
       .orderBy("qid", "rn")
   }
 
+  /** PQ recall eval: per query, recall@5 of the ADC search against
+    * exact full-dimension squared-L2 truth — the number that tells a
+    * deployment whether the chosen (m, k) geometry is accurate enough
+    * before swapping the float scan for the 2-byte code scan
+    * (q_ann_recall's role for the IVF path). Truth distances use the
+    * same fixed IEEE d² expression floored to micro-units, so ranking
+    * is engine-exact; recall ships as integer ppm of k=5.
+    *
+    * Scale shape: truth = broadcast 10-query block × one exact scan
+    * (the bounded-eval-slice pattern of q_srp_recall); the ADC side is
+    * the production operator reused verbatim; the recall join touches
+    * only (queries × 5)-row frames. */
+  def pqRecall(s: SparkSession, dir: String): DataFrame = {
+    val fv = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      graft.functions.GraftFunctions.array_dot(col("embedding"), col("embedding"))
+        .as("xx"))
+    val q = fv.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("xx").as("qxx"))
+    val truthW = Window.partitionBy(col("qid")).orderBy(col("d2u"), col("vec_id"))
+    val truth = fv.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        floor((col("qxx") + col("xx") - lit(2.0) * dot("qe", "embedding"))
+          * lit(1000000.0)).cast("long").as("d2u"))
+      .withColumn("rn", row_number().over(truthW)).where(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"))
+    val adc = annPqSearch(s, dir)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(adc, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("hit")).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        expr("1000000 * n_hit div 5").as("recall_ppm"))
+      .orderBy("qid")
+  }
+
   /** Semantic cluster labeling: the doc side of each IVF cluster gets
     * its top-5 terms by raw count — the "what is this embedding
     * cluster about" report that names clusters after k-means/IVF
@@ -737,6 +804,7 @@ object VectorOps {
     "q_kmeans_step" -> kmeansStep _,
     "q_product_quantize" -> productQuantize _,
     "q_ann_pq_search" -> annPqSearch _,
+    "q_pq_recall" -> pqRecall _,
     "q_cluster_topterms" -> clusterTopterms _,
     "q_embedding_quantize" -> embeddingQuantize _,
     "q_multimodal_binary" -> multimodalBinary _,
@@ -918,6 +986,7 @@ object VectorOps {
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_product_quantize" -> pqOracle(PqM, PqK),
     "q_ann_pq_search" -> annPqOracle(PqM, PqK),
+    "q_pq_recall" -> pqRecallOracle(PqM, PqK),
     "q_cluster_topterms" ->
       """WITH base AS (
         |  SELECT vec_id, embedding,

@@ -132,6 +132,9 @@ class ShuffleBudgetSpec extends SparkSpec {
       // ADC: codes window + (qid, vec) combine sum + per-query rank;
       // the distance table is broadcast, never shuffled
       "q_ann_pq_search" -> 4,
+      // exact-truth rank window + the ADC pipeline + the tiny
+      // (queries x 5) recall join/agg
+      "q_pq_recall" -> 8,
       // assignment is broadcast-side; doc join on the shared id +
       // (cluster, token) combine + per-cluster rank window
       "q_cluster_topterms" -> 4,
