@@ -508,7 +508,44 @@ object EventOps {
       .orderBy("user_id", "bucket_hr", "kind", "event_id")
   }
 
+  /** Per-key OLS trend (SQL's REGR_SLOPE/REGR_INTERCEPT family):
+    * least-squares value-vs-time line per user — the drift/trend
+    * primitive behind burn-down and degradation dashboards. The
+    * builtins accumulate Welford-style (order-dependent per engine),
+    * so the moments come from exact DECIMAL power sums like
+    * q_agg_stats; x is seconds since the user's own first event
+    * (exact integer — raw epoch-µs squared would overflow any exact
+    * accumulator), and the slope/intercept scalar arithmetic is one
+    * fixed IEEE expression per engine.
+    *
+    * Scale shape: one per-user window for the time origin riding the
+    * same partitioning as the combine agg — per-key sorts and a
+    * 5-sum aggregate; nothing global. */
+  def regrPerKey(s: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(28,8)")
+    events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("value"))
+      .withColumn("x", expr(
+        "cast((ts_us - min(ts_us) over (partition by user_id)) div 1000000 as double)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(d(col("x"))).cast("double").as("sx"),
+        sum(d(col("x")) * d(col("x"))).cast("double").as("sxx"),
+        sum(d(col("value"))).cast("double").as("sy"),
+        sum(d(col("x")) * d(col("value"))).cast("double").as("sxy"))
+      .where(col("n") * col("sxx") - col("sx") * col("sx") > 0d)
+      .withColumn("slope_raw",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("user_id"), col("n").cast("long").as("n_events"),
+        r6(col("slope_raw")).as("slope"),
+        r6((col("sy") - col("slope_raw") * col("sx")) / col("n"))
+          .as("intercept"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_regr_per_key" -> regrPerKey _,
     "q_interval_union" -> intervalUnion _,
     "q_downsample_minmax" -> downsampleMinmax _,
     "q_event_transitions" -> eventTransitions _,
@@ -533,6 +570,31 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    "q_regr_per_key" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST((epoch_us(ts) - min(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id)) // 1000000 AS DOUBLE) AS x,
+        |         value
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(x AS DECIMAL(28,8))
+        |                  * CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(x AS DECIMAL(28,8))
+        |                  * CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+        |  FROM e GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id, n, sx, sy,
+        |         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw
+        |  FROM m WHERE n * sxx - sx * sx > 0)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |       round(slope_raw, 6) AS slope,
+        |       round((sy - slope_raw * sx) / n, 6) AS intercept
+        |FROM r ORDER BY user_id""".stripMargin,
     "q_interval_union" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -147,6 +147,9 @@ class ShuffleBudgetSpec extends SparkSpec {
       // two per-user windows + (user, island) agg + per-user agg, all
       // user-keyed — AQE reuses the partitioning where it can
       "q_interval_union" -> 3,
+      // one per-user window for the time origin + the combine agg on
+      // the same key
+      "q_regr_per_key" -> 2,
       // two rank windows over the same (user, bucket) partitioning
       "q_downsample_minmax" -> 2,
       // signals are scan-side, the battery is one global 1-row agg
