@@ -469,28 +469,39 @@ object RelationalOps {
 
   /** Range-partition planning (the TeraSort/global-sort step that
     * never shows up in the query text): pick 7 balanced boundaries
-    * for l_extendedprice from a MERGEABLE quantile sketch — never a
-    * global sort — then validate the plan by counting rows per
-    * planned range and reporting each range's load as exact ppm.
-    * This is exactly how Spark's own RangePartitioner plans a
-    * 100 TB orderBy: sample/sketch, cut, then shuffle into ranges.
-    * At accuracy 1e6 the sketch's rank error is sub-1 at gate scale,
-    * so `approx_percentile` returns EXACTLY DuckDB's quantile_disc
-    * (the q_approx_percentile trick) and the plan is hash-checkable.
+    * for l_extendedprice the way Spark's own RangePartitioner plans a
+    * 100 TB orderBy — a bounded SAMPLE, sorted exactly, octiles
+    * picked by rank — then validate the plan by counting rows per
+    * planned range and reporting each range's load as exact ppm. The
+    * sample is hash-defined (portable hash of the row key ≡ 0 mod
+    * 100), so both engines draw the SAME ~1% sample and compute
+    * identical boundaries at ANY scale; a mergeable quantile sketch
+    * was tried first, but `approx_percentile`'s rank error at 600 k
+    * rows (0.6 at accuracy 1e6) picks a neighboring element vs
+    * DuckDB's quantile_disc — caught by the sf0.1 gate, and the
+    * sample-based plan is also the more faithful one (sampling IS
+    * what RangePartitioner does; the sketch path stays demonstrated
+    * in q_approx_percentile).
     *
-    * Scale shape: the sketch is one combine agg (mergeable state,
-    * O(sketch) per partition); boundaries come back as a bounded
+    * Scale shape: the sample predicate is scan-side (rows drawn scale
+    * with corpus/100 — cap the draw with a higher modulus at extreme
+    * sizes); the sort runs over the bounded sample inside one
+    * collect_list aggregate; boundaries come back as a bounded
     * 7-element frame CROSS-joined (broadcast, 1 row) onto the scan;
     * range assignment is a projection (count of boundaries ≤ value);
     * the validation count is one ≤8-key combine shuffle. */
   def sortBoundaries(s: SparkSession, dir: String): DataFrame = {
-    val qs = (1 to 7).map(i => i / 8.0)
-    val sketch = t(s, dir, "lineitem")
-      .agg(expr(s"approx_percentile(l_extendedprice, array(${qs.mkString(", ")}), 1000000)")
-        .as("bounds"))
+    val sampleKey = phSql.format("concat(l_orderkey, ':', l_linenumber)")
+    val bounds = t(s, dir, "lineitem")
+      .where(expr(s"pmod($sampleKey, 100)") === 0L)
+      .agg(sort_array(collect_list(col("l_extendedprice"))).as("sv"))
+      .select(expr(
+        """transform(sequence(1, 7),
+          |  i -> element_at(sv, greatest(1, cast(i * size(sv) div 8 as int))))"""
+          .stripMargin).as("bounds"))
     t(s, dir, "lineitem")
       .select(col("l_extendedprice"))
-      .crossJoin(broadcast(sketch))
+      .crossJoin(broadcast(bounds))
       .select(expr("size(filter(bounds, b -> b <= l_extendedprice))")
         .cast("long").as("range_id"),
         col("l_extendedprice"))
@@ -1544,10 +1555,16 @@ object RelationalOps {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_sort_boundaries" ->
-      """WITH b AS (
-        |  SELECT quantile_disc(l_extendedprice,
-        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bounds
-        |  FROM lineitem),
+      """WITH sm AS (
+        |  SELECT l_extendedprice AS v FROM lineitem
+        |  WHERE CAST('0x' || substring(sha256(
+        |          CAST(l_orderkey AS VARCHAR) || ':' ||
+        |          CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)
+        |        % 100 = 0),
+        |b AS (
+        |  SELECT list_transform(range(1, 8), i ->
+        |    sv[greatest(1, CAST((i * len(sv)) // 8 AS INT))]) AS bounds
+        |  FROM (SELECT list_sort(list(v)) AS sv FROM sm)),
         |r AS (
         |  SELECT CAST(len(list_filter(bounds, x -> x <= l_extendedprice))
         |           AS BIGINT) AS range_id,
