@@ -106,6 +106,23 @@ object GraftFunctions {
     array_dot(a, b) / (sqrt(array_dot(a, a)) * sqrt(array_dot(b, b)))
   }
 
+  /** minhash_sigs(hs, nFuncs) — nFuncs must be a foldable integer
+    * literal (it sizes the generated loop at plan time). */
+  private[functions] def minhashSigsBuilder(exprs: Seq[Expression]): Expression =
+    MinhashSigs(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue)
+
+  /** srp_signatures(embedding, bands, bits) — both geometry args must
+    * be foldable integer literals; the hyperplanes derive
+    * deterministically from the plane count (VectorOps.srpPlanes), so
+    * a SQL caller gets the exact signatures every graft operator and
+    * the DuckDB oracles compute. */
+  private[functions] def srpSigsBuilder(exprs: Seq[Expression]): Expression = {
+    val bands = exprs(1).eval().asInstanceOf[Number].intValue
+    val bits = exprs(2).eval().asInstanceOf[Number].intValue
+    SrpSignatures(exprs(0), graft.ops.VectorOps.srpPlanes(bands * bits), bits)
+  }
+
   /** Make the library's SQL functions callable in an existing
     * session (the driver contract hands us pre-built sessions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -113,6 +130,8 @@ object GraftFunctions {
       exprs => ArrayDotProduct(exprs(0), exprs(1)))
     Bridge.registerFunction(spark, "portable_hashes",
       PortableHashes.sqlBuilder)
+    Bridge.registerFunction(spark, "minhash_sigs", minhashSigsBuilder)
+    Bridge.registerFunction(spark, "srp_signatures", srpSigsBuilder)
   }
 }
 
@@ -128,5 +147,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("portable_hashes"),
       new ExpressionInfo(classOf[PortableHashes].getName, "portable_hashes"),
       (exprs: Seq[Expression]) => PortableHashes.sqlBuilder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
+      (exprs: Seq[Expression]) => GraftFunctions.minhashSigsBuilder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("srp_signatures"),
+      new ExpressionInfo(classOf[SrpSignatures].getName, "srp_signatures"),
+      (exprs: Seq[Expression]) => GraftFunctions.srpSigsBuilder(exprs)))
   }
 }

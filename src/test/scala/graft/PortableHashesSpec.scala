@@ -42,6 +42,29 @@ class PortableHashesSpec extends SparkSpec {
     assert(r.getSeq[Long](1) == r.getSeq[Long](2).map(_ % 2147483647L))
   }
 
+  test("SQL registration covers the whole native-function surface") {
+    graft.functions.GraftFunctions.register(spark)
+    // minhash_sigs over reduced hashes: first signature family value
+    // matches the arithmetic the SQL form spells out
+    val m = spark.sql(
+      """SELECT minhash_sigs(portable_hashes(array('a','b'), 2147483647), 4) AS sigs,
+        |       transform(sequence(0, 3), j -> array_min(transform(
+        |         portable_hashes(array('a','b'), 2147483647),
+        |         h -> (h * (j + 1) + 37 * j + 101) % 2147483647))) AS want
+        |""".stripMargin).collect().head
+    assert(m.getSeq[Long](0) == m.getSeq[Long](1))
+    // srp_signatures from SQL equals the Column-API signatures
+    import org.apache.spark.sql.functions.col
+    val df = spark.sql(
+      "SELECT array_repeat(CAST(0.5 AS FLOAT), 64) AS emb")
+    val viaSql = df.selectExpr("srp_signatures(emb, 4, 16) AS s")
+      .collect().head.getSeq[Long](0)
+    val viaApi = df.select(graft.functions.SrpSignatures.signatures(
+      col("emb"), graft.ops.VectorOps.srpPlanes(64), 16).as("s"))
+      .collect().head.getSeq[Long](0)
+    assert(viaSql == viaApi && viaSql.length == 4)
+  }
+
   test("SparkSessionExtensions hook registers the functions") {
     import org.apache.spark.sql.SparkSession
     spark // force the shared session first so we can restore it
