@@ -987,6 +987,29 @@ object RelationalOps {
       .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
       .orderBy("nationkey")
 
+  /** The two halves of the event stream (odd/even event_id) as
+    * (user_id, event_type) BAGS — multiplicities matter, which is
+    * what distinguishes the ALL set ops below from their set-semantic
+    * siblings above. */
+  private def eventHalf(s: SparkSession, dir: String, parity: Int): DataFrame =
+    Tables.events(s, dir)
+      .where(col("event_id") % 2 === parity)
+      .select(col("user_id"), col("event_type"))
+
+  /** INTERSECT ALL — bag intersection: each (user, type) row survives
+    * min(count_left, count_right) times. Spark plans the dedicated
+    * left-semi-with-counts shape (no row explosion); duplicates in the
+    * output are fine for the gate (rows sort adjacent). */
+  def intersectAllPairs(s: SparkSession, dir: String): DataFrame =
+    eventHalf(s, dir, 0).intersectAll(eventHalf(s, dir, 1))
+      .orderBy("user_id", "event_type")
+
+  /** EXCEPT ALL — bag difference: max(count_left − count_right, 0)
+    * copies survive. */
+  def exceptAllPairs(s: SparkSession, dir: String): DataFrame =
+    eventHalf(s, dir, 0).exceptAll(eventHalf(s, dir, 1))
+      .orderBy("user_id", "event_type")
+
   // -------------------------------------------------------------- scalars
 
   /** String function sweep (R3's concat generalized). */
@@ -1226,6 +1249,8 @@ object RelationalOps {
     "q_histogram" -> histogram _,
     "q_union_all" -> unionAll _,
     "q_intersect" -> intersectKeys _,
+    "q_intersect_all" -> intersectAllPairs _,
+    "q_except_all" -> exceptAllPairs _,
     "q_except" -> exceptKeys _,
     "q_scalar_string" -> scalarString _,
     "q_string_transforms" -> stringTransforms _,
@@ -1695,6 +1720,16 @@ object RelationalOps {
         |  UNION ALL
         |  SELECT s_nationkey AS nationkey FROM supplier)
         |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
+        |INTERSECT ALL
+        |SELECT user_id, event_type FROM events WHERE event_id % 2 = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_except_all" ->
+      """SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
+        |EXCEPT ALL
+        |SELECT user_id, event_type FROM events WHERE event_id % 2 = 1
+        |ORDER BY user_id, event_type""".stripMargin,
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT
