@@ -544,7 +544,30 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Typed semi-structured access via Spark 4's VARIANT (the engine's
+    * modern JSON path — parse once into the binary variant encoding,
+    * then typed `variant_get` extraction; q_json_extract keeps the
+    * classic string-path `get_json_object` for contrast). Filters on
+    * the extracted value prove predicates compose with variant
+    * access; the null-channel column pins the missing-path → NULL
+    * contract.
+    *
+    * Scale shape: scan-side projection + filter only — the variant
+    * parse is once per row (not per extracted path), which is the
+    * whole point of the encoding at 100 TB. */
+  def variantExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("parse_json(props)").as("v"))
+      .select(col("event_id"), col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.missing', 'bigint')").as("missing_path"),
+        (expr("variant_get(v, '$.k', 'bigint')") * 2L).as("k_doubled"))
+      .where(col("k") % 3 === 0)
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_variant_extract" -> variantExtract _,
     "q_regr_per_key" -> regrPerKey _,
     "q_interval_union" -> intervalUnion _,
     "q_downsample_minmax" -> downsampleMinmax _,
@@ -570,6 +593,16 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    "q_variant_extract" ->
+      """SELECT event_id, event_type,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       CAST(json_extract_string(props, '$.missing') AS BIGINT)
+        |         AS missing_path,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) * 2
+        |         AS k_doubled
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
+        |ORDER BY event_id""".stripMargin,
     "q_regr_per_key" ->
       """WITH e AS (
         |  SELECT user_id,

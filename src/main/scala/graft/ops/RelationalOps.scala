@@ -1129,6 +1129,24 @@ object RelationalOps {
 
   // ----------------------------------------------------------- subqueries
 
+  /** Correlated LATERAL join — the per-row-subquery SQL surface
+    * (each customer's top-2 orders by price via an ORDER BY/LIMIT
+    * subquery referencing the outer row). Catalyst DECORRELATES the
+    * lateral into a join + per-key limit (no per-outer-row re-scan of
+    * orders — plan-asserted in ShuffleBudgetSpec), which is why the
+    * construct is usable at 100 TB at all; the window-function
+    * formulation of the same answer is q_topk_per_group. */
+  def lateralTopn(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT c_custkey, c_mktsegment, l.o_orderkey, l.o_totalprice
+      FROM customer JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+  }
+
   /** IN subquery (decorrelated to a semi join by Catalyst). */
   def subqueryIn(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
@@ -1258,6 +1276,7 @@ object RelationalOps {
     "q_scalar_array" -> scalarArray _,
     "q_scalar_map" -> scalarMap _,
     "q_subquery_in" -> subqueryIn _,
+    "q_lateral_topn" -> lateralTopn _,
     "q_correlated_exists" -> correlatedExists _,
     "q_scalar_subquery" -> scalarSubquery _)
 
@@ -1789,6 +1808,13 @@ object RelationalOps {
         |             MAP(['type', 'user'], [event_type, CAST(user_id AS VARCHAR)]) AS m
         |      FROM events)
         |ORDER BY event_id""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT c_custkey, c_mktsegment, l.o_orderkey, l.o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_subquery_in" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders

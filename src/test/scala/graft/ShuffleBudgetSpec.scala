@@ -160,6 +160,11 @@ class ShuffleBudgetSpec extends SparkSpec {
       // single-scan Expand alternative moved rows x columns through
       // one shuffle and benched 25 s vs 1.8 s at sf0.1)
       "q_profile_stats" -> 22,
+      // variant access is a scan-side projection + filter
+      "q_variant_extract" -> 0,
+      // the decorrelated lateral: one per-key WindowGroupLimit
+      // exchange + the join — never a per-outer-row re-scan
+      "q_lateral_topn" -> 2,
       // inherits langId's vocab-build + per-doc argmax exchanges
       // (vocabulary- and doc-keyed); the confusion cells and totals
       // past the argmax add only langs^2-bounded movement
