@@ -300,6 +300,40 @@ object LlmOps {
     triangleStats(
       minhashDedup(s, dir).select(col("doc_a").as("u"), col("doc_b").as("v")))
 
+  /** Bounded-depth BFS reachability over the near-dup graph via
+    * Spark 4's `WITH RECURSIVE` — the SQL-surface route to iterative
+    * graph queries ([[connectedComponents]] is the programmatic
+    * driver-loop twin): minimum hop distance from the seed documents
+    * (graph members with doc_id < 20) to everything within 3 hops.
+    * "How far does contamination spread from these known-bad docs"
+    * is the curation question this answers.
+    *
+    * Scale shape: each recursion level is ONE join of the frontier
+    * against the edge list plus a DISTINCT — level width is bounded
+    * by |reachable docs|, never by walk count (an undeduplicated
+    * UNION ALL recursion would enumerate every path through the
+    * near-clique LSH clusters); depth is a fixed bound, so the plan
+    * is 3 unrolled join+distinct rounds over the CANDIDATE edge
+    * list. */
+  def recursiveReach(s: SparkSession, dir: String): DataFrame = {
+    minhashDedup(s, dir).select(col("doc_a"), col("doc_b"))
+      .createOrReplaceTempView("graft_neardup_edges")
+    s.sql("""
+      WITH RECURSIVE edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM graft_neardup_edges
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM graft_neardup_edges),
+      reach(doc_id, depth) AS (
+        SELECT DISTINCT src AS doc_id, 0 AS depth
+        FROM edges WHERE src < 20
+        UNION ALL
+        SELECT DISTINCT e.dst, r.depth + 1
+        FROM reach r JOIN edges e ON e.src = r.doc_id
+        WHERE r.depth < 3)
+      SELECT doc_id, CAST(min(depth) AS BIGINT) AS hops
+      FROM reach GROUP BY doc_id ORDER BY doc_id""")
+  }
+
   /** Multi-signal near-duplicate consensus: every candidate pair any
     * of the three independent detectors fires on — lexical MinHash-LSH
     * bands, bit-level SimHash hamming, semantic SRP-bucketed cosine
@@ -814,6 +848,7 @@ object LlmOps {
     "q_minhash_dedup" -> minhashDedup _,
     "q_triangle_count" -> triangleCount _,
     "q_dedup_consensus" -> dedupConsensus _,
+    "q_recursive_reach" -> recursiveReach _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_cosine_topk" -> cosineTopk _,
     "q_knn_classify" -> knnClassify _,
@@ -871,7 +906,27 @@ object LlmOps {
        |            (CASE WHEN emb THEN 1 ELSE 0 END) AS BIGINT) AS n_signals
        |FROM j ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The q_recursive_reach oracle: the same BFS as a DuckDB
+    * WITH RECURSIVE over the embedded minhash pair query. */
+  private[graft] def recursiveReachOracle: String =
+    s"""WITH RECURSIVE lex_q AS (
+       |${minhashOracleSql}),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM lex_q
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM lex_q),
+       |reach(doc_id, depth) AS (
+       |  SELECT DISTINCT src AS doc_id, 0 AS depth
+       |  FROM edges WHERE src < 20
+       |  UNION ALL
+       |  SELECT DISTINCT e.dst, r.depth + 1
+       |  FROM reach r JOIN edges e ON e.src = r.doc_id
+       |  WHERE r.depth < 3)
+       |SELECT doc_id, CAST(min(depth) AS BIGINT) AS hops
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_recursive_reach" -> recursiveReachOracle,
     "q_dedup_consensus" -> consensusOracle,
     "q_sequence_pack" ->
       """WITH b AS (

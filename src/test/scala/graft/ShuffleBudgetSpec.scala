@@ -129,6 +129,9 @@ class ShuffleBudgetSpec extends SparkSpec {
       // three LSH-bounded candidate generators (their own band joins)
       // + two full-outer joins over candidate-PAIR frames
       "q_dedup_consensus" -> 12,
+      // 3 unrolled frontier-join+distinct rounds over the candidate
+      // edge list (the recursive CTE), on top of the band join
+      "q_recursive_reach" -> 14,
       // ADC: codes window + (qid, vec) combine sum + per-query rank;
       // the distance table is broadcast, never shuffled
       "q_ann_pq_search" -> 4,
