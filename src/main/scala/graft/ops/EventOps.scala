@@ -232,8 +232,8 @@ object EventOps {
         count(col("t_click")).as("n_click"),
         count(col("t_purchase")).as("n_purchase"))
       .select(col("n_view"), col("n_click"), col("n_purchase"),
-        expr("(1000000 * n_click) div n_view").as("click_ppm"),
-        expr("(1000000 * n_purchase) div n_view").as("purchase_ppm"))
+        expr("1000000 * cast(n_click as decimal(38,0)) div n_view").as("click_ppm"),
+        expr("1000000 * cast(n_purchase as decimal(38,0)) div n_view").as("purchase_ppm"))
   }
 
   /** Cohort retention: users grouped by signup day, counted as active
@@ -373,7 +373,7 @@ object EventOps {
       .agg(sum(col("cnt")).cast("long").as("src_total"))
     counts.join(broadcast(totals), "from_type")
       .select(col("from_type"), col("to_type"), col("cnt"), col("src_total"),
-        expr("1000000 * cnt div src_total").as("prob_ppm"))
+        expr("1000000 * cast(cnt as decimal(38,0)) div src_total").as("prob_ppm"))
       .orderBy("from_type", "to_type")
   }
 
@@ -476,7 +476,7 @@ object EventOps {
         (max(col("island_end_us")) - min(col("island_start_us")))
           .as("span_us"))
       .select(col("user_id"), col("n_islands"), col("covered_us"), col("span_us"),
-        expr("1000000 * covered_us div span_us").as("coverage_ppm"))
+        expr("1000000 * cast(covered_us as decimal(38,0)) div span_us").as("coverage_ppm"))
       .orderBy("user_id")
   }
 
@@ -512,35 +512,51 @@ object EventOps {
     * least-squares value-vs-time line per user — the drift/trend
     * primitive behind burn-down and degradation dashboards. The
     * builtins accumulate Welford-style (order-dependent per engine),
-    * so the moments come from exact DECIMAL power sums like
-    * q_agg_stats; x is seconds since the user's own first event
-    * (exact integer — raw epoch-µs squared would overflow any exact
-    * accumulator), and the slope/intercept scalar arithmetic is one
-    * fixed IEEE expression per engine.
+    * and decimal PRODUCT sums are a cross-engine trap (Spark clamps
+    * the (28,8)×(28,8) product to DECIMAL(38,6) under
+    * allowPrecisionLoss while DuckDB keeps scale 16 — the r5 red
+    * row), so the moments are exact INTEGER power sums: x is whole
+    * seconds since the user's own first event, y is value floored to
+    * 1e-6 micro-units (one IEEE multiply + floor, bit-identical per
+    * engine), products stay in BIGINT (x ≤ 2.6e6 s, y_u ≤ 5.6e8 at
+    * every SF), the sums ride DECIMAL(38,0) (Spark) / HUGEINT
+    * (DuckDB) — both exact to ≥1e38 — and slope/intercept ship as
+    * integer NANO-units via pure integer division (truncation toward
+    * zero, probed identical in both engines): no double conversion
+    * exists anywhere in the plan, because DuckDB's HUGEINT→DOUBLE and
+    * DECIMAL→DOUBLE casts are NOT correctly rounded (probed off by
+    * 1 ulp above 2^53; only BIGINT→DOUBLE rounds to nearest).
+    * slope_nano = 1e9·slope = num·1000 div den since num/den is
+    * already slope·1e6; intercept·1e9 = (syu·den − num·sx)·1000 div
+    * (n·den) from intercept = (Σy − slope·Σx)/n.
     *
     * Scale shape: one per-user window for the time origin riding the
     * same partitioning as the combine agg — per-key sorts and a
-    * 5-sum aggregate; nothing global. */
+    * 5-sum aggregate; nothing global. Headroom: the widest product,
+    * syu·den ≤ (n·y_u)·(n²·x²) — at 1e9 rows/key, x ≤ 3e7 s,
+    * y_u ≤ 1e9 that is ~1e36 < 1e38; beyond that re-origin x per
+    * epoch or drop to 1e-3 milli-units. */
   def regrPerKey(s: SparkSession, dir: String): DataFrame = {
-    val d = (c: Column) => c.cast("decimal(28,8)")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
     events(s, dir)
       .select(col("user_id"), col("ts_us"), col("value"))
       .withColumn("x", expr(
-        "cast((ts_us - min(ts_us) over (partition by user_id)) div 1000000 as double)"))
+        "(ts_us - min(ts_us) over (partition by user_id)) div 1000000"))
+      .withColumn("yu", expr(
+        "cast(floor(value * cast(1000000 as double)) as bigint)"))
       .groupBy(col("user_id"))
-      .agg(count(lit(1)).cast("double").as("n"),
-        sum(d(col("x"))).cast("double").as("sx"),
-        sum(d(col("x")) * d(col("x"))).cast("double").as("sxx"),
-        sum(d(col("value"))).cast("double").as("sy"),
-        sum(d(col("x")) * d(col("value"))).cast("double").as("sxy"))
-      .where(col("n") * col("sxx") - col("sx") * col("sx") > 0d)
-      .withColumn("slope_raw",
-        (col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")))
-      .select(col("user_id"), col("n").cast("long").as("n_events"),
-        r6(col("slope_raw")).as("slope"),
-        r6((col("sy") - col("slope_raw") * col("sx")) / col("n"))
-          .as("intercept"))
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("x"))).as("sx"),
+        sum(d38(col("x") * col("x"))).as("sxx"),
+        sum(d38(col("yu"))).as("syu"),
+        sum(d38(col("x") * col("yu"))).as("sxyu"))
+      .withColumn("den", d38(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("num", d38(col("n")) * col("sxyu") - col("sx") * col("syu"))
+      .where(col("den") > lit(0))
+      .select(col("user_id"), col("n").as("n_events"),
+        expr("num * 1000 div den").as("slope_nano"),
+        expr("(syu * den - num * sx) * 1000 div (cast(n as decimal(38,0)) * den)")
+          .as("intercept_nano"))
       .orderBy("user_id")
   }
 
@@ -606,27 +622,25 @@ object EventOps {
     "q_regr_per_key" ->
       """WITH e AS (
         |  SELECT user_id,
-        |         CAST((epoch_us(ts) - min(epoch_us(ts)) OVER (
-        |           PARTITION BY user_id)) // 1000000 AS DOUBLE) AS x,
-        |         value
+        |         (epoch_us(ts) - min(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id)) // 1000000 AS x,
+        |         CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT)
+        |           AS yu
         |  FROM events),
         |m AS (
-        |  SELECT user_id,
-        |         CAST(count(*) AS DOUBLE) AS n,
-        |         CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
-        |         CAST(sum(CAST(x AS DECIMAL(28,8))
-        |                  * CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
-        |         CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sy,
-        |         CAST(sum(CAST(x AS DECIMAL(28,8))
-        |                  * CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+        |  SELECT user_id, count(*) AS n,
+        |         sum(x) AS sx, sum(x * x) AS sxx,
+        |         sum(yu) AS syu, sum(x * yu) AS sxyu
         |  FROM e GROUP BY user_id),
         |r AS (
-        |  SELECT user_id, n, sx, sy,
-        |         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw
+        |  SELECT user_id, n, sx, syu,
+        |         n * sxyu - sx * syu AS num,
+        |         n * sxx - sx * sx AS den
         |  FROM m WHERE n * sxx - sx * sx > 0)
-        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
-        |       round(slope_raw, 6) AS slope,
-        |       round((sy - slope_raw * sx) / n, 6) AS intercept
+        |SELECT user_id, n AS n_events,
+        |       CAST(num * 1000 // den AS BIGINT) AS slope_nano,
+        |       CAST((syu * den - num * sx) * 1000 // (n * den) AS BIGINT)
+        |         AS intercept_nano
         |FROM r ORDER BY user_id""".stripMargin,
     "q_interval_union" ->
       """WITH e AS (
@@ -658,7 +672,7 @@ object EventOps {
         |         max(island_end_us) - min(island_start_us) AS span_us
         |  FROM g GROUP BY user_id)
         |SELECT user_id, n_islands, covered_us, span_us,
-        |       CAST(1000000 * covered_us // span_us AS BIGINT) AS coverage_ppm
+        |       CAST(1000000 * CAST(covered_us AS HUGEINT) // span_us AS BIGINT) AS coverage_ppm
         |FROM u ORDER BY user_id""".stripMargin,
     "q_downsample_minmax" ->
       """WITH e AS (
@@ -689,7 +703,7 @@ object EventOps {
         |  SELECT from_type, CAST(sum(cnt) AS BIGINT) AS src_total
         |  FROM c GROUP BY from_type)
         |SELECT from_type, to_type, cnt, src_total,
-        |       CAST(1000000 * cnt // src_total AS BIGINT) AS prob_ppm
+        |       CAST(1000000 * CAST(cnt AS HUGEINT) // src_total AS BIGINT) AS prob_ppm
         |FROM c JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
     "q_concurrent_sessions" ->
@@ -811,8 +825,8 @@ object EventOps {
         |  FROM v LEFT JOIN c ON v.user_id = c.user_id
         |         LEFT JOIN p ON v.user_id = p.user_id)
         |SELECT n_view, n_click, n_purchase,
-        |       (1000000 * n_click) // n_view AS click_ppm,
-        |       (1000000 * n_purchase) // n_view AS purchase_ppm
+        |       CAST(1000000 * CAST(n_click AS HUGEINT) // n_view AS BIGINT) AS click_ppm,
+        |       CAST(1000000 * CAST(n_purchase AS HUGEINT) // n_view AS BIGINT) AS purchase_ppm
         |FROM agg""".stripMargin,
     "q_retention_cohort" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),

@@ -387,7 +387,7 @@ object LlmOps {
     st.crossJoin(ne).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
-        expr("1000000 * 3 * n_triangles div greatest(n_wedges, 1)")
+        expr("1000000 * 3 * cast(n_triangles as decimal(38,0)) div greatest(n_wedges, 1)")
           .as("closure_ppm"))
   }
 
@@ -707,7 +707,7 @@ object LlmOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
       .withColumn("contamination_ppm",
-        expr("(1000000 * n_hit) div n_shingles"))
+        expr("1000000 * cast(n_hit as decimal(38,0)) div n_shingles"))
       .orderBy("doc_id")
   }
 
@@ -1007,7 +1007,7 @@ object LlmOps {
         |  FROM deg),
         |ne AS (SELECT count(*) AS n_edges FROM pairs)
         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
-        |       CAST(1000000 * 3 * n_triangles // greatest(n_wedges, 1) AS BIGINT)
+        |       CAST(1000000 * 3 * CAST(n_triangles AS HUGEINT) // greatest(n_wedges, 1) AS BIGINT)
         |         AS closure_ppm
         |FROM st, ne, tri""".stripMargin,
     "q_dedup_degree" ->
@@ -1055,7 +1055,7 @@ object LlmOps {
         |train AS (SELECT DISTINCT gh FROM hg WHERE hb < 90),
         |test AS (SELECT DISTINCT doc_id, gh FROM hg WHERE hb >= 95)
         |SELECT t.doc_id, count(*) AS n_shingles, count(tr.gh) AS n_hit,
-        |       (1000000 * count(tr.gh)) // count(*) AS contamination_ppm
+        |       CAST(1000000 * CAST(count(tr.gh) AS HUGEINT) // count(*) AS BIGINT) AS contamination_ppm
         |FROM test t LEFT JOIN train tr ON t.gh = tr.gh
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q_weighted_sample" ->

@@ -404,7 +404,7 @@ object RelationalOps {
     counts.crossJoin(broadcast(stats))
       .select(col("l_orderkey"), col("cnt"), col("n_keys"),
         col("total_rows"), col("max_rows"),
-        expr("cnt * 1000000 * n_keys div total_rows").as("load_ppm_of_mean"))
+        expr("cast(cnt as decimal(38,0)) * 1000000 * n_keys div total_rows").as("load_ppm_of_mean"))
       .orderBy(col("cnt").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -1631,7 +1631,7 @@ object RelationalOps {
         |         max(cnt) AS max_rows
         |  FROM counts)
         |SELECT l_orderkey, cnt, n_keys, total_rows, max_rows,
-        |       CAST(cnt * 1000000 * n_keys // total_rows AS BIGINT)
+        |       CAST(CAST(cnt AS HUGEINT) * 1000000 * n_keys // total_rows AS BIGINT)
         |         AS load_ppm_of_mean
         |FROM counts, stats
         |ORDER BY cnt DESC, l_orderkey LIMIT 10""".stripMargin,

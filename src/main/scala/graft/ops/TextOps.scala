@@ -102,7 +102,7 @@ object TextOps {
     cells.join(broadcast(totals), "true_lang")
       .select(col("true_lang"), col("pred_lang"), col("n_docs"),
         col("lang_total"),
-        expr("1000000 * n_docs div lang_total").as("share_ppm"))
+        expr("1000000 * cast(n_docs as decimal(38,0)) div lang_total").as("share_ppm"))
       .orderBy("true_lang", "pred_lang")
   }
 
@@ -798,7 +798,7 @@ object TextOps {
           .as("first_dup_pos"))
       .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
         col("first_dup_pos"),
-        expr("1000000 * n_dup_spans div n_spans").as("dup_ppm"))
+        expr("1000000 * cast(n_dup_spans as decimal(38,0)) div n_spans").as("dup_ppm"))
       .orderBy("doc_id")
   }
 
@@ -887,7 +887,7 @@ object TextOps {
       "r_repetitive" -> "c_r_repetitive", "r_short" -> "c_r_short"
     ).map { case (r, c) =>
       s"""struct('$r' as rule, $c as n_flagged, n_docs,
-         |  1000000 * $c div n_docs as share_ppm)""".stripMargin
+         |  1000000 * cast($c as decimal(38,0)) div n_docs as share_ppm)""".stripMargin
     }
     one.select(explode(array(entries.map(expr): _*)).as("e"))
       .select(col("e.*")).orderBy("rule")
@@ -953,7 +953,7 @@ object TextOps {
         |           OR r_no_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS c_any
         |  FROM f)
         |SELECT rule, n_flagged, n_docs,
-        |       CAST(1000000 * n_flagged // n_docs AS BIGINT) AS share_ppm
+        |       CAST(1000000 * CAST(n_flagged AS HUGEINT) // n_docs AS BIGINT) AS share_ppm
         |FROM (
         |  SELECT 'any' AS rule, c_any AS n_flagged, n_docs FROM a
         |  UNION ALL SELECT 'r_low_ttr', c_ttr, n_docs FROM a
@@ -979,8 +979,8 @@ object TextOps {
         |         AS n_dup_spans,
         |       coalesce(min(CASE WHEN n_occ > 1 THEN pos END),
         |                CAST(-1 AS BIGINT)) AS first_dup_pos,
-        |       CAST(1000000 * sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)
-        |            // count(*) AS BIGINT) AS dup_ppm
+        |       CAST(1000000 * CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)
+        |              AS HUGEINT) // count(*) AS BIGINT) AS dup_ppm
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pmi_cooccur" ->
       """WITH alltok AS (
@@ -1251,7 +1251,7 @@ object TextOps {
         |  SELECT true_lang, CAST(sum(n_docs) AS BIGINT) AS lang_total
         |  FROM cells GROUP BY true_lang)
         |SELECT true_lang, pred_lang, n_docs, lang_total,
-        |       CAST(1000000 * n_docs // lang_total AS BIGINT) AS share_ppm
+        |       CAST(1000000 * CAST(n_docs AS HUGEINT) // lang_total AS BIGINT) AS share_ppm
         |FROM cells JOIN tot USING (true_lang)
         |ORDER BY true_lang, pred_lang""".stripMargin,
     "q_quality_score" ->
