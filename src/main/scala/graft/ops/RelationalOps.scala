@@ -467,33 +467,64 @@ object RelationalOps {
       .orderBy("o_orderpriority")
   }
 
+  /** Default q_sort_boundaries sample geometry: keep rows whose
+    * portable row hash ≡ 0 (mod SbMod), spread the draw over
+    * SbBuckets hash-derived buckets, keep the SbCap lowest-hash rows
+    * per bucket. The sample is therefore ≤ SbBuckets·SbCap rows
+    * (2048 at defaults) at ANY corpus size — RangePartitioner's own
+    * `sampleSizePerPartition × partitions` discipline — while staying
+    * hash-deterministic so DuckDB draws the identical rows. Runtime
+    * confs `spark.graft.sortsample.{mod,buckets,cap}` override it;
+    * [[sortBoundariesOracle]] regenerates the oracle from the same
+    * three numbers so query and oracle cannot drift. */
+  private[graft] val SbMod = 100
+  private[graft] val SbBuckets = 64
+  private[graft] val SbCap = 32
+
+  private def sbGeometry(s: SparkSession): (Int, Int, Int) = (
+    s.conf.get("spark.graft.sortsample.mod", SbMod.toString).toInt,
+    s.conf.get("spark.graft.sortsample.buckets", SbBuckets.toString).toInt,
+    s.conf.get("spark.graft.sortsample.cap", SbCap.toString).toInt)
+
   /** Range-partition planning (the TeraSort/global-sort step that
     * never shows up in the query text): pick 7 balanced boundaries
     * for l_extendedprice the way Spark's own RangePartitioner plans a
-    * 100 TB orderBy — a bounded SAMPLE, sorted exactly, octiles
+    * 100 TB orderBy — a COUNT-BOUNDED sample, sorted exactly, octiles
     * picked by rank — then validate the plan by counting rows per
     * planned range and reporting each range's load as exact ppm. The
-    * sample is hash-defined (portable hash of the row key ≡ 0 mod
-    * 100), so both engines draw the SAME ~1% sample and compute
-    * identical boundaries at ANY scale; a mergeable quantile sketch
-    * was tried first, but `approx_percentile`'s rank error at 600 k
-    * rows (0.6 at accuracy 1e6) picks a neighboring element vs
-    * DuckDB's quantile_disc — caught by the sf0.1 gate, and the
-    * sample-based plan is also the more faithful one (sampling IS
-    * what RangePartitioner does; the sketch path stays demonstrated
-    * in q_approx_percentile).
+    * sample is hash-defined twice over: the scan keeps rows with
+    * portable-hash ≡ 0 mod `mod` (~1% of the corpus), and a
+    * row_number window over `buckets` hash-derived buckets keeps only
+    * the `cap` lowest-hash rows per bucket, so the sorted-collect
+    * buffer holds ≤ buckets·cap values (2048 at defaults) at ANY
+    * scale — the r5 linear-growth weakness removed. Both engines draw
+    * the SAME rows because bucket, order, and tie-break (hash, then
+    * the unique (l_orderkey, l_linenumber) row key) are all
+    * hash-arithmetic. A mergeable quantile sketch was tried first,
+    * but `approx_percentile`'s rank error at 600 k rows picks a
+    * neighboring element vs DuckDB's quantile_disc (see
+    * q_approx_percentile for the sketch path).
     *
-    * Scale shape: the sample predicate is scan-side (rows drawn scale
-    * with corpus/100 — cap the draw with a higher modulus at extreme
-    * sizes); the sort runs over the bounded sample inside one
-    * collect_list aggregate; boundaries come back as a bounded
+    * Scale shape: the mod-filter is scan-side; the per-bucket cap is
+    * a rank window that Spark 4 rewrites to WindowGroupLimit — each
+    * map task keeps a ≤ buckets·cap top-heap BEFORE the shuffle, so
+    * the exchange carries O(tasks·buckets·cap) rows, not corpus/mod
+    * (plan-asserted in PlanAudit). Boundaries come back as a bounded
     * 7-element frame CROSS-joined (broadcast, 1 row) onto the scan;
     * range assignment is a projection (count of boundaries ≤ value);
     * the validation count is one ≤8-key combine shuffle. */
   def sortBoundaries(s: SparkSession, dir: String): DataFrame = {
+    val (mod, buckets, cap) = sbGeometry(s)
     val sampleKey = phSql.format("concat(l_orderkey, ':', l_linenumber)")
+    val byBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
     val bounds = t(s, dir, "lineitem")
-      .where(expr(s"pmod($sampleKey, 100)") === 0L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        expr(sampleKey).as("h"))
+      .where(expr(s"h % $mod = 0"))
+      .withColumn("bucket", expr(s"(h div $mod) % $buckets"))
+      .withColumn("rk", row_number().over(byBucket))
+      .where(col("rk") <= cap)
       .agg(sort_array(collect_list(col("l_extendedprice"))).as("sv"))
       .select(expr(
         """transform(sequence(1, 7),
@@ -511,9 +542,45 @@ object RelationalOps {
         max(col("l_extendedprice")).as("range_max"))
       .select(col("range_id"), col("n_rows"), col("range_min"),
         col("range_max"),
-        expr("1000000 * n_rows div sum(n_rows) over ()").as("load_ppm"))
+        expr("1000000 * cast(n_rows as decimal(38,0)) div sum(n_rows) over ()")
+          .as("load_ppm"))
       .orderBy("range_id")
   }
+
+  /** The q_sort_boundaries DuckDB oracle, generated from the SAME
+    * geometry constants the query reads (the q_profile_stats /
+    * SRP-oracle discipline) so the two surfaces cannot drift. */
+  private[graft] def sortBoundariesOracle(mod: Int = SbMod,
+      buckets: Int = SbBuckets, cap: Int = SbCap): String =
+    s"""WITH s0 AS (
+       |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+       |         CAST('0x' || substring(sha256(
+       |           CAST(l_orderkey AS VARCHAR) || ':' ||
+       |           CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM lineitem),
+       |sm AS (
+       |  SELECT l_extendedprice AS v,
+       |         row_number() OVER (PARTITION BY (h // $mod) % $buckets
+       |           ORDER BY h, l_orderkey, l_linenumber) AS rk
+       |  FROM s0 WHERE h % $mod = 0),
+       |b AS (
+       |  SELECT list_transform(range(1, 8), i ->
+       |    sv[greatest(1, CAST((i * len(sv)) // 8 AS INT))]) AS bounds
+       |  FROM (SELECT list_sort(list(v)) AS sv FROM sm WHERE rk <= $cap)),
+       |r AS (
+       |  SELECT CAST(len(list_filter(bounds, x -> x <= l_extendedprice))
+       |           AS BIGINT) AS range_id,
+       |         l_extendedprice
+       |  FROM lineitem, b),
+       |g AS (
+       |  SELECT range_id, count(*) AS n_rows,
+       |         min(l_extendedprice) AS range_min,
+       |         max(l_extendedprice) AS range_max
+       |  FROM r GROUP BY range_id)
+       |SELECT range_id, n_rows, range_min, range_max,
+       |       CAST(1000000 * CAST(n_rows AS HUGEINT)
+       |            // CAST(sum(n_rows) OVER () AS BIGINT) AS BIGINT) AS load_ppm
+       |FROM g ORDER BY range_id""".stripMargin
 
   private val ProfileNumeric = Seq("l_orderkey", "l_partkey", "l_suppkey",
     "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -1598,31 +1665,7 @@ object RelationalOps {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "q_sort_boundaries" ->
-      """WITH sm AS (
-        |  SELECT l_extendedprice AS v FROM lineitem
-        |  WHERE CAST('0x' || substring(sha256(
-        |          CAST(l_orderkey AS VARCHAR) || ':' ||
-        |          CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)
-        |        % 100 = 0),
-        |b AS (
-        |  SELECT list_transform(range(1, 8), i ->
-        |    sv[greatest(1, CAST((i * len(sv)) // 8 AS INT))]) AS bounds
-        |  FROM (SELECT list_sort(list(v)) AS sv FROM sm)),
-        |r AS (
-        |  SELECT CAST(len(list_filter(bounds, x -> x <= l_extendedprice))
-        |           AS BIGINT) AS range_id,
-        |         l_extendedprice
-        |  FROM lineitem, b),
-        |g AS (
-        |  SELECT range_id, count(*) AS n_rows,
-        |         min(l_extendedprice) AS range_min,
-        |         max(l_extendedprice) AS range_max
-        |  FROM r GROUP BY range_id)
-        |SELECT range_id, n_rows, range_min, range_max,
-        |       CAST(1000000 * n_rows
-        |            // CAST(sum(n_rows) OVER () AS BIGINT) AS BIGINT) AS load_ppm
-        |FROM g ORDER BY range_id""".stripMargin,
+    "q_sort_boundaries" -> sortBoundariesOracle(),
     "q_key_skew" ->
       """WITH counts AS (
         |  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1),

@@ -144,8 +144,10 @@ class ShuffleBudgetSpec extends SparkSpec {
       // fact shuffles once on (key, salt) — uniform by construction;
       // the replicated dim side and the final ≤5-key agg are the rest
       "q_salted_join" -> 4,
-      // one combine sketch agg + the ≤8-key validation count; the
-      // boundary frame is broadcast, range assignment is a projection
+      // the bucket rank-limit window (WindowGroupLimit caps it at
+      // buckets·cap rows map-side) + the bounded sorted-collect + the
+      // ≤8-key validation count; the boundary frame is broadcast,
+      // range assignment is a projection
       "q_sort_boundaries" -> 3,
       // two per-user windows + (user, island) agg + per-user agg, all
       // user-keyed — AQE reuses the partitioning where it can
