@@ -17,6 +17,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * [[StreamingAnomaly]]: after the watermark passes last-seen +
   * idleTimeout the key starts cold, deliberately NOT emitting a
   * stale cross-gap transition.
+  *
+  * Ordering matches the batch twin EXACTLY: slices sort by
+  * (event time, event_id) — the same total order q_event_transitions'
+  * lag window uses — so replaying a stream that contains
+  * equal-timestamp events for a key emits the identical (from, to)
+  * pairs (r5 ADVICE: the previous event-type tie-break could diverge).
   */
 object StreamingTransitions {
 
@@ -25,13 +31,15 @@ object StreamingTransitions {
 
   case class Transition(userId: Long, tsMs: Long, fromType: String, toType: String)
 
-  /** Fold one key's micro-batch slice (event-time order) starting
-    * from `prev`; returns the updated state and the transitions.
-    * Pure function — shared by the streaming wrapper and tests. */
-  def foldSlice(prev: Option[LastSeen], events: Seq[(Long, Long, String)])
+  /** Fold one key's micro-batch slice (event-time order, event_id
+    * tie-break — the batch window's order) starting from `prev`;
+    * events are (user_id, ts_ms, event_id, event_type). Returns the
+    * updated state and the transitions. Pure function — shared by
+    * the streaming wrapper and tests. */
+  def foldSlice(prev: Option[LastSeen], events: Seq[(Long, Long, Long, String)])
       : (Option[LastSeen], Vector[Transition]) =
     events.sortBy(e => (e._2, e._3)).foldLeft((prev, Vector.empty[Transition])) {
-      case ((st, out), (uid, tsMs, et)) =>
+      case ((st, out), (uid, tsMs, _, et)) =>
         val emitted = st match {
           case Some(LastSeen(f, _)) => out :+ Transition(uid, tsMs, f, et)
           case None                 => out
@@ -39,27 +47,28 @@ object StreamingTransitions {
         (Some(LastSeen(et, tsMs)), emitted)
     }
 
-  /** Streaming wrapper. Input: (user_id long, ts timestamp,
-    * event_type string); watermark applied after the normalizing
-    * projection (casting a watermarked column strips the tag). */
+  /** Streaming wrapper. Input: (user_id long, ts timestamp, event_id
+    * long, event_type string); watermark applied after the
+    * normalizing projection (casting a watermarked column strips the
+    * tag). */
   def transitions(spark: SparkSession, events: DataFrame,
                   idleTimeout: String = "1 hour",
                   watermarkDelay: String = "10 seconds"): Dataset[Transition] = {
     import spark.implicits._
     events
       .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
-        col("event_type").cast("string"))
+        col("event_id").cast("long"), col("event_type").cast("string"))
       .withWatermark("ts", watermarkDelay)
-      .as[(Long, Timestamp, String)]
+      .as[(Long, Timestamp, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[LastSeen, Transition](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, it: Iterator[(Long, Timestamp, String)], state: GroupState[LastSeen]) =>
+        (uid: Long, it: Iterator[(Long, Timestamp, Long, String)], state: GroupState[LastSeen]) =>
           if (state.hasTimedOut) {
             state.remove() // idle key: no stale cross-gap transition later
             Iterator.empty
           } else {
-            val batch = it.map(e => (e._1, e._2.getTime, e._3)).toVector
+            val batch = it.map(e => (e._1, e._2.getTime, e._3, e._4)).toVector
             val (next, out) = foldSlice(state.getOption, batch)
             next.foreach { n =>
               state.update(n)
