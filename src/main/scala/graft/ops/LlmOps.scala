@@ -242,10 +242,13 @@ object LlmOps {
     * the 8 bands agree. The repartition normalizes the driver
     * testdata's single parquet split so hash work parallelizes; at
     * real scale the scan has many splits and the hash cost dwarfs it. */
-  def minhashDedup(s: SparkSession, dir: String): DataFrame = {
+  /** The (doc_id, band, sig) LSH band-signature frame shared by the
+    * minhash family: word 3-gram shingles → one codegen'd sha per
+    * shingle → 8 arithmetically-derived band minima → exploded band
+    * rows. Per-doc array pipeline, deliberately SHUFFLE-FREE until a
+    * consumer's band join. */
+  private def bandedSigs(s: SparkSession, dir: String): DataFrame = {
     val nBands = 8
-    // Per-doc array pipeline, deliberately SHUFFLE-FREE until the band
-    // join: hashing + band minima stay narrow per-document HOF work.
     // (The explode→groupBy(doc_id) reformulation was tried and benched
     // 2.3x slower — it inserts a full shuffle of every shingle row just
     // to regroup what was already grouped; the one-sha-per-shingle HOF
@@ -264,13 +267,17 @@ object LlmOps {
         // provider per call (PortableHashes scaladoc; same values)
         graft.functions.PortableHashes.hashes(
           col("shingles"), 2147483647L).as("hs"))
-    val banded = shingled
+    shingled
       .select(col("doc_id"),
         graft.functions.MinhashSigs.sigs(col("hs"), nBands).as("sigs"))
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${nBands - 1}), b -> struct(
            |  b AS band, element_at(sigs, b + 1) AS sig))""".stripMargin)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  def minhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val banded = bandedSigs(s, dir)
     val left = banded.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val right = banded.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
     left.join(right, Seq("band", "sig"))
@@ -278,6 +285,64 @@ object LlmOps {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Incremental (delta-vs-corpus) near-dup admission — the shape
+    * every production pipeline actually runs daily: today's arrivals
+    * are checked against the STANDING corpus index, never
+    * corpus×corpus. The delta is hash-defined (portable hash of
+    * doc_id ≡ 0 mod 10, ~10% of documents — both engines draw the
+    * same batch); each delta doc joins the full band-signature frame
+    * on (band, sig) and is admitted unless it collides with a corpus
+    * doc (dup_corpus) or an earlier doc of its own batch (dup_delta —
+    * keep-first within the arrival). Short docs (< 3 tokens, no
+    * shingles) admit with zero partners via the left join. A partner
+    * must agree on ≥ 2 of the 8 bands — the band-agreement (estimated
+    * Jaccard ≈ agreement/bands) threshold production dedup applies,
+    * without which a dense corpus marks nearly every arrival dup on
+    * a single-band coincidence (observed at sf0.1: 499/500 at ≥ 1
+    * band vs a meaningful mix at ≥ 2).
+    *
+    * Scale shape: Catalyst pushes the delta predicate into the left
+    * branch's scan, so the LSH join is delta×index — the probe side
+    * is |delta| bands, the output is bounded by the delta's LSH
+    * collisions, and nothing all-pairs exists anywhere. The standing
+    * corpus side is re-derived in-plan here (driver parquet is the
+    * only input); a production deployment materializes the band index
+    * once and appends each day's delta bands to it, making the daily
+    * cost |delta|·(hash + probe). The pair agg and partner counts
+    * ride the candidate-pair frame only. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val minBands = 2
+    val isDelta = (c: Column) => portableHash(c.cast("string")) % 10L === 0L
+    val banded = bandedSigs(s, dir)
+    val delta = banded.where(isDelta(col("doc_id")))
+      .select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+    val all = banded.select(col("band"), col("sig"),
+      col("doc_id").as("doc_b"), isDelta(col("doc_id")).as("delta_b"))
+    val pairs = delta.join(all, Seq("band", "sig"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("delta_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .where(col("n_shared_bands") >= minBands)
+    val counts = pairs.groupBy(col("doc_a"))
+      .agg(
+        sum(when(!col("delta_b"), 1L).otherwise(0L)).as("n_corpus_partners"),
+        sum(when(col("delta_b") && col("doc_b") < col("doc_a"), 1L)
+          .otherwise(0L)).as("n_prior_delta_partners"))
+    t(s, dir, "documents")
+      .where(isDelta(col("doc_id")))
+      .select(col("doc_id"))
+      .join(counts, col("doc_id") === col("doc_a"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_partners"), lit(0L)).as("n_corpus_partners"),
+        coalesce(col("n_prior_delta_partners"), lit(0L))
+          .as("n_prior_delta_partners"))
+      .withColumn("verdict",
+        when(col("n_corpus_partners") > 0L, lit("dup_corpus"))
+          .when(col("n_prior_delta_partners") > 0L, lit("dup_delta"))
+          .otherwise(lit("admit")))
+      .orderBy("doc_id")
   }
 
   /** Triangle census + global clustering coefficient over the near-dup
@@ -829,6 +894,7 @@ object LlmOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_incremental" -> dedupIncremental _,
     "q_sequence_pack" -> sequencePack _,
     "q_token_budget" -> tokenBudget _,
     "q_stratified_sample" -> stratifiedSample _,
@@ -857,8 +923,10 @@ object LlmOps {
   /** The q_minhash_dedup oracle, factored so the consensus oracle can
     * embed it verbatim — the pair semantics cannot drift between the
     * standalone query and the consensus view. */
-  private val minhashOracleSql: String =
-    """WITH s AS (
+  /** The shared LSH banding CTEs (shingle → sha → 8 band minima) —
+    * the oracle twin of [[bandedSigs]]; `m` is (doc_id, band, sig). */
+  private val minhashBandCtes: String =
+    """s AS (
       |  SELECT doc_id,
       |         list_transform(range(1, len(string_split(text, ' ')) - 1),
       |           i -> string_split(text, ' ')[i] || ' ' ||
@@ -874,10 +942,51 @@ object LlmOps {
       |  SELECT doc_id, b.range AS band,
       |         list_min(list_transform(hs,
       |           h -> (h * (b.range + 1) + 37 * b.range + 101) % 2147483647)) AS sig
-      |  FROM hs, range(0, 8) b)
+      |  FROM hs, range(0, 8) b)""".stripMargin
+
+  private val minhashOracleSql: String =
+    s"""WITH $minhashBandCtes
       |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS n_shared_bands
       |FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q_dedup_incremental oracle: the same banding CTEs, delta tagged
+    * by the same doc_id hash rule the query uses. */
+  private val dedupIncrementalOracleSql: String = {
+    val dh = "CAST('0x' || substring(sha256(CAST(%s AS VARCHAR)), 1, 15) AS BIGINT) %% 10 = 0"
+    val deltaDoc = dh.format("d0.doc_id")
+    val deltaA = dh.format("a.doc_id")
+    val deltaC = dh.format("c.doc_id")
+    s"""WITH $minhashBandCtes,
+       |d AS (SELECT d0.doc_id FROM documents d0 WHERE $deltaDoc),
+       |p0 AS (
+       |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |         ($deltaC) AS delta_b, count(*) AS n_shared_bands
+       |  FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig
+       |       AND a.doc_id <> c.doc_id
+       |  WHERE $deltaA
+       |  GROUP BY 1, 2, 3
+       |  HAVING count(*) >= 2),
+       |p AS (
+       |  SELECT doc_a,
+       |         CAST(sum(CASE WHEN NOT delta_b THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_corpus_partners,
+       |         CAST(sum(CASE WHEN delta_b AND doc_b < doc_a
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_prior_delta_partners
+       |  FROM p0 GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(p.n_corpus_partners, 0) AS BIGINT)
+       |         AS n_corpus_partners,
+       |       CAST(coalesce(p.n_prior_delta_partners, 0) AS BIGINT)
+       |         AS n_prior_delta_partners,
+       |       CASE WHEN coalesce(p.n_corpus_partners, 0) > 0
+       |              THEN 'dup_corpus'
+       |            WHEN coalesce(p.n_prior_delta_partners, 0) > 0
+       |              THEN 'dup_delta'
+       |            ELSE 'admit' END AS verdict
+       |FROM d LEFT JOIN p ON d.doc_id = p.doc_a
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** The q_dedup_consensus oracle, assembled from the three signal
     * families' own declared oracles (minhash verbatim; simhash from
@@ -1167,6 +1276,7 @@ object LlmOps {
         |       CAST(sum(quality_u) AS BIGINT) AS sum_quality_u
         |FROM capped GROUP BY lang ORDER BY lang""").stripMargin,
     "q_minhash_dedup" -> minhashOracleSql,
+    "q_dedup_incremental" -> dedupIncrementalOracleSql,
     "q_dedup_pagerank" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -179,6 +179,26 @@ class ShuffleBudgetSpec extends SparkSpec {
     }
   }
 
+  test("r6 incremental dedup is delta-bounded, never corpus x corpus") {
+    // band join (delta probe + index build sides) + the candidate-pair
+    // agg + the per-delta-doc partner counts + the verdict join-back
+    // onto the delta base — every exchange past the band join carries
+    // LSH-collision-bounded pair rows, and the probe side's delta
+    // predicate is pushed below the join (asserted on the plan)
+    val df = q("q_dedup_incremental")
+    val n = hashExchanges(df)
+    assert(n <= 6, s"q_dedup_incremental over budget: $n > 6")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert("Join Inner, .*band".r.findFirstIn(plan).isDefined,
+      s"band equi-join missing:\n$plan")
+    // pushdown proof: one scan-side Filter carries BOTH the shingle
+    // precondition and the delta hash rule — that combined conjunct
+    // only exists if the delta predicate sank below the band join
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains(">= 3)") && l.contains("% 10) = 0")),
+      s"delta predicate not pushed onto the probe scan:\n$plan")
+  }
+
   test("broadcast-side similarity search never shuffles the corpus scan") {
     // brute-force top-k: the only hash exchange allowed is the final
     // per-query ranking of the tiny (queries x k) candidate frame
