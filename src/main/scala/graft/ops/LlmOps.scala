@@ -119,7 +119,21 @@ object LlmOps {
     * Scale shape identical to q_exact_dedup: normalization is a
     * scan-side projection, then one combine-enabled shuffle on the
     * uniform content hash. */
-  def dedupNormalized(s: SparkSession, dir: String): DataFrame = {
+  def dedupNormalized(s: SparkSession, dir: String): DataFrame =
+    noisedCorpus(s, dir)
+      .select(col("doc_id"), normalizedHash(col("text")).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        max(col("doc_id")).as("max_member"),
+        count(lit(1)).as("n_members"))
+      .select(col("keep_doc_id"), col("max_member"), col("n_members"))
+      .orderBy("keep_doc_id")
+
+  /** The corpus ∪ a deterministically perturbed copy (ids + 1e6;
+    * three noise classes by doc_id mod 3) — shared by
+    * [[dedupNormalized]] and [[dedupCascade]] so the planted
+    * normalization variants can't drift between the two. */
+  private def noisedCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val noised = docs.select(
       (col("doc_id") + lit(1000000L)).as("doc_id"),
@@ -128,15 +142,13 @@ object LlmOps {
           regexp_replace(col("text"), " ", "  ,  "))
         .otherwise(concat(lit("  "), col("text"), lit("  "))).as("text"))
     docs.unionByName(noised)
-      .select(col("doc_id"), sha2(trim(regexp_replace(regexp_replace(
-        lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), 256).as("h"))
-      .groupBy(col("h"))
-      .agg(min(col("doc_id")).as("keep_doc_id"),
-        max(col("doc_id")).as("max_member"),
-        count(lit(1)).as("n_members"))
-      .select(col("keep_doc_id"), col("max_member"), col("n_members"))
-      .orderBy("keep_doc_id")
   }
+
+  /** C4-style canonicalization hash: lowercase, non-alphanumerics to
+    * spaces, whitespace collapsed, trimmed, sha256'd. */
+  private def normalizedHash(text: Column): Column =
+    sha2(trim(regexp_replace(regexp_replace(
+      lower(text), "[^a-z0-9 ]", " "), " +", " ")), 256)
 
   /** Near-dup cluster size distribution — the dedup IMPACT report: a
     * corpus with many size-2 clusters has scattered duplication; a
@@ -247,13 +259,18 @@ object LlmOps {
     * shingle → 8 arithmetically-derived band minima → exploded band
     * rows. Per-doc array pipeline, deliberately SHUFFLE-FREE until a
     * consumer's band join. */
-  private def bandedSigs(s: SparkSession, dir: String): DataFrame = {
+  private def bandedSigs(s: SparkSession, dir: String): DataFrame =
+    bandedSigsOf(s, t(s, dir, "documents"))
+
+  /** [[bandedSigs]] over an arbitrary (doc_id, text) frame — the
+    * cascade's tier-3 input is a filtered corpus, not the table. */
+  private def bandedSigsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     val nBands = 8
     // (The explode→groupBy(doc_id) reformulation was tried and benched
     // 2.3x slower — it inserts a full shuffle of every shingle row just
     // to regroup what was already grouped; the one-sha-per-shingle HOF
     // cost does not dominate here, unlike simhash's 32-fold case.)
-    val shingled = Tables.spread(s, t(s, dir, "documents")
+    val shingled = Tables.spread(s, docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 3))
       .select(col("doc_id"), expr(
@@ -343,6 +360,57 @@ object LlmOps {
           .when(col("n_prior_delta_partners") > 0L, lit("dup_delta"))
           .otherwise(lit("admit")))
       .orderBy("doc_id")
+  }
+
+  /** Tiered dedup cascade — the "onion" every production corpus runs,
+    * cheapest tier first so each stage sees only the previous stage's
+    * survivors: (1) byte-exact content hash, (2) C4-style normalized
+    * hash ([[normalizedHash]]), (3) MinHash-LSH near-dup (≥ 2/8 band
+    * agreement, the q_dedup_incremental threshold; a doc drops when
+    * any SMALLER-id tier-2 survivor collides — the one-pass greedy
+    * rule; full transitive keep-one-per-component is q_dedup_clusters'
+    * job). Input is [[noisedCorpus]] so tier 2 provably fires (the raw
+    * corpus plants no normalization variants). Output is the funnel
+    * report — per tier: docs in, removed, surviving — the numbers a
+    * curation run publishes after every ingest.
+    *
+    * Scale shape: tiers 1–2 are one window shuffle each on a uniform
+    * content hash (same shape as q_exact_dedup); tier 3 is the
+    * LSH band join over survivors only (collision-bounded, never
+    * all-pairs); the funnel itself is four 1-row counts cross-joined —
+    * every data-scaled structure is a hash shuffle or a band join. */
+  def dedupCascade(s: SparkSession, dir: String): DataFrame = {
+    val c0 = noisedCorpus(s, dir)
+    val exactW = Window.partitionBy(col("eh")).orderBy(col("doc_id"))
+    val s1 = c0.withColumn("eh", sha2(col("text"), 256))
+      .withColumn("er", row_number().over(exactW)).where(col("er") === 1)
+      .select(col("doc_id"), col("text"))
+    val normW = Window.partitionBy(col("nh")).orderBy(col("doc_id"))
+    val s2 = s1.withColumn("nh", normalizedHash(col("text")))
+      .withColumn("nr", row_number().over(normW)).where(col("nr") === 1)
+      .select(col("doc_id"), col("text"))
+    val banded = bandedSigsOf(s, s2)
+    val left = banded.select(col("band"), col("sig"), col("doc_id"))
+    val right = banded.select(col("band"), col("sig"),
+      col("doc_id").as("doc_prior"))
+    val dropped = left.join(right, Seq("band", "sig"))
+      .where(col("doc_prior") < col("doc_id"))
+      .groupBy(col("doc_id"), col("doc_prior"))
+      .agg(count(lit(1)).as("nb"))
+      .where(col("nb") >= 2)
+      .select(col("doc_id")).distinct()
+    val s3 = s2.join(dropped, Seq("doc_id"), "left_anti")
+    c0.agg(count(lit(1)).as("n0"))
+      .crossJoin(s1.agg(count(lit(1)).as("n1")))
+      .crossJoin(s2.agg(count(lit(1)).as("n2")))
+      .crossJoin(s3.agg(count(lit(1)).as("n3")))
+      .selectExpr(
+        """stack(3,
+          |  '1_exact', n0, n0 - n1, n1,
+          |  '2_normalized', n1, n1 - n2, n2,
+          |  '3_neardup', n2, n2 - n3, n3)
+          |  as (tier, n_in, n_removed, n_out)""".stripMargin)
+      .orderBy("tier")
   }
 
   /** Triangle census + global clustering coefficient over the near-dup
@@ -912,6 +980,7 @@ object LlmOps {
     "q_dedup_pagerank" -> dedupPagerank _,
     "q_cluster_stats" -> clusterStats _,
     "q_minhash_dedup" -> minhashDedup _,
+    "q_dedup_cascade" -> dedupCascade _,
     "q_triangle_count" -> triangleCount _,
     "q_dedup_consensus" -> dedupConsensus _,
     "q_recursive_reach" -> recursiveReach _,
@@ -987,6 +1056,68 @@ object LlmOps {
        |FROM d LEFT JOIN p ON d.doc_id = p.doc_a
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** q_dedup_cascade oracle: the noised corpus (q_dedup_normalized's
+    * exact CASE), the two QUALIFY keep-first tiers, and the banding
+    * CTEs re-rooted at the tier-2 survivors — same ≥ 2/8 band cut and
+    * smaller-id drop rule as the query. */
+  private val dedupCascadeOracleSql: String =
+    """WITH c0 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN upper(text) || '!!'
+      |              WHEN doc_id % 3 = 1
+      |                THEN regexp_replace(text, ' ', '  ,  ', 'g')
+      |              ELSE '  ' || text || '  ' END AS text
+      |  FROM documents),
+      |s1 AS (
+      |  SELECT doc_id, text FROM c0
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY sha256(text) ORDER BY doc_id) = 1),
+      |s2 AS (
+      |  SELECT doc_id, text FROM s1
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY sha256(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+      |    ORDER BY doc_id) = 1),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |           i -> string_split(text, ' ')[i] || ' ' ||
+      |                string_split(text, ' ')[i + 1] || ' ' ||
+      |                string_split(text, ' ')[i + 2]) AS shingles
+      |  FROM s2 WHERE len(string_split(text, ' ')) >= 3),
+      |hs2 AS (
+      |  SELECT doc_id,
+      |         list_transform(shingles,
+      |           sh -> CAST('0x' || substring(sha256(sh), 1, 15) AS BIGINT) % 2147483647) AS hs
+      |  FROM sh),
+      |mb AS (
+      |  SELECT doc_id, b.range AS band,
+      |         list_min(list_transform(hs,
+      |           h -> (h * (b.range + 1) + 37 * b.range + 101) % 2147483647)) AS sig
+      |  FROM hs2, range(0, 8) b),
+      |drop3 AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT a.doc_id AS doc_id, c.doc_id AS doc_prior
+      |    FROM mb a JOIN mb c ON a.band = c.band AND a.sig = c.sig
+      |         AND c.doc_id < a.doc_id
+      |    GROUP BY 1, 2 HAVING count(*) >= 2)),
+      |s3 AS (
+      |  SELECT doc_id FROM s2
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+      |n AS (
+      |  SELECT (SELECT count(*) FROM c0) AS n0,
+      |         (SELECT count(*) FROM s1) AS n1,
+      |         (SELECT count(*) FROM s2) AS n2,
+      |         (SELECT count(*) FROM s3) AS n3)
+      |SELECT tier, n_in, n_removed, n_out FROM (
+      |  SELECT '1_exact' AS tier, n0 AS n_in, n0 - n1 AS n_removed,
+      |         n1 AS n_out FROM n
+      |  UNION ALL SELECT '2_normalized', n1, n1 - n2, n2 FROM n
+      |  UNION ALL SELECT '3_neardup', n2, n2 - n3, n3 FROM n)
+      |ORDER BY tier""".stripMargin
 
   /** The q_dedup_consensus oracle, assembled from the three signal
     * families' own declared oracles (minhash verbatim; simhash from
@@ -1277,6 +1408,7 @@ object LlmOps {
         |FROM capped GROUP BY lang ORDER BY lang""").stripMargin,
     "q_minhash_dedup" -> minhashOracleSql,
     "q_dedup_incremental" -> dedupIncrementalOracleSql,
+    "q_dedup_cascade" -> dedupCascadeOracleSql,
     "q_dedup_pagerank" ->
       """WITH s AS (
         |  SELECT doc_id,

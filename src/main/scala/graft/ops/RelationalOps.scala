@@ -1289,7 +1289,67 @@ object RelationalOps {
       .orderBy("file_id")
   }
 
+  /** Order-independent table content fingerprints — the migration /
+    * replication audit primitive: prove two copies of a table hold the
+    * same rows WITHOUT sorting either one. Each row is rendered to a
+    * canonical string (integers and strings verbatim; timestamps as
+    * epoch-µs; money doubles floored to integer cents — no raw double
+    * ever hits the string, since float formatting is the one thing
+    * engines disagree on), hashed with the portable 60-bit sha, and
+    * folded two independent ways: XOR (order-free, overflow-free) and
+    * an exact DECIMAL(38,0) sum reduced mod 2^62 — two accumulators so
+    * a single-bit accident can't collide both. One row out per table.
+    *
+    * Scale shape: per table ONE full scan collapsing into a combine
+    * aggregate — no shuffle of data rows at all (partial XOR/sum per
+    * partition, 1-row merge). At 100 TB this is exactly how you verify
+    * a petabyte copy: embarrassingly parallel, network traffic = one
+    * row per partition, versus the hopeless alternative of a global
+    * ORDER BY on both sides. concat_ws skips NULLs identically in
+    * both engines, so the rendering contract holds on nullable
+    * columns too. */
+  def tableFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val ph = "cast(conv(substring(sha2(cast(%s as string), 256), 1, 15), 16, 10) as bigint)"
+    def cents(c: String): Column = floor(col(c) * 100).cast("long")
+    def one(name: String, cols: Seq[Column]): DataFrame =
+      t(s, dir, name)
+        .select(concat_ws("|", cols: _*).as("row_str"))
+        .select(expr(ph.format("row_str")).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_hash"),
+          (sum(col("h").cast("decimal(38,0)")) %
+            lit("4611686018427387904").cast("decimal(38,0)"))
+            .cast("long").as("sum_hash_mod"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("xor_hash"), col("sum_hash_mod"))
+    one("lineitem", Seq(col("l_orderkey"), col("l_linenumber"),
+        cents("l_quantity"), cents("l_extendedprice"), cents("l_discount"),
+        col("l_returnflag"), col("l_linestatus"), epochUs(col("l_shipdate"))))
+      .unionByName(one("orders", Seq(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), cents("o_totalprice"),
+        epochUs(col("o_orderdate")), col("o_orderpriority"))))
+      .unionByName(one("customer", Seq(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), cents("c_acctbal"), col("c_mktsegment"))))
+      .unionByName(one("documents", Seq(col("doc_id"), col("lang"),
+        col("source"), col("text"))))
+      .unionByName(
+        Tables.events(s, dir)
+          .select(concat_ws("|", col("event_id"), col("user_id"),
+            col("event_type"), col("ts_us"),
+            floor(col("value") * 1000000).cast("long")).as("row_str"))
+          .select(expr(ph.format("row_str")).as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(h)").as("xor_hash"),
+            (sum(col("h").cast("decimal(38,0)")) %
+              lit("4611686018427387904").cast("decimal(38,0)"))
+              .cast("long").as("sum_hash_mod"))
+          .select(lit("events").as("table_name"), col("n_rows"),
+            col("xor_hash"), col("sum_hash_mod")))
+      .orderBy("table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_fingerprint" -> tableFingerprint _,
     "q_zorder_layout" -> zorderLayout _,
     "q_scan_filter_project" -> scanFilterProject _,
     "q_hash_join_inner" -> hashJoinInner _,
@@ -1348,6 +1408,43 @@ object RelationalOps {
     "q_scalar_subquery" -> scalarSubquery _)
 
   val oracles: Map[String, String] = Map(
+    // Same canonical row rendering (ints/strings verbatim, epoch-µs
+    // timestamps, floored integer cents), same portable sha hash,
+    // same XOR + mod-2^62-sum folds. concat_ws skips NULLs in both
+    // engines; h is non-negative so % truncation signs agree.
+    "q_table_fingerprint" -> {
+      val ph = "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
+      def one(name: String, rowStr: String, from: String): String =
+        s"""SELECT '$name' AS table_name, count(*) AS n_rows,
+           |       bit_xor(h) AS xor_hash,
+           |       CAST(CAST(sum(h) AS HUGEINT) % CAST(4611686018427387904 AS HUGEINT)
+           |         AS BIGINT) AS sum_hash_mod
+           |FROM (SELECT ${ph.format(rowStr)} AS h FROM $from)""".stripMargin
+      Seq(
+        one("lineitem",
+          "concat_ws('|', l_orderkey, l_linenumber, " +
+            "CAST(floor(l_quantity * 100) AS BIGINT), " +
+            "CAST(floor(l_extendedprice * 100) AS BIGINT), " +
+            "CAST(floor(l_discount * 100) AS BIGINT), " +
+            "l_returnflag, l_linestatus, epoch_us(l_shipdate))",
+          "lineitem"),
+        one("orders",
+          "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+            "CAST(floor(o_totalprice * 100) AS BIGINT), " +
+            "epoch_us(o_orderdate), o_orderpriority)",
+          "orders"),
+        one("customer",
+          "concat_ws('|', c_custkey, c_name, c_nationkey, " +
+            "CAST(floor(c_acctbal * 100) AS BIGINT), c_mktsegment)",
+          "customer"),
+        one("documents",
+          "concat_ws('|', doc_id, lang, source, text)", "documents"),
+        one("events",
+          "concat_ws('|', event_id, user_id, event_type, epoch_us(ts), " +
+            "CAST(floor(value * 1000000) AS BIGINT))",
+          "events"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
     // Same 16-bit grid + shift-mask Morton spreading in DuckDB
     // (integer // division, identical bitwise ops).
     "q_zorder_layout" ->

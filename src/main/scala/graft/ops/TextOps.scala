@@ -893,7 +893,42 @@ object TextOps {
       .select(col("e.*")).orderBy("rule")
   }
 
+  /** Per-document token Shannon entropy — the information-density
+    * quality signal (low entropy flags repeated-token spam and
+    * boilerplate that length or TTR rules miss; production pipelines
+    * pair it with the perplexity filter). H = Σ p·ln(1/p) over the
+    * doc's token distribution; each distinct token's contribution is
+    * quantized to floor(x·1e9) nano-nats BEFORE the sum (the
+    * q_corpus_drift discipline), so the per-doc total is an exact
+    * order-free BIGINT both engines agree on — contributions are all
+    * ≥ 0 since c ≤ n. Also emits type count and token count so the
+    * report doubles as a TTR input.
+    *
+    * Scale shape: one (doc, token) combine-enabled shuffle (key
+    * cardinality = per-doc vocabulary), then the doc-keyed window +
+    * agg ride the doc partitioning; output is one row per doc.
+    * Nothing global, nothing all-pairs. */
+  def docEntropy(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+    tokenized(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n_tokens", sum(col("c")).over(w).cast("long"))
+      .withColumn("n_types", count(lit(1)).over(w))
+      .withColumn("contrib_nano",
+        floor((col("c").cast("double") / col("n_tokens").cast("double")) *
+          log(col("n_tokens").cast("double") / col("c").cast("double")) *
+          lit(1000000000.0)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        max(col("n_types")).as("n_types"),
+        sum(col("contrib_nano")).as("entropy_nano"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_entropy" -> docEntropy _,
     "q_filter_battery" -> filterBattery _,
     "q_substring_spans" -> substringSpans _,
     "q_pmi_cooccur" -> pmiCooccur _,
@@ -924,6 +959,24 @@ object TextOps {
     "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q_doc_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |e AS (
+        |  SELECT doc_id, c,
+        |         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_types
+        |  FROM c)
+        |SELECT doc_id, max(n_tokens) AS n_tokens,
+        |       CAST(max(n_types) AS BIGINT) AS n_types,
+        |       CAST(sum(CAST(floor((CAST(c AS DOUBLE) / n_tokens) *
+        |         ln(CAST(n_tokens AS DOUBLE) / c) * 1000000000.0) AS BIGINT))
+        |         AS BIGINT) AS entropy_nano
+        |FROM e GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_filter_battery" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sig AS (

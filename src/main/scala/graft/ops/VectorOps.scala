@@ -794,7 +794,129 @@ object VectorOps {
         expr(s"${ph("cast(payload as string)")} % 1000").as("stub_feature"))
       .orderBy("doc_id")
 
+  /** Per-class mean embedding (label prototypes) — the pooling
+    * aggregate behind class centroids, nearest-class-mean classifiers,
+    * and mean-pooled document vectors. Same arithmetic discipline as
+    * [[kmeansStepFrom]]: per-(label, dim) sums ride ONE combine
+    * shuffle of |labels| × 64 groups regardless of corpus size,
+    * routed through DECIMAL(18,6) with the mean emitted as exact
+    * integer micro-units via integer division — partial-agg order and
+    * the mean division are engine-exact.
+    *
+    * Scale shape: posexplode is a narrow 64× row expansion feeding a
+    * map-side-combined agg keyed on (label, dim) — bounded group
+    * count, no data-scaled shuffle, no broadcast. */
+  def embeddingPool(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("v").cast("double").cast("decimal(18,6)")) * lit(1000000))
+          .cast("long").as("sum_u"))
+      .select(col("label").cast("long").as("label"),
+        col("dim").cast("long").as("dim"), col("n_members"),
+        expr("sum_u div n_members").as("mean_u"))
+      .orderBy("label", "dim")
+
+  /** IVF-PQ composed serving path — the billion-vector standard
+    * (Jégou et al. 2011 §V: a coarse quantizer prunes the corpus, PQ
+    * codes rank inside the probed cell): each query (vec_id < 10) is
+    * routed to its IVF cluster ([[ivfAssign]], nprobe=1) and ADC-ranks
+    * ONLY that cluster's members — the asymmetric distance is m
+    * integer table lookups exactly as [[annPqSearch]], but the
+    * candidate set shrinks from |corpus| to |cluster|. Emits top-5 per
+    * query with the probed cluster id. Against q_ann_pq_search this
+    * demonstrates the pruning lever; against q_ann_ivf it swaps float
+    * dots for 2-byte codes — together they are the full serving stack.
+    *
+    * Scale shape: corpus-side inputs are the code frame (2 bytes/vec)
+    * + the cluster assignment (1 int/vec); the query-side distance
+    * table is broadcast; distance assembly is a combine-enabled
+    * (qid, vec) integer sum; ranking windows partition per query over
+    * cluster-sized frames. Nothing float touches a corpus row and
+    * nothing scales past the probed cells. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val (m, k) = pqGeometry(s)
+    val assign = ivfAssign(s, dir)
+    val codes = pqAssigned(s, dir)
+      .select(col("vec_id"), col("sub"), col("cent_id"))
+      .join(assign, "vec_id")
+    val table = pqSubbed(t(s, dir, "embeddings").where(col("vec_id") < 10), m)
+      .select(col("vec_id").as("qid"), col("sub"),
+        col("subvec").as("q_sub"), col("xx").as("qxx"))
+      .join(broadcast(pqCodebook(s, dir, m, k)), "sub")
+      .select(col("qid"), col("sub"), col("cent_id"),
+        floor((col("qxx") + col("cc") - lit(2.0) *
+          graft.functions.GraftFunctions.array_dot(col("q_sub"), col("cent_sub")))
+          * lit(1000000.0)).cast("long").as("d2q_u"))
+      .join(broadcast(assign.withColumnRenamed("vec_id", "qid")), "qid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist_u"), col("vec_id"))
+    codes.join(broadcast(table), Seq("sub", "cent_id", "cluster_id"))
+      .where(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("cluster_id"), col("vec_id"))
+      .agg(sum(col("d2q_u")).as("adist_u"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 5)
+      .select(col("qid"), col("cluster_id"), col("rn"), col("vec_id"),
+        col("adist_u"))
+      .orderBy("qid", "rn")
+  }
+
+  /** The q_ann_ivfpq DuckDB oracle for an (m, k) PQ geometry — embeds
+    * the PQ CTE chain and the IVF cosine assignment so neither can
+    * drift from their standalone oracles. */
+  private[graft] def annIvfPqOracle(m: Int, k: Int): String =
+    s"""${pqCommonCtes(m, k)},
+       |codes AS (
+       |  SELECT vec_id, sub, cent_id FROM d
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+       |    ORDER BY d2, cent_id) = 1),
+       |fbase AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_reduce(list_transform(embedding,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+       |  FROM embeddings),
+       |ivfc AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
+       |  FROM fbase WHERE vec_id < 16),
+       |cassign AS (
+       |  SELECT vec_id, cent_id AS cluster_id FROM (
+       |    SELECT b.vec_id, c.cent_id,
+       |           round(list_reduce(list_transform(list_zip(b.embedding, c.cent_emb),
+       |                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+       |                 / (b.norm * c.cent_norm), 6) AS ccos
+       |    FROM fbase b, ivfc c)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, cent_id) = 1),
+       |qt AS (
+       |  SELECT v.vec_id AS qid, v.sub, c.cent_id,
+       |         CAST(floor((v.xx + c.cc - CAST(2.0 AS DOUBLE) *
+       |           list_reduce(list_transform(list_zip(v.subvec, c.cent_sub),
+       |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+       |             (a, b) -> a + b)) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+       |           AS d2q_u
+       |  FROM v JOIN cents c ON v.sub = c.sub
+       |  WHERE v.vec_id < 10),
+       |ad AS (
+       |  SELECT qt.qid, qa.cluster_id, codes.vec_id,
+       |         CAST(sum(d2q_u) AS BIGINT) AS adist_u
+       |  FROM codes
+       |  JOIN cassign ca ON ca.vec_id = codes.vec_id
+       |  JOIN qt ON codes.sub = qt.sub AND codes.cent_id = qt.cent_id
+       |  JOIN cassign qa ON qa.vec_id = qt.qid
+       |       AND qa.cluster_id = ca.cluster_id
+       |  WHERE qt.qid != codes.vec_id
+       |  GROUP BY qt.qid, qa.cluster_id, codes.vec_id)
+       |SELECT qid, cluster_id, CAST(row_number() OVER w AS BIGINT) AS rn,
+       |       vec_id, adist_u
+       |FROM ad
+       |WINDOW w AS (PARTITION BY qid ORDER BY adist_u, vec_id)
+       |QUALIFY row_number() OVER w <= 5
+       |ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_pool" -> embeddingPool _,
+    "q_ann_ivfpq" -> annIvfPq _,
     "q_embedding_neardup" -> embeddingNeardup _,
     "q_srp_recall" -> srpRecall _,
     "q_semantic_dedup" -> semanticDedup _,
@@ -986,7 +1108,23 @@ object VectorOps {
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_product_quantize" -> pqOracle(PqM, PqK),
     "q_ann_pq_search" -> annPqOracle(PqM, PqK),
+    "q_ann_ivfpq" -> annIvfPqOracle(PqM, PqK),
     "q_pq_recall" -> pqRecallOracle(PqM, PqK),
+    // Same DECIMAL(18,6)-routed sums and integer-µ-unit mean as the
+    // q_kmeans_step oracle, keyed on label instead of cluster.
+    "q_embedding_pool" ->
+      """WITH m AS (
+        |  SELECT label,
+        |         unnest(embedding) AS v,
+        |         unnest(range(0, len(embedding))) AS dim
+        |  FROM embeddings)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+        |       count(*) AS n_members,
+        |       CAST(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)))
+        |              * 1000000 AS BIGINT) // count(*) AS BIGINT)
+        |         AS mean_u
+        |FROM m GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
     "q_cluster_topterms" ->
       """WITH base AS (
         |  SELECT vec_id, embedding,
