@@ -582,7 +582,50 @@ object EventOps {
       .where(col("k") % 3 === 0)
       .orderBy("event_id")
 
+  /** Per-key time-weighted average over irregular samples — the
+    * telemetry/billing aggregate a plain mean gets WRONG on
+    * non-uniform sampling (a sensor that reports rarely while idle
+    * and rapidly while active biases the plain mean toward the
+    * active value; weighting each sample by its holding interval
+    * de-biases it). Each event's value holds until the next event
+    * (step interpolation, last interval excluded — the standard
+    * left-Riemann TWA); emitted beside the plain mean so the bias is
+    * visible in the data. All arithmetic is exact integers: values
+    * floored to 1e-6 micro-units, interval weights in epoch-µs,
+    * products in BIGINT summed through DECIMAL(38,0)/HUGEINT, and
+    * both averages ship via integer division (the q_regr_per_key
+    * discipline — no double conversion anywhere).
+    *
+    * Scale shape: one per-user window sort (lead) riding the same
+    * partitioning as the combine agg; nothing global. Headroom: the
+    * widest product dt_us·y_u at years-scale gaps (~3e13 µs) × 1e9
+    * micro-units is ~3e22 per term — inside the DECIMAL(38,0) sum,
+    * outside BIGINT, which is why each term is cast BEFORE
+    * multiplying. */
+  def timeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        expr("cast(floor(value * cast(1000000 as double)) as bigint)")
+          .as("yu"))
+      .withColumn("next_ts", lead(col("ts_us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("span_us"),
+        sum(when(col("next_ts").isNotNull,
+            (col("next_ts") - col("ts_us")).cast("decimal(38,0)") * col("yu"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("wsum"),
+        sum(col("yu").cast("decimal(38,0)")).as("vsum"))
+      .where(col("span_us") > 0)
+      .select(col("user_id"), col("n_events"), col("span_us"),
+        expr("cast(wsum div span_us as bigint)").as("twa_micro"),
+        expr("cast(vsum div n_events as bigint)").as("mean_micro"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_weighted_avg" -> timeWeightedAvg _,
     "q_variant_extract" -> variantExtract _,
     "q_regr_per_key" -> regrPerKey _,
     "q_interval_union" -> intervalUnion _,
@@ -609,6 +652,31 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same step-interpolated left-Riemann weights, same micro-unit
+    // floors, same DECIMAL/HUGEINT sums and truncating divisions.
+    "q_time_weighted_avg" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS yu
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, ts_us, yu,
+        |         lead(ts_us) OVER (PARTITION BY user_id
+        |           ORDER BY ts_us, event_id) AS next_ts
+        |  FROM ev),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         max(ts_us) - min(ts_us) AS span_us,
+        |         sum(CASE WHEN next_ts IS NOT NULL
+        |             THEN CAST(next_ts - ts_us AS HUGEINT) * yu
+        |             ELSE CAST(0 AS HUGEINT) END) AS wsum,
+        |         CAST(sum(yu) AS HUGEINT) AS vsum
+        |  FROM l GROUP BY user_id)
+        |SELECT user_id, n_events, span_us,
+        |       CAST(wsum // span_us AS BIGINT) AS twa_micro,
+        |       CAST(vsum // n_events AS BIGINT) AS mean_micro
+        |FROM a WHERE span_us > 0
+        |ORDER BY user_id""".stripMargin,
     "q_variant_extract" ->
       """SELECT event_id, event_type,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

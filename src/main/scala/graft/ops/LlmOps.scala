@@ -380,15 +380,22 @@ object LlmOps {
     * all-pairs); the funnel itself is four 1-row counts cross-joined —
     * every data-scaled structure is a hash shuffle or a band join. */
   def dedupCascade(s: SparkSession, dir: String): DataFrame = {
+    // One labeled frame instead of four counted tier branches: the
+    // min-doc_id of a normalized-hash class is necessarily also the
+    // min of its own byte-hash class (the nh class is a union of eh
+    // classes), so nr = 1 ⇒ er = 1 and both keep-first tiers rank on
+    // the SAME frame — the naive formulation (count each tier's
+    // survivor chain separately) re-derives the chain once per count
+    // (4 recomputations, 12 hash exchanges; this shape: 7).
     val c0 = noisedCorpus(s, dir)
     val exactW = Window.partitionBy(col("eh")).orderBy(col("doc_id"))
-    val s1 = c0.withColumn("eh", sha2(col("text"), 256))
-      .withColumn("er", row_number().over(exactW)).where(col("er") === 1)
-      .select(col("doc_id"), col("text"))
     val normW = Window.partitionBy(col("nh")).orderBy(col("doc_id"))
-    val s2 = s1.withColumn("nh", normalizedHash(col("text")))
-      .withColumn("nr", row_number().over(normW)).where(col("nr") === 1)
-      .select(col("doc_id"), col("text"))
+    val f = c0
+      .withColumn("eh", sha2(col("text"), 256))
+      .withColumn("nh", normalizedHash(col("text")))
+      .withColumn("er", row_number().over(exactW))
+      .withColumn("nr", row_number().over(normW))
+    val s2 = f.where(col("nr") === 1).select(col("doc_id"), col("text"))
     val banded = bandedSigsOf(s, s2)
     val left = banded.select(col("band"), col("sig"), col("doc_id"))
     val right = banded.select(col("band"), col("sig"),
@@ -398,17 +405,19 @@ object LlmOps {
       .groupBy(col("doc_id"), col("doc_prior"))
       .agg(count(lit(1)).as("nb"))
       .where(col("nb") >= 2)
-      .select(col("doc_id")).distinct()
-    val s3 = s2.join(dropped, Seq("doc_id"), "left_anti")
-    c0.agg(count(lit(1)).as("n0"))
-      .crossJoin(s1.agg(count(lit(1)).as("n1")))
-      .crossJoin(s2.agg(count(lit(1)).as("n2")))
-      .crossJoin(s3.agg(count(lit(1)).as("n3")))
+      .select(col("doc_id"), lit(1L).as("d3")).distinct()
+    f.join(dropped, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("er") > 1, 1L).otherwise(0L)).as("rm1"),
+        sum(when(col("er") === 1 && col("nr") > 1, 1L).otherwise(0L))
+          .as("rm2"),
+        sum(when(col("nr") === 1 && col("d3").isNotNull, 1L).otherwise(0L))
+          .as("rm3"))
       .selectExpr(
         """stack(3,
-          |  '1_exact', n0, n0 - n1, n1,
-          |  '2_normalized', n1, n1 - n2, n2,
-          |  '3_neardup', n2, n2 - n3, n3)
+          |  '1_exact', n0, rm1, n0 - rm1,
+          |  '2_normalized', n0 - rm1, rm2, n0 - rm1 - rm2,
+          |  '3_neardup', n0 - rm1 - rm2, rm3, n0 - rm1 - rm2 - rm3)
           |  as (tier, n_in, n_removed, n_out)""".stripMargin)
       .orderBy("tier")
   }

@@ -927,7 +927,96 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** LSH band-geometry tuning eval — the S-curve calibration a
+    * deployment runs before choosing (bands, rows/band): over the
+    * 8-band candidate pairs, measure for each geometry (8×1, 4×2,
+    * 2×4 over the SAME first 8 minhash values) how many pairs would
+    * still collide, against the theoretical collision probability
+    * 1 − (1 − j^r)^b at each pair's EXACT Jaccard. More rows per
+    * band = sharper S-curve = fewer borderline collisions; the
+    * report quantifies that trade on the corpus itself (measured
+    * collide_ppm vs summed expected probability), which is how the
+    * q_minhash_dedup / q_dedup_incremental band thresholds get
+    * chosen. The probability is computed with EXPLICIT multiply
+    * trees (j², j⁴ = j²·j², q⁸ = q⁴·q⁴ …) — a fixed IEEE op
+    * sequence both engines execute identically, where a pow() call
+    * could diverge by an ulp — then floored to per-pair micro-units
+    * so the expectation sum is an exact BIGINT. Note the
+    * conditioning: measured rates are over the candidate set (pairs
+    * with ≥ 1 band hit), so b8_r1 reads 100% by construction while
+    * its unconditional expectation is far lower — exactly the
+    * single-band-coincidence saturation that makes the ≥ 2-band
+    * threshold necessary (observed sf0.1: 54k candidates, 10.1%
+    * survive 4×2, 3.7% survive 2×4).
+    *
+    * Scale shape: candidates from the usual band equi-join (never
+    * all-pairs); per-pair work is 8 integer comparisons + a fixed
+    * float expression; the report is ONE 1-row aggregate exploded to
+    * 3 geometry rows. div greatest(n,1) guards an empty candidate
+    * set. */
+  def lshTuning(s: SparkSession, dir: String): DataFrame = {
+    val base = shingled(s, dir)
+      .select(col("doc_id"), array_distinct(
+        graft.functions.PortableHashes.hashes(
+          col("shingles"), 2147483647L)).as("hset"))
+      .select(col("doc_id"), col("hset"),
+        graft.functions.MinhashSigs.sigs(col("hset"), 8).as("mh"))
+    val banded = base.select(col("doc_id"), col("hset"), col("mh"),
+      explode(expr(
+        """transform(sequence(0, 7), b -> struct(
+          |  b AS band, element_at(mh, b + 1) AS sig))""".stripMargin)).as("bs"))
+      .select(col("doc_id"), col("hset"), col("mh"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    def bandEq(b0: Int, r: Int): String =
+      (1 to r).map(i => s"element_at(mh_a, ${b0 * r + i}) = element_at(mh_b, ${b0 * r + i})")
+        .mkString("(", " AND ", ")")
+    def collide(b: Int, r: Int): String =
+      (0 until b).map(bandEq(_, r)).mkString(" OR ")
+    val pairs = banded.select(col("band"), col("sig"),
+        col("doc_id").as("doc_a"), col("hset").as("set_a"), col("mh").as("mh_a"))
+      .join(banded.select(col("band"), col("sig"),
+        col("doc_id").as("doc_b"), col("hset").as("set_b"), col("mh").as("mh_b")),
+        Seq("band", "sig"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("mh_a"), col("mh_b"),
+        col("set_a"), col("set_b"))
+      .distinct()
+      .withColumn("j",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))).cast("double"))
+    val j = col("j")
+    val j2 = j * j
+    val j4 = j2 * j2
+    val q1 = lit(1.0) - j
+    val q1_2 = q1 * q1; val q1_4 = q1_2 * q1_2; val q1_8 = q1_4 * q1_4
+    val qa = lit(1.0) - j2
+    val qa2 = qa * qa; val qa4 = qa2 * qa2
+    val qb = lit(1.0) - j4
+    val qb2 = qb * qb
+    def expU(p: Column): Column =
+      sum(floor(p * lit(1000000.0)).cast("long"))
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(expr(collide(8, 1)), 1L).otherwise(0L)).as("c81"),
+        sum(when(expr(collide(4, 2)), 1L).otherwise(0L)).as("c42"),
+        sum(when(expr(collide(2, 4)), 1L).otherwise(0L)).as("c24"),
+        expU(lit(1.0) - q1_8).as("e81"),
+        expU(lit(1.0) - qa4).as("e42"),
+        expU(lit(1.0) - qb2).as("e24"))
+      .selectExpr(
+        """stack(3,
+          |  'b8_r1', n_pairs, c81,
+          |  cast(1000000 * cast(c81 as decimal(38,0)) div greatest(n_pairs, 1) as bigint), e81,
+          |  'b4_r2', n_pairs, c42,
+          |  cast(1000000 * cast(c42 as decimal(38,0)) div greatest(n_pairs, 1) as bigint), e42,
+          |  'b2_r4', n_pairs, c24,
+          |  cast(1000000 * cast(c24 as decimal(38,0)) div greatest(n_pairs, 1) as bigint), e24)
+          |  as (geometry, n_pairs, n_collide, collide_ppm, expected_collide_u)""".stripMargin)
+      .orderBy("geometry")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lsh_tuning" -> lshTuning _,
     "q_doc_entropy" -> docEntropy _,
     "q_filter_battery" -> filterBattery _,
     "q_substring_spans" -> substringSpans _,
@@ -959,6 +1048,85 @@ object TextOps {
     "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // Same band CTEs as q_minhash_jaccard_est truncated to 8 sigs,
+    // same explicit multiply trees (no pow()), same micro-unit
+    // floors and truncating divisions.
+    "q_lsh_tuning" -> {
+      def bandEq(b0: Int, r: Int): String =
+        (1 to r).map(i => s"ma[${b0 * r + i}] = mb[${b0 * r + i}]")
+          .mkString("(", " AND ", ")")
+      def collide(b: Int, r: Int): String =
+        (0 until b).map(bandEq(_, r)).mkString(" OR ")
+      s"""WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sets AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(shingles,
+        |           sh -> ${phSqlDuck.format("sh")} % 2147483647)) AS hset
+        |  FROM s),
+        |m AS (
+        |  SELECT doc_id, hset,
+        |         list_transform(range(0, 8), j -> list_min(list_transform(hset,
+        |           h -> (h * (j + 1) + 37 * j + 101) % 2147483647))) AS mh
+        |  FROM sets),
+        |bands AS (
+        |  SELECT doc_id, b.range AS band,
+        |         mh[CAST(b.range AS INT) + 1] AS sig
+        |  FROM m, range(0, 8) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM bands a JOIN bands c
+        |    ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id),
+        |pj AS (
+        |  SELECT cand.doc_a, cand.doc_b, x.mh AS ma, y.mh AS mb,
+        |         CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE) /
+        |         CAST(len(list_distinct(list_concat(x.hset, y.hset)))
+        |           AS DOUBLE) AS j
+        |  FROM cand
+        |  JOIN m x ON x.doc_id = cand.doc_a
+        |  JOIN m y ON y.doc_id = cand.doc_b),
+        |l1 AS (SELECT *, j * j AS j2,
+        |              CAST(1 AS DOUBLE) - j AS q1 FROM pj),
+        |l2 AS (SELECT *, j2 * j2 AS j4, q1 * q1 AS q1_2,
+        |              CAST(1 AS DOUBLE) - j2 AS qa FROM l1),
+        |l3 AS (SELECT *, q1_2 * q1_2 AS q1_4, qa * qa AS qa2,
+        |              CAST(1 AS DOUBLE) - j4 AS qb FROM l2),
+        |l4 AS (SELECT *, q1_4 * q1_4 AS q1_8, qa2 * qa2 AS qa4,
+        |              qb * qb AS qb2 FROM l3),
+        |a AS (
+        |  SELECT count(*) AS n_pairs,
+        |         CAST(sum(CASE WHEN ${collide(8, 1)} THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS c81,
+        |         CAST(sum(CASE WHEN ${collide(4, 2)} THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS c42,
+        |         CAST(sum(CASE WHEN ${collide(2, 4)} THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS c24,
+        |         CAST(sum(CAST(floor((CAST(1 AS DOUBLE) - q1_8)
+        |           * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS e81,
+        |         CAST(sum(CAST(floor((CAST(1 AS DOUBLE) - qa4)
+        |           * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS e42,
+        |         CAST(sum(CAST(floor((CAST(1 AS DOUBLE) - qb2)
+        |           * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS e24
+        |  FROM l4)
+        |SELECT geometry, n_pairs, n_collide, collide_ppm, expected_collide_u
+        |FROM (
+        |  SELECT 'b8_r1' AS geometry, n_pairs, c81 AS n_collide,
+        |         CAST(1000000 * CAST(c81 AS HUGEINT)
+        |           // greatest(n_pairs, 1) AS BIGINT) AS collide_ppm,
+        |         e81 AS expected_collide_u FROM a
+        |  UNION ALL SELECT 'b4_r2', n_pairs, c42,
+        |         CAST(1000000 * CAST(c42 AS HUGEINT)
+        |           // greatest(n_pairs, 1) AS BIGINT), e42 FROM a
+        |  UNION ALL SELECT 'b2_r4', n_pairs, c24,
+        |         CAST(1000000 * CAST(c24 AS HUGEINT)
+        |           // greatest(n_pairs, 1) AS BIGINT), e24 FROM a)
+        |ORDER BY geometry""".stripMargin
+    },
     "q_doc_entropy" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

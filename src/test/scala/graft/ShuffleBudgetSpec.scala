@@ -199,6 +199,34 @@ class ShuffleBudgetSpec extends SparkSpec {
       s"delta predicate not pushed onto the probe scan:\n$plan")
   }
 
+  test("r6 sixth-wave ops hold their declared shuffle budgets") {
+    for ((name, budget) <- Seq(
+      // the audit primitive's whole claim: five scans, five 1-row
+      // combine folds, ZERO data-scaled exchanges
+      "q_table_fingerprint" -> 0,
+      // (doc, token) combine shuffle + the doc-keyed window
+      "q_doc_entropy" -> 2,
+      // labels x 64 bounded combine shuffle
+      "q_embedding_pool" -> 1,
+      // the per-user lead window; the combine agg rides the same
+      // partitioning
+      "q_time_weighted_avg" -> 1,
+      // band join sides + candidate distinct; the report is one
+      // 1-row aggregate
+      "q_lsh_tuning" -> 4,
+      // labeled-frame funnel: two keep-first windows + band join +
+      // pair agg + the fate join-back (the counted-branches
+      // formulation re-derived the tier chain per count: 12)
+      "q_dedup_cascade" -> 9,
+      // IVF assignment windows + code argmin windows + the
+      // cluster-scoped ADC join/agg — corpus-side movement is codes
+      // and assignments, never float vectors
+      "q_ann_ivfpq" -> 6)) {
+      val n = hashExchanges(q(name))
+      assert(n <= budget, s"$name over budget: $n > $budget")
+    }
+  }
+
   test("broadcast-side similarity search never shuffles the corpus scan") {
     // brute-force top-k: the only hash exchange allowed is the final
     // per-query ranking of the tiny (queries x k) candidate frame
