@@ -975,6 +975,30 @@ object RelationalOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Cumulative DISTINCT count over a window — the "unique event
+    * types seen to date per user" profile. Spark (like most engines)
+    * rejects COUNT(DISTINCT) OVER; the standard reformulation is a
+    * first-occurrence flag (row_number = 1 over (key, value)) summed
+    * by a cumulative frame — exactly equivalent, and it composes
+    * with any running frame where the builtin wouldn't exist at all.
+    *
+    * Scale shape: two windows, both partitioned by the key (the
+    * (key, value) rank rides a finer partitioning of the same
+    * shuffle); no global window, no distinct-explosion. */
+  def windowCountDistinct(s: SparkSession, dir: String): DataFrame = {
+    val seenW = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val cumW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("first_seen",
+        when(row_number().over(seenW) === 1, 1L).otherwise(0L))
+      .withColumn("n_distinct_cum", sum(col("first_seen")).over(cumW))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   /** Distribution window functions: ntile / percent_rank / cume_dist.
     * Partition sizes are < 128, so the rank ratios can't land on a
     * 7-decimal half-boundary — r6 is cross-engine-safe here. */
@@ -1349,6 +1373,7 @@ object RelationalOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_count_distinct" -> windowCountDistinct _,
     "q_table_fingerprint" -> tableFingerprint _,
     "q_zorder_layout" -> zorderLayout _,
     "q_scan_filter_project" -> scanFilterProject _,
@@ -1408,6 +1433,27 @@ object RelationalOps {
     "q_scalar_subquery" -> scalarSubquery _)
 
   val oracles: Map[String, String] = Map(
+    // Same first-occurrence-flag reformulation: DuckDB also rejects
+    // COUNT(DISTINCT) OVER a running frame.
+    "q_window_count_distinct" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts_us, event_type,
+        |         CASE WHEN row_number() OVER (
+        |             PARTITION BY user_id, event_type
+        |             ORDER BY ts_us, event_id) = 1
+        |           THEN 1 ELSE 0 END AS first_seen
+        |  FROM ev)
+        |SELECT user_id, event_id, ts_us, event_type,
+        |       CAST(first_seen AS BIGINT) AS first_seen,
+        |       CAST(sum(first_seen) OVER (
+        |           PARTITION BY user_id ORDER BY ts_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS n_distinct_cum
+        |FROM f
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
     // Same canonical row rendering (ints/strings verbatim, epoch-µs
     // timestamps, floored integer cents), same portable sha hash,
     // same XOR + mod-2^62-sum folds. concat_ws skips NULLs in both

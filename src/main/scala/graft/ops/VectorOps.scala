@@ -914,7 +914,66 @@ object VectorOps {
        |QUALIFY row_number() OVER w <= 5
        |ORDER BY qid, rn""".stripMargin
 
+  /** Reciprocal-rank fusion (RRF, Cormack et al. 2009) of two
+    * retrieval paths — the hybrid-search primitive every production
+    * vector store ships: the exact dense ranking (q_cosine_topk) and
+    * the PQ ADC ranking (q_ann_pq_search) are fused per query by
+    * score = Σ 1/(60 + rank), which rewards agreement between
+    * rankers without comparing their incommensurable raw scores
+    * (cosine vs integer ADC distance — the reason RRF beats score
+    * averaging). Scores are exact integers (1000000 div (60 + rank),
+    * truncating division both engines), absent-from-one-ranker docs
+    * contribute 0 from that side, ties break on candidate id.
+    *
+    * Scale shape: both inputs are (queries × k)-row frames — the
+    * production operators reused verbatim — so the fusion join and
+    * rank window touch nothing corpus-sized; the oracle EMBEDS both
+    * declared oracles so the fusion can't drift from its inputs. */
+  def rankFusion(s: SparkSession, dir: String): DataFrame = {
+    val dense = LlmOps.cosineTopk(s, dir).where(col("qid") < 10)
+      .select(col("qid"), col("cid"), col("rn").as("rn_dense"))
+    val adc = annPqSearch(s, dir)
+      .select(col("qid"), col("vec_id").as("cid"), col("rn").as("rn_pq"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_u").desc, col("cid"))
+    dense.join(adc, Seq("qid", "cid"), "full_outer")
+      .select(col("qid"), col("cid"),
+        coalesce(col("rn_dense"), lit(0L)).as("rn_dense"),
+        coalesce(col("rn_pq"), lit(0L)).as("rn_pq"),
+        (coalesce(expr("1000000 div (60 + rn_dense)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rn_pq)"), lit(0L))).as("score_u"))
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .select(col("qid"), col("fused_rank"), col("cid"), col("score_u"),
+        col("rn_dense"), col("rn_pq"))
+      .orderBy("qid", "fused_rank")
+  }
+
+  /** The q_rank_fusion oracle for a PQ (m, k) geometry — embeds the
+    * declared q_cosine_topk oracle and [[annPqOracle]] verbatim. */
+  private[graft] def rankFusionOracle(m: Int, k: Int): String =
+    s"""WITH dense AS (
+       |${LlmOps.oracles("q_cosine_topk")}),
+       |adc AS (
+       |${annPqOracle(m, k)}),
+       |f AS (
+       |  SELECT coalesce(d.qid, a.qid) AS qid,
+       |         coalesce(d.cid, a.vec_id) AS cid,
+       |         coalesce(d.rn, 0) AS rn_dense,
+       |         coalesce(a.rn, 0) AS rn_pq,
+       |         coalesce(1000000 // (60 + d.rn), 0) +
+       |           coalesce(1000000 // (60 + a.rn), 0) AS score_u
+       |  FROM (SELECT * FROM dense WHERE qid < 10) d
+       |  FULL OUTER JOIN adc a ON d.qid = a.qid AND d.cid = a.vec_id)
+       |SELECT qid, CAST(row_number() OVER w AS BIGINT) AS fused_rank, cid,
+       |       CAST(score_u AS BIGINT) AS score_u,
+       |       CAST(rn_dense AS BIGINT) AS rn_dense,
+       |       CAST(rn_pq AS BIGINT) AS rn_pq
+       |FROM f
+       |WINDOW w AS (PARTITION BY qid ORDER BY score_u DESC, cid)
+       |ORDER BY qid, fused_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rank_fusion" -> rankFusion _,
     "q_embedding_pool" -> embeddingPool _,
     "q_ann_ivfpq" -> annIvfPq _,
     "q_embedding_neardup" -> embeddingNeardup _,
@@ -1073,7 +1132,11 @@ object VectorOps {
         |       CAST(1000000 * n_hit // greatest(n_cand, 1) AS BIGINT) AS precision_ppm
         |FROM t, c, h""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // lazy: rankFusionOracle embeds LlmOps.oracles("q_cosine_topk"),
+  // and LlmOps' own init references VectorOps (consensus oracle) —
+  // eager evaluation here would re-enter the half-initialized LlmOps
+  // and read a null map (ExceptionInInitializerError).
+  lazy val oracles: Map[String, String] = Map(
     "q_embedding_neardup" -> neardupOracle(SrpBands, SrpBits),
     "q_srp_recall" -> srpRecallOracle(SrpBands, SrpBits),
     "q_semantic_dedup" -> semanticDedupOracle(8, 8),
@@ -1109,6 +1172,7 @@ object VectorOps {
     "q_product_quantize" -> pqOracle(PqM, PqK),
     "q_ann_pq_search" -> annPqOracle(PqM, PqK),
     "q_ann_ivfpq" -> annIvfPqOracle(PqM, PqK),
+    "q_rank_fusion" -> rankFusionOracle(PqM, PqK),
     "q_pq_recall" -> pqRecallOracle(PqM, PqK),
     // Same DECIMAL(18,6)-routed sums and integer-µ-unit mean as the
     // q_kmeans_step oracle, keyed on label instead of cluster.
