@@ -658,6 +658,44 @@ object RelationalOps {
     * batches on its own). On a bucketed base layout
     * (ParquetLayout.writeBucketed) the base-side exchange disappears
     * entirely — the standard production MERGE physical plan. */
+  /** CDC change-log compaction — the ORDERED counterpart of
+    * [[mergeUpsert]] (which applies one unordered change batch):
+    * given a per-key sequence of insert/update/delete changes, emit
+    * each key's final state — last-writer-wins by (ts, id) sequence,
+    * a key whose LAST change is a delete vanishes from the snapshot.
+    * This is exactly how lakehouse CDC sinks and Kafka log compaction
+    * materialize a change stream into a table. The change log derives
+    * deterministically from events (signup → I, error → D, everything
+    * else → U; value as the payload in micro-units) so the oracle
+    * replays the identical log.
+    *
+    * Scale shape: ONE hash shuffle on the key carrying the log, with
+    * the rank's rn = 1 planned as WindowGroupLimit (plan-verified)
+    * and the n_changes count riding the same partitioning — a
+    * compaction job reads its log once by definition, so one
+    * log-carrying shuffle is the floor (drop the n_changes column
+    * and WindowGroupLimit's map-side top-1 heap prunes the shuffle
+    * payload to one candidate per key per partition). */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"),
+        expr("cast(floor(value * cast(1000000 as double)) as bigint)")
+          .as("value_u"))
+      .withColumn("n_changes", count(lit(1)).over(
+        Window.partitionBy(col("user_id"))))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("op").as("last_op"),
+        col("ts_us").as("last_ts_us"), col("value_u").as("last_value_u"),
+        col("n_changes"))
+      .orderBy("user_id")
+  }
+
   def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val base = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text").as("base_text"), col("lang").as("base_lang"))
@@ -1374,6 +1412,7 @@ object RelationalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_count_distinct" -> windowCountDistinct _,
+    "q_cdc_apply" -> cdcApply _,
     "q_table_fingerprint" -> tableFingerprint _,
     "q_zorder_layout" -> zorderLayout _,
     "q_scan_filter_project" -> scanFilterProject _,
@@ -1433,6 +1472,28 @@ object RelationalOps {
     "q_scalar_subquery" -> scalarSubquery _)
 
   val oracles: Map[String, String] = Map(
+    // Same derived change log, same last-writer-wins window, same
+    // delete-wins-at-the-end rule.
+    "q_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN event_type = 'signup' THEN 'I'
+        |              WHEN event_type = 'error' THEN 'D'
+        |              ELSE 'U' END AS op,
+        |         CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT)
+        |           AS value_u
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, op, ts_us, value_u,
+        |         count(*) OVER (PARTITION BY user_id) AS n_changes,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM log)
+        |SELECT user_id, op AS last_op, ts_us AS last_ts_us,
+        |       value_u AS last_value_u,
+        |       CAST(n_changes AS BIGINT) AS n_changes
+        |FROM r WHERE rn = 1 AND op != 'D'
+        |ORDER BY user_id""".stripMargin,
     // Same first-occurrence-flag reformulation: DuckDB also rejects
     // COUNT(DISTINCT) OVER a running frame.
     "q_window_count_distinct" ->

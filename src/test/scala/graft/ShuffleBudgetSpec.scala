@@ -221,7 +221,10 @@ class ShuffleBudgetSpec extends SparkSpec {
       // IVF assignment windows + code argmin windows + the
       // cluster-scoped ADC join/agg — corpus-side movement is codes
       // and assignments, never float vectors
-      "q_ann_ivfpq" -> 6)) {
+      "q_ann_ivfpq" -> 6,
+      // one log-carrying key shuffle — the compaction floor; rn = 1
+      // plans as WindowGroupLimit
+      "q_cdc_apply" -> 1)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
