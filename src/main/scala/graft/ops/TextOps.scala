@@ -1015,7 +1015,59 @@ object TextOps {
       .orderBy("geometry")
   }
 
+  /** Exact-substring span TRIM — the apply-step of q_substring_spans'
+    * report (Lee et al. ExactSubstr removes the duplicated spans, not
+    * the documents): every token covered by ANY duplicated 3-token
+    * span is dropped, and each doc emits its surviving-token count,
+    * kept share, and the portable hash of the trimmed text — the
+    * content a downstream pretraining shard would actually store.
+    * Surviving tokens keep their original order (Spark: array_sort
+    * over (idx, token) structs collected per doc; DuckDB: ORDER BY
+    * inside the list aggregate — same sequence both ways), so the
+    * trimmed hash is engine-exact.
+    *
+    * Scale shape: the span-hash occurrence count is the same ONE
+    * unordered-window shuffle on the uniform hash as the report
+    * query; coverage explodes ≤ 3 indices per duplicated span and
+    * distincts on (doc, idx); the token join and final agg are
+    * doc-keyed. Per-doc collect_list is bounded by document length —
+    * the same bounded-group contract as q_string_agg. */
+  def spanTrim(s: SparkSession, dir: String): DataFrame = {
+    val base = tokenized(s, dir, spread = true)
+      .where(size(col("toks")) >= 3)
+    val spans = base
+      .select(col("doc_id"),
+        graft.functions.PortableHashes.hashes(expr(
+          """transform(sequence(1, size(toks) - 2),
+            |  i -> concat_ws(' ', slice(toks, i, 3)))""".stripMargin)).as("hs"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
+    val covered = spans
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("n_occ") > 1)
+      .select(col("doc_id"), explode(expr("sequence(pos, pos + 2)")).as("idx"))
+      .distinct()
+      .withColumn("cov", lit(1L))
+    val toks = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i0", "token")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("idx"), col("token"))
+    toks.join(covered, Seq("doc_id", "idx"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cov").isNotNull, 1L).otherwise(0L)).as("n_covered"),
+        expr("""concat_ws(' ', transform(
+          |  array_sort(collect_list(
+          |    case when cov is null then struct(idx, token) end)),
+          |  s -> s.token))""".stripMargin).as("trimmed"))
+      .select(col("doc_id"), col("n_tokens"), col("n_covered"),
+        expr("1000000 * cast(n_tokens - n_covered as decimal(38,0)) div n_tokens")
+          .cast("long").as("keep_ppm"),
+        expr(ph("trimmed")).as("trimmed_hash"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_trim" -> spanTrim _,
     "q_lsh_tuning" -> lshTuning _,
     "q_doc_entropy" -> docEntropy _,
     "q_filter_battery" -> filterBattery _,
@@ -1048,6 +1100,48 @@ object TextOps {
     "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // Same span hashes as q_substring_spans, coverage exploded to
+    // token indices, surviving tokens re-joined in original order
+    // (ORDER BY inside the list agg = Spark's array_sort on (idx,
+    // token) structs), empty survivors coalesce to '' both sides.
+    "q_span_trim" ->
+      ("""WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sp0 AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos FROM tok),
+        |sp AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |         CAST('0x' || substring(sha256(
+        |           array_to_string(toks[pos:pos+2], ' ')), 1, 15) AS BIGINT) AS h
+        |  FROM sp0),
+        |c AS (SELECT h, count(*) AS n_occ FROM sp GROUP BY h),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + d.range AS idx
+        |  FROM sp JOIN c USING (h), range(0, 3) d
+        |  WHERE c.n_occ > 1),
+        |tk AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS idx, toks[i] AS token
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+        |        FROM tok)),
+        |f AS (
+        |  SELECT tk.doc_id, tk.idx, tk.token,
+        |         cov.idx IS NOT NULL AS is_cov
+        |  FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id
+        |       AND tk.idx = cov.idx),
+        |a AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         CAST(sum(CASE WHEN is_cov THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_covered,
+        |         coalesce(array_to_string(
+        |           list(token ORDER BY idx) FILTER (WHERE NOT is_cov),
+        |           ' '), '') AS trimmed
+        |  FROM f GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_covered,
+        |       CAST(1000000 * CAST(n_tokens - n_covered AS HUGEINT)
+        |         // n_tokens AS BIGINT) AS keep_ppm,
+        |       """ + phSqlDuck.format("trimmed") + """ AS trimmed_hash
+        |FROM a ORDER BY doc_id""").stripMargin,
     // Same band CTEs as q_minhash_jaccard_est truncated to 8 sigs,
     // same explicit multiply trees (no pow()), same micro-unit
     // floors and truncating divisions.

@@ -224,7 +224,11 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_ann_ivfpq" -> 6,
       // one log-carrying key shuffle — the compaction floor; rn = 1
       // plans as WindowGroupLimit
-      "q_cdc_apply" -> 1)) {
+      "q_cdc_apply" -> 1,
+      // the report's uniform span-hash window + covered (doc, idx)
+      // distinct + the doc-keyed token join/agg — coverage rows are
+      // ≤ 3 x duplicated spans, tokens are doc-keyed throughout
+      "q_span_trim" -> 4)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
