@@ -624,7 +624,71 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Watermark-sizing audit — the capacity-planning number a
+    * Structured Streaming deploy needs BEFORE picking
+    * `withWatermark`'s allowed lateness: replay the event-time-ordered
+    * log through a deterministic arrival-jitter model (hash-derived
+    * delay < 30 s — both engines compute the identical permutation),
+    * track the watermark each event observes on arrival (max event
+    * time over all strictly-earlier arrivals), and count the events a
+    * 1 s / 5 s / 15 s allowed-lateness would DROP, per event type,
+    * plus the worst observed disorder. Generalizes the reference's
+    * add-then-check late-drop quirk (DispatcherFunction.cs:87) from
+    * one window to the stream-wide sizing question.
+    *
+    * The running watermark is a DISTRIBUTED two-phase prefix max —
+    * per-arrival-minute partials window-offset on the bounded
+    * minute frame, then a window partitioned BY minute adds the
+    * within-minute strictly-preceding max (the q_token_budget
+    * discipline; never a global single-partition ordered window).
+    * Minute order refines arrival order, so greatest(cross-minute,
+    * within-minute) IS the global strictly-preceding max; both
+    * prefixes coalesce to the row's own ts (an absent predecessor
+    * can never mark a row late). All-integer micros — exact. */
+  def lateEvents(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir)
+      .select(col("event_id"), col("event_type"), col("ts_us"))
+      .withColumn("arr_us", col("ts_us") +
+        expr("""cast(conv(substring(sha2(concat('late:',
+          cast(event_id as string)), 256), 1, 15), 16, 10) as bigint)
+          % 30000000""".replaceAll("\n\\s*", " ")))
+      .withColumn("mnt", expr("arr_us div 60000000"))
+    val offW = Window.orderBy(col("mnt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base.groupBy(col("mnt")).agg(max(col("ts_us")).as("bmax"))
+      .select(col("mnt"), max(col("bmax")).over(offW).as("pre_bucket"))
+    val inW = Window.partitionBy(col("mnt"))
+      .orderBy(col("arr_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offs), "mnt")
+      .withColumn("wm", greatest(
+        coalesce(max(col("ts_us")).over(inW), col("ts_us")),
+        coalesce(col("pre_bucket"), col("ts_us"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("ts_us") < col("wm") - 1000000L, 1L).otherwise(0L))
+          .as("n_late_1s"),
+        sum(when(col("ts_us") < col("wm") - 5000000L, 1L).otherwise(0L))
+          .as("n_late_5s"),
+        sum(when(col("ts_us") < col("wm") - 15000000L, 1L).otherwise(0L))
+          .as("n_late_15s"),
+        max(greatest(col("wm") - col("ts_us"), lit(0L)))
+          .as("max_disorder_us"))
+      .select(col("event_type"), col("n_events"),
+        col("n_late_1s"),
+        expr("1000000 * cast(n_late_1s as decimal(38,0)) div n_events")
+          .cast("long").as("late_ppm_1s"),
+        col("n_late_5s"),
+        expr("1000000 * cast(n_late_5s as decimal(38,0)) div n_events")
+          .cast("long").as("late_ppm_5s"),
+        col("n_late_15s"),
+        expr("1000000 * cast(n_late_15s as decimal(38,0)) div n_events")
+          .cast("long").as("late_ppm_15s"),
+        col("max_disorder_us"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_late_events" -> lateEvents _,
     "q_time_weighted_avg" -> timeWeightedAvg _,
     "q_variant_extract" -> variantExtract _,
     "q_regr_per_key" -> regrPerKey _,
@@ -652,6 +716,44 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same hash jitter; the oracle's single global strictly-preceding
+    // window max equals the Spark side's two-phase (minute offset +
+    // within-minute) prefix max — minute order refines arrival order.
+    "q_late_events" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+        |         epoch_us(ts) + CAST('0x' || substring(sha256(
+        |           'late:' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |           % 30000000 AS arr_us
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type, ts_us,
+        |         coalesce(max(ts_us) OVER (ORDER BY arr_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           ts_us) AS wm
+        |  FROM e),
+        |a AS (
+        |  SELECT event_type, count(*) AS n_events,
+        |         sum(CASE WHEN ts_us < wm - 1000000 THEN 1 ELSE 0 END)
+        |           AS n_late_1s,
+        |         sum(CASE WHEN ts_us < wm - 5000000 THEN 1 ELSE 0 END)
+        |           AS n_late_5s,
+        |         sum(CASE WHEN ts_us < wm - 15000000 THEN 1 ELSE 0 END)
+        |           AS n_late_15s,
+        |         max(greatest(wm - ts_us, 0)) AS max_disorder_us
+        |  FROM p GROUP BY event_type)
+        |SELECT event_type, n_events,
+        |       CAST(n_late_1s AS BIGINT) AS n_late_1s,
+        |       CAST(1000000 * CAST(n_late_1s AS HUGEINT) // n_events
+        |         AS BIGINT) AS late_ppm_1s,
+        |       CAST(n_late_5s AS BIGINT) AS n_late_5s,
+        |       CAST(1000000 * CAST(n_late_5s AS HUGEINT) // n_events
+        |         AS BIGINT) AS late_ppm_5s,
+        |       CAST(n_late_15s AS BIGINT) AS n_late_15s,
+        |       CAST(1000000 * CAST(n_late_15s AS HUGEINT) // n_events
+        |         AS BIGINT) AS late_ppm_15s,
+        |       max_disorder_us
+        |FROM a ORDER BY event_type""".stripMargin,
     // Same step-interpolated left-Riemann weights, same micro-unit
     // floors, same DECIMAL/HUGEINT sums and truncating divisions.
     "q_time_weighted_avg" ->

@@ -1410,7 +1410,47 @@ object RelationalOps {
       .orderBy("table_name")
   }
 
+  /** 2-D skyline (Pareto front, minimize both): parts no other part
+    * beats on BOTH price and size (strict on at least one) — the
+    * classic multi-criteria OLAP operator (Börzsönyi et al., ICDE
+    * 2001). The naive form is an all-pairs NOT EXISTS self-join; the
+    * sort-based reformulation is exact and distributed: a part is
+    * skyline iff its size equals its price group's min AND beats the
+    * running min size over all strictly-cheaper prices. That running
+    * min is the two-phase prefix pattern (10-dollar-bucket offsets +
+    * within-bucket exclusive window over the price-grouped frame —
+    * never a global single-partition window, never pairs). Prices
+    * ride as exact cents (round(x*100) of identical stored doubles —
+    * both engines compute the same bigint; monotone, so dominance on
+    * cents ≡ dominance on the double). The price-grouped prefix
+    * frame is |distinct prices|-sized — broadcast here, an ordinary
+    * shuffle join at 100 TB cardinalities. */
+  def skyline2d(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "part")
+      .select(col("p_partkey"),
+        expr("cast(round(p_retailprice * 100) as bigint)").as("price_c"),
+        col("p_size").cast("long").as("p_size"))
+    val pp = base.groupBy(col("price_c")).agg(min(col("p_size")).as("min_sz"))
+      .withColumn("bkt", expr("price_c div 1000"))
+    val offW = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = pp.groupBy(col("bkt")).agg(min(col("min_sz")).as("bmin"))
+      .select(col("bkt"), min(col("bmin")).over(offW).as("pre_bkt"))
+    val inW = Window.partitionBy(col("bkt")).orderBy(col("price_c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pf = pp.join(broadcast(offs), "bkt")
+      .withColumn("pre", least(
+        coalesce(min(col("min_sz")).over(inW), lit(Long.MaxValue)),
+        coalesce(col("pre_bkt"), lit(Long.MaxValue))))
+      .select(col("price_c"), col("min_sz"), col("pre"))
+    base.join(broadcast(pf), "price_c")
+      .where(col("p_size") < col("pre") && col("p_size") === col("min_sz"))
+      .select(col("p_partkey"), col("price_c"), col("p_size"))
+      .orderBy("price_c", "p_size", "p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline_2d" -> skyline2d _,
     "q_window_count_distinct" -> windowCountDistinct _,
     "q_cdc_apply" -> cdcApply _,
     "q_table_fingerprint" -> tableFingerprint _,
@@ -1472,6 +1512,27 @@ object RelationalOps {
     "q_scalar_subquery" -> scalarSubquery _)
 
   val oracles: Map[String, String] = Map(
+    // Same exact-cents projection; the oracle's single global
+    // strictly-preceding window min over the price-grouped frame
+    // equals the Spark side's two-phase (bucket offset + in-bucket)
+    // prefix min — bucket order refines price order.
+    "q_skyline_2d" ->
+      """WITH s AS (
+        |  SELECT p_partkey,
+        |         CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+        |         CAST(p_size AS BIGINT) AS p_size
+        |  FROM part),
+        |pp AS (SELECT price_c, min(p_size) AS min_sz FROM s GROUP BY price_c),
+        |pf AS (
+        |  SELECT price_c, min_sz,
+        |         min(min_sz) OVER (ORDER BY price_c
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pre
+        |  FROM pp)
+        |SELECT s.p_partkey, s.price_c, s.p_size
+        |FROM s JOIN pf USING (price_c)
+        |WHERE (pf.pre IS NULL OR s.p_size < pf.pre)
+        |  AND s.p_size = pf.min_sz
+        |ORDER BY price_c, p_size, p_partkey""".stripMargin,
     // Same derived change log, same last-writer-wins window, same
     // delete-wins-at-the-end rule.
     "q_cdc_apply" ->

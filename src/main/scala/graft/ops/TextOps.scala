@@ -1066,7 +1066,68 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc
+    * by how much its hashed n-gram feature distribution looks like a
+    * TARGET domain (here lang = 'en') vs the raw corpus — the
+    * selection signal for resampling a 100 TB crawl toward a target
+    * mix. Features are unigram + bigram occurrences hashed into 1024
+    * buckets (one codegen'd sha per gram — explode + row hash, never
+    * a HOF fold); per-bucket weight is the Laplace-smoothed
+    * log-likelihood ratio log2(p_target/p_raw) in EXACT integer bits
+    * (the q_pmi_cooccur bitlength trick: bitlength of the 1e6-scaled
+    * HUGEINT/DECIMAL(38,0) ratio, 1e6 → 20 bits → weight 0); per-doc
+    * score = sum of its occurrences' bit-weights.
+    *
+    * Scale shape: bucket counts are two ≤1024-key combine shuffles;
+    * the weight table (≤1024 rows) and the 1-row totals broadcast
+    * back onto the feature stream; the per-doc sum is one doc-keyed
+    * combine agg. Nothing all-pairs, nothing vocabulary-unbounded. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val grams = tokenized(s, dir, spread = true)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """concat(toks,
+          |  case when size(toks) >= 2 then
+          |    transform(sequence(1, size(toks) - 1),
+          |      i -> concat(element_at(toks, i), ' ',
+          |                  element_at(toks, i + 1)))
+          |  else cast(array() as array<string>) end)""".stripMargin)).as("g"))
+    val fb = grams.select(col("doc_id"), col("lang"),
+      expr(s"${ph("g")} % 1024").as("b"))
+    val tc = fb.where(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rc = fb.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tot = fb.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+      count(lit(1)).as("nr"))
+    val w = rc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"), (expr(
+        """length(bin(greatest(cast(
+          |  (1000000 * cast(coalesce(ct, 0) + 1 as decimal(38,0))
+          |     * cast(nr + 1024 as decimal(38,0)))
+          |  div (cast(cr + 1 as decimal(38,0))
+          |     * cast(nt + 1024 as decimal(38,0)))
+          |  as bigint), 1)))""".stripMargin).cast("long") - 20L).as("wbits"))
+    val perDoc = fb.join(broadcast(w), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("wbits")).as("score_bits"))
+    // selection = above corpus-average score DENSITY (bits/feature):
+    // integer log2 carries a constant per-feature bias, so the
+    // resampling cut is relative, not absolute — cross-multiplied in
+    // decimals (both multipliers positive, so the inequality holds)
+    val g = perDoc.agg(sum(col("score_bits")).as("g_bits"),
+      sum(col("n_feats")).as("g_feats"))
+    perDoc.crossJoin(broadcast(g))
+      .select(col("doc_id"), col("lang"), col("n_feats"), col("score_bits"),
+        (col("score_bits").cast("decimal(38,0)") * col("g_feats")
+          > col("n_feats").cast("decimal(38,0)") * col("g_bits"))
+          .cast("long").as("sel"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_weights" -> dsirWeights _,
     "q_span_trim" -> spanTrim _,
     "q_lsh_tuning" -> lshTuning _,
     "q_doc_entropy" -> docEntropy _,
@@ -1100,6 +1161,53 @@ object TextOps {
     "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // Same gram stream (unigrams + bigrams), same 1024-bucket hash,
+    // same Laplace-smoothed HUGEINT ratio and bitlength log2 — all
+    // integer-exact, so the scores match bit for bit.
+    "q_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, unnest(list_concat(toks,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i + 1])
+        |    ELSE CAST([] AS VARCHAR[]) END)) AS g
+        |  FROM tok),
+        |fb AS (
+        |  SELECT doc_id, lang,
+        |         CAST('0x' || substring(sha256(g), 1, 15) AS BIGINT)
+        |           % 1024 AS b
+        |  FROM g),
+        |tc AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY b),
+        |rc AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+        |tot AS (
+        |  SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+        |         count(*) AS nr
+        |  FROM fb),
+        |w AS (
+        |  SELECT rc.b,
+        |         CAST(length(bin(greatest(CAST(
+        |           (1000000 * CAST(coalesce(tc.ct, 0) + 1 AS HUGEINT)
+        |              * (tot.nr + 1024))
+        |           // (CAST(rc.cr + 1 AS HUGEINT) * (tot.nt + 1024))
+        |           AS BIGINT), 1))) AS BIGINT) - 20 AS wbits
+        |  FROM rc LEFT JOIN tc USING (b), tot),
+        |pd AS (
+        |  SELECT fb.doc_id, fb.lang, count(*) AS n_feats,
+        |         CAST(sum(w.wbits) AS BIGINT) AS score_bits
+        |  FROM fb JOIN w USING (b)
+        |  GROUP BY fb.doc_id, fb.lang),
+        |gl AS (
+        |  SELECT CAST(sum(score_bits) AS HUGEINT) AS g_bits,
+        |         CAST(sum(n_feats) AS HUGEINT) AS g_feats
+        |  FROM pd)
+        |SELECT doc_id, lang, n_feats, score_bits,
+        |       CAST(CAST(score_bits AS HUGEINT) * gl.g_feats
+        |            > CAST(n_feats AS HUGEINT) * gl.g_bits AS BIGINT) AS sel
+        |FROM pd, gl
+        |ORDER BY doc_id""".stripMargin,
     // Same span hashes as q_substring_spans, coverage exploded to
     // token indices, surviving tokens re-joined in original order
     // (ORDER BY inside the list agg = Spark's array_sort on (idx,

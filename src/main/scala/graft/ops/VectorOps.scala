@@ -972,7 +972,57 @@ object VectorOps {
        |WINDOW w AS (PARTITION BY qid ORDER BY score_u DESC, cid)
        |ORDER BY qid, fused_rank""".stripMargin
 
+  /** Matryoshka truncated-dimension recall eval (Kusupati et al.
+    * 2022): per query, recall@3 of cosine top-k computed on the FIRST
+    * 16 and 32 dims of the 64-dim embedding against the full-dim
+    * truth — the eval a pipeline runs before shipping truncated
+    * vectors to a cheaper index tier (a 4x/2x scan-width cut IF the
+    * recall holds; this query puts that number in the data). The
+    * prefix slice + renorm is scan-side; each path is the brute-force
+    * broadcast pattern of q_ann_recall (bounded query block x one
+    * corpus scan, never corpus x corpus); the recall join touches
+    * only (queries x 3)-row frames. k = 3 < 128 so r6 on the recall
+    * ratios is cross-engine exact; cos doubles are the proven
+    * array_dot ≡ list_reduce fold on identically sliced inputs. */
+  def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    def normed(dims: Int): DataFrame = {
+      val emb = expr(s"slice(embedding, 1, $dims)")
+      t(s, dir, "embeddings").select(col("vec_id"), emb.as("emb"),
+        sqrt(graft.functions.GraftFunctions.array_dot(emb, emb)).as("nrm"))
+    }
+    def top3(df: DataFrame): DataFrame = {
+      val q = df.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val c = df.select(col("vec_id").as("cid"), col("emb").as("c_emb"),
+        col("nrm").as("c_nrm"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      c.crossJoin(broadcast(q))
+        .where(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          r6(graft.functions.GraftFunctions.array_dot(col("q_emb"), col("c_emb"))
+            / (col("q_nrm") * col("c_nrm"))).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("qid"), col("cid"))
+    }
+    top3(normed(64))
+      .join(top3(normed(16)).withColumn("hit_16", lit(1L)),
+        Seq("qid", "cid"), "left")
+      .join(top3(normed(32)).withColumn("hit_32", lit(1L)),
+        Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("hit_16")).as("n_hit_16"),
+        count(col("hit_32")).as("n_hit_32"))
+      .select(col("qid"), col("n_hit_16"),
+        r6(col("n_hit_16").cast("double") / lit(3.0)).as("recall_16"),
+        col("n_hit_32"),
+        r6(col("n_hit_32").cast("double") / lit(3.0)).as("recall_32"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_matryoshka_recall" -> matryoshkaRecall _,
     "q_rank_fusion" -> rankFusion _,
     "q_embedding_pool" -> embeddingPool _,
     "q_ann_ivfpq" -> annIvfPq _,
@@ -1137,6 +1187,60 @@ object VectorOps {
   // eager evaluation here would re-enter the half-initialized LlmOps
   // and read a null map (ExceptionInInitializerError).
   lazy val oracles: Map[String, String] = Map(
+    // Same sliced-prefix fold as the Spark side: emb[1:D] then the
+    // list_reduce dot ≡ array_dot, sqrt/div identical IEEE sequence,
+    // rank ties broken by cid in both engines.
+    "q_matryoshka_recall" ->
+      """WITH b64 AS (
+        |  SELECT vec_id, embedding[1:64] AS emb,
+        |         sqrt(list_reduce(list_transform(embedding[1:64],
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS nrm
+        |  FROM embeddings),
+        |b16 AS (
+        |  SELECT vec_id, embedding[1:16] AS emb,
+        |         sqrt(list_reduce(list_transform(embedding[1:16],
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS nrm
+        |  FROM embeddings),
+        |b32 AS (
+        |  SELECT vec_id, embedding[1:32] AS emb,
+        |         sqrt(list_reduce(list_transform(embedding[1:32],
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS nrm
+        |  FROM embeddings),
+        |t64 AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |           round(list_reduce(list_transform(list_zip(q.emb, c.emb),
+        |                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |                 / (q.nrm * c.nrm), 6) AS cos
+        |    FROM b64 q, b64 c WHERE q.vec_id < 20 AND q.vec_id != c.vec_id)
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= 3),
+        |t16 AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |           round(list_reduce(list_transform(list_zip(q.emb, c.emb),
+        |                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |                 / (q.nrm * c.nrm), 6) AS cos
+        |    FROM b16 q, b16 c WHERE q.vec_id < 20 AND q.vec_id != c.vec_id)
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= 3),
+        |t32 AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |           round(list_reduce(list_transform(list_zip(q.emb, c.emb),
+        |                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |                 / (q.nrm * c.nrm), 6) AS cos
+        |    FROM b32 q, b32 c WHERE q.vec_id < 20 AND q.vec_id != c.vec_id)
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= 3)
+        |SELECT t.qid, count(s.cid) AS n_hit_16,
+        |       round(CAST(count(s.cid) AS DOUBLE) / CAST(3 AS DOUBLE), 6)
+        |         AS recall_16,
+        |       count(h.cid) AS n_hit_32,
+        |       round(CAST(count(h.cid) AS DOUBLE) / CAST(3 AS DOUBLE), 6)
+        |         AS recall_32
+        |FROM t64 t
+        |LEFT JOIN t16 s ON s.qid = t.qid AND s.cid = t.cid
+        |LEFT JOIN t32 h ON h.qid = t.qid AND h.cid = t.cid
+        |GROUP BY t.qid
+        |ORDER BY t.qid""".stripMargin,
     "q_embedding_neardup" -> neardupOracle(SrpBands, SrpBits),
     "q_srp_recall" -> srpRecallOracle(SrpBands, SrpBits),
     "q_semantic_dedup" -> semanticDedupOracle(8, 8),

@@ -228,7 +228,20 @@ class ShuffleBudgetSpec extends SparkSpec {
       // the report's uniform span-hash window + covered (doc, idx)
       // distinct + the doc-keyed token join/agg — coverage rows are
       // ≤ 3 x duplicated spans, tokens are doc-keyed throughout
-      "q_span_trim" -> 4)) {
+      "q_span_trim" -> 4,
+      // three bounded-broadcast top-3 paths (per-qid rank windows +
+      // recall joins over (queries x 3) frames); the corpus scans
+      // themselves never shuffle
+      "q_matryoshka_recall" -> 7,
+      // minute-bucket partials + within-minute window + the
+      // event-type agg; the minute offsets frame is bounded
+      "q_late_events" -> 3,
+      // two <=1024-key bucket-count combines + the 1-row totals +
+      // the doc-keyed score agg; weight table broadcasts back
+      "q_dsir_weights" -> 6,
+      // price-group agg + bucket offsets + in-bucket window + the
+      // broadcast join-back onto the scan
+      "q_skyline_2d" -> 4)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
