@@ -687,7 +687,65 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Deterministic Poisson bootstrap CI for the per-type mean — error
+    * bars on a pipeline metric in ONE distributed pass (Chamandy et
+    * al., "Estimating Uncertainty for Massive Data Streams", the
+    * production replacement for resample-loops that can't exist at
+    * 100 TB): each row joins each of 32 replicates with a hash-drawn
+    * Poisson(1) weight (frozen cumulative-pmf thresholds in 2^20
+    * space — both engines draw the identical table), replicate means
+    * in exact micro-units, and the CI from the replicate spread via
+    * integer power sums (one double conversion + sqrt at the end, a
+    * fixed IEEE sequence). Shuffle shape: the 32x explode is
+    * scan-side; the replicate agg is a (types x 32)-key combine; the
+    * final agg is types-keyed. Weight sums ride DECIMAL(38,0) — no
+    * bigint overflow at any scale. */
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val reps = 32
+    val e = events(s, dir).select(col("event_id"), col("event_type"),
+      expr("cast(floor(value * cast(1000000 as double)) as bigint)").as("yu"))
+    val plain = e.groupBy(col("event_type"))
+      .agg(expr("cast(sum(cast(yu as decimal(38,0))) div count(1) as bigint)")
+        .as("mean_u"))
+    val repMeans = e
+      .select(col("event_id"), col("event_type"), col("yu"),
+        explode(expr(s"sequence(0, ${reps - 1})")).as("r"))
+      .withColumn("u", expr(
+        """cast(conv(substring(sha2(concat('bs:',
+          |cast(event_id as string), ':', cast(r as string)), 256),
+          |1, 15), 16, 10) as bigint) % 1048576""".stripMargin
+          .replaceAll("\n", " ")))
+      .withColumn("w", expr(
+        """case when u < 385749 then 0 when u < 771499 then 1
+          |when u < 964372 then 2 when u < 1028665 then 3
+          |when u < 1044738 then 4 else 5 end""".stripMargin
+          .replaceAll("\n", " ")).cast("long"))
+      .groupBy(col("event_type"), col("r"))
+      .agg(sum((col("w") * col("yu")).cast("decimal(38,0)")).as("wsum"),
+        sum(col("w")).as("wn"))
+      .where(col("wn") > 0)
+      .select(col("event_type"), expr("cast(wsum div wn as bigint)").as("rm"))
+    repMeans.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_reps"),
+        sum(col("rm").cast("decimal(38,0)")).as("s1"),
+        sum(col("rm").cast("decimal(38,0)") * col("rm").cast("decimal(38,0)"))
+          .as("s2"))
+      .select(col("event_type"), col("n_reps"),
+        expr("cast(s1 div n_reps as bigint)").as("boot_mean_u"),
+        expr("""cast(floor(sqrt(
+            cast(cast(n_reps as decimal(38,0)) * s2 - s1 * s1 as double)
+            / cast(n_reps * (n_reps - 1) as double))) as bigint)""")
+          .as("boot_sd_u"))
+      .join(plain, "event_type")
+      .select(col("event_type"), col("mean_u"), col("n_reps"),
+        col("boot_mean_u"), col("boot_sd_u"),
+        (col("boot_mean_u") - col("boot_sd_u") * 2L).as("ci_lo_u"),
+        (col("boot_mean_u") + col("boot_sd_u") * 2L).as("ci_hi_u"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap_ci" -> bootstrapCi _,
     "q_late_events" -> lateEvents _,
     "q_time_weighted_avg" -> timeWeightedAvg _,
     "q_variant_extract" -> variantExtract _,
@@ -716,6 +774,61 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same frozen Poisson-pmf thresholds, same micro-unit replicate
+    // means, same integer power sums and final IEEE sqrt sequence.
+    "q_bootstrap_ci" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |         CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT)
+        |           AS yu
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type,
+        |         CAST(sum(CAST(yu AS HUGEINT)) // count(*) AS BIGINT)
+        |           AS mean_u
+        |  FROM e GROUP BY event_type),
+        |b AS (
+        |  SELECT event_type, yu, r.range AS r,
+        |         CAST('0x' || substring(sha256('bs:' ||
+        |           CAST(event_id AS VARCHAR) || ':' ||
+        |           CAST(r.range AS VARCHAR)), 1, 15) AS BIGINT)
+        |           % 1048576 AS u
+        |  FROM e, range(0, 32) r),
+        |w AS (
+        |  SELECT event_type, r, yu,
+        |         CASE WHEN u < 385749 THEN 0 WHEN u < 771499 THEN 1
+        |              WHEN u < 964372 THEN 2 WHEN u < 1028665 THEN 3
+        |              WHEN u < 1044738 THEN 4 ELSE 5 END AS w
+        |  FROM b),
+        |rm AS (
+        |  SELECT event_type, r,
+        |         CAST(sum(CAST(w AS HUGEINT) * yu)
+        |              // sum(CAST(w AS HUGEINT)) AS BIGINT) AS rm
+        |  FROM w GROUP BY event_type, r
+        |  HAVING sum(w) > 0),
+        |a AS (
+        |  SELECT event_type, count(*) AS n_reps,
+        |         sum(CAST(rm AS HUGEINT)) AS s1,
+        |         sum(CAST(rm AS HUGEINT) * rm) AS s2
+        |  FROM rm GROUP BY event_type)
+        |SELECT a.event_type, x.mean_u, CAST(a.n_reps AS BIGINT) AS n_reps,
+        |       CAST(a.s1 // a.n_reps AS BIGINT) AS boot_mean_u,
+        |       CAST(floor(sqrt(
+        |         CAST(a.n_reps * a.s2 - a.s1 * a.s1 AS DOUBLE)
+        |         / CAST(a.n_reps * (a.n_reps - 1) AS DOUBLE)))
+        |         AS BIGINT) AS boot_sd_u,
+        |       CAST(a.s1 // a.n_reps AS BIGINT)
+        |         - 2 * CAST(floor(sqrt(
+        |             CAST(a.n_reps * a.s2 - a.s1 * a.s1 AS DOUBLE)
+        |             / CAST(a.n_reps * (a.n_reps - 1) AS DOUBLE)))
+        |             AS BIGINT) AS ci_lo_u,
+        |       CAST(a.s1 // a.n_reps AS BIGINT)
+        |         + 2 * CAST(floor(sqrt(
+        |             CAST(a.n_reps * a.s2 - a.s1 * a.s1 AS DOUBLE)
+        |             / CAST(a.n_reps * (a.n_reps - 1) AS DOUBLE)))
+        |             AS BIGINT) AS ci_hi_u
+        |FROM a JOIN x ON a.event_type = x.event_type
+        |ORDER BY a.event_type""".stripMargin,
     // Same hash jitter; the oracle's single global strictly-preceding
     // window max equals the Spark side's two-phase (minute offset +
     // within-minute) prefix max — minute order refines arrival order.

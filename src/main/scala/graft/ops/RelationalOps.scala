@@ -1449,7 +1449,68 @@ object RelationalOps {
       .orderBy("price_c", "p_size", "p_partkey")
   }
 
+  /** Sketch ROLLUP — the mergeability contract of q_approx_distinct
+    * made first-class: vocabulary (distinct-token) HLL registers are
+    * built ONCE per (lang, source) over `documents`, then rolled up
+    * to per-lang and corpus totals by register max alone — no rescan,
+    * no re-hash. That re-aggregation is the whole reason production
+    * systems store sketches instead of counts: a 100 TB corpus is
+    * hashed once, and every grouping level above derives from the
+    * (groups × 512)-row register frame. Same portable p=9 register
+    * construction and fixed-IEEE estimate as q_approx_distinct, so
+    * the rolled-up estimates hash-match DuckDB computing the same
+    * sketch. Exact distincts per level ride along to exhibit the
+    * error (the cost the sketch avoids — dropped at scale). */
+  def distinctRollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    Tables.spread(s, s.table("documents")
+        .select(col("lang"), col("source"), col("text")))
+      .select(col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      .createOrReplaceTempView("doc_tokens_spread")
+    val ph = "cast(conv(substring(sha2(token, 256), 1, 15), 16, 10) as bigint)"
+    val est = """cast(floor(
+        cast(0.7213 as double)
+          / (cast(1.0 as double) + cast(1.079 as double) / cast(512.0 as double))
+          * cast(262144 as double) * cast(4503599627370496 as double)
+          / cast(sum(shiftleft(cast(1 as bigint), 52 - m))
+                 + (512 - count(*)) * shiftleft(cast(1 as bigint), 52) as double)
+      ) as bigint)"""
+    s.sql(s"""
+      WITH reg AS (
+        SELECT lang, source, h % 512 AS bucket,
+               max(CASE WHEN h div 512 = 0 THEN 52
+                        ELSE 52 - length(bin(h div 512)) END) AS m
+        FROM (SELECT lang, source, $ph AS h FROM doc_tokens_spread)
+        GROUP BY lang, source, h % 512),
+      reg_lang AS (SELECT lang, bucket, max(m) AS m FROM reg GROUP BY lang, bucket),
+      reg_all AS (SELECT bucket, max(m) AS m FROM reg_lang GROUP BY bucket),
+      e0 AS (SELECT lang, source, cast(512 - count(*) AS bigint) AS n_empty,
+                    $est AS hll
+             FROM reg GROUP BY lang, source),
+      e1 AS (SELECT lang, cast(512 - count(*) AS bigint) AS n_empty, $est AS hll
+             FROM reg_lang GROUP BY lang),
+      e2 AS (SELECT cast(512 - count(*) AS bigint) AS n_empty, $est AS hll
+             FROM reg_all),
+      x0 AS (SELECT lang, source, count(DISTINCT token) AS n_exact
+             FROM doc_tokens_spread GROUP BY lang, source),
+      x1 AS (SELECT lang, count(DISTINCT token) AS n_exact
+             FROM doc_tokens_spread GROUP BY lang),
+      x2 AS (SELECT count(DISTINCT token) AS n_exact FROM doc_tokens_spread)
+      SELECT cast(0 AS bigint) AS level, x0.lang, x0.source,
+             x0.n_exact, e0.hll, e0.n_empty
+      FROM x0 JOIN e0 ON x0.lang = e0.lang AND x0.source = e0.source
+      UNION ALL
+      SELECT cast(1 AS bigint), x1.lang, '*', x1.n_exact, e1.hll, e1.n_empty
+      FROM x1 JOIN e1 ON x1.lang = e1.lang
+      UNION ALL
+      SELECT cast(2 AS bigint), '*', '*', x2.n_exact, e2.hll, e2.n_empty
+      FROM x2, e2
+      ORDER BY level, lang, source""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_distinct_rollup" -> distinctRollup _,
     "q_skyline_2d" -> skyline2d _,
     "q_window_count_distinct" -> windowCountDistinct _,
     "q_cdc_apply" -> cdcApply _,
@@ -1512,6 +1573,51 @@ object RelationalOps {
     "q_scalar_subquery" -> scalarSubquery _)
 
   val oracles: Map[String, String] = Map(
+    // Same register construction, same max-merge rollup, same fixed
+    // IEEE estimate sequence — sketch mergeability is engine-neutral.
+    "q_distinct_rollup" -> {
+      val est = """CAST(floor(
+          CAST(0.7213 AS DOUBLE)
+            / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(512.0 AS DOUBLE))
+            * CAST(262144 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+            / CAST(sum(CAST(1 AS BIGINT) << (52 - m))
+                   + (512 - count(*)) * (CAST(1 AS BIGINT) << 52) AS DOUBLE)
+        ) AS BIGINT)"""
+      s"""WITH tk AS (
+        |  SELECT lang, source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |reg AS (
+        |  SELECT lang, source, h % 512 AS bucket,
+        |         max(CASE WHEN h // 512 = 0 THEN 52
+        |                  ELSE 52 - length(bin(h // 512)) END) AS m
+        |  FROM (SELECT lang, source,
+        |          CAST('0x' || substring(sha256(token), 1, 15) AS BIGINT) AS h
+        |        FROM tk)
+        |  GROUP BY lang, source, h % 512),
+        |reg_lang AS (SELECT lang, bucket, max(m) AS m FROM reg GROUP BY lang, bucket),
+        |reg_all AS (SELECT bucket, max(m) AS m FROM reg_lang GROUP BY bucket),
+        |e0 AS (SELECT lang, source, CAST(512 - count(*) AS BIGINT) AS n_empty,
+        |              $est AS hll
+        |       FROM reg GROUP BY lang, source),
+        |e1 AS (SELECT lang, CAST(512 - count(*) AS BIGINT) AS n_empty, $est AS hll
+        |       FROM reg_lang GROUP BY lang),
+        |e2 AS (SELECT CAST(512 - count(*) AS BIGINT) AS n_empty, $est AS hll
+        |       FROM reg_all),
+        |x0 AS (SELECT lang, source, count(DISTINCT token) AS n_exact
+        |       FROM tk GROUP BY lang, source),
+        |x1 AS (SELECT lang, count(DISTINCT token) AS n_exact FROM tk GROUP BY lang),
+        |x2 AS (SELECT count(DISTINCT token) AS n_exact FROM tk)
+        |SELECT CAST(0 AS BIGINT) AS level, x0.lang, x0.source,
+        |       x0.n_exact, e0.hll, e0.n_empty
+        |FROM x0 JOIN e0 ON x0.lang = e0.lang AND x0.source = e0.source
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), x1.lang, '*', x1.n_exact, e1.hll, e1.n_empty
+        |FROM x1 JOIN e1 ON x1.lang = e1.lang
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), '*', '*', x2.n_exact, e2.hll, e2.n_empty
+        |FROM x2, e2
+        |ORDER BY level, lang, source""".stripMargin
+    },
     // Same exact-cents projection; the oracle's single global
     // strictly-preceding window min over the price-grouped frame
     // equals the Spark side's two-phase (bucket offset + in-bucket)

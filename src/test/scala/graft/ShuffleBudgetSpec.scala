@@ -241,7 +241,14 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_dsir_weights" -> 6,
       // price-group agg + bucket offsets + in-bucket window + the
       // broadcast join-back onto the scan
-      "q_skyline_2d" -> 4)) {
+      "q_skyline_2d" -> 4,
+      // base registers + two max-merge rollups (all sketch-sized:
+      // <= groups x 512 rows) + three 2-phase exact distincts that
+      // ride along only to exhibit the sketch error
+      "q_distinct_rollup" -> 13,
+      // (types x 32)-key replicate combine + types-keyed CI agg +
+      // the plain-mean agg; the 32x explode never shuffles raw rows
+      "q_bootstrap_ci" -> 3)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
