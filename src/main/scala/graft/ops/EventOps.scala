@@ -744,7 +744,56 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** A/B experiment readout — deterministic hash cohorting + Welch
+    * z-score, the experimentation-platform primitive: users split
+    * 50/50 by the portable hash (assignment is a pure function of
+    * user_id — reproducible across engines, runs, and days, the
+    * property real platforms require), per-event-type cohort means
+    * compared with the z from Welch's unequal-variance standard
+    * error. Moments ride exact integer micro-unit power sums (the
+    * q_regr_per_key discipline); the variance-of-mean terms convert
+    * to double ONCE from exact decimals and the z lands as floored
+    * milli-units — a fixed IEEE sequence both engines replay. One
+    * combine agg on (event_type, cohort); the pivot to side-by-side
+    * columns moves 2 rows per type. */
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val g = events(s, dir)
+      .select(col("event_type"),
+        expr("""cast(conv(substring(sha2(concat('exp:',
+          | cast(user_id as string)), 256), 1, 15), 16, 10) as bigint)
+          | % 2""".stripMargin.replaceAll("\n", "")).as("cohort"),
+        expr("cast(floor(value * cast(1000000 as double)) as bigint)")
+          .as("yu"))
+      .groupBy(col("event_type"), col("cohort"))
+      .agg(count(lit(1)).as("n"), sum(d38(col("yu"))).as("s1"),
+        sum(d38(col("yu")) * d38(col("yu"))).as("s2"))
+    val c = g.where(col("cohort") === 0)
+      .select(col("event_type"), col("n").as("n_c"),
+        col("s1").as("s1_c"), col("s2").as("s2_c"))
+    val t = g.where(col("cohort") === 1)
+      .select(col("event_type"), col("n").as("n_t"),
+        col("s1").as("s1_t"), col("s2").as("s2_t"))
+    c.join(t, "event_type")
+      .select(col("event_type"), col("n_c"), col("n_t"),
+        expr("cast(s1_c div n_c as bigint)").as("mean_c_u"),
+        expr("cast(s1_t div n_t as bigint)").as("mean_t_u"),
+        expr("cast(s1_t div n_t as bigint) - cast(s1_c div n_c as bigint)")
+          .as("diff_u"),
+        expr("""cast(floor(1000.0 * cast(
+            cast(s1_t div n_t as bigint) - cast(s1_c div n_c as bigint)
+          as double) / sqrt(
+            cast(cast(n_c as decimal(38,0)) * s2_c - s1_c * s1_c as double)
+              / (cast(n_c as double) * cast(n_c as double)
+                 * cast(n_c - 1 as double))
+            + cast(cast(n_t as decimal(38,0)) * s2_t - s1_t * s1_t as double)
+              / (cast(n_t as double) * cast(n_t as double)
+                 * cast(n_t - 1 as double)))) as bigint)""").as("z_milli"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_test" -> abTest _,
     "q_bootstrap_ci" -> bootstrapCi _,
     "q_late_events" -> lateEvents _,
     "q_time_weighted_avg" -> timeWeightedAvg _,
@@ -774,6 +823,43 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same hash cohorting, same micro-unit power sums, same one-shot
+    // double conversion and IEEE z sequence.
+    "q_ab_test" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST('0x' || substring(sha256('exp:' ||
+        |           CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2
+        |           AS cohort,
+        |         CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT)
+        |           AS yu
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, cohort, count(*) AS n,
+        |         sum(CAST(yu AS HUGEINT)) AS s1,
+        |         sum(CAST(yu AS HUGEINT) * yu) AS s2
+        |  FROM e GROUP BY event_type, cohort),
+        |c AS (SELECT event_type, n AS n_c, s1 AS s1_c, s2 AS s2_c
+        |      FROM g WHERE cohort = 0),
+        |t AS (SELECT event_type, n AS n_t, s1 AS s1_t, s2 AS s2_t
+        |      FROM g WHERE cohort = 1)
+        |SELECT c.event_type, CAST(n_c AS BIGINT) AS n_c,
+        |       CAST(n_t AS BIGINT) AS n_t,
+        |       CAST(s1_c // n_c AS BIGINT) AS mean_c_u,
+        |       CAST(s1_t // n_t AS BIGINT) AS mean_t_u,
+        |       CAST(s1_t // n_t AS BIGINT) - CAST(s1_c // n_c AS BIGINT)
+        |         AS diff_u,
+        |       CAST(floor(CAST(1000.0 AS DOUBLE) * CAST(
+        |           CAST(s1_t // n_t AS BIGINT) - CAST(s1_c // n_c AS BIGINT)
+        |         AS DOUBLE) / sqrt(
+        |           CAST(n_c * s2_c - s1_c * s1_c AS DOUBLE)
+        |             / (CAST(n_c AS DOUBLE) * CAST(n_c AS DOUBLE)
+        |                * CAST(n_c - 1 AS DOUBLE))
+        |           + CAST(n_t * s2_t - s1_t * s1_t AS DOUBLE)
+        |             / (CAST(n_t AS DOUBLE) * CAST(n_t AS DOUBLE)
+        |                * CAST(n_t - 1 AS DOUBLE)))) AS BIGINT) AS z_milli
+        |FROM c JOIN t ON c.event_type = t.event_type
+        |ORDER BY c.event_type""".stripMargin,
     // Same frozen Poisson-pmf thresholds, same micro-unit replicate
     // means, same integer power sums and final IEEE sqrt sequence.
     "q_bootstrap_ci" ->

@@ -248,7 +248,10 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_distinct_rollup" -> 13,
       // (types x 32)-key replicate combine + types-keyed CI agg +
       // the plain-mean agg; the 32x explode never shuffles raw rows
-      "q_bootstrap_ci" -> 3)) {
+      "q_bootstrap_ci" -> 3,
+      // one (type x cohort) combine agg; the side-by-side pivot
+      // self-join moves 2 rows per type
+      "q_ab_test" -> 2)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
