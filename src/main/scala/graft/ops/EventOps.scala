@@ -792,9 +792,142 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** CUSUM changepoint scan (Page 1954) — per-key mean-shift
+    * detection over the event stream, the monitoring primitive behind
+    * "did this sensor drift mid-run". The textbook recurrence
+    * S_i = max(0, S_{i-1} + dev_i) is order-dependent and looks
+    * stream-only, but it has a closed form over prefix sums:
+    * S_i = P_i − min(0, min_{j≤i} P_j) (and the downward side is the
+    * mirror against the running max), so the whole scan is two
+    * per-key ordered windows — no recursion, no driver loop, no
+    * mapPartitions. Deviations are taken from the per-key mean
+    * SCALED BY n (dev = n·yu − Σyu, exact integers) so no division
+    * ever happens before the end; the one `div` normalizes the
+    * already-positive maxima back to micro-units (positive, so
+    * Spark's truncating `div` ≡ DuckDB's flooring `//`). The peak
+    * position (argmax of S⁺ — the classic changepoint location
+    * estimate) and the count of threshold excursions (maximal runs
+    * with S⁺ > n·50 value-units, counted by run starts) ride the
+    * same sort.
+    *
+    * Scale shape: one combine agg for the per-key moments, joined
+    * back (AQE broadcasts the |keys|-row side at small SF); ONE
+    * per-key sort serves all four windows (prefix sum, prefix
+    * min/max, full-frame max, lag) — Catalyst stacks them on a
+    * single Exchange+Sort; final agg rides the same partitioning.
+    * Everything is DECIMAL(38,0)-exact: n·yu at 1e10 rows/key ×
+    * 5e8 micro-units sits at 5e18 per term and the prefix sums stay
+    * far inside 38 digits. */
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val e = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        expr("cast(floor(value * cast(1000000 as double)) as bigint)")
+          .as("yu"))
+    val stats = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(d38(col("yu"))).as("vsum"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val pre = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = w.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    e.join(stats, "user_id")
+      .withColumn("dev", d38(col("n")) * d38(col("yu")) - col("vsum"))
+      .withColumn("p", sum(col("dev")).over(pre))
+      .withColumn("s_up", col("p") - least(min(col("p")).over(pre), d38(lit(0))))
+      .withColumn("s_dn", greatest(max(col("p")).over(pre), d38(lit(0))) - col("p"))
+      .withColumn("mx_up", max(col("s_up")).over(full))
+      .withColumn("flagi",
+        when(col("s_up") > d38(col("n")) * lit(50000000L), 1L).otherwise(0L))
+      .withColumn("run_start",
+        when(col("flagi") === 1L &&
+          coalesce(lag(col("flagi"), 1).over(w), lit(0L)) === 0L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("cast(max(s_up) div max(n) as bigint)").as("max_up_u"),
+        expr("cast(max(s_dn) div max(n) as bigint)").as("max_dn_u"),
+        min(when(col("s_up") === col("mx_up"), col("ts_us")))
+          .as("peak_up_ts"),
+        sum(col("run_start")).as("n_up_runs"))
+      .orderBy("user_id")
+  }
+
+  /** Half-life decayed activity score — the recency weighting every
+    * feature store / trending-topics job runs: each event counts
+    * 2^(−age_hours) with a 1-hour half-life, ages measured back from
+    * the corpus max timestamp. Exponential decay is usually a float
+    * recurrence; here the weight is an exact dyadic rational
+    * (2^(40−k) integer mass, k = capped age-hours), summed in
+    * DECIMAL(38,0) and normalized by ONE final `div 2^40` — so the
+    * score is bit-exact cross-engine, order-independent, and
+    * mergeable (the partial sums are plain integer adds, the same
+    * property that makes it a one-liner in a streaming state store).
+    * Ages ≥ 40 h truncate to weight 2^0 = 1/2^40 ≈ 1e-12 — below the
+    * milli-unit output resolution, the documented floor of the decay.
+    *
+    * Scale shape: the "now" anchor is a 1-row global max broadcast
+    * back (bounded); then ONE combine agg on user_id — weights are
+    * computed scan-side, nothing else moves. */
+  def decayCounts(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), col("ts_us"),
+        expr("cast(floor(value * cast(1000000 as double)) as bigint)")
+          .as("yu"))
+    val now = e.agg(max(col("ts_us")).as("now_us"))
+    e.crossJoin(broadcast(now))
+      .withColumn("k",
+        least(expr("(now_us - ts_us) div 3600000000"), lit(40L)))
+      .withColumn("w2", expr("shiftleft(cast(1 as bigint), cast(40 - k as int))"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("w2").cast("decimal(38,0)")).as("wsum"),
+        sum(col("w2").cast("decimal(38,0)") * col("yu")).as("wvsum"))
+      .select(col("user_id"), col("n_events"),
+        expr("cast((wsum * 1000) div 1099511627776 as bigint)")
+          .as("decayed_n_milli"),
+        expr("cast(wvsum div 1099511627776 as bigint)")
+          .as("decayed_sum_u"))
+      .orderBy("user_id")
+  }
+
+  /** Type × hour-of-day activity heatmap with lift — the 2-D
+    * contingency profile (when does each event type actually fire)
+    * plus the association strength a dashboard wants on the cell:
+    * lift_ppm = 1e6 · c·N / (rowsum · colsum), the observed/expected
+    * ratio under independence, computed as exact integer
+    * multiply-then-div (c·N·1e6 at 100 TB is ~1e30 — inside the
+    * DECIMAL(38,0) product, far outside bigint, which is why the
+    * numerator casts before multiplying).
+    *
+    * Scale shape: ONE combine agg collapses the corpus to the
+    * ≤ |types|×24 grid; marginals and the grand total are window
+    * sums OVER THE GRID FRAME (bounded, no second pass over data) —
+    * the single-partition window here spans ≤ 120 rows by
+    * construction, not the corpus. */
+  def eventHeatmap(s: SparkSession, dir: String): DataFrame = {
+    val grid = events(s, dir)
+      .select(col("event_type"),
+        expr("(ts_us div 3600000000) % 24").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("c"))
+    grid
+      .withColumn("rs", sum(col("c")).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("cs", sum(col("c")).over(Window.partitionBy(col("hr"))))
+      .withColumn("nn", sum(col("c")).over(Window.partitionBy()))
+      .select(col("event_type"), col("hr"), col("c"),
+        expr("""cast((cast(c as decimal(38,0)) * nn * 1000000)
+          div (rs * cs) as bigint)""").as("lift_ppm"))
+      .orderBy("event_type", "hr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ab_test" -> abTest _,
     "q_bootstrap_ci" -> bootstrapCi _,
+    "q_cusum_changepoint" -> cusumChangepoint _,
+    "q_decay_counts" -> decayCounts _,
+    "q_event_heatmap" -> eventHeatmap _,
     "q_late_events" -> lateEvents _,
     "q_time_weighted_avg" -> timeWeightedAvg _,
     "q_variant_extract" -> variantExtract _,
@@ -860,6 +993,55 @@ object EventOps {
         |                * CAST(n_t - 1 AS DOUBLE)))) AS BIGINT) AS z_milli
         |FROM c JOIN t ON c.event_type = t.event_type
         |ORDER BY c.event_type""".stripMargin,
+    // Same scaled-deviation prefix sums (n·yu − Σyu, HUGEINT-exact),
+    // same closed-form CUSUM (P − min(0, min prefix P)), same
+    // positive-maxima // n normalization — bit-exact.
+    "q_cusum_changepoint" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT)
+        |           AS yu
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, count(*) AS n, sum(CAST(yu AS HUGEINT)) AS vsum
+        |  FROM e GROUP BY user_id),
+        |d AS (
+        |  SELECT e.user_id, ts_us, event_id, n,
+        |         CAST(n AS HUGEINT) * yu - vsum AS dev
+        |  FROM e JOIN st USING (user_id)),
+        |p AS (
+        |  SELECT user_id, ts_us, event_id, n,
+        |         sum(dev) OVER w AS p
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (
+        |  SELECT user_id, ts_us, event_id, n,
+        |         p - least(min(p) OVER w, CAST(0 AS HUGEINT)) AS s_up,
+        |         greatest(max(p) OVER w, CAST(0 AS HUGEINT)) - p AS s_dn
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT user_id, ts_us, event_id, n, s_up, s_dn,
+        |         max(s_up) OVER (PARTITION BY user_id) AS mx_up,
+        |         CASE WHEN s_up > CAST(n AS HUGEINT) * 50000000
+        |              THEN 1 ELSE 0 END AS flagi
+        |  FROM s),
+        |r AS (
+        |  SELECT user_id, ts_us, n, s_up, s_dn, mx_up,
+        |         CASE WHEN flagi = 1 AND coalesce(lag(flagi) OVER
+        |             (PARTITION BY user_id ORDER BY ts_us, event_id),
+        |             0) = 0
+        |              THEN 1 ELSE 0 END AS run_start
+        |  FROM f)
+        |SELECT user_id, count(*) AS n_events,
+        |       CAST(max(s_up) // max(n) AS BIGINT) AS max_up_u,
+        |       CAST(max(s_dn) // max(n) AS BIGINT) AS max_dn_u,
+        |       min(CASE WHEN s_up = mx_up THEN ts_us END) AS peak_up_ts,
+        |       CAST(sum(run_start) AS BIGINT) AS n_up_runs
+        |FROM r GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     // Same frozen Poisson-pmf thresholds, same micro-unit replicate
     // means, same integer power sums and final IEEE sqrt sequence.
     "q_bootstrap_ci" ->
@@ -915,6 +1097,46 @@ object EventOps {
         |             AS BIGINT) AS ci_hi_u
         |FROM a JOIN x ON a.event_type = x.event_type
         |ORDER BY a.event_type""".stripMargin,
+    // Same dyadic 2^(40−k) weights, same HUGEINT sums, one // 2^40
+    // normalization — bit-exact.
+    "q_decay_counts" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT)
+        |           AS yu
+        |  FROM events),
+        |nw AS (SELECT max(ts_us) AS now_us FROM e),
+        |k AS (
+        |  SELECT user_id, yu,
+        |         CAST(1 AS BIGINT) << CAST(40 - least(
+        |           (now_us - ts_us) // 3600000000, 40) AS INTEGER) AS w2
+        |  FROM e, nw),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         sum(CAST(w2 AS HUGEINT)) AS wsum,
+        |         sum(CAST(w2 AS HUGEINT) * yu) AS wvsum
+        |  FROM k GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |       CAST((wsum * 1000) // 1099511627776 AS BIGINT)
+        |         AS decayed_n_milli,
+        |       CAST(wvsum // 1099511627776 AS BIGINT) AS decayed_sum_u
+        |FROM a ORDER BY user_id""".stripMargin,
+    // Same grid collapse, same exact c·N·1e6 // (rs·cs) lift.
+    "q_event_heatmap" ->
+      """WITH g AS (
+        |  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hr,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, hr, c,
+        |         sum(c) OVER (PARTITION BY event_type) AS rs,
+        |         sum(c) OVER (PARTITION BY hr) AS cs,
+        |         sum(c) OVER () AS nn
+        |  FROM g)
+        |SELECT event_type, hr, c,
+        |       CAST((CAST(c AS HUGEINT) * nn * 1000000) // (rs * cs)
+        |         AS BIGINT) AS lift_ppm
+        |FROM m ORDER BY event_type, hr""".stripMargin,
     // Same hash jitter; the oracle's single global strictly-preceding
     // window max equals the Spark side's two-phase (minute offset +
     // within-minute) prefix max — minute order refines arrival order.

@@ -927,6 +927,109 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style cross-domain perplexity filter (Wenzek et al. 2020):
+    * train a Laplace-smoothed bigram LM on a REFERENCE slice (the
+    * `lang = 'en'` documents — the "clean" domain), score EVERY
+    * document's bigram cross-entropy under it, and emit the per-doc
+    * mean negative log-likelihood — the signal production pipelines
+    * threshold to drop out-of-domain and noisy text. Differs from
+    * q_bigram_lm (self-scored, unsmoothed) exactly where it matters:
+    * the model and the scored corpus are different populations, so
+    * unseen bigrams MUST carry finite mass — Laplace (+1 on bigram
+    * counts, +V on prefix counts) supplies it. Per-bigram cost
+    * ln((uc+V)/(bc+1)) is a function of exact integer counts; it's
+    * floored to micro-nats per occurrence (identical float sequence
+    * both engines — the q_doc_entropy discipline) so per-doc sums are
+    * exact BIGINTs; costs are provably ≥ 0 (bc ≤ uc and V ≥ 1).
+    *
+    * Scale shape: reference counts collapse to the bigram/unigram
+    * vocabularies FIRST (combine shuffles carry vocab, not corpus —
+    * the q_bpe_pair_counts plateau argument); V is a 1-row broadcast;
+    * scoring joins key on the vocab hash (Heaps-law-bounded frames,
+    * AQE picks broadcast vs shuffle); the final agg is doc-keyed. */
+  def docPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.spread(s, t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(sequence(1, size(toks) - 1), i -> struct(
+          |  element_at(toks, i) AS w1,
+          |  concat(element_at(toks, i), ' ',
+          |         element_at(toks, i + 1)) AS bgr))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("lang"),
+        col("p.w1").as("w1"), col("p.bgr").as("bgr"))
+    val ref = bg.where(col("lang") === "en")
+    val bc = ref.groupBy(col("bgr")).agg(count(lit(1)).as("bc"))
+    val uc = ref.groupBy(col("w1")).agg(count(lit(1)).as("uc"))
+    val v = ref.agg(countDistinct(col("w1")).as("v"))
+    bg.groupBy(col("doc_id"), col("w1"), col("bgr"))
+      .agg(count(lit(1)).as("occ"))
+      .join(bc, Seq("bgr"), "left").join(uc, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("cost_micro", floor(
+        log((coalesce(col("uc"), lit(0L)) + col("v")).cast("double") /
+            (coalesce(col("bc"), lit(0L)) + lit(1L)).cast("double")) *
+        lit(1000000.0)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).cast("long").as("n_bigrams"),
+        sum(col("occ") * col("cost_micro")).as("ce_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("ce_micro"),
+        expr("ce_micro div n_bigrams").as("avg_nll_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** Mutual-information feature selection — which cheap quality
+    * signal carries the most information about the language label?
+    * The pre-training question answered before spending on a
+    * classifier: MI(label; feature) for three candidate
+    * discretizations (char-length bin, token-count bin, stopword-
+    * share bin), each a ≤ |langs|×10 contingency. Per-cell
+    * contribution (c/N)·ln(cN/(c_x·c_y)) is floored to SIGNED
+    * micro-nats per cell (fixed IEEE sequence over exact integer
+    * inputs), so each feature's MI total is an exact BIGINT sum of
+    * its cells.
+    *
+    * Scale shape: one scan-side 3× explode tags each doc with its
+    * three (feature, bin) pairs; ONE combine agg collapses to the
+    * ≤ 3×|langs|×10 cell grid; marginals and N are window sums over
+    * the bounded grid frame (the q_event_heatmap pattern — the
+    * single-partition window spans cells, never the corpus); final
+    * per-feature agg rides the grid. */
+  def featureMi(s: SparkSession, dir: String): DataFrame = {
+    val cells = tokenized(s, dir)
+      .select(col("lang"), col("n_chars"),
+        size(col("toks")).cast("long").as("ntoks"),
+        size(expr("filter(toks, x -> x IN ('a','the','of','and','in'))"))
+          .cast("long").as("nstop"))
+      .select(col("lang"), explode(array(
+        struct(lit("len_bin").as("feature"),
+          least(expr("n_chars div 200"), lit(9L)).as("bin")),
+        struct(lit("tok_bin").as("feature"),
+          least(expr("ntoks div 40"), lit(9L)).as("bin")),
+        struct(lit("stop_bin").as("feature"),
+          least(expr("(10 * nstop) div greatest(ntoks, 1)"), lit(9L))
+            .as("bin")))).as("f"))
+      .select(col("lang"), col("f.feature").as("feature"), col("f.bin").as("bin"))
+      .groupBy(col("feature"), col("lang"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    cells
+      .withColumn("cx", sum(col("c")).over(
+        Window.partitionBy(col("feature"), col("lang"))))
+      .withColumn("cy", sum(col("c")).over(
+        Window.partitionBy(col("feature"), col("bin"))))
+      .withColumn("nn", sum(col("c")).over(
+        Window.partitionBy(col("feature"))))
+      .withColumn("contrib_micro", floor(
+        (col("c").cast("double") / col("nn").cast("double")) *
+        log((col("c").cast("double") * col("nn").cast("double")) /
+            (col("cx").cast("double") * col("cy").cast("double"))) *
+        lit(1000000.0)).cast("long"))
+      .groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("contrib_micro")).as("mi_micro"))
+      .orderBy("feature")
+  }
+
   /** LSH band-geometry tuning eval — the S-curve calibration a
     * deployment runs before choosing (bands, rows/band): over the
     * 8-band candidate pairs, measure for each geometry (8×1, 4×2,

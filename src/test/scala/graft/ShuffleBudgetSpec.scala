@@ -251,7 +251,16 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_bootstrap_ci" -> 3,
       // one (type x cohort) combine agg; the side-by-side pivot
       // self-join moves 2 rows per type
-      "q_ab_test" -> 2)) {
+      "q_ab_test" -> 2,
+      // per-key moments combine + the join-back + ONE per-key sort
+      // serving all four windows + the final agg riding the same
+      // partitioning
+      "q_cusum_changepoint" -> 3,
+      // 1-row "now" anchor broadcast + ONE user-keyed combine agg
+      "q_decay_counts" -> 2,
+      // ONE combine to the <= types x 24 grid; marginal windows span
+      // the bounded grid frame only
+      "q_event_heatmap" -> 2)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
