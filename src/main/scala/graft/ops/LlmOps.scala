@@ -929,6 +929,54 @@ object LlmOps {
       .orderBy("lang", "pack_id")
   }
 
+  /** Class-rebalanced corpus: downsample every language class to the
+    * size of the SMALLEST class — the standard rebalance before
+    * training a classifier whose labels are skewed (langid, quality
+    * tiers). Selection is deterministic: each class keeps its
+    * lowest-portable-hash documents, so membership is a pure function
+    * of doc_id reproducible across engines, runs, and corpus
+    * REPARTITIONS (unlike rate-based sampling, the kept set is
+    * exactly-sized, and unlike RAND()-based, it is replayable).
+    *
+    * The per-class rank is a DISTRIBUTED two-phase rank (the
+    * q_token_budget discipline): bucket = hash div 2^53 (a MONOTONE
+    * coarsening of the hash — 128 buckets — so bucket order refines
+    * into hash order and the two-phase total IS the global per-class
+    * hash rank), per-(class, bucket) row_numbers + per-class bucket
+    * offsets over the bounded (classes × 128) frame; never one
+    * single-partition sort per class (5 classes would serialize the
+    * corpus on 5 cores at 100 TB). The min-class target is a
+    * |classes|-row agg reduced to a 1-row broadcast. */
+  def classRebalance(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        portableHash(concat(lit("rb:"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("bucket", expr("hk div 9007199254740992"))
+    // class totals DERIVE from the bucketed counts (the branch
+    // re-executes — no CSE — but its corpus-scale exchange stays on
+    // the uniform (class, bucket) key; a direct groupBy(lang) would
+    // shuffle the corpus on a |classes|-value key, the skew trap,
+    // and the follow-up lang agg here moves only the counts grid)
+    val counts = base.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+    val target = counts.groupBy(col("lang")).agg(sum(col("bn")).as("n_class"))
+      .agg(min(col("n_class")).as("target"))
+    val offW = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .select(col("lang"), col("bucket"),
+        coalesce(sum(col("bn")).over(offW), lit(0L)).as("off"))
+    val inW = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("hk"), col("doc_id"))
+    base.join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("class_rank",
+        (col("off") + row_number().over(inW)).cast("long"))
+      .crossJoin(broadcast(target))
+      .where(col("class_rank") <= col("target"))
+      .select(col("lang"), col("class_rank"), col("doc_id"))
+      .orderBy("lang", "class_rank")
+  }
+
   /** Data selection under a token budget: take documents in quality
     * order (type-token-ratio micro-units, doc_id tiebreak) until the
     * corpus-wide 20k-token budget is exhausted. The running token
@@ -975,6 +1023,7 @@ object LlmOps {
     "q_sequence_pack" -> sequencePack _,
     "q_token_budget" -> tokenBudget _,
     "q_stratified_sample" -> stratifiedSample _,
+    "q_class_rebalance" -> classRebalance _,
     "q_dedup_degree" -> dedupDegree _,
     "q_contamination" -> contamination _,
     "q_weighted_sample" -> weightedSample _,
@@ -1211,6 +1260,27 @@ object LlmOps {
         |SELECT sel_rank, doc_id, ttr_u, toks, cum_toks
         |FROM r WHERE cum_toks - toks < 20000
         |ORDER BY sel_rank""".stripMargin,
+    // The oracle's single per-class window rank equals the Spark
+    // side's two-phase (bucket offsets + in-bucket) rank: bucket =
+    // hk div 2^53 is a monotone coarsening of hk, so (bucket, hk,
+    // doc_id) order IS (hk, doc_id) order.
+    "q_class_rebalance" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |         CAST('0x' || substring(sha256('rb:' ||
+        |           CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+        |  FROM documents),
+        |t AS (
+        |  SELECT min(cnt) AS target FROM (
+        |    SELECT count(*) AS cnt FROM base GROUP BY lang)),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY hk, doc_id) AS class_rank
+        |  FROM base)
+        |SELECT lang, CAST(class_rank AS BIGINT) AS class_rank, doc_id
+        |FROM r, t WHERE class_rank <= t.target
+        |ORDER BY lang, class_rank""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, source FROM (
         |  SELECT lang, doc_id, source,

@@ -1234,6 +1234,8 @@ object TextOps {
     "q_span_trim" -> spanTrim _,
     "q_lsh_tuning" -> lshTuning _,
     "q_doc_entropy" -> docEntropy _,
+    "q_doc_perplexity" -> docPerplexity _,
+    "q_feature_mi" -> featureMi _,
     "q_filter_battery" -> filterBattery _,
     "q_substring_spans" -> substringSpans _,
     "q_pmi_cooccur" -> pmiCooccur _,
@@ -1353,6 +1355,81 @@ object TextOps {
         |         // n_tokens AS BIGINT) AS keep_ppm,
         |       """ + phSqlDuck.format("trimmed") + """ AS trimmed_hash
         |FROM a ORDER BY doc_id""").stripMargin,
+    // Same en-reference Laplace counts, same per-occurrence
+    // ln((uc+V)/(bc+1)) floored to micro-nats, same doc sums.
+    "q_doc_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, lang, unnest(list_transform(
+        |    range(1, len(toks)), i -> struct_pack(
+        |      w1 := toks[i], bgr := toks[i] || ' ' || toks[i + 1]))) AS p
+        |  FROM tok),
+        |f AS (SELECT doc_id, lang, p.w1 AS w1, p.bgr AS bgr FROM bg),
+        |bc AS (SELECT bgr, count(*) AS bc FROM f WHERE lang = 'en'
+        |       GROUP BY bgr),
+        |uc AS (SELECT w1, count(*) AS uc FROM f WHERE lang = 'en'
+        |       GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w1) AS v FROM f WHERE lang = 'en'),
+        |occ AS (
+        |  SELECT doc_id, w1, bgr, count(*) AS occ
+        |  FROM f GROUP BY doc_id, w1, bgr),
+        |cost AS (
+        |  SELECT o.doc_id, o.occ,
+        |         CAST(floor(ln(
+        |           CAST(coalesce(uc.uc, 0) + v.v AS DOUBLE) /
+        |           CAST(coalesce(bc.bc, 0) + 1 AS DOUBLE)) * 1000000.0)
+        |           AS BIGINT) AS cost_micro
+        |  FROM occ o
+        |  LEFT JOIN bc ON o.bgr = bc.bgr
+        |  LEFT JOIN uc ON o.w1 = uc.w1
+        |  CROSS JOIN v),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(occ * cost_micro) AS BIGINT) AS ce_micro
+        |  FROM cost GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, ce_micro,
+        |       CAST(ce_micro // n_bigrams AS BIGINT) AS avg_nll_micro
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // Same three discretizations, same bounded-grid marginals, same
+    // signed micro-nat cell floors.
+    "q_feature_mi" ->
+      """WITH base AS (
+        |  SELECT lang, n_chars,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntoks,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |           x -> x IN ('a','the','of','and','in'))) AS BIGINT)
+        |           AS nstop
+        |  FROM documents),
+        |tagged AS (
+        |  SELECT lang, 'len_bin' AS feature,
+        |         least(n_chars // 200, 9) AS bin FROM base
+        |  UNION ALL
+        |  SELECT lang, 'tok_bin', least(ntoks // 40, 9) FROM base
+        |  UNION ALL
+        |  SELECT lang, 'stop_bin',
+        |         least((10 * nstop) // greatest(ntoks, 1), 9) FROM base),
+        |cells AS (
+        |  SELECT feature, lang, bin, count(*) AS c
+        |  FROM tagged GROUP BY feature, lang, bin),
+        |m AS (
+        |  SELECT feature, c,
+        |         sum(c) OVER (PARTITION BY feature, lang) AS cx,
+        |         sum(c) OVER (PARTITION BY feature, bin) AS cy,
+        |         sum(c) OVER (PARTITION BY feature) AS nn
+        |  FROM cells),
+        |q AS (
+        |  SELECT feature,
+        |         CAST(floor((CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)) *
+        |           ln((CAST(c AS DOUBLE) * CAST(nn AS DOUBLE)) /
+        |              (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) *
+        |           1000000.0) AS BIGINT) AS contrib_micro
+        |  FROM m)
+        |SELECT feature, count(*) AS n_cells,
+        |       CAST(sum(contrib_micro) AS BIGINT) AS mi_micro
+        |FROM q GROUP BY feature
+        |ORDER BY feature""".stripMargin,
     // Same band CTEs as q_minhash_jaccard_est truncated to 8 sigs,
     // same explicit multiply trees (no pow()), same micro-unit
     // floors and truncating divisions.

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.EventOps
+import graft.ops.{EventOps, LlmOps, TextOps}
 
 /** Invariants of the round-6 tail operators (changepoint / decay /
   * heatmap wave) beyond the DuckDB hash gate — scale-independent
@@ -72,5 +72,51 @@ class R6TailOpsSpec extends SparkSpec {
     assert(wmean > 900000.0 && wmean < 1200000.0,
       s"count-weighted mean lift $wmean far from 1e6 ppm")
     cells.foreach(r => assert(r.getLong(3) > 0L))
+  }
+
+  test("perplexity filter separates the reference domain") {
+    // The operator's reason to exist: documents from the training
+    // domain (en) must score a lower mean NLL under the en-trained
+    // LM than documents outside it. If this inversion ever fails,
+    // the filter is mis-trained (e.g., scoring with unsmoothed
+    // counts or the wrong reference slice).
+    val langs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val scored = TextOps.docPerplexity(spark, sfDir)
+      .join(langs, "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("avg_nll_micro")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(scored(true) < scored(false),
+      s"en mean NLL ${scored(true)} not below non-en ${scored(false)}")
+  }
+
+  test("MI totals respect the information inequality up to quantization") {
+    // True MI is >= 0; each cell contribution is floored to
+    // micro-nats, so a feature's total can undershoot by at most
+    // n_cells micro-nats. Anything below that bound means the
+    // marginals are wrong.
+    val r = TextOps.featureMi(spark, sfDir).collect()
+    assert(r.length == 3)
+    r.foreach { row =>
+      assert(row.getLong(2) >= -row.getLong(1),
+        s"${row.getString(0)}: MI ${row.getLong(2)} below -n_cells bound")
+    }
+  }
+
+  test("rebalanced classes are exactly min-class-sized") {
+    val langCounts = Tables(spark, sfDir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = langCounts.values.min
+    val kept = LlmOps.classRebalance(spark, sfDir).collect()
+    val keptByLang = kept.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(keptByLang.toMap.values.toSet == Set(target.toInt),
+      s"per-class kept sizes ${keptByLang.toMap} != min class $target")
+    // ranks are 1..target with no gaps in every class
+    kept.groupBy(_.getString(0)).foreach { case (l, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq ==
+        (1L to target).toSeq, s"rank gap in class $l")
+    }
   }
 }

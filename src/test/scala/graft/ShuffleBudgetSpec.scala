@@ -260,7 +260,20 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_decay_counts" -> 2,
       // ONE combine to the <= types x 24 grid; marginal windows span
       // the bounded grid frame only
-      "q_event_heatmap" -> 2)) {
+      "q_event_heatmap" -> 2,
+      // ref bigram/unigram vocab combines + the 1-row V + doc-bigram
+      // combine + vocab-keyed scoring joins + the doc-keyed agg —
+      // every shuffled frame is vocabulary- or doc-keyed
+      "q_doc_perplexity" -> 7,
+      // scan-side 3x explode + ONE combine to the <= 3 x langs x 10
+      // grid + the per-feature agg; marginals ride the grid frame
+      "q_feature_mi" -> 3,
+      // every corpus-scale exchange keys on the uniform
+      // (class, bucket): the counts combine, its re-executed target
+      // branch, and the in-bucket rank window; the lang-keyed
+      // exchanges (offset window, class totals) move only the
+      // <= classes x 128 counts grid
+      "q_class_rebalance" -> 5)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
