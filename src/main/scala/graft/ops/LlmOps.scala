@@ -442,6 +442,51 @@ object LlmOps {
     triangleStats(
       minhashDedup(s, dir).select(col("doc_a").as("u"), col("doc_b").as("v")))
 
+  /** Common-neighbor link scoring over the near-dup graph — the
+    * edge-pruning refinement (SlimPajama-style) that separates true
+    * near-dup clusters from single-band LSH coincidences: a candidate
+    * pair supported by many shared neighbors is almost surely a real
+    * duplicate relation; a pair with zero common neighbors and low
+    * degree is a band collision worth re-verifying. Emits per
+    * candidate edge the common-neighbor count, endpoint degrees, and
+    * neighbor-set Jaccard in exact ppm (den = deg_a + deg_b − 2 −
+    * common — both endpoints excluded from each other's sets since
+    * the pair is itself an edge).
+    *
+    * Scale shape: the wedge join costs Σ_m deg(m)² over the CANDIDATE
+    * graph — the q_triangle_count physics: LSH components are small
+    * near-cliques, so per-middle-node work is bounded by the dedup
+    * cluster size, never corpus²; degrees and wedge counts are
+    * combine aggs keyed on nodes/pairs. The edge frame is derived
+    * ONCE and checkpointed (the connectedComponents discipline —
+    * reliable on clusters, local in gate runs): it is referenced six
+    * times here, and Spark's no-CSE self-joins would otherwise
+    * re-run the LSH banding per reference. */
+  def commonNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashDedup(s, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val reliable = s.sparkContext.getCheckpointDir.isDefined
+    val e = if (reliable) pairs.checkpoint(eager = true)
+            else pairs.localCheckpoint(true)
+    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val wedges = und.toDF("a", "m").join(und.toDF("m", "b"), "m")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    e.toDF("a", "b")
+      .join(wedges, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(deg.toDF("a", "deg_a"), "a")
+      .join(deg.toDF("b", "deg_b"), "b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("common"), col("deg_a"), col("deg_b"),
+        when(col("deg_a") + col("deg_b") - 2L - col("common") > 0L,
+          expr("""1000000 * cast(common as decimal(38,0))
+            div (deg_a + deg_b - 2 - common)""").cast("long"))
+          .otherwise(lit(0L)).as("cn_jaccard_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Bounded-depth BFS reachability over the near-dup graph via
     * Spark 4's `WITH RECURSIVE` — the SQL-surface route to iterative
     * graph queries ([[connectedComponents]] is the programmatic
@@ -1040,6 +1085,7 @@ object LlmOps {
     "q_minhash_dedup" -> minhashDedup _,
     "q_dedup_cascade" -> dedupCascade _,
     "q_triangle_count" -> triangleCount _,
+    "q_common_neighbors" -> commonNeighbors _,
     "q_dedup_consensus" -> dedupConsensus _,
     "q_recursive_reach" -> recursiveReach _,
     "q_dedup_clusters" -> dedupClusters _,
@@ -1290,6 +1336,52 @@ object LlmOps {
         |             doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    // Same band-derived candidate pairs, same wedge join and exact
+    // ppm Jaccard.
+    "q_common_neighbors" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_transform(shingles,
+        |           sh -> CAST('0x' || substring(sha256(sh), 1, 15) AS BIGINT) % 2147483647) AS hs
+        |  FROM s),
+        |m AS (
+        |  SELECT doc_id, b.range AS band,
+        |         list_min(list_transform(hs,
+        |           h -> (h * (b.range + 1) + 37 * b.range + 101) % 2147483647)) AS sig
+        |  FROM hs, range(0, 8) b),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS u, c.doc_id AS v
+        |  FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig
+        |                   AND a.doc_id < c.doc_id),
+        |und AS (
+        |  SELECT u, v FROM pairs
+        |  UNION ALL SELECT v AS u, u AS v FROM pairs),
+        |deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY u),
+        |wedges AS (
+        |  SELECT x.u AS a, y.v AS b, count(*) AS common
+        |  FROM und x JOIN und y ON x.v = y.u
+        |  WHERE x.u < y.v GROUP BY x.u, y.v)
+        |SELECT p.u AS doc_a, p.v AS doc_b,
+        |       CAST(coalesce(w.common, 0) AS BIGINT) AS common,
+        |       CAST(da.deg AS BIGINT) AS deg_a,
+        |       CAST(db.deg AS BIGINT) AS deg_b,
+        |       CASE WHEN da.deg + db.deg - 2 - coalesce(w.common, 0) > 0
+        |            THEN CAST(1000000 * CAST(coalesce(w.common, 0) AS HUGEINT)
+        |              // (da.deg + db.deg - 2 - coalesce(w.common, 0))
+        |              AS BIGINT)
+        |            ELSE 0 END AS cn_jaccard_ppm
+        |FROM pairs p
+        |LEFT JOIN wedges w ON w.a = p.u AND w.b = p.v
+        |JOIN deg da ON da.node = p.u
+        |JOIN deg db ON db.node = p.v
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_triangle_count" ->
       """WITH s AS (
         |  SELECT doc_id,

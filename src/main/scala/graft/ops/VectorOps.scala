@@ -1021,7 +1021,42 @@ object VectorOps {
       .orderBy("qid")
   }
 
+  /** Per-dimension embedding-space profile — the drift monitor an
+    * embedding pipeline runs on every model/index release: mean,
+    * variance, and range per dimension (a collapsed dimension, a
+    * mean shift, or a blown-out scale flags a bad encoder rollout
+    * before the index rebuild spends the cluster). Values floor to
+    * micro-units scan-side; moments assemble from DECIMAL(38,0)
+    * power sums (order-independent), variance lands as one exact
+    * integer division of (n·Σv² − (Σv)²) by n² — engine-identical,
+    * no Welford-order dependence (the q_agg_stats discipline).
+    *
+    * Scale shape: posexplode is scan-side (rows = vectors × dims,
+    * no shuffle); ONE combine agg on the |dims|-key — state is
+    * O(dims) regardless of corpus; output one row per dimension. */
+  def embeddingStats(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("v").cast("double") * lit(1000000.0)).cast("long").as("vu"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(d38(col("vu"))).as("s1"),
+        sum(d38(col("vu")) * d38(col("vu"))).as("s2"),
+        min(col("vu")).as("min_u"),
+        max(col("vu")).as("max_u"))
+      .select(col("dim"), col("n_vecs"),
+        expr("cast(s1 div n_vecs as bigint)").as("mean_u"),
+        expr("""cast((cast(n_vecs as decimal(38,0)) * s2 - s1 * s1)
+          div (cast(n_vecs as decimal(38,0)) * n_vecs) as bigint)""")
+          .as("var_u2"),
+        col("min_u"), col("max_u"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_stats" -> embeddingStats _,
     "q_matryoshka_recall" -> matryoshkaRecall _,
     "q_rank_fusion" -> rankFusion _,
     "q_embedding_pool" -> embeddingPool _,
@@ -1187,6 +1222,26 @@ object VectorOps {
   // eager evaluation here would re-enter the half-initialized LlmOps
   // and read a null map (ExceptionInInitializerError).
   lazy val oracles: Map[String, String] = Map(
+    // Same scan-side micro-unit floors, same HUGEINT power sums and
+    // one exact integer variance division — bit-exact.
+    "q_embedding_stats" ->
+      """WITH x AS (
+        |  SELECT unnest(range(0, len(embedding))) AS dim,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+        |           AS BIGINT) AS vu
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT dim, count(*) AS n_vecs,
+        |         sum(CAST(vu AS HUGEINT)) AS s1,
+        |         sum(CAST(vu AS HUGEINT) * vu) AS s2,
+        |         min(vu) AS min_u, max(vu) AS max_u
+        |  FROM x GROUP BY dim)
+        |SELECT CAST(dim AS BIGINT) AS dim, n_vecs,
+        |       CAST(s1 // n_vecs AS BIGINT) AS mean_u,
+        |       CAST((CAST(n_vecs AS HUGEINT) * s2 - s1 * s1)
+        |         // (CAST(n_vecs AS HUGEINT) * n_vecs) AS BIGINT) AS var_u2,
+        |       min_u, max_u
+        |FROM a ORDER BY dim""".stripMargin,
     // Same sliced-prefix fold as the Spark side: emb[1:D] then the
     // list_reduce dot ≡ array_dot, sqrt/div identical IEEE sequence,
     // rank ties broken by cid in both engines.

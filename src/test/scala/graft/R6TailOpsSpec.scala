@@ -104,6 +104,44 @@ class R6TailOpsSpec extends SparkSpec {
     }
   }
 
+  test("common-neighbor mass equals three times the triangle count") {
+    // Each triangle {a,b,c} contributes c as a common neighbor of
+    // edge (a,b), a of (b,c), and b of (a,c) — and every common
+    // neighbor of an edge closes a triangle. So the per-edge common
+    // counts must sum to exactly 3 * n_triangles from
+    // q_triangle_count: two independently-implemented operators
+    // cross-check each other.
+    val commonSum = LlmOps.commonNeighbors(spark, sfDir)
+      .agg(sum(col("common"))).collect()(0).getLong(0)
+    val triangles = LlmOps.triangleCount(spark, sfDir)
+      .collect()(0).getAs[Long]("n_triangles")
+    assert(commonSum == 3L * triangles,
+      s"sum(common) $commonSum != 3 * $triangles triangles")
+    // and the Jaccard is a ppm: bounded by construction
+    LlmOps.commonNeighbors(spark, sfDir).collect().foreach { r =>
+      val j = r.getLong(5)
+      assert(j >= 0L && j <= 1000000L, s"jaccard ppm $j out of range")
+    }
+  }
+
+  test("embedding profile covers every dimension with sane moments") {
+    val dims = Tables(spark, sfDir, "embeddings")
+      .select(size(col("embedding"))).distinct().collect()
+    assert(dims.length == 1)
+    val d = dims(0).getInt(0)
+    val n = Tables(spark, sfDir, "embeddings").count()
+    val rows = graft.ops.VectorOps.embeddingStats(spark, sfDir).collect()
+    assert(rows.length == d)
+    rows.foreach { r =>
+      assert(r.getLong(1) == n)
+      val (mean, varU2, min, max) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(varU2 >= 0L, s"dim ${r.getLong(0)}: negative variance")
+      assert(min <= mean && mean <= max,
+        s"dim ${r.getLong(0)}: mean $mean outside [$min, $max]")
+    }
+  }
+
   test("rebalanced classes are exactly min-class-sized") {
     val langCounts = Tables(spark, sfDir, "documents")
       .groupBy("lang").count().collect()

@@ -273,7 +273,13 @@ class ShuffleBudgetSpec extends SparkSpec {
       // branch, and the in-bucket rank window; the lang-keyed
       // exchanges (offset window, class totals) move only the
       // <= classes x 128 counts grid
-      "q_class_rebalance" -> 5)) {
+      "q_class_rebalance" -> 5,
+      // ONE LSH derivation (checkpointed — six references would
+      // otherwise re-run the banding each): band join + distinct +
+      // then candidate-graph-sized joins only (und/deg/wedges)
+      "q_common_neighbors" -> 8,
+      // posexplode scan-side; ONE |dims|-key combine agg
+      "q_embedding_stats" -> 1)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
