@@ -855,16 +855,18 @@ object EventOps {
 
   /** Half-life decayed activity score — the recency weighting every
     * feature store / trending-topics job runs: each event counts
-    * 2^(−age_hours) with a 1-hour half-life, ages measured back from
-    * the corpus max timestamp. Exponential decay is usually a float
+    * 2^(−age_hours) with a 1-hour half-life and a HARD 40 h horizon
+    * (weight exactly 0 past it), ages measured in hour buckets back
+    * from the corpus max hour. Exponential decay is usually a float
     * recurrence; here the weight is an exact dyadic rational
-    * (2^(40−k) integer mass, k = capped age-hours), summed in
-    * DECIMAL(38,0) and normalized by ONE final `div 2^40` — so the
-    * score is bit-exact cross-engine, order-independent, and
-    * mergeable (the partial sums are plain integer adds, the same
-    * property that makes it a one-liner in a streaming state store).
-    * Ages ≥ 40 h truncate to weight 2^0 = 1/2^40 ≈ 1e-12 — below the
-    * milli-unit output resolution, the documented floor of the decay.
+    * (2^(40−k) integer mass), summed in DECIMAL(38,0) and normalized
+    * by ONE final `div 2^40` — so the score is bit-exact
+    * cross-engine and order-independent. Hour-aligned ages + the
+    * hard horizon are what make the state MERGEABLE and streamable:
+    * a per-key ring buffer of ≤ 41 hour buckets re-anchors by
+    * relabeling, with no accumulated truncation (StreamingDecay
+    * maintains exactly that state and replays this query
+    * bit-for-bit).
     *
     * Scale shape: the "now" anchor is a 1-row global max broadcast
     * back (bounded); then ONE combine agg on user_id — weights are
@@ -872,13 +874,16 @@ object EventOps {
   def decayCounts(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
       .select(col("user_id"), col("ts_us"),
+        expr("ts_us div 3600000000").as("h"),
         expr("cast(floor(value * cast(1000000 as double)) as bigint)")
           .as("yu"))
-    val now = e.agg(max(col("ts_us")).as("now_us"))
+    val now = e.agg(max(col("h")).as("hnow"))
     e.crossJoin(broadcast(now))
-      .withColumn("k",
-        least(expr("(now_us - ts_us) div 3600000000"), lit(40L)))
-      .withColumn("w2", expr("shiftleft(cast(1 as bigint), cast(40 - k as int))"))
+      .withColumn("k", col("hnow") - col("h"))
+      .withColumn("w2",
+        when(col("k") <= 40L,
+          expr("shiftleft(cast(1 as bigint), cast(40 - k as int))"))
+          .otherwise(lit(0L)))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("w2").cast("decimal(38,0)")).as("wsum"),
@@ -1097,19 +1102,21 @@ object EventOps {
         |             AS BIGINT) AS ci_hi_u
         |FROM a JOIN x ON a.event_type = x.event_type
         |ORDER BY a.event_type""".stripMargin,
-    // Same dyadic 2^(40−k) weights, same HUGEINT sums, one // 2^40
-    // normalization — bit-exact.
+    // Same hour-bucket ages, same hard 40 h horizon, same dyadic
+    // 2^(40−k) weights and HUGEINT sums, one // 2^40 normalization —
+    // bit-exact.
     "q_decay_counts" ->
       """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
         |         CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT)
         |           AS yu
         |  FROM events),
-        |nw AS (SELECT max(ts_us) AS now_us FROM e),
+        |nw AS (SELECT max(h) AS hnow FROM e),
         |k AS (
         |  SELECT user_id, yu,
-        |         CAST(1 AS BIGINT) << CAST(40 - least(
-        |           (now_us - ts_us) // 3600000000, 40) AS INTEGER) AS w2
+        |         CASE WHEN hnow - h <= 40 THEN
+        |           CAST(1 AS BIGINT) << CAST(40 - (hnow - h) AS INTEGER)
+        |         ELSE 0 END AS w2
         |  FROM e, nw),
         |a AS (
         |  SELECT user_id, count(*) AS n_events,
