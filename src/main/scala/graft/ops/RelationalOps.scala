@@ -1324,31 +1324,96 @@ object RelationalOps {
     * ZorderSpec). At 100 TB the layout job is a range-partitioned
     * sort by z — layout jobs are sorts by definition — and the index
     * is O(files), not O(rows). */
-  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
-    def spread(c: Column): Column = {
-      val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
-      val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
-      val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
-      d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
-    }
+  /** The normalized 16-bit (x, y) grid over (o_custkey, order day)
+    * shared by the layout planners (zorderLayout / skippingAudit). */
+  private def ckDayGrid(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").select(
       col("o_custkey"),
       expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
     val bounds = o.agg(
       min("o_custkey").as("cmin"), max("o_custkey").as("cmax"),
       min("day").as("dmin"), max("day").as("dmax"))
-    val grid = o.crossJoin(broadcast(bounds)).select(
+    o.crossJoin(broadcast(bounds)).select(
       expr("(o_custkey - cmin) * 65536 div (cmax - cmin + 1)").as("x"),
       expr("(day - dmin) * 65536 div (dmax - dmin + 1)").as("y"))
-    grid
+  }
+
+  /** The classic shift-mask Morton interleave (5 codegen'd bitwise
+    * steps, identical in DuckDB). */
+  private def mortonSpread(c: Column): Column = {
+    val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  def zorderLayout(s: SparkSession, dir: String): DataFrame =
+    ckDayGrid(s, dir)
       .select(col("x"), col("y"),
-        shiftright(spread(col("x")).bitwiseOR(shiftleft(spread(col("y")), 1)), 26)
+        shiftright(mortonSpread(col("x"))
+          .bitwiseOR(shiftleft(mortonSpread(col("y")), 1)), 26)
           .as("file_id"))
       .groupBy("file_id")
       .agg(count(lit(1)).as("n_rows"),
         min("x").as("x_min"), max("x").as("x_max"),
         min("y").as("y_min"), max("y").as("y_max"))
       .orderBy("file_id")
+
+  /** Data-skipping effectiveness audit — the planning number that
+    * justifies (or rejects) a layout job BEFORE it spends the
+    * cluster: for each of three representative range predicates,
+    * how many files (and rows) would each candidate layout's
+    * min/max skipping index actually scan? Compares the z-order
+    * layout against the single-column sort (x-prefix files) on the
+    * same 64-file budget: the x-sort is unbeatable on pure-x slabs,
+    * blind on pure-y slabs (every file spans all y), while z-order
+    * stays tight on BOTH dims — the quantified version of
+    * zorderLayout's scaladoc claim, as a query.
+    *
+    * A file is scanned iff its bounding box intersects the
+    * predicate box — exactly the pruning rule lakehouse skipping
+    * indexes apply. All-integer grid arithmetic.
+    *
+    * Scale shape: each layout branch is the zorderLayout shape (scan
+    * → one ≤64-key combine); the predicate cross join and the final
+    * agg touch ≤ layouts × 64 × |preds| rows — bounded. The audit
+    * cost is two index builds, never a data rewrite. */
+  def skippingAudit(s: SparkSession, dir: String): DataFrame = {
+    val grid = ckDayGrid(s, dir)
+    def index(fileId: Column, layout: String): DataFrame =
+      grid.select(col("x"), col("y"), fileId.as("file_id"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+        .withColumn("layout", lit(layout))
+    val zIdx = index(shiftright(mortonSpread(col("x"))
+      .bitwiseOR(shiftleft(mortonSpread(col("y")), 1)), 26), "zorder")
+    val xIdx = index(expr("x div 1024"), "xsort")
+    val preds = s.range(1).select(explode(array(
+      struct(lit("x_slab").as("predicate"), lit(0L).as("xlo"),
+        lit(4095L).as("xhi"), lit(0L).as("ylo"), lit(65535L).as("yhi")),
+      struct(lit("y_slab").as("predicate"), lit(0L).as("xlo"),
+        lit(65535L).as("xhi"), lit(0L).as("ylo"), lit(4095L).as("yhi")),
+      struct(lit("xy_box").as("predicate"), lit(16384L).as("xlo"),
+        lit(20479L).as("xhi"), lit(16384L).as("ylo"),
+        lit(20479L).as("yhi")))).as("p"))
+      .select(col("p.*"))
+    zIdx.union(xIdx).crossJoin(broadcast(preds))
+      .withColumn("scanned",
+        col("x_min") <= col("xhi") && col("x_max") >= col("xlo") &&
+        col("y_min") <= col("yhi") && col("y_max") >= col("ylo"))
+      .groupBy(col("predicate"), col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("scanned"), 1L).otherwise(0L)).as("files_scanned"),
+        sum(when(col("scanned"), col("n_rows")).otherwise(0L))
+          .as("rows_scanned"),
+        sum(col("n_rows")).as("n_rows_total"))
+      .select(col("predicate"), col("layout"), col("n_files"),
+        col("files_scanned"), col("rows_scanned"),
+        expr("""cast(1000000 * cast(rows_scanned as decimal(38,0))
+          div n_rows_total as bigint)""").as("scan_ppm"))
+      .orderBy("predicate", "layout")
   }
 
   /** Order-independent table content fingerprints — the migration /
@@ -1516,6 +1581,7 @@ object RelationalOps {
     "q_cdc_apply" -> cdcApply _,
     "q_table_fingerprint" -> tableFingerprint _,
     "q_zorder_layout" -> zorderLayout _,
+    "q_skipping_audit" -> skippingAudit _,
     "q_scan_filter_project" -> scanFilterProject _,
     "q_hash_join_inner" -> hashJoinInner _,
     "q_join_multiway" -> joinMultiway _,
@@ -1746,6 +1812,58 @@ object RelationalOps {
         |       min(y) AS y_min, max(y) AS y_max
         |FROM z GROUP BY file_id
         |ORDER BY file_id""".stripMargin,
+    // Same grid + Morton steps as q_zorder_layout, plus the x-prefix
+    // layout, the same bounding-box intersection rule and exact ppm.
+    "q_skipping_audit" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day
+        |  FROM orders),
+        |b AS (
+        |  SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+        |         min(day) AS dmin, max(day) AS dmax FROM o),
+        |g AS (
+        |  SELECT (o_custkey - cmin) * 65536 // (cmax - cmin + 1) AS x,
+        |         (day - dmin) * 65536 // (dmax - dmin + 1) AS y
+        |  FROM o, b),
+        |s1 AS (SELECT x, y, ((x | (x << 8)) & 16711935) AS xa,
+        |                    ((y | (y << 8)) & 16711935) AS ya FROM g),
+        |s2 AS (SELECT x, y, ((xa | (xa << 4)) & 252645135) AS xb,
+        |                    ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+        |s3 AS (SELECT x, y, ((xb | (xb << 2)) & 858993459) AS xc,
+        |                    ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+        |s4 AS (SELECT x, y, ((xc | (xc << 1)) & 1431655765) AS xs,
+        |                    ((yc | (yc << 1)) & 1431655765) AS ys FROM s3),
+        |fz AS (
+        |  SELECT 'zorder' AS layout, (xs | (ys << 1)) >> 26 AS file_id,
+        |         x, y FROM s4),
+        |fx AS (
+        |  SELECT 'xsort' AS layout, x // 1024 AS file_id, x, y FROM g),
+        |idx AS (
+        |  SELECT layout, file_id, count(*) AS n_rows,
+        |         min(x) AS x_min, max(x) AS x_max,
+        |         min(y) AS y_min, max(y) AS y_max
+        |  FROM (SELECT * FROM fz UNION ALL SELECT * FROM fx)
+        |  GROUP BY layout, file_id),
+        |p(predicate, xlo, xhi, ylo, yhi) AS (
+        |  VALUES ('x_slab', 0, 4095, 0, 65535),
+        |         ('y_slab', 0, 65535, 0, 4095),
+        |         ('xy_box', 16384, 20479, 16384, 20479)),
+        |a AS (
+        |  SELECT predicate, layout, count(*) AS n_files,
+        |         sum(CASE WHEN x_min <= xhi AND x_max >= xlo
+        |                   AND y_min <= yhi AND y_max >= ylo
+        |                  THEN 1 ELSE 0 END) AS files_scanned,
+        |         sum(CASE WHEN x_min <= xhi AND x_max >= xlo
+        |                   AND y_min <= yhi AND y_max >= ylo
+        |                  THEN n_rows ELSE 0 END) AS rows_scanned,
+        |         sum(n_rows) AS n_rows_total
+        |  FROM idx, p GROUP BY predicate, layout)
+        |SELECT predicate, layout, CAST(n_files AS BIGINT) AS n_files,
+        |       CAST(files_scanned AS BIGINT) AS files_scanned,
+        |       CAST(rows_scanned AS BIGINT) AS rows_scanned,
+        |       CAST(1000000 * CAST(rows_scanned AS HUGEINT)
+        |         // n_rows_total AS BIGINT) AS scan_ppm
+        |FROM a ORDER BY predicate, layout""".stripMargin,
     // Same m=2^20/k=8 double-hashed bloom filter, DuckDB dialect
     // (// for div, sha256 hex-prefix for the portable hash; position
     // set membership ≡ the Spark side's bitmask bit-tests).

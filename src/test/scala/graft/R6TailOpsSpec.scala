@@ -142,6 +142,25 @@ class R6TailOpsSpec extends SparkSpec {
     }
   }
 
+  test("skipping audit reproduces the layout trade-off story") {
+    // The reason the operator exists: a single-column sort is blind
+    // off its sort key (y-slab scans EVERYTHING), z-order prunes on
+    // both dims, and the x-sort stays at-or-better on pure-x slabs.
+    // (relative claims only: at tiny SF sparse files can have
+    // partial y-ranges, so the "x-sort scans 100% on a y slab"
+    // absolute only appears at density — observed 1000000 ppm at
+    // sf0.1, 758000 ppm at sf0.001)
+    val r = graft.ops.RelationalOps.skippingAudit(spark, sfDir).collect()
+      .map(row => (row.getString(0), row.getString(1)) ->
+        (row.getLong(3), row.getLong(5))).toMap
+    assert(r(("y_slab", "xsort"))._2 > 2L * r(("y_slab", "zorder"))._2,
+      "z-order should prune a y slab far better than the x-sort")
+    assert(r(("xy_box", "zorder"))._1 <= r(("xy_box", "xsort"))._1,
+      "z-order should scan no more files than x-sort on a 2-D box")
+    assert(r(("x_slab", "xsort"))._1 <= r(("x_slab", "zorder"))._1,
+      "x-sort should be at-or-better on its own sort key")
+  }
+
   test("rebalanced classes are exactly min-class-sized") {
     val langCounts = Tables(spark, sfDir, "documents")
       .groupBy("lang").count().collect()

@@ -279,7 +279,10 @@ class ShuffleBudgetSpec extends SparkSpec {
       // then candidate-graph-sized joins only (und/deg/wedges)
       "q_common_neighbors" -> 8,
       // posexplode scan-side; ONE |dims|-key combine agg
-      "q_embedding_stats" -> 1)) {
+      "q_embedding_stats" -> 1,
+      // two <= 64-key index combines (one per layout branch) + the
+      // bounded (layouts x files x preds) final agg
+      "q_skipping_audit" -> 3)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
