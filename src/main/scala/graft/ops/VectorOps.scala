@@ -440,6 +440,188 @@ object VectorOps {
       .orderBy("qid")
   }
 
+  // --------------------------------------------- hubness / selection / MMR
+
+  /** k-occurrence (hubness) distribution over top-k neighbor lists —
+    * the standard intrinsic-dimensionality audit for an embedding
+    * space (Radovanović et al., JMLR 2010): count how often each
+    * vector appears in other vectors' top-10 lists, then histogram
+    * those counts. A heavy right tail (hub vectors appearing in
+    * hundreds of lists) predicts poor ANN recall and distorted kNN
+    * label votes BEFORE an index is built or a dedup threshold
+    * trusted; the j = 0 row (anti-hubs, never retrieved) is the
+    * other half of the same pathology.
+    *
+    * Scale shape: the query slice (100 vectors) is the bounded
+    * broadcast side of one corpus scan — the q_cosine_topk physics;
+    * the per-query top-10 window is rank-only, so WindowGroupLimit
+    * prunes to ≤10 rows per query map-side before the 100-key
+    * shuffle. Occurrence + histogram are two combine aggs whose key
+    * spaces (corpus ids appearing in ≤1000 list slots; occurrence
+    * values ≤100) are collision-bounded; the occurrence frame is
+    * localCheckpointed ONCE (≤1000 rows) so the anti-hub complement
+    * row doesn't re-run the scan+window through Spark's no-CSE
+    * union branches. At production scale the same audit runs on any
+    * fixed query sample — hubness is a property of the space,
+    * estimated from a slice by design. */
+  def hubness(s: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(s, dir)
+    val q = base.where(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val topW = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val top = base.select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+      .crossJoin(broadcast(q))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        r6(dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm"))).as("cos"))
+      .withColumn("rn", row_number().over(topW))
+      .where(col("rn") <= 10)
+    val occRaw = top.groupBy(col("cid")).agg(count(lit(1)).as("occ"))
+    val occ =
+      if (s.sparkContext.getCheckpointDir.isDefined) occRaw.checkpoint(true)
+      else occRaw.localCheckpoint(true)
+    val dist = occ.groupBy(col("occ")).agg(count(lit(1)).as("n_vectors"))
+      .select(col("occ").as("k_occurrence"), col("n_vectors"))
+    val zero = base.agg(count(lit(1)).as("n_total"))
+      .crossJoin(occ.agg(count(lit(1)).as("n_in")))
+      .select(lit(0L).as("k_occurrence"),
+        (col("n_total") - col("n_in")).as("n_vectors"))
+    dist.union(zero).orderBy("k_occurrence")
+  }
+
+  /** Greedy k-center (farthest-point) coreset selection over the
+    * embedding corpus — the classic 2-approximation (Gonzalez 1985)
+    * that active-learning and data-selection pipelines use to pick a
+    * maximally-spread training subset: seed with the lowest id, then
+    * repeatedly add the vector FARTHEST from its nearest chosen
+    * center (here: lowest max-cosine, ties to the smaller id). Emits
+    * the selection order and each pick's coverage cosine — the
+    * monotone radius curve that tells a curator where coverage
+    * saturates and k can stop.
+    *
+    * Scale shape: exactly k = 8 corpus scans, each a scan-side
+    * projection — the centers chosen so far are inlined as ≤8
+    * array literals, so "distance to nearest center" is a
+    * greatest() over codegen'd dot products with NO shuffle, and
+    * each argmin is a TakeOrdered(1), never a global sort. The only
+    * driver state is the k (id, embedding, norm) tuples (bounded:
+    * 8 × 64 floats — the bloom-bitmask collect precedent); k scans
+    * is the textbook lower bound for exact greedy k-center, and at
+    * 100 TB each scan is embarrassingly parallel. The oracle unrolls
+    * the same greedy recursion as 7 incremental CTE levels. */
+  def kcenterSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = withNorm(s, dir)
+    val seed = base.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding"), col("norm")).collect().head
+    var centers = Seq((seed.getLong(0),
+      seed.getSeq[Float](1).map(_.toDouble), seed.getDouble(2)))
+    val picks = scala.collection.mutable.ListBuffer(
+      (0L, seed.getLong(0), 1000000L))
+    for (step <- 1L to 7L) {
+      val close = centers.map { case (_, emb, nrm) =>
+        r6(graft.functions.GraftFunctions.array_dot(
+          col("embedding"), typedLit(emb)) / (col("norm") * lit(nrm)))
+      }.reduce((a, b) => greatest(a, b))
+      val pick = base.where(!col("vec_id").isin(centers.map(_._1): _*))
+        .select(col("vec_id"), col("embedding"), col("norm"),
+          close.as("closeness"))
+        .orderBy(col("closeness").asc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("embedding"), col("norm"),
+          expr("cast(round(closeness * cast(1000000 as double), 0) as bigint)")
+            .as("ppm"))
+        .collect().head
+      centers = centers :+ ((pick.getLong(0),
+        pick.getSeq[Float](1).map(_.toDouble), pick.getDouble(2)))
+      picks += ((step, pick.getLong(0), pick.getLong(3)))
+    }
+    picks.toSeq.toDF("step", "center_id", "far_cos_ppm")
+      .orderBy("step")
+  }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — the diversity-aware serving step after retrieval:
+    * from each query's top-20 cosine candidates, greedily pick 5,
+    * each maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    * picked (λ = 0.7), so the answer set covers the query's
+    * neighborhood instead of returning five near-copies. Score is
+    * exact integer ppm arithmetic (7·rel_ppm − 3·maxsim_ppm — a
+    * weighted sum of already-rounded doubles would tie at the 7th
+    * decimal and the engines round ties apart), ties to the smaller
+    * candidate id; the empty-set max-similarity is 0 by convention,
+    * so step 1 is pure relevance.
+    *
+    * Scale shape: candidate generation is the production retrieval
+    * path (bounded query block broadcast × one corpus scan,
+    * WindowGroupLimit-pruned top-20); everything after operates on
+    * (queries × 20)-row frames — pool and pairwise-sim frames are
+    * localCheckpointed ONCE (self-join no-CSE would otherwise re-run
+    * the corpus scan per greedy step) and every greedy iteration
+    * touches only those bounded frames. MMR's sequential greed is
+    * inherently k-step; keeping each step a broadcast-size join is
+    * what makes it servable at any corpus scale. */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(s, dir)
+    val q = base.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val topW = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val poolRaw = base.select(col("vec_id").as("cid"),
+        col("embedding").as("c_emb"), col("norm").as("c_norm"))
+      .crossJoin(broadcast(q))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        r6(dot("q_emb", "c_emb") / (col("q_norm") * col("c_norm"))).as("cos"))
+      .withColumn("rn", row_number().over(topW))
+      .where(col("rn") <= 20)
+      .select(col("qid"), col("cid"),
+        expr("cast(round(cos * cast(1000000 as double), 0) as bigint)")
+          .as("rel_ppm"))
+    val reliable = s.sparkContext.getCheckpointDir.isDefined
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val pool = pin(poolRaw)
+    val a = pool.select(col("qid"), col("cid").as("cid_a"))
+      .join(base.select(col("vec_id").as("cid_a"), col("embedding").as("ea"),
+        col("norm").as("na")), "cid_a")
+    val b = pool.select(col("qid"), col("cid").as("cid_b"))
+      .join(base.select(col("vec_id").as("cid_b"), col("embedding").as("eb"),
+        col("norm").as("nb")), "cid_b")
+    val sims = pin(a.join(b, "qid")
+      .where(col("cid_a") =!= col("cid_b"))
+      .select(col("qid"), col("cid_a"), col("cid_b"),
+        r6(dot("ea", "eb") / (col("na") * col("nb"))).as("sim"))
+      .select(col("qid"), col("cid_a"), col("cid_b"),
+        expr("cast(round(sim * cast(1000000 as double), 0) as bigint)")
+          .as("sim_ppm")))
+    val pickW = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    val first = pool
+      .select(col("qid"), col("cid"), (lit(7L) * col("rel_ppm")).as("score"))
+      .withColumn("rn", row_number().over(pickW)).where(col("rn") === 1)
+      .select(col("qid"), col("cid"), col("score"), lit(1L).as("step"))
+    var sel = first
+    for (step <- 2L to 5L) {
+      val maxsim = sims
+        .join(sel.select(col("qid"), col("cid").as("cid_b")), Seq("qid", "cid_b"))
+        .groupBy(col("qid"), col("cid_a").as("cid"))
+        .agg(max(col("sim_ppm")).as("maxsim"))
+      val pick = pool
+        .join(sel.select(col("qid"), col("cid")), Seq("qid", "cid"), "left_anti")
+        .join(maxsim, Seq("qid", "cid"), "left")
+        .select(col("qid"), col("cid"),
+          (lit(7L) * col("rel_ppm") - lit(3L) * coalesce(col("maxsim"), lit(0L)))
+            .as("score"))
+        .withColumn("rn", row_number().over(pickW)).where(col("rn") === 1)
+        .select(col("qid"), col("cid"), col("score"), lit(step).as("step"))
+      sel = sel.unionByName(pick)
+    }
+    sel.select(col("qid"), col("step"), col("cid"), col("score").as("mmr_score"))
+      .orderBy("qid", "step")
+  }
+
   /** Per-vector int8 quantization — the storage-compression pass for
     * large embedding stores (4 bytes → 1 byte per dim): scale each
     * vector's range onto 0..255, report the quantization parameters,
@@ -1056,6 +1238,9 @@ object VectorOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hubness" -> hubness _,
+    "q_kcenter_select" -> kcenterSelect _,
+    "q_mmr_rerank" -> mmrRerank _,
     "q_embedding_stats" -> embeddingStats _,
     "q_matryoshka_recall" -> matryoshkaRecall _,
     "q_rank_fusion" -> rankFusion _,
@@ -1221,7 +1406,149 @@ object VectorOps {
   // and LlmOps' own init references VectorOps (consensus oracle) —
   // eager evaluation here would re-enter the half-initialized LlmOps
   // and read a null map (ExceptionInInitializerError).
+  /** The portable cosine text between aliases `b` and `c` (same fold
+    * + round-6 as every ANN oracle). */
+  private def cosBC(l: String, r: String, ln: String, rn: String): String =
+    s"""round(list_reduce(list_transform(list_zip($l, $r),
+       |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+       |          / ($ln * $rn), 6)""".stripMargin
+
+  /** q_kcenter_select's greedy recursion unrolled: level t extends
+    * each surviving vector's max-cos with center t−1 (greatest — max
+    * is associative, so the incremental form equals the Spark side's
+    * greatest-over-all-centers), then picks the (close ASC, vec_id)
+    * argmin. */
+  private lazy val kcenterOracle: String = {
+    val dot = cosBC("b.embedding", "c.embedding", "b.norm", "c.norm")
+    val levels = (1 to 7).map { t =>
+      val src = if (t == 1) "base" else s"d${t - 1}"
+      val close = if (t == 1) dot else s"greatest(b.close, $dot)"
+      val centDef = if (t == 1) "" else
+        s"""c${t - 1} AS (
+           |  SELECT d.vec_id, d.embedding, d.norm
+           |  FROM d${t - 1} d, p${t - 1} WHERE d.vec_id = p${t - 1}.vec_id),
+           |""".stripMargin
+      s"""${centDef}d$t AS (
+         |  SELECT b.vec_id, b.embedding, b.norm,
+         |         $close AS close
+         |  FROM $src b, c${t - 1} c WHERE b.vec_id != c.vec_id),
+         |p$t AS (SELECT vec_id, close FROM d$t ORDER BY close ASC, vec_id LIMIT 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val rows = (1 to 7).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS step, vec_id AS center_id,
+         |       CAST(round(close * 1000000.0, 0) AS BIGINT) AS far_cos_ppm
+         |FROM p$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_reduce(list_transform(embedding,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS norm
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id, embedding, norm FROM base ORDER BY vec_id LIMIT 1),
+       |$levels
+       |SELECT CAST(0 AS BIGINT) AS step,
+       |       (SELECT vec_id FROM c0) AS center_id,
+       |       CAST(1000000 AS BIGINT) AS far_cos_ppm
+       |UNION ALL
+       |$rows
+       |ORDER BY step""".stripMargin
+  }
+
+  /** q_mmr_rerank's greedy steps unrolled: per level, max-sim to the
+    * selected set, exact-ppm score, (score DESC, cid) argmax, selected
+    * set grows by one. */
+  private lazy val mmrOracle: String = {
+    val simDot = cosBC("ea.embedding", "eb.embedding", "ea.norm", "eb.norm")
+    val steps = (2 to 5).map { t =>
+      s"""m$t AS (
+         |  SELECT m.qid, m.cid_a AS cid, max(m.sim_ppm) AS maxsim
+         |  FROM sims m JOIN sel${t - 1} s ON m.qid = s.qid AND m.cid_b = s.cid
+         |  GROUP BY m.qid, m.cid_a),
+         |x$t AS (
+         |  SELECT p.qid, p.cid, 7 * p.rel_ppm - 3 * coalesce(m.maxsim, 0) AS score
+         |  FROM pool p LEFT JOIN m$t m ON p.qid = m.qid AND p.cid = m.cid
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+         |                    WHERE s.qid = p.qid AND s.cid = p.cid)),
+         |p$t AS (
+         |  SELECT qid, cid, score FROM x$t
+         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) = 1),
+         |sel$t AS (SELECT qid, cid FROM sel${t - 1}
+         |          UNION ALL SELECT qid, cid FROM p$t)""".stripMargin
+    }.mkString(",\n")
+    val rows = (2 to 5).map { t =>
+      s"""SELECT qid, CAST($t AS BIGINT) AS step, cid,
+         |       CAST(score AS BIGINT) AS mmr_score FROM p$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_reduce(list_transform(embedding,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS norm
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         ${cosBC("q.embedding", "c.embedding", "q.norm", "c.norm")} AS cos
+       |  FROM base q, base c
+       |  WHERE q.vec_id < 5 AND q.vec_id != c.vec_id),
+       |pool AS (
+       |  SELECT qid, cid, CAST(round(cos * 1000000.0, 0) AS BIGINT) AS rel_ppm
+       |  FROM p
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= 20),
+       |sims AS (
+       |  SELECT a.qid, a.cid AS cid_a, b.cid AS cid_b,
+       |         CAST(round($simDot * 1000000.0, 0) AS BIGINT) AS sim_ppm
+       |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.cid != b.cid
+       |  JOIN base ea ON ea.vec_id = a.cid
+       |  JOIN base eb ON eb.vec_id = b.cid),
+       |sel1 AS (
+       |  SELECT qid, cid, 7 * rel_ppm AS score FROM pool
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rel_ppm DESC, cid) = 1),
+       |$steps
+       |SELECT qid, CAST(1 AS BIGINT) AS step, cid,
+       |       CAST(score AS BIGINT) AS mmr_score FROM sel1
+       |UNION ALL
+       |$rows
+       |ORDER BY qid, step""".stripMargin
+  }
+
   lazy val oracles: Map[String, String] = Map(
+    // Same bounded query slice, same top-10 rank rule, same zero-row
+    // complement arithmetic.
+    "q_hubness" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS norm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |         round(list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |               / (q.norm * c.norm), 6) AS cos
+        |  FROM base q, base c
+        |  WHERE q.vec_id < 100 AND q.vec_id != c.vec_id),
+        |top AS (
+        |  SELECT qid, cid FROM p
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= 10),
+        |occ AS (SELECT cid, count(*) AS occ FROM top GROUP BY cid),
+        |dist AS (
+        |  SELECT CAST(occ AS BIGINT) AS k_occurrence,
+        |         CAST(count(*) AS BIGINT) AS n_vectors
+        |  FROM occ GROUP BY occ),
+        |zero AS (
+        |  SELECT CAST(0 AS BIGINT) AS k_occurrence,
+        |         CAST((SELECT count(*) FROM base)
+        |           - (SELECT count(*) FROM occ) AS BIGINT) AS n_vectors)
+        |SELECT * FROM dist UNION ALL SELECT * FROM zero
+        |ORDER BY k_occurrence""".stripMargin,
+    // The same greedy recursion unrolled: 7 incremental levels, each
+    // extending per-vector max-cos with the latest center then taking
+    // the (closeness ASC, vec_id) argmin — identical fold, round-6,
+    // ppm conversion, and tie rule.
+    "q_kcenter_select" -> kcenterOracle,
+    // Same pool (top-20 per query), same pairwise sims, same 5
+    // unrolled greedy steps in exact integer ppm.
+    "q_mmr_rerank" -> mmrOracle,
     // Same scan-side micro-unit floors, same HUGEINT power sums and
     // one exact integer variance division — bit-exact.
     "q_embedding_stats" ->

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.VectorOps
+
+/** Invariants of the round-6 vector-selection wave (hubness /
+  * k-center coreset / MMR) beyond the DuckDB hash gate —
+  * scale-independent structural properties plus the two greedy
+  * monotonicity laws the operators' usefulness rests on.
+  */
+class R6VectorOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("hubness distribution is a partition of the corpus and list slots") {
+    val rows = VectorOps.hubness(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nVecs = Tables(spark, sfDir, "embeddings").count()
+    // every vector lands in exactly one k-occurrence bucket
+    assert(rows.map(_._2).sum === nVecs)
+    // 100 queries x top-10 = 1000 list slots, each attributed once
+    assert(rows.map { case (k, n) => k * n }.sum === 1000L)
+    // the j = 0 (anti-hub) row exists by construction
+    assert(rows.exists(_._1 === 0L))
+  }
+
+  test("k-center coverage cosine is monotone non-decreasing") {
+    val picks = VectorOps.kcenterSelect(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(picks.length === 8)
+    assert(picks.map(_._2).distinct.length === 8, "centers must be distinct")
+    assert(picks.head === ((0L, 0L, 1000000L)), "seed is the lowest id")
+    // Gonzalez greedy: each new pick is the farthest remaining point,
+    // and adding centers can only move points closer — the selected
+    // coverage cosine (closeness of the pick at selection time) is
+    // non-decreasing from step 1 on.
+    val radii = picks.filter(_._1 >= 1L).sortBy(_._1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a <= b },
+      s"coverage curve must be monotone, got ${radii.mkString(",")}")
+  }
+
+  test("MMR picks come from the pool with non-increasing scores") {
+    val sel = VectorOps.mmrRerank(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sel.length === 25) // 5 queries x 5 picks
+    sel.groupBy(_._1).foreach { case (qid, picks) =>
+      assert(picks.map(_._3).distinct.length === 5,
+        s"q$qid: picks must be distinct")
+      // shrinking pool + growing max-sim penalty => the achievable
+      // MMR score can only fall step over step
+      val scores = picks.sortBy(_._2).map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"q$qid: scores must be non-increasing, got ${scores.mkString(",")}")
+    }
+    // step 1 is pure relevance: it must equal the brute-force top-1
+    val top1 = graft.ops.LlmOps.cosineTopk(spark, sfDir).collect()
+      .filter(r => r.getLong(0) < 5 && r.getLong(1) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    sel.filter(_._2 == 1L).foreach { case (qid, _, cid, _) =>
+      assert(top1(qid) === cid, s"q$qid: step-1 pick must be the cosine top-1")
+    }
+  }
+}

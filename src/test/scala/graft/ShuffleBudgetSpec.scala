@@ -282,7 +282,15 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_embedding_stats" -> 1,
       // two <= 64-key index combines (one per layout branch) + the
       // bounded (layouts x files x preds) final agg
-      "q_skipping_audit" -> 3)) {
+      "q_skipping_audit" -> 3,
+      // the pinned occurrence frame hides scan+window+cid-combine
+      // (run once at construction); visible: the histogram combine on
+      // each union branch's lineage. (The other two selection ops
+      // aren't plan-assertable here: q_kcenter_select returns
+      // driver-assembled picks after its k bounded scans and
+      // q_mmr_rerank's greedy steps run over localCheckpointed
+      // broadcast-size frames.)
+      "q_hubness" -> 1)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
