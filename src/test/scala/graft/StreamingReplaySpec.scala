@@ -192,4 +192,44 @@ class StreamingReplaySpec extends SparkSpec {
       }.toSet
     assert(got.nonEmpty && got == want)
   }
+
+  test("sessionize replay equals the oracled q_sessionize") {
+    import spark.implicits._
+    val in = events
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .orderBy("ts_us", "event_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val maxUs = in.map(_._2).max
+    // sentinels 2h+ past the last event close every 30-min-gap session
+    val sentinels = Seq(
+      (-1L, maxUs + 7200L * 1000000L, -1L, 0.0),
+      (-1L, maxUs + 7300L * 1000000L, -2L, 0.0))
+    val got = graft.streaming.StreamingSessionize // session spans cross
+      .sessionize _ // micro-batch boundaries: 7 chunks force merges
+    val streamed = replay(in, 7, "sess_replay", sentinels, df =>
+      got(df.select(col("_1").as("user_id"),
+        expr("timestamp_micros(_2)").as("ts"),
+        col("_3").as("event_id"), col("_4").as("value")),
+        "30 minutes", "10 seconds"))
+      .where(col("user_id") >= 0L)
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))
+      }.toMap
+    // chain: stream ≡ the ORACLED batch q_sessionize (≡ DuckDB) on
+    // the exact columns; avg_value vs the exact micro-unit sum agrees
+    // to the 1e-6 the double avg carries
+    val want = SparkEntry.queries("q_sessionize")(spark, sf).collect().map { r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us")) ->
+        (r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("avg_value"))
+    }.toMap
+    assert(streamed.nonEmpty && streamed.keySet == want.keySet)
+    streamed.foreach { case (k, (endUs, n, sumU)) =>
+      val (wEnd, wN, wAvg) = want(k)
+      assert(endUs == wEnd && n == wN, s"session $k bounds/count diverge")
+      assert(math.abs(sumU.toDouble / 1e6 / n - wAvg) <= 1e-6,
+        s"session $k value sum diverges")
+    }
+  }
 }
