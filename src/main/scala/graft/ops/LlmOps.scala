@@ -1063,7 +1063,63 @@ object LlmOps {
       .orderBy("sel_rank")
   }
 
+  /** Quality-vs-duplication calibration — the cross-signal audit that
+    * decides FILTER ORDER in a curation pipeline: per quality-score
+    * decile, what fraction of documents sit in at least one near-dup
+    * candidate pair? If duplication concentrates in the low-quality
+    * tail, quality-filter-then-dedup shrinks the expensive LSH join's
+    * input; if it's flat, the two passes are independent and can run
+    * in either order (or fused). Composes the two oracled primitives
+    * verbatim: q_quality_score's exact micro-unit score and
+    * q_minhash_dedup's candidate pairs.
+    *
+    * Scale shape: deciles need a GLOBAL rank — computed two-phase
+    * (the q_token_budget / q_class_rebalance discipline): bucket =
+    * score_u div 64 is a monotone coarsening (≤ 15,626 buckets —
+    * bounded by the score DOMAIN, constant in corpus size), bucket
+    * counts roll up in one combine agg, the offsets window runs over
+    * that bounded frame, and per-bucket ranks are ordinary
+    * partitioned windows — so the two-phase rank provably equals the
+    * single-window global rank the oracle uses, with no
+    * single-partition sort of the corpus anywhere. Dup membership is
+    * the LSH candidate frame (collision-bounded) distinct-unioned;
+    * the final agg is 10 keys. */
+  def qualityVsDup(s: SparkSession, dir: String): DataFrame = {
+    val q = graft.ops.TextOps.qualityScore(s, dir)
+      .select(col("doc_id"), col("quality_score_u"))
+    val pairs = minhashDedup(s, dir)
+    val dup = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("is_dup", lit(1L))
+    val bucketed = q.withColumn("bucket", expr("quality_score_u div 64"))
+    val offW = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(offW), lit(0L)))
+      .select(col("bucket"), col("off"))
+    val inW = Window.partitionBy(col("bucket"))
+      .orderBy(col("quality_score_u"), col("doc_id"))
+    val ranked = bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("rnk", row_number().over(inW).cast("long") + col("off"))
+    ranked
+      .crossJoin(broadcast(q.agg(count(lit(1)).as("n_total"))))
+      .withColumn("decile", expr("(rnk - 1) * 10 div n_total"))
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("is_dup")).as("n_dup"),
+        min(col("quality_score_u")).as("q_min_u"),
+        max(col("quality_score_u")).as("q_max_u"))
+      .select(col("decile"), col("n_docs"), col("n_dup"),
+        expr("cast(1000000 * cast(n_dup as decimal(38,0)) div n_docs as bigint)")
+          .as("dup_ppm"),
+        col("q_min_u"), col("q_max_u"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_vs_dup" -> qualityVsDup _,
     "q_dedup_incremental" -> dedupIncremental _,
     "q_sequence_pack" -> sequencePack _,
     "q_token_budget" -> tokenBudget _,
@@ -1270,6 +1326,66 @@ object LlmOps {
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The q_quality_score micro-unit score + the q_minhash_dedup pair
+    // CTE verbatim; the single-window global rank equals the Spark
+    // side's two-phase (bucket offsets + per-bucket) rank because the
+    // bucket is a monotone coarsening of the rank key.
+    "q_quality_vs_dup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |         CAST(floor((
+        |           CAST(0.4 AS DOUBLE) * least(len(toks) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) +
+        |           CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - len(list_filter(toks, x -> x IN ('a','the','of','and','in'))) / CAST(len(toks) AS DOUBLE)) +
+        |           CAST(0.3 AS DOUBLE) * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+        |         ) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS quality_score_u
+        |  FROM tok),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_transform(shingles,
+        |           sh -> CAST('0x' || substring(sha256(sh), 1, 15) AS BIGINT) % 2147483647) AS hs
+        |  FROM s),
+        |m AS (
+        |  SELECT doc_id, b.range AS band,
+        |         list_min(list_transform(hs,
+        |           h -> (h * (b.range + 1) + 37 * b.range + 101) % 2147483647)) AS sig
+        |  FROM hs, range(0, 8) b),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS u, c.doc_id AS v
+        |  FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig
+        |                   AND a.doc_id < c.doc_id),
+        |dup AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT u AS doc_id FROM pairs UNION ALL SELECT v FROM pairs)),
+        |r AS (
+        |  SELECT doc_id, quality_score_u,
+        |         row_number() OVER (ORDER BY quality_score_u, doc_id) AS rnk,
+        |         count(*) OVER () AS n_total
+        |  FROM q),
+        |dd AS (
+        |  SELECT r.doc_id, r.quality_score_u,
+        |         (r.rnk - 1) * 10 // r.n_total AS decile,
+        |         d.doc_id AS dup_id
+        |  FROM r LEFT JOIN dup d ON r.doc_id = d.doc_id),
+        |a AS (
+        |  SELECT decile, count(*) AS n_docs, count(dup_id) AS n_dup,
+        |         min(quality_score_u) AS q_min_u,
+        |         max(quality_score_u) AS q_max_u
+        |  FROM dd GROUP BY decile)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |       CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_dup AS BIGINT) AS n_dup,
+        |       CAST(1000000 * CAST(n_dup AS HUGEINT) // n_docs AS BIGINT) AS dup_ppm,
+        |       q_min_u, q_max_u
+        |FROM a ORDER BY decile""".stripMargin,
     "q_recursive_reach" -> recursiveReachOracle,
     "q_dedup_consensus" -> consensusOracle,
     "q_sequence_pack" ->

@@ -60,4 +60,25 @@ class R6VectorOpsSpec extends SparkSpec {
       assert(top1(qid) === cid, s"q$qid: step-1 pick must be the cosine top-1")
     }
   }
+
+  test("quality-vs-dup deciles partition the corpus evenly") {
+    val rows = graft.ops.LlmOps.qualityVsDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5)))
+    val nDocs = Tables(spark, sfDir, "documents").count()
+    assert(rows.map(_._1).toSeq === (0L to 9L))
+    assert(rows.map(_._2).sum === nDocs)
+    // rank-based deciles differ by at most 1 in size
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1)
+    rows.foreach { case (d, n, nd, qmin, qmax) =>
+      assert(nd <= n, s"decile $d: dup count exceeds size")
+      assert(qmin <= qmax, s"decile $d: score range inverted")
+    }
+    // decile score ranges are non-overlapping and ordered
+    val byD = rows.sortBy(_._1)
+    byD.zip(byD.tail).foreach { case ((d, _, _, _, amax), (_, _, _, bmin, _)) =>
+      assert(amax <= bmin, s"decile $d: ranges overlap")
+    }
+  }
 }

@@ -290,7 +290,12 @@ class ShuffleBudgetSpec extends SparkSpec {
       // driver-assembled picks after its k bounded scans and
       // q_mmr_rerank's greedy steps run over localCheckpointed
       // broadcast-size frames.)
-      "q_hubness" -> 1)) {
+      "q_hubness" -> 1,
+      // quality scan -> bucket combine; per-bucket rank window; LSH
+      // band join + pair distinct + dup-id distinct; dup join; 10-key
+      // final agg (the offsets window is the bounded ~15k-bucket
+      // frame, single partition by design)
+      "q_quality_vs_dup" -> 9)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
