@@ -927,7 +927,104 @@ object EventOps {
       .orderBy("event_type", "hr")
   }
 
+  /** Micro-unit event values (floor(value·1e6) — NEVER a raw double
+    * into rank/compare logic) shared by the robust-stats pair below. */
+  private def microValues(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("event_type"), col("event_id"),
+      expr("cast(floor(value * cast(1000000 as double)) as bigint)").as("vu"))
+
+  /** Winsorization (percentile clipping) per event type — the
+    * standard robust-cleaning step before a value column feeds a
+    * model or a mean-based monitor: clip at the exact discrete
+    * p05/p95 order statistics (rank 1 + (n−1)·q div 100 — integer
+    * positions, so both engines pick the SAME element; interpolated
+    * variants reintroduce doubles for no robustness gain) and report
+    * clip counts plus the raw vs winsorized mean — the number that
+    * shows how much tail mass the clip removed. All arithmetic is
+    * exact: micro-unit values, DECIMAL(38,0) sums (corpus-scale sums
+    * overflow bigint), one truncating division per mean.
+    *
+    * Scale shape: one rank window per type (the q_median_percentile
+    * order-statistics discipline), the 5-row bounds frame broadcast
+    * back, one combine agg. The per-type sort is the same
+    * hash-partitioned window every order statistic here uses; at
+    * extreme per-key volume the q_quality_vs_dup two-phase
+    * domain-bucket rank is the drop-in upgrade. */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val vu = microValues(s, dir)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("vu"), col("event_id"))
+    val ranked = vu
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val bounds = ranked.groupBy(col("event_type")).agg(
+      max(when(col("rnk") === expr("1 + (n - 1) * 5 div 100"), col("vu")))
+        .as("lo_u"),
+      max(when(col("rnk") === expr("1 + (n - 1) * 95 div 100"), col("vu")))
+        .as("hi_u"))
+    vu.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("lo_u")).as("lo2"), max(col("hi_u")).as("hi2"),
+        sum(when(col("vu") < col("lo_u"), 1L).otherwise(0L)).as("n_lo_clipped"),
+        sum(when(col("vu") > col("hi_u"), 1L).otherwise(0L)).as("n_hi_clipped"),
+        sum(col("vu").cast("decimal(38,0)")).as("sum_raw"),
+        sum(greatest(least(col("vu"), col("hi_u")), col("lo_u"))
+          .cast("decimal(38,0)")).as("sum_wins"))
+      .select(col("event_type"), col("n_events"),
+        col("lo2").as("lo_u"), col("hi2").as("hi_u"),
+        col("n_lo_clipped"), col("n_hi_clipped"),
+        expr("cast(sum_raw div n_events as bigint)").as("mean_raw_u"),
+        expr("cast(sum_wins div n_events as bigint)").as("mean_wins_u"))
+      .orderBy("event_type")
+  }
+
+  /** Median-absolute-deviation outlier census per event type — the
+    * robust twin of q_anomaly_zscore: median and MAD are insensitive
+    * to the very outliers being hunted (a heavy tail inflates a
+    * stddev until it hides its own spikes), so |x − median| > 3·MAD
+    * is the standard robust rule. Both medians are exact discrete
+    * order statistics (lower median, rank 1 + (n−1) div 2) over
+    * micro-unit integers — no interpolation, no doubles, so the
+    * whole operator is integer-exact cross-engine.
+    *
+    * Scale shape: two rank windows per type (values, then absolute
+    * deviations — the second pass is inherent: MAD is a median OF a
+    * median-derived column), each the per-type order-statistics
+    * window; the 5-row median/MAD frames broadcast back; one final
+    * combine agg. */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val vu = microValues(s, dir)
+    val w1 = Window.partitionBy(col("event_type")).orderBy(col("vu"), col("event_id"))
+    val r1 = vu
+      .withColumn("rnk", row_number().over(w1).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val med = r1.groupBy(col("event_type")).agg(
+      max(when(col("rnk") === expr("1 + (n - 1) div 2"), col("vu"))).as("med_u"))
+    val dev = vu.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("vu") - col("med_u")))
+    val w2 = Window.partitionBy(col("event_type")).orderBy(col("dev"), col("event_id"))
+    val r2 = dev
+      .withColumn("rnk2", row_number().over(w2).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val mad = r2.groupBy(col("event_type")).agg(
+      max(when(col("rnk2") === expr("1 + (n - 1) div 2"), col("dev"))).as("mad_u"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("med_u")).as("median_u"),
+        max(col("mad_u")).as("mad_u"),
+        sum(when(col("dev") > lit(3L) * col("mad_u"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(col("dev")).as("max_dev_u"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winsorize" -> winsorize _,
+    "q_mad_outliers" -> madOutliers _,
     "q_ab_test" -> abTest _,
     "q_bootstrap_ci" -> bootstrapCi _,
     "q_cusum_changepoint" -> cusumChangepoint _,
@@ -961,6 +1058,78 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same micro-unit floors, same integer rank positions, same
+    // HUGEINT sums and truncating mean divisions.
+    "q_winsorize" ->
+      """WITH vu AS (
+        |  SELECT event_type, event_id,
+        |         CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS vu
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY vu, event_id) AS BIGINT) AS rnk,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM vu),
+        |b AS (
+        |  SELECT event_type,
+        |         max(CASE WHEN rnk = 1 + (n - 1) * 5 // 100 THEN vu END) AS lo_u,
+        |         max(CASE WHEN rnk = 1 + (n - 1) * 95 // 100 THEN vu END) AS hi_u
+        |  FROM r GROUP BY event_type)
+        |SELECT v.event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       max(b.lo_u) AS lo_u, max(b.hi_u) AS hi_u,
+        |       CAST(sum(CASE WHEN v.vu < b.lo_u THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_lo_clipped,
+        |       CAST(sum(CASE WHEN v.vu > b.hi_u THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_hi_clipped,
+        |       CAST(sum(CAST(v.vu AS HUGEINT)) // count(*) AS BIGINT)
+        |         AS mean_raw_u,
+        |       CAST(sum(CAST(greatest(least(v.vu, b.hi_u), b.lo_u) AS HUGEINT))
+        |         // count(*) AS BIGINT) AS mean_wins_u
+        |FROM vu v JOIN b ON v.event_type = b.event_type
+        |GROUP BY v.event_type
+        |ORDER BY v.event_type""".stripMargin,
+    // Same discrete lower medians over micro-units, same 3-MAD rule.
+    "q_mad_outliers" ->
+      """WITH vu AS (
+        |  SELECT event_type, event_id,
+        |         CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS vu
+        |  FROM events),
+        |r1 AS (
+        |  SELECT *,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY vu, event_id) AS BIGINT) AS rnk,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM vu),
+        |med AS (
+        |  SELECT event_type,
+        |         max(CASE WHEN rnk = 1 + (n - 1) // 2 THEN vu END) AS med_u
+        |  FROM r1 GROUP BY event_type),
+        |d AS (
+        |  SELECT v.event_type, v.event_id, v.vu,
+        |         abs(v.vu - m.med_u) AS dev, m.med_u
+        |  FROM vu v JOIN med m ON v.event_type = m.event_type),
+        |r2 AS (
+        |  SELECT *,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY dev, event_id) AS BIGINT) AS rnk2,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |mad AS (
+        |  SELECT event_type,
+        |         max(CASE WHEN rnk2 = 1 + (n - 1) // 2 THEN dev END) AS mad_u
+        |  FROM r2 GROUP BY event_type)
+        |SELECT d.event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       max(d.med_u) AS median_u,
+        |       max(mad.mad_u) AS mad_u,
+        |       CAST(sum(CASE WHEN d.dev > 3 * mad.mad_u THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_outliers,
+        |       max(d.dev) AS max_dev_u
+        |FROM d JOIN mad ON d.event_type = mad.event_type
+        |GROUP BY d.event_type
+        |ORDER BY d.event_type""".stripMargin,
     // Same hash cohorting, same micro-unit power sums, same one-shot
     // double conversion and IEEE z sequence.
     "q_ab_test" ->

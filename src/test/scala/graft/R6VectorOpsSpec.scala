@@ -81,4 +81,32 @@ class R6VectorOpsSpec extends SparkSpec {
       assert(amax <= bmin, s"decile $d: ranges overlap")
     }
   }
+
+  test("winsorize clips ~5% per tail and shrinks the mean toward center") {
+    val rows = graft.ops.EventOps.winsorize(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (nLo, nHi) = (r.getLong(4), r.getLong(5))
+      assert(lo <= hi, "bounds inverted")
+      // strictly-below-p05 / strictly-above-p95 counts are < 5% + ties
+      assert(nLo < n * 6 / 100 && nHi < n * 6 / 100,
+        s"clip counts implausible: $nLo/$nHi of $n")
+      // winsorized mean lies within the clip bounds
+      val mw = r.getLong(7)
+      assert(mw >= lo && mw <= hi, "winsorized mean outside bounds")
+    }
+  }
+
+  test("MAD census is robust-consistent per type") {
+    val rows = graft.ops.EventOps.madOutliers(spark, sfDir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (n, med, mad, nOut, maxDev) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(mad >= 0 && maxDev >= mad, "MAD must be a lower deviation bound")
+      // at most half the values can deviate past the median deviation
+      assert(nOut <= n / 2, s"outlier count $nOut exceeds half of $n")
+      assert(med >= 0, "event values are non-negative micro-units")
+    }
+  }
 }

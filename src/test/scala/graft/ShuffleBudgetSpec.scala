@@ -295,7 +295,12 @@ class ShuffleBudgetSpec extends SparkSpec {
       // band join + pair distinct + dup-id distinct; dup join; 10-key
       // final agg (the offsets window is the bounded ~15k-bucket
       // frame, single partition by design)
-      "q_quality_vs_dup" -> 9)) {
+      "q_quality_vs_dup" -> 9,
+      // per-type rank window + bounds combine + final combine (bounds
+      // frame broadcast back)
+      "q_winsorize" -> 4,
+      // two rank windows + two median combines + final combine
+      "q_mad_outliers" -> 7)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
