@@ -1022,7 +1022,97 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test per event type — did
+    * the value distribution SHIFT between the early and late half of
+    * the corpus? The distribution-free change detector that catches
+    * what mean-based monitors (q_cusum_changepoint tracks the mean)
+    * miss: variance changes, tail inflation, bimodality. The split
+    * point is the midpoint of the global time range (a 1-row
+    * broadcast); the KS statistic sup|F_early − F_late| is computed
+    * EXACTLY in integers — ECDFs as RANGE-frame cumulative counts
+    * (peers share a frame, so ties resolve identically in both
+    * engines) and the sup as max|c_a·n_b − c_b·n_a| cross-multiplied
+    * in DECIMAL(38,0)/HUGEINT, shipped as ppm of n_a·n_b plus the
+    * micro-unit value where the sup is attained.
+    *
+    * Scale shape: one hash shuffle on event_type carries BOTH the
+    * ordered cumulative windows and the unordered totals (same
+    * partition key → one exchange, Spark stacks the window nodes);
+    * the midpoint is a scan-reduce broadcast. No joins, no
+    * per-row state beyond the sort the ECDF definition requires. */
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("ts_us"),
+      expr("cast(floor(value * cast(1000000 as double)) as bigint)").as("vu"))
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid_us"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("vu"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.crossJoin(broadcast(mid))
+      .withColumn("ia", when(col("ts_us") <= col("mid_us"), 1L).otherwise(0L))
+      .withColumn("ib", lit(1L) - col("ia"))
+      .withColumn("na", sum(col("ia")).over(wAll))
+      .withColumn("nb", sum(col("ib")).over(wAll))
+      .withColumn("ca", sum(col("ia")).over(wCum))
+      .withColumn("cb", sum(col("ib")).over(wCum))
+      .withColumn("d", abs(expr(
+        "cast(ca as decimal(38,0)) * nb - cast(cb as decimal(38,0)) * na")))
+      .withColumn("dmax", max(col("d")).over(wAll))
+      .where(col("na") > 0 && col("nb") > 0)
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_early"), max(col("nb")).as("n_late"),
+        expr("""cast(max(d) * 1000000 div
+                (cast(max(na) as decimal(38,0)) * max(nb)) as bigint)""")
+          .as("ks_ppm"),
+        min(when(col("d") === col("dmax"), col("vu"))).as("ks_at_u"))
+      .orderBy("event_type")
+  }
+
+  /** Lag-k autocorrelation (the ACF head, k = 1..3) per event type —
+    * the memory/seasonality probe behind AR-model selection and
+    * "is this series i.i.d. or sticky?" monitoring. Each lag's
+    * coefficient is the OLS slope of x_t on x_{t−k} (the standard
+    * AR(k) estimate), assembled from DECIMAL(38,0)/HUGEINT power
+    * sums over micro-unit values — products cast wide BEFORE the
+    * multiply (the unbounded-numerator discipline) — and shipped as
+    * an exact integer-div ppm; degenerate lags (constant or too few
+    * pairs) emit NULL identically in both engines.
+    *
+    * Scale shape: ONE per-type time-ordered window produces all
+    * three lag columns (three Lag expressions share the sort), then
+    * one combine agg; 5 output rows. The per-type sort is the
+    * operator's inherent cost — same envelope as every order
+    * statistic here. */
+  def lagAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+    val lagged = (1 to 3).foldLeft(
+      events(s, dir).select(col("event_type"), col("event_id"), col("ts_us"),
+        expr("cast(floor(value * cast(1000000 as double)) as bigint)").as("vu"))) {
+      (d, k) => d.withColumn(s"x$k", lag(col("vu"), k).over(w))
+    }
+    val sums = (1 to 3).flatMap { k =>
+      Seq(count(col(s"x$k")).cast("long").as(s"n$k"),
+        sum(expr(s"cast(x$k as decimal(38,0))")).as(s"sx$k"),
+        sum(expr(s"case when x$k is not null then cast(vu as decimal(38,0)) end"))
+          .as(s"sy$k"),
+        sum(expr(s"cast(x$k as decimal(38,0)) * x$k")).as(s"sxx$k"),
+        sum(expr(s"cast(x$k as decimal(38,0)) * vu")).as(s"sxy$k"))
+    }
+    val ars = (1 to 3).map { k =>
+      expr(s"""cast(case when cast(n$k as decimal(38,0)) * sxx$k - sx$k * sx$k > 0
+              | then (cast(n$k as decimal(38,0)) * sxy$k - sx$k * sy$k) * 1000000
+              |      div (cast(n$k as decimal(38,0)) * sxx$k - sx$k * sx$k)
+              | end as bigint)""".stripMargin).as(s"ar${k}_ppm")
+    }
+    val allSums = count(lit(1)).as("n_events") +: sums
+    lagged.groupBy(col("event_type"))
+      .agg(allSums.head, allSums.tail: _*)
+      .select(col("event_type") +: col("n_events") +: ars: _*)
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_drift" -> ksDrift _,
+    "q_lag_autocorr" -> lagAutocorr _,
     "q_winsorize" -> winsorize _,
     "q_mad_outliers" -> madOutliers _,
     "q_ab_test" -> abTest _,
@@ -1058,6 +1148,87 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same midpoint split, same RANGE-frame cumulative counts (peer
+    // rows share a frame in both engines), same HUGEINT cross-products.
+    "q_ks_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us,
+        |         CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS vu
+        |  FROM events),
+        |m AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid_us FROM ev),
+        |lab AS (
+        |  SELECT event_type, vu,
+        |         CASE WHEN ts_us <= mid_us THEN 1 ELSE 0 END AS ia,
+        |         CASE WHEN ts_us <= mid_us THEN 0 ELSE 1 END AS ib
+        |  FROM ev CROSS JOIN m),
+        |c AS (
+        |  SELECT event_type, vu,
+        |         sum(ia) OVER (PARTITION BY event_type) AS na,
+        |         sum(ib) OVER (PARTITION BY event_type) AS nb,
+        |         sum(ia) OVER (PARTITION BY event_type ORDER BY vu) AS ca,
+        |         sum(ib) OVER (PARTITION BY event_type ORDER BY vu) AS cb
+        |  FROM lab),
+        |d AS (
+        |  SELECT event_type, vu, na, nb,
+        |         abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na) AS d,
+        |         max(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
+        |           OVER (PARTITION BY event_type) AS dmax
+        |  FROM c
+        |  WHERE na > 0 AND nb > 0)
+        |SELECT event_type,
+        |       CAST(max(na) AS BIGINT) AS n_early,
+        |       CAST(max(nb) AS BIGINT) AS n_late,
+        |       CAST(max(d) * 1000000 //
+        |            (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS ks_ppm,
+        |       min(CASE WHEN d = dmax THEN vu END) AS ks_at_u
+        |FROM d
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // Same time-ordered lags, same wide-cast power sums, same
+    // truncating ppm divisions and NULL on degenerate lags.
+    "q_lag_autocorr" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |         CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS vu
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, vu,
+        |         lag(vu, 1) OVER w AS x1,
+        |         lag(vu, 2) OVER w AS x2,
+        |         lag(vu, 3) OVER w AS x3
+        |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(count(x1) AS BIGINT) AS n1,
+        |         sum(CAST(x1 AS HUGEINT)) AS sx1,
+        |         sum(CASE WHEN x1 IS NOT NULL THEN CAST(vu AS HUGEINT) END) AS sy1,
+        |         sum(CAST(x1 AS HUGEINT) * x1) AS sxx1,
+        |         sum(CAST(x1 AS HUGEINT) * vu) AS sxy1,
+        |         CAST(count(x2) AS BIGINT) AS n2,
+        |         sum(CAST(x2 AS HUGEINT)) AS sx2,
+        |         sum(CASE WHEN x2 IS NOT NULL THEN CAST(vu AS HUGEINT) END) AS sy2,
+        |         sum(CAST(x2 AS HUGEINT) * x2) AS sxx2,
+        |         sum(CAST(x2 AS HUGEINT) * vu) AS sxy2,
+        |         CAST(count(x3) AS BIGINT) AS n3,
+        |         sum(CAST(x3 AS HUGEINT)) AS sx3,
+        |         sum(CASE WHEN x3 IS NOT NULL THEN CAST(vu AS HUGEINT) END) AS sy3,
+        |         sum(CAST(x3 AS HUGEINT) * x3) AS sxx3,
+        |         sum(CAST(x3 AS HUGEINT) * vu) AS sxy3
+        |  FROM l GROUP BY event_type)
+        |SELECT event_type, n_events,
+        |       CAST(CASE WHEN CAST(n1 AS HUGEINT) * sxx1 - sx1 * sx1 > 0
+        |         THEN (CAST(n1 AS HUGEINT) * sxy1 - sx1 * sy1) * 1000000
+        |              // (CAST(n1 AS HUGEINT) * sxx1 - sx1 * sx1)
+        |         END AS BIGINT) AS ar1_ppm,
+        |       CAST(CASE WHEN CAST(n2 AS HUGEINT) * sxx2 - sx2 * sx2 > 0
+        |         THEN (CAST(n2 AS HUGEINT) * sxy2 - sx2 * sy2) * 1000000
+        |              // (CAST(n2 AS HUGEINT) * sxx2 - sx2 * sx2)
+        |         END AS BIGINT) AS ar2_ppm,
+        |       CAST(CASE WHEN CAST(n3 AS HUGEINT) * sxx3 - sx3 * sx3 > 0
+        |         THEN (CAST(n3 AS HUGEINT) * sxy3 - sx3 * sy3) * 1000000
+        |              // (CAST(n3 AS HUGEINT) * sxx3 - sx3 * sx3)
+        |         END AS BIGINT) AS ar3_ppm
+        |FROM m ORDER BY event_type""".stripMargin,
     // Same micro-unit floors, same integer rank positions, same
     // HUGEINT sums and truncating mean divisions.
     "q_winsorize" ->

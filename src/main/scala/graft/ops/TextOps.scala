@@ -1229,7 +1229,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Token-frequency Gini concentration per language — the corpus-
+    * diversity audit behind data-mix decisions: a high Gini means a
+    * few tokens carry most of the mass (template/boilerplate-heavy
+    * slice), a low one means a flat, diverse vocabulary. Uses the
+    * classic rank formula G = Σ(2i−n−1)·c_i / (n·Σc_i) over counts
+    * ranked ascending — provably independent of how ties order (equal
+    * counts swap rank coefficients without changing the sum), so one
+    * deterministic (count, token) rank is engine-exact. All integer:
+    * DECIMAL(38,0)/HUGEINT products cast wide BEFORE the multiply,
+    * truncating ppm division; the top-1 token share rides along as
+    * the quick skew headline.
+    *
+    * Scale shape: explode → map-side-combined (lang, token) count —
+    * the only corpus-sized shuffle, and it collapses to the
+    * Heaps-bounded vocabulary; the rank window then sorts VOCAB rows
+    * (not corpus rows) per lang, one combine agg, ≤ langs output
+    * rows. */
+  def giniToken(s: SparkSession, dir: String): DataFrame = {
+    val counts = tokenized(s, dir)
+      .select(col("lang"), explode(col("toks")).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("c"), col("token"))
+    counts
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n_tokens"),
+        sum(col("c")).as("n_occurrences"),
+        sum(expr("cast(2 * i - n - 1 as decimal(38,0)) * c")).as("num"),
+        max(col("c")).as("cmax"))
+      .select(col("lang"), col("n_tokens"), col("n_occurrences"),
+        expr("""cast(num * 1000000 div
+                (cast(n_tokens as decimal(38,0)) * n_occurrences) as bigint)""")
+          .as("gini_ppm"),
+        expr("cast(cast(cmax as decimal(38,0)) * 1000000 div n_occurrences as bigint)")
+          .as("top_share_ppm"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini_token" -> giniToken _,
     "q_dsir_weights" -> dsirWeights _,
     "q_span_trim" -> spanTrim _,
     "q_lsh_tuning" -> lshTuning _,
@@ -1266,6 +1307,29 @@ object TextOps {
     "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // Same (count, token) ascending rank — tie order provably cannot
+    // change the sum — same HUGEINT products and truncating ppm.
+    "q_gini_token" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY lang, token),
+        |r AS (
+        |  SELECT *,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY c, token) AS BIGINT) AS i,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM c)
+        |SELECT lang,
+        |       max(n) AS n_tokens,
+        |       CAST(sum(c) AS BIGINT) AS n_occurrences,
+        |       CAST(sum(CAST(2 * i - n - 1 AS HUGEINT) * c) * 1000000 //
+        |            (CAST(max(n) AS HUGEINT) * sum(c)) AS BIGINT) AS gini_ppm,
+        |       CAST(CAST(max(c) AS HUGEINT) * 1000000 // sum(c) AS BIGINT)
+        |         AS top_share_ppm
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     // Same gram stream (unigrams + bigrams), same 1024-bucket hash,
     // same Laplace-smoothed HUGEINT ratio and bitlength log2 — all
     // integer-exact, so the scores match bit for bit.

@@ -300,7 +300,14 @@ class ShuffleBudgetSpec extends SparkSpec {
       // frame broadcast back)
       "q_winsorize" -> 4,
       // two rank windows + two median combines + final combine
-      "q_mad_outliers" -> 7)) {
+      "q_mad_outliers" -> 7,
+      // ONE event_type exchange carries the ordered + unordered
+      // windows and the final combine; midpoint is a scan-reduce
+      "q_ks_drift" -> 1,
+      // one time-ordered window feeds all three lags + the combine
+      "q_lag_autocorr" -> 1,
+      // vocab count shuffle + per-lang rank window (combine reuses it)
+      "q_gini_token" -> 2)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
