@@ -1110,7 +1110,71 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Multi-touch revenue attribution — the marketing-analytics
+    * counterpart of q_funnel: every `purchase` credits (a) the user's
+    * FIRST preceding non-purchase touch and (b) the LAST one, and the
+    * report pivots both models side by side per touch type — the
+    * first-vs-last divergence IS the decision number (which channel
+    * opens journeys vs which closes them). Purchase revenue rides in
+    * exact micro-units through DECIMAL(38,0) sums; purchases with no
+    * preceding touch are excluded identically in both engines (the
+    * IGNORE-NULLS window is null exactly then).
+    *
+    * Scale shape: one per-user time-ordered window (two IGNORE-NULLS
+    * navigation functions share its sort), a 2-row stack explode, and
+    * one combine agg to ≤ 2·|types| rows. Same envelope as
+    * q_event_transitions. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"),
+        expr("cast(floor(value * cast(1000000 as double)) as bigint)").as("vu"))
+      .withColumn("first_touch",
+        first(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("last_touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase" && col("last_touch").isNotNull)
+      .selectExpr("vu",
+        "stack(2, 'first', first_touch, 'last', last_touch) as (model, touch_type)")
+      .groupBy(col("model"), col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("vu").cast("decimal(38,0)")).as("rev"))
+      .select(col("model"), col("touch_type"), col("n_purchases"),
+        col("rev").cast("long").as("revenue_u"))
+      .orderBy("model", "touch_type")
+  }
+
+  /** Top 3-step behavioral paths — the path-mining report one level
+    * above q_event_transitions' bigram matrix: per user the
+    * time-ordered trigram of event types, counted corpus-wide, top 20
+    * with an exact ppm share of all trigrams. The path DOMAIN is
+    * bounded (|types|³), so everything after the per-user window is
+    * constant-size.
+    *
+    * Scale shape: the per-user ordered window (two Lag expressions,
+    * one sort), a combine agg onto the bounded path domain, a
+    * single-partition total window over ≤ |types|³ rows, TakeOrdered
+    * 20. */
+  def pathTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .where(col("t1").isNotNull)
+      .select(concat_ws(">", col("t1"), col("t2"), col("event_type")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_paths"))
+      .withColumn("share_ppm", expr(
+        "1000000 * cast(n_paths as decimal(38,0)) div sum(n_paths) over ()"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> attribution _,
+    "q_path_trigrams" -> pathTrigrams _,
     "q_ks_drift" -> ksDrift _,
     "q_lag_autocorr" -> lagAutocorr _,
     "q_winsorize" -> winsorize _,
@@ -1148,6 +1212,54 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same IGNORE-NULLS navigation windows, same null exclusion,
+    // same micro-unit HUGEINT revenue sums; stack ≡ UNION ALL.
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |         CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS vu
+        |  FROM events),
+        |t AS (
+        |  SELECT *,
+        |         first_value(CASE WHEN event_type <> 'purchase'
+        |             THEN event_type END IGNORE NULLS) OVER w AS first_touch,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |             THEN event_type END IGNORE NULLS) OVER w AS last_touch
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (
+        |  SELECT * FROM t
+        |  WHERE event_type = 'purchase' AND last_touch IS NOT NULL),
+        |s AS (
+        |  SELECT 'first' AS model, first_touch AS touch_type, vu FROM p
+        |  UNION ALL
+        |  SELECT 'last' AS model, last_touch AS touch_type, vu FROM p)
+        |SELECT model, touch_type,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(sum(CAST(vu AS HUGEINT)) AS BIGINT) AS revenue_u
+        |FROM s GROUP BY model, touch_type
+        |ORDER BY model, touch_type""".stripMargin,
+    // Same per-user trigram window, same bounded-domain total and
+    // truncating ppm share, same (count desc, path) tie order.
+    "q_path_trigrams" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |l AS (
+        |  SELECT lag(event_type, 2) OVER w AS t1,
+        |         lag(event_type, 1) OVER w AS t2,
+        |         event_type
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |c AS (
+        |  SELECT t1 || '>' || t2 || '>' || event_type AS path,
+        |         CAST(count(*) AS BIGINT) AS n_paths
+        |  FROM l WHERE t1 IS NOT NULL GROUP BY 1)
+        |SELECT path, n_paths,
+        |       CAST(1000000 * CAST(n_paths AS HUGEINT) //
+        |            sum(n_paths) OVER () AS BIGINT) AS share_ppm
+        |FROM c
+        |ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
     // Same midpoint split, same RANGE-frame cumulative counts (peer
     // rows share a frame in both engines), same HUGEINT cross-products.
     "q_ks_drift" ->

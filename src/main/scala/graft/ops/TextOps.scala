@@ -1269,7 +1269,45 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Chi-square independence audit of the lang × source contingency —
+    * the classic "is this metadata column informative?" test beside
+    * q_feature_mi's information-theoretic one: per language the
+    * partial chi-square Σ_cells (o·N − r·c)²·1e6 / (r·c·N) (the exact
+    * integer rearrangement of (o−e)²/e in ppm), plus the source
+    * contributing most. A uniform corpus scores ~0; a lang whose docs
+    * concentrate in one source scores high — the skew flag for mix
+    * rebalancing. All products cast wide BEFORE multiplying; the
+    * floored cells are identical integers in both engines.
+    *
+    * Scale shape: ONE map-side-combined (lang, source) count — the
+    * only corpus-sized move; marginals are windows over the bounded
+    * ≤ |langs|·|sources| grid (q_event_heatmap pattern), final agg
+    * ≤ |langs| rows. The d² product peaks at ~N⁴/k²: past ~10⁹ docs
+    * route the grid (it is TINY) through a driver-side BigInt pass —
+    * the distributed part of this operator is only the count. */
+  def chi2Independence(s: SparkSession, dir: String): DataFrame = {
+    val grid = t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    grid
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("lang"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("source"))))
+      .withColumn("n", sum(col("o")).over())
+      .withColumn("d", expr(
+        "cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c"))
+      .withColumn("cell_ppm", expr(
+        """cast(d * d * 1000000 div
+          |(cast(r as decimal(38,0)) * c * n) as bigint)""".stripMargin))
+      .withColumn("cmax", max(col("cell_ppm")).over(Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"))
+      .agg(max(col("r")).cast("long").as("n_docs"),
+        sum(col("cell_ppm")).cast("long").as("chi2_ppm"),
+        min(when(col("cell_ppm") === col("cmax"), col("source"))).as("top_source"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chi2_independence" -> chi2Independence _,
     "q_gini_token" -> giniToken _,
     "q_dsir_weights" -> dsirWeights _,
     "q_span_trim" -> spanTrim _,
@@ -1307,6 +1345,32 @@ object TextOps {
     "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // Same bounded grid, same wide-cast (oN − rc)² cells, same floors.
+    "q_chi2_independence" ->
+      """WITH g AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY lang, source),
+        |m AS (
+        |  SELECT *,
+        |         sum(o) OVER (PARTITION BY lang) AS r,
+        |         sum(o) OVER (PARTITION BY source) AS c,
+        |         sum(o) OVER () AS n
+        |  FROM g),
+        |cells AS (
+        |  SELECT lang, source, r,
+        |         CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |            * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |            * 1000000 //
+        |            (CAST(r AS HUGEINT) * c * n) AS BIGINT) AS cell_ppm
+        |  FROM m),
+        |x AS (
+        |  SELECT *, max(cell_ppm) OVER (PARTITION BY lang) AS cmax
+        |  FROM cells)
+        |SELECT lang,
+        |       CAST(max(r) AS BIGINT) AS n_docs,
+        |       CAST(sum(cell_ppm) AS BIGINT) AS chi2_ppm,
+        |       min(CASE WHEN cell_ppm = cmax THEN source END) AS top_source
+        |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
     // Same (count, token) ascending rank — tie order provably cannot
     // change the sum — same HUGEINT products and truncating ppm.
     "q_gini_token" ->

@@ -307,7 +307,14 @@ class ShuffleBudgetSpec extends SparkSpec {
       // one time-ordered window feeds all three lags + the combine
       "q_lag_autocorr" -> 1,
       // vocab count shuffle + per-lang rank window (combine reuses it)
-      "q_gini_token" -> 2)) {
+      "q_gini_token" -> 2,
+      // per-user navigation window + (model, touch_type) combine
+      "q_attribution" -> 2,
+      // per-user trigram window + bounded path-domain combine
+      "q_path_trigrams" -> 2,
+      // the (lang, source) grid count; marginal windows ride the
+      // bounded grid
+      "q_chi2_independence" -> 1)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
