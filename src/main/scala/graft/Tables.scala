@@ -33,11 +33,24 @@ object Tables {
   }
 
   /** events with event-time as epoch microseconds (`ts_us: long`).
-    * Data is µs-precision so the ns→µs integer division is lossless. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .drop("ts")
+    *
+    * Adaptive to the driver testdata's physical `ts` type, which has
+    * shipped both ways across rounds: parquet TIMESTAMP(NANOS) (read as
+    * a raw nanos long under `nanosAsLong`, µs-precision data so the
+    * ns→µs division is lossless) and parquet TIMESTAMP(MICROS)
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ; under the
+    * project-wide UTC session timezone the NTZ→TIMESTAMP cast is the
+    * wall-clock identity, and `unix_micros` is then the exact integer).
+    * Both normalize to the same `ts_us: long`, matching the DuckDB
+    * oracle's `epoch_us(ts)`. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = apply(spark, dir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("unix_micros(cast(ts as timestamp))")
+    }
+    raw.withColumn("ts_us", tsUs).drop("ts")
+  }
 
   /** Register all tables as temp views (for spark.sql queries);
     * events gets the ts_us treatment. */

@@ -33,8 +33,8 @@ class CsvEventsSpec extends SparkSpec {
 
   test("write then read round-trips the events table losslessly") {
     val dir = Files.createTempDirectory("csvrt").toFile.getAbsolutePath
-    val src = Tables(spark, "/root/testdata/sf0.001", "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     CsvEvents.write(src, dir)
     val (back, dead) = CsvEvents.read(spark, dir)
