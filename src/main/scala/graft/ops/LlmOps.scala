@@ -1118,7 +1118,36 @@ object LlmOps {
       .orderBy("decile")
   }
 
+  /** LSH bucket-load audit — the capacity check that decides whether
+    * the minhash geometry survives the next 100× of corpus: per band,
+    * the bucket-size distribution binned by bitlength (log2 bins keep
+    * the output ≤ bands × 64 rows at ANY corpus size), the docs and
+    * candidate pairs (c·(c−1)/2) each bin contributes, and the hottest
+    * bucket. Candidate volume growing superlinearly in one fat bin
+    * means the band join is about to melt a shuffle partition — the
+    * skew-vs-selectivity tradeoff q_lsh_tuning calibrates from theory,
+    * audited here from the data.
+    *
+    * Scale shape: reuses [[bandedSigs]] (one shuffle on the band-sig
+    * key, the same the dedup family pays); bucket sizes are a combine
+    * agg; the binning agg runs over bucket-count rows only. All
+    * integer — bitlength via length(bin(c)), pair counts in wide casts
+    * before the multiply. */
+  def lshBucketSkew(s: SparkSession, dir: String): DataFrame =
+    bandedSigs(s, dir)
+      .groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("band").cast("long").as("band"),
+        expr("cast(length(bin(c)) as bigint)").as("size_bin"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("c")).cast("long").as("n_docs"),
+        sum(expr("cast(c as decimal(38,0)) * (c - 1) div 2")).cast("long")
+          .as("n_cand_pairs"),
+        max(col("c")).as("max_bucket"))
+      .orderBy("band", "size_bin")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lsh_bucket_skew" -> lshBucketSkew _,
     "q_quality_vs_dup" -> qualityVsDup _,
     "q_dedup_incremental" -> dedupIncremental _,
     "q_sequence_pack" -> sequencePack _,
@@ -1326,6 +1355,21 @@ object LlmOps {
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The q_minhash_dedup banding CTEs verbatim; same bitlength bins,
+    // same wide-cast pair counts — all integer.
+    "q_lsh_bucket_skew" ->
+      s"""WITH $minhashBandCtes,
+        |bk AS (
+        |  SELECT band, sig, CAST(count(*) AS BIGINT) AS c
+        |  FROM m GROUP BY 1, 2)
+        |SELECT CAST(band AS BIGINT) AS band,
+        |       CAST(length(bin(c)) AS BIGINT) AS size_bin,
+        |       CAST(count(*) AS BIGINT) AS n_buckets,
+        |       CAST(sum(c) AS BIGINT) AS n_docs,
+        |       CAST(sum(CAST(c AS HUGEINT) * (c - 1) // 2) AS BIGINT)
+        |         AS n_cand_pairs,
+        |       max(c) AS max_bucket
+        |FROM bk GROUP BY 1, 2 ORDER BY band, size_bin""".stripMargin,
     // The q_quality_score micro-unit score + the q_minhash_dedup pair
     // CTE verbatim; the single-window global rank equals the Spark
     // side's two-phase (bucket offsets + per-bucket) rank because the

@@ -1574,7 +1574,69 @@ object RelationalOps {
       ORDER BY level, lang, source""")
   }
 
+  /** Blocked fuzzy record linkage — the entity-resolution primitive
+    * (Fellegi–Sunter blocking + edit distance) a catalog/dedup
+    * pipeline runs to find "the same part spelled two ways": part
+    * names collapse to their DISTINCT values with counts FIRST (the
+    * value space is bounded by the name vocabulary, not the row
+    * count), then a self-join blocked on the name's last token
+    * compares only within-block name pairs with levenshtein ≤ 2.
+    * The match count back-multiplies the exact-name counts, so
+    * row-level pair volume is reported without ever materializing
+    * row pairs. levenshtein is unit-cost edit distance in BOTH
+    * engines — integer-exact.
+    *
+    * Scale shape: one combine agg collapses rows → distinct names
+    * (vocabulary-bounded); the quadratic lives ONLY inside
+    * (block × distinct-names²) — never row²; at 100 TB the distinct
+    * frame still fits a broadcast, and a hot block grows the compare
+    * set by its distinct-value count, not its row count. */
+  def fuzzyBlockedJoin(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("block", expr("element_at(split(name, ' '), -1)"))
+    val a = names.select(col("block"), col("name").as("name_a"),
+      col("cnt").as("n_a"))
+    val b = names.select(col("block"), col("name").as("name_b"),
+      col("cnt").as("n_b"))
+    a.join(b, Seq("block"))
+      .where(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 2)
+      .select(col("block"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("edit_dist"),
+        col("n_a"), col("n_b"),
+        expr("n_a * n_b").as("n_row_pairs"))
+      .orderBy("block", "name_a", "name_b")
+  }
+
+  /** Join-cardinality audit — the planner's |A ⋈ A| estimate done
+    * exactly from a per-key histogram, BEFORE paying for the join: per
+    * bitlength bin of the per-partkey lineitem count, the keys, rows,
+    * and the self-join rows Σ_k c_k² that bin would materialize, plus
+    * the hottest key. This is the number a CBO needs to pick build
+    * sides and the number a skew audit reads to find the key that
+    * will melt a shuffle partition — computed from the
+    * key-cardinality-sized count frame, never by running the row²
+    * join. Integers end to end; log2 bins keep the output ≤ 64 rows
+    * at any scale.
+    *
+    * Scale shape: ONE combine agg (key counts) + a bin agg over the
+    * key-cardinality frame. The join being audited never executes. */
+  def joinSizeAudit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .groupBy(expr("cast(length(bin(c)) as bigint)").as("size_bin"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).cast("long").as("n_rows"),
+        sum(expr("cast(c as decimal(38,0)) * c")).cast("long")
+          .as("selfjoin_rows"),
+        max(col("c")).as("max_key_rows"))
+      .orderBy("size_bin")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_blocked_join" -> fuzzyBlockedJoin _,
+    "q_join_size_audit" -> joinSizeAudit _,
     "q_distinct_rollup" -> distinctRollup _,
     "q_skyline_2d" -> skyline2d _,
     "q_window_count_distinct" -> windowCountDistinct _,
@@ -1639,6 +1701,31 @@ object RelationalOps {
     "q_scalar_subquery" -> scalarSubquery _)
 
   val oracles: Map[String, String] = Map(
+    // Same distinct-name collapse, same last-token block, same
+    // unit-cost levenshtein ≤ 2 — integer edit distances match.
+    "q_fuzzy_blocked_join" ->
+      """WITH n AS (
+        |  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS cnt,
+        |         string_split(p_name, ' ')[-1] AS block
+        |  FROM part GROUP BY 1)
+        |SELECT a.block, a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist,
+        |       a.cnt AS n_a, b.cnt AS n_b,
+        |       a.cnt * b.cnt AS n_row_pairs
+        |FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY a.block, name_a, name_b""".stripMargin,
+    // Same key histogram, same bitlength bins, same wide-cast Σc².
+    "q_join_size_audit" ->
+      """WITH c AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(length(bin(c)) AS BIGINT) AS size_bin,
+        |       CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(sum(c) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS selfjoin_rows,
+        |       max(c) AS max_key_rows
+        |FROM c GROUP BY 1 ORDER BY size_bin""".stripMargin,
     // Same register construction, same max-merge rollup, same fixed
     // IEEE estimate sequence — sketch mergeability is engine-neutral.
     "q_distinct_rollup" -> {

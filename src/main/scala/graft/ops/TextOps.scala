@@ -1306,7 +1306,81 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Vocabulary-saturation (Heaps-law) curve — the "is more data still
+    * buying vocabulary?" audit behind crawl-budget decisions: the
+    * corpus is cut into 32 equal doc-id slices (ingest order) and each
+    * word-3-gram TYPE is charged to the FIRST slice any document
+    * containing it lands in (3-gram types, not unigrams — the unigram
+    * vocabulary of a bounded-domain corpus saturates in slice 0 and
+    * measures nothing); new-types-per-slice falling toward zero means
+    * the source is mined out. Slice count is FIXED at 32, so the
+    * cumulative window runs over 32 rows at any corpus size (the
+    * bucket rule `doc_id·32 div (max+1)` keeps slices equal-width
+    * without a global sort; max doc_id rides in on a 1-row stat
+    * frame).
+    *
+    * Scale shape: explode → map-side-combined (gram → min slice) — the
+    * one corpus-sized shuffle, collapsing to the Heaps-bounded type
+    * space; the per-slice count and 32-row cumulative are free.
+    * No single-partition pass ever sees more than 32 rows. */
+  def vocabSaturation(s: SparkSession, dir: String): DataFrame = {
+    val maxId = t(s, dir, "documents")
+      .agg(max(col("doc_id")).as("max_id"))
+    val firstSlice = shingled(s, dir)
+      .crossJoin(broadcast(maxId))
+      .select(expr("doc_id * 32 div (max_id + 1)").as("slice"),
+        explode(col("shingles")).as("token"))
+      .groupBy(col("token"))
+      .agg(min(col("slice")).as("first_slice"))
+    firstSlice
+      .groupBy(col("first_slice").as("slice"))
+      .agg(count(lit(1)).as("new_types"))
+      .withColumn("cum_types",
+        sum(col("new_types")).over(
+          Window.orderBy(col("slice"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("slice"), col("new_types"),
+        col("cum_types").cast("long").as("cum_types"),
+        expr("cast(new_types * 1000000 div cum_types as bigint)")
+          .as("growth_ppm"))
+      .orderBy("slice")
+  }
+
+  /** Per-document n-gram novelty — the memorization/freshness audit of
+    * an ingest stream: for each doc, the share of its DISTINCT word
+    * 3-grams never seen in any earlier document (doc_id = ingest
+    * order). A run of low-novelty docs is a re-crawl or a template
+    * flood; TRAINING value concentrates in the high-novelty tail.
+    * First-seer is min(doc_id) per gram — engine-exact integers, and
+    * `novel = (first_doc == doc_id)` needs no tie rule (a doc ties
+    * only with itself).
+    *
+    * Scale shape: distinct (gram, doc) pairs — one shuffle on the
+    * uniform gram hash; min-agg map-side-combines to the gram
+    * vocabulary; the join back is gram-keyed (uniform); final combine
+    * agg on doc_id. Nothing all-pairs, no skewed key (grams hash
+    * uniformly), output = one row per doc. */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = shingled(s, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("gram"))
+      .distinct()
+    val firstDoc = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstDoc, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"),
+        col("n_novel").cast("long").as("n_novel"),
+        expr("cast(n_novel * 1000000 div n_grams as bigint)")
+          .as("novelty_ppm"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_saturation" -> vocabSaturation _,
+    "q_ngram_novelty" -> ngramNovelty _,
     "q_chi2_independence" -> chi2Independence _,
     "q_gini_token" -> giniToken _,
     "q_dsir_weights" -> dsirWeights _,
@@ -1345,6 +1419,57 @@ object TextOps {
     "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // Same 32-slice bucket rule, same 3-gram type space, same
+    // first-slice charge, same truncating ppm — all integer.
+    "q_vocab_saturation" ->
+      """WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |tok AS (
+        |  SELECT d.doc_id * 32 // (mx.max_id + 1) AS slice,
+        |         unnest(d.shingles) AS token
+        |  FROM sh d, mx),
+        |fs AS (SELECT token, min(slice) AS first_slice
+        |       FROM tok GROUP BY token),
+        |c AS (SELECT first_slice AS slice,
+        |             CAST(count(*) AS BIGINT) AS new_types
+        |      FROM fs GROUP BY 1),
+        |w AS (SELECT slice, new_types,
+        |             CAST(sum(new_types) OVER (ORDER BY slice
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS BIGINT) AS cum_types
+        |      FROM c)
+        |SELECT slice, new_types, cum_types,
+        |       CAST(new_types * 1000000 // cum_types AS BIGINT)
+        |         AS growth_ppm
+        |FROM w ORDER BY slice""".stripMargin,
+    // Same distinct (gram, doc) pairs, same min-doc first-seer, same
+    // tie-free novelty flag and truncating ppm.
+    "q_ngram_novelty" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (SELECT DISTINCT doc_id, gram FROM
+        |        (SELECT doc_id, unnest(shingles) AS gram FROM s)),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+        |SELECT g.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN f.first_doc = g.doc_id
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       CAST(sum(CASE WHEN f.first_doc = g.doc_id
+        |         THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+        |         AS novelty_ppm
+        |FROM g JOIN f USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     // Same bounded grid, same wide-cast (oN − rc)² cells, same floors.
     "q_chi2_independence" ->
       """WITH g AS (

@@ -1237,7 +1237,41 @@ object VectorOps {
       .orderBy("dim")
   }
 
+  /** Embedding-space outlier sweep — the encoder-sanity filter a
+    * curation pipeline runs before indexing a new drop: squared
+    * distance of every vector to the GLOBAL centroid, top-20 by
+    * distance. A cluster of far-out vectors is a bad encoder batch, a
+    * corrupted modality, or genuinely novel content — either way the
+    * rows a human looks at first. Values floor to micro-units
+    * scan-side; the centroid is an exact integer division per
+    * dimension; distances are DECIMAL(38,0) sums of integer squares —
+    * engine-identical, no floating accumulation anywhere.
+    *
+    * Scale shape: posexplode is scan-side; the centroid is ONE
+    * combine agg to |dims| rows broadcast back; per-vector distance
+    * is a second combine agg on vec_id (uniform key); top-20 plans as
+    * TakeOrderedAndProject (per-partition heads, no global sort). */
+  def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.spread(s, t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("v").cast("double") * lit(1000000.0)).cast("long").as("vu"))
+    val cent = q.groupBy(col("dim"))
+      .agg(expr("cast(sum(cast(vu as decimal(38,0))) div count(1) as bigint)")
+        .as("mean_u"))
+    q.join(broadcast(cent), "dim")
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(expr("cast(vu - mean_u as decimal(38,0)) * (vu - mean_u)"))
+        .cast("long").as("dist2_u2"))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("dist2_u2"))
+      .orderBy(col("dist2_u2").desc, col("vec_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_outliers" -> embeddingOutliers _,
     "q_hubness" -> hubness _,
     "q_kcenter_select" -> kcenterSelect _,
     "q_mmr_rerank" -> mmrRerank _,
@@ -1512,6 +1546,28 @@ object VectorOps {
   }
 
   lazy val oracles: Map[String, String] = Map(
+    // Same micro-unit floor, same integer centroid division, same
+    // HUGEINT squared-distance sums, same (dist desc, vec_id) order.
+    "q_embedding_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, unnest(embedding) AS v,
+        |         unnest(range(0, len(embedding))) AS dim
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, label, dim,
+        |         CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS vu
+        |  FROM e),
+        |c AS (
+        |  SELECT dim, CAST(sum(CAST(vu AS HUGEINT)) // count(*) AS BIGINT)
+        |           AS mean_u
+        |  FROM q GROUP BY dim),
+        |d AS (
+        |  SELECT q.vec_id, q.label,
+        |         CAST(sum(CAST(q.vu - c.mean_u AS HUGEINT) *
+        |                  (q.vu - c.mean_u)) AS BIGINT) AS dist2_u2
+        |  FROM q JOIN c USING (dim) GROUP BY 1, 2)
+        |SELECT vec_id, CAST(label AS BIGINT) AS label, dist2_u2
+        |FROM d ORDER BY dist2_u2 DESC, vec_id LIMIT 20""".stripMargin,
     // Same bounded query slice, same top-10 rank rule, same zero-row
     // complement arithmetic.
     "q_hubness" ->
