@@ -1172,7 +1172,81 @@ object EventOps {
       .limit(20)
   }
 
+  /** Market-basket lift over per-user event-type sets — the
+    * association audit behind "users who X also Y" features: for every
+    * ordered type pair (a < b), the users holding both, and lift =
+    * P(ab)/(P(a)·P(b)) as an exact ppm ratio n_ab·N·1e6 / (n_a·n_b).
+    * Lift > 1e6 means co-occurrence beyond independence — a candidate
+    * cross-feature; ≈ 1e6 means the pair carries no signal. All
+    * integer, products cast wide before multiplying.
+    *
+    * Scale shape: distinct (user, type) — one shuffle, fanout bounded
+    * by |types| per user; the pair self-join keys on user_id (uniform)
+    * and emits ≤ |types|² rows per user; supports and the final pair
+    * agg are combine shuffles to ≤ |types|² rows. No row² anywhere —
+    * the quadratic is in the BOUNDED type space. */
+  def eventLift(s: SparkSession, dir: String): DataFrame = {
+    val ut = events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val support = ut.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"))
+    val pairs = ut.as("a")
+      .join(ut.as("b"), Seq("user_id"))
+      .where(col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(support).withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("n_t", "n_a"), "type_a")
+      .join(broadcast(support).withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("n_t", "n_b"), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        expr("""cast(cast(n_ab as decimal(38,0)) * n_users * 1000000
+          div (cast(n_a as decimal(38,0)) * n_b) as bigint)""")
+          .as("lift_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** k-anonymity audit over the (event_type, hour-of-day) quasi-
+    * identifier grid — the privacy gate before an event export leaves
+    * the pipeline: cells whose DISTINCT-user population is below k=5
+    * re-identify; the audit reports, per event type, how many cells
+    * and rows sit in that risk zone. Integer counts only.
+    *
+    * Scale shape: one combine agg on the bounded |types|·24 grid
+    * (count + distinct users via two-phase distinct), then a ≤ |types|
+    * combine rollup. The grid is fixed-size at any corpus scale. */
+  def kanonAudit(s: SparkSession, dir: String): DataFrame = {
+    val cells = events(s, dir)
+      .select(col("event_type"),
+        expr("ts_us div 3600000000 % 24").as("hour"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("user_id")).as("n_users"))
+    cells
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("n_users") < 5, 1L).otherwise(0L)).as("n_small_cells"),
+        sum(when(col("n_users") < 5, col("n_rows")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        sum(col("n_rows")).as("n_rows_total"))
+      .select(col("event_type"), col("n_cells"),
+        col("n_small_cells").cast("long").as("n_small_cells"),
+        col("n_rows_at_risk").cast("long").as("n_rows_at_risk"),
+        expr("""cast(cast(coalesce(n_rows_at_risk, 0) as decimal(38,0))
+          * 1000000 div n_rows_total as bigint)""").as("risk_ppm"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_lift" -> eventLift _,
+    "q_kanon_audit" -> kanonAudit _,
     "q_attribution" -> attribution _,
     "q_path_trigrams" -> pathTrigrams _,
     "q_ks_drift" -> ksDrift _,
@@ -1212,6 +1286,49 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same distinct basket sets, same ordered pairs, same wide-cast
+    // truncating lift ratio — all integer.
+    "q_event_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |      FROM ut),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+        |      FROM ut GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |       AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_ab,
+        |       sa.n_t AS n_a, sb.n_t AS n_b,
+        |       CAST(CAST(p.n_ab AS HUGEINT) * n.n_users * 1000000 //
+        |            (CAST(sa.n_t AS HUGEINT) * sb.n_t) AS BIGINT)
+        |         AS lift_ppm
+        |FROM p
+        |JOIN s sa ON p.type_a = sa.event_type
+        |JOIN s sb ON p.type_b = sb.event_type
+        |CROSS JOIN n
+        |ORDER BY type_a, type_b""".stripMargin,
+    // Same bounded (type, hour) grid, same exact distinct-user counts,
+    // same k=5 cut and truncating ppm.
+    "q_kanon_audit" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) // 3600000000 % 24 AS hour,
+        |         CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_cells,
+        |       CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_small_cells,
+        |       CAST(sum(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END)
+        |         AS BIGINT) AS n_rows_at_risk,
+        |       CAST(CAST(sum(CASE WHEN n_users < 5 THEN n_rows
+        |             ELSE 0 END) AS HUGEINT) * 1000000 //
+        |            sum(n_rows) AS BIGINT) AS risk_ppm
+        |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
     // Same IGNORE-NULLS navigation windows, same null exclusion,
     // same micro-unit HUGEINT revenue sums; stack ≡ UNION ALL.
     "q_attribution" ->

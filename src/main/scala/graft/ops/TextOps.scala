@@ -1378,7 +1378,86 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Cross-source 3-gram overlap — the corpus-comparison audit behind
+    * "are these two crawls the same content?": per source pair, the
+    * Jaccard of their 3-gram TYPE sets as an exact ppm ratio. High
+    * overlap between nominally-distinct sources means double-counting
+    * in the data mix (and double-weighting in training); zero-overlap
+    * pairs don't appear (inner-join semantics, both engines). All
+    * integer.
+    *
+    * Scale shape: distinct (source, gram) — combine shuffle to the
+    * type-vocabulary × |sources| frame; the pair join keys on gram
+    * (uniform hash) and fans out ≤ |sources|² per gram; sizes
+    * broadcast back onto the ≤ |sources|² result. The quadratic is in
+    * the BOUNDED source space, never in rows. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sg = tokenized(s, dir, spread = true)
+      .where(size(col("toks")) >= 3)
+      .select(col("source"), explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ',
+          |              element_at(toks, i + 1), ' ',
+          |              element_at(toks, i + 2)))""".stripMargin)).as("gram"))
+      .distinct()
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n_t"))
+    sg.as("a").join(sg.as("b"), Seq("gram"))
+      .where(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n_t", "n_a")), "src_a")
+      .join(broadcast(sizes.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n_t", "n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        expr("""cast(cast(n_shared as decimal(38,0)) * 1000000
+          div (n_a + n_b - n_shared) as bigint)""").as("jaccard_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Zipf-slope fit per language — the one-number summary of token
+    * concentration (beside q_gini_token's rank formula): least-squares
+    * slope of log2(count) on log2(rank) over the ranked vocabulary,
+    * ENTIRELY in integers via bitlength as the exact integer log2
+    * (length(bin(x)), both engines) — a natural corpus sits near −1;
+    * a template-flooded slice goes steeper. The regression sums are
+    * wide-cast integer products, the slope a single truncating ppm
+    * division, the intercept derived from the already-truncated slope
+    * — bit-identical cross-engine, no floating log anywhere.
+    *
+    * Scale shape: one combine shuffle collapses the corpus to (lang,
+    * token) counts; the rank window sorts VOCAB rows per lang; the
+    * regression is one combine agg to ≤ |langs| rows. */
+  def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    val counts = tokenized(s, dir)
+      .select(col("lang"), explode(col("toks")).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("c").desc, col("token"))
+    counts
+      .withColumn("r", row_number().over(w).cast("long"))
+      .select(col("lang"),
+        expr("cast(length(bin(r)) as bigint)").as("x"),
+        expr("cast(length(bin(c)) as bigint)").as("y"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
+      .select(col("lang"), col("n_types"),
+        expr("""cast((cast(n_types as decimal(38,0)) * sxy
+            - cast(sx as decimal(38,0)) * sy) * 1000000
+          div (cast(n_types as decimal(38,0)) * sxx
+            - cast(sx as decimal(38,0)) * sx) as bigint)""")
+          .as("slope_ppm"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_overlap" -> sourceOverlap _,
+    "q_zipf_fit" -> zipfFit _,
     "q_vocab_saturation" -> vocabSaturation _,
     "q_ngram_novelty" -> ngramNovelty _,
     "q_chi2_independence" -> chi2Independence _,
@@ -1419,6 +1498,57 @@ object TextOps {
     "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // Same distinct type sets, same ordered source pairs, same
+    // truncating Jaccard ppm — all integer.
+    "q_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT source,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sg AS (SELECT DISTINCT source, gram FROM
+        |         (SELECT source, unnest(shingles) AS gram FROM sh)),
+        |z AS (SELECT source, CAST(count(*) AS BIGINT) AS n_t
+        |      FROM sg GROUP BY 1),
+        |p AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.n_shared,
+        |       za.n_t AS n_a, zb.n_t AS n_b,
+        |       CAST(CAST(p.n_shared AS HUGEINT) * 1000000 //
+        |            (za.n_t + zb.n_t - p.n_shared) AS BIGINT)
+        |         AS jaccard_ppm
+        |FROM p
+        |JOIN z za ON p.src_a = za.source
+        |JOIN z zb ON p.src_b = zb.source
+        |ORDER BY src_a, src_b""".stripMargin,
+    // Same (count desc, token) rank, same bitlength log2, same
+    // wide-cast regression sums and truncating ppm slope.
+    "q_zipf_fit" ->
+      """WITH c AS (
+        |  SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY lang, token),
+        |r AS (
+        |  SELECT lang,
+        |         CAST(length(bin(CAST(row_number() OVER (
+        |           PARTITION BY lang ORDER BY c DESC, token) AS BIGINT)))
+        |           AS BIGINT) AS x,
+        |         CAST(length(bin(c)) AS BIGINT) AS y
+        |  FROM c)
+        |SELECT lang,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST((CAST(count(*) AS HUGEINT) * sum(x * y)
+        |           - CAST(sum(x) AS HUGEINT) * sum(y)) * 1000000 //
+        |            (CAST(count(*) AS HUGEINT) * sum(x * x)
+        |           - CAST(sum(x) AS HUGEINT) * sum(x)) AS BIGINT)
+        |         AS slope_ppm
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     // Same 32-slice bucket rule, same 3-gram type space, same
     // first-slice charge, same truncating ppm — all integer.
     "q_vocab_saturation" ->
