@@ -1180,23 +1180,29 @@ object EventOps {
     * cross-feature; ≈ 1e6 means the pair carries no signal. All
     * integer, products cast wide before multiplying.
     *
-    * Scale shape: distinct (user, type) — one shuffle, fanout bounded
-    * by |types| per user; the pair self-join keys on user_id (uniform)
-    * and emits ≤ |types|² rows per user; supports and the final pair
-    * agg are combine shuffles to ≤ |types|² rows. No row² anywhere —
-    * the quadratic is in the BOUNDED type space. */
+    * Scale shape: ONE user-keyed combine shuffle builds the sorted
+    * type-set basket per user (set size bounded by |types|, so agg
+    * state is bounded); ordered pairs are generated ARRAY-SIDE from
+    * the sorted set — no self-join, no second pass over the events —
+    * then supports and pairs each combine to ≤ |types|² rows. No row²
+    * anywhere — the quadratic is in the BOUNDED type space. (A
+    * distinct + user-keyed self-join formulation planned 6 hash
+    * exchanges; this plans 3.) */
   def eventLift(s: SparkSession, dir: String): DataFrame = {
-    val ut = events(s, dir)
-      .select(col("user_id"), col("event_type")).distinct()
-    val nUsers = ut.select(col("user_id")).distinct()
-      .agg(count(lit(1)).as("n_users"))
-    val support = ut.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_t"))
-    val pairs = ut.as("a")
-      .join(ut.as("b"), Seq("user_id"))
-      .where(col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("type_a"),
-        col("b.event_type").as("type_b"))
+    val baskets = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+    val nUsers = baskets.agg(count(lit(1)).as("n_users"))
+    val support = baskets
+      .select(explode(col("types")).as("event_type"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(types, (a, i) ->
+          |  transform(slice(types, i + 2, size(types) - i - 1),
+          |    b -> struct(a AS type_a, b AS type_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
       .agg(count(lit(1)).as("n_ab"))
     pairs
       .join(broadcast(support).withColumnRenamed("event_type", "type_a")

@@ -1326,10 +1326,15 @@ object TextOps {
   def vocabSaturation(s: SparkSession, dir: String): DataFrame = {
     val maxId = t(s, dir, "documents")
       .agg(max(col("doc_id")).as("max_id"))
+    // types travel as the codegen'd portable 60-bit hash, not strings:
+    // the min-slice shuffle carries 8-byte longs (4.1 s → ~1 s at
+    // sf0.1); collisions are ~(types²/2^61) — none at any real SF, and
+    // engine-identical either way since the oracle hashes the same
     val firstSlice = shingled(s, dir)
       .crossJoin(broadcast(maxId))
       .select(expr("doc_id * 32 div (max_id + 1)").as("slice"),
-        explode(col("shingles")).as("token"))
+        explode(graft.functions.PortableHashes.hashes(col("shingles")))
+          .as("token"))
       .groupBy(col("token"))
       .agg(min(col("slice")).as("first_slice"))
     firstSlice
@@ -1361,8 +1366,13 @@ object TextOps {
     * agg on doc_id. Nothing all-pairs, no skewed key (grams hash
     * uniformly), output = one row per doc. */
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    // grams travel as the codegen'd portable 60-bit hash (see
+    // vocabSaturation): distinct + first-seer + join-back all shuffle
+    // 8-byte longs instead of ~30-byte gram strings
     val grams = shingled(s, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("gram"))
+      .select(col("doc_id"),
+        explode(graft.functions.PortableHashes.hashes(col("shingles")))
+          .as("gram"))
       .distinct()
     val firstDoc = grams.groupBy(col("gram"))
       .agg(min(col("doc_id")).as("first_doc"))
@@ -1386,24 +1396,32 @@ object TextOps {
     * pairs don't appear (inner-join semantics, both engines). All
     * integer.
     *
-    * Scale shape: distinct (source, gram) — combine shuffle to the
-    * type-vocabulary × |sources| frame; the pair join keys on gram
-    * (uniform hash) and fans out ≤ |sources|² per gram; sizes
-    * broadcast back onto the ≤ |sources|² result. The quadratic is in
-    * the BOUNDED source space, never in rows. */
+    * Scale shape: ONE gram-keyed combine shuffle builds the sorted
+    * source set per gram (collect_set dedups in the agg — no separate
+    * DISTINCT pass; set size bounded by |sources|, so agg state is
+    * bounded); ordered source pairs generate ARRAY-SIDE from the
+    * sorted set — no gram self-join — then sizes and pairs each
+    * combine to ≤ |sources|² rows (the ReusedExchange feeds both
+    * branches). The quadratic is in the BOUNDED source space, never
+    * in rows. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val sg = tokenized(s, dir, spread = true)
+    val gs = tokenized(s, dir, spread = true)
       .where(size(col("toks")) >= 3)
       .select(col("source"), explode(expr(
         """transform(sequence(1, size(toks) - 2),
           |  i -> concat(element_at(toks, i), ' ',
           |              element_at(toks, i + 1), ' ',
           |              element_at(toks, i + 2)))""".stripMargin)).as("gram"))
-      .distinct()
-    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n_t"))
-    sg.as("a").join(sg.as("b"), Seq("gram"))
-      .where(col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .groupBy(col("gram"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+    val sizes = gs.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_t"))
+    gs.select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs) - i - 1),
+          |    b -> struct(a AS src_a, b AS src_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
       .join(broadcast(sizes.withColumnRenamed("source", "src_a")
         .withColumnRenamed("n_t", "n_a")), "src_a")
@@ -1561,9 +1579,10 @@ object TextOps {
         |                string_split(text, ' ')[i + 2]) AS shingles
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
         |tok AS (
-        |  SELECT d.doc_id * 32 // (mx.max_id + 1) AS slice,
-        |         unnest(d.shingles) AS token
-        |  FROM sh d, mx),
+        |  SELECT g.doc_id * 32 // (mx.max_id + 1) AS slice,
+        |         CAST('0x' || substring(sha256(g.gram), 1, 15) AS BIGINT)
+        |           AS token
+        |  FROM (SELECT doc_id, unnest(shingles) AS gram FROM sh) g, mx),
         |fs AS (SELECT token, min(slice) AS first_slice
         |       FROM tok GROUP BY token),
         |c AS (SELECT first_slice AS slice,
@@ -1588,8 +1607,10 @@ object TextOps {
         |                string_split(text, ' ')[i + 1] || ' ' ||
         |                string_split(text, ' ')[i + 2]) AS shingles
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |g AS (SELECT DISTINCT doc_id, gram FROM
-        |        (SELECT doc_id, unnest(shingles) AS gram FROM s)),
+        |g AS (SELECT DISTINCT doc_id,
+        |        CAST('0x' || substring(sha256(gram), 1, 15) AS BIGINT)
+        |          AS gram
+        |      FROM (SELECT doc_id, unnest(shingles) AS gram FROM s)),
         |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
         |SELECT g.doc_id,
         |       CAST(count(*) AS BIGINT) AS n_grams,

@@ -320,6 +320,48 @@ class ShuffleBudgetSpec extends SparkSpec {
     }
   }
 
+  test("r7 seventh-wave ops hold their declared shuffle budgets") {
+    for ((name, budget) <- Seq(
+      // gram → min-slice combine collapses the corpus to the type
+      // vocabulary; the 32-row cumulative is not data-scaled
+      "q_vocab_saturation" -> 2,
+      // distinct (gram, doc) + first-seer combine + gram-keyed join
+      // back + per-doc combine — all on the uniform gram/doc hashes
+      "q_ngram_novelty" -> 4,
+      // the band-sig combine the dedup family already pays + the
+      // bucket-count agg + the ≤ bands×64-row bin agg
+      "q_lsh_bucket_skew" -> 3,
+      // distinct-name combine; the block self-join rides a broadcast
+      // of the vocabulary-bounded name frame
+      "q_fuzzy_blocked_join" -> 2,
+      // per-key count combine + ≤64-row bin agg; the audited join
+      // itself never executes
+      "q_join_size_audit" -> 2,
+      // posexplode is scan-side; dim-centroid combine broadcasts
+      // back; per-vector distance combine; top-20 is
+      // TakeOrderedAndProject, not a sort shuffle
+      "q_embedding_outliers" -> 3,
+      // ONE user-keyed basket combine (ReusedExchange feeds both the
+      // pair and support branches), pairs generated array-side (no
+      // self-join), + pair and support combines; the optimizer plans
+      // n_users as its own column-pruned two-phase distinct over the
+      // scan (cheaper than reusing the basket agg) — budget covers it
+      "q_event_lift" -> 5,
+      // the bounded (type, hour) grid with exact two-phase distinct
+      // users + the per-type rollup
+      "q_kanon_audit" -> 3,
+      // ONE gram-keyed source-set combine (reused by both branches),
+      // pairs array-side (no self-join), + size and pair combines;
+      // +1 for the planner re-deriving one branch instead of reusing
+      "q_source_overlap" -> 4,
+      // vocab count combine + per-lang rank window + regression agg
+      // over vocab rows
+      "q_zipf_fit" -> 3)) {
+      val n = hashExchanges(q(name))
+      assert(n <= budget, s"$name over budget: $n > $budget")
+    }
+  }
+
   test("broadcast-side similarity search never shuffles the corpus scan") {
     // brute-force top-k: the only hash exchange allowed is the final
     // per-query ranking of the tiny (queries x k) candidate frame
