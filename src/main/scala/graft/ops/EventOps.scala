@@ -1250,7 +1250,83 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Per-session ML feature extraction — the feature-engineering pass
+    * a ranking/propensity model consumes: q_sessionize's 30-minute-gap
+    * sessions, each reduced to duration, event count, distinct types,
+    * value mass (micro-units), and the max/mean inter-event gap. The
+    * mean gap is duration div (n−1) — exact integer; value mass rides
+    * the micro-unit BIGINT discipline.
+    *
+    * Scale shape: ONE per-user ordered window (lag + running session
+    * sum share its sort) + one combine agg on (user, session); the
+    * distinct-type count is a bounded-domain exact distinct inside
+    * the agg. No global window, no second pass. */
+  def sessionFeatures(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val gapS = 1800L
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"), col("value"))
+      .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts_us").isNull ||
+          col("ts_us") - col("prev_ts_us") > gapS * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .withColumn("gap_us",
+        when(col("new_session") === 1L, lit(null).cast("long"))
+          .otherwise(col("ts_us") - col("prev_ts_us")))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
+        count_distinct(col("event_type")).as("n_types"),
+        sum(floor(col("value") * lit(1000000.0)).cast("decimal(38,0)"))
+          .cast("long").as("value_u"),
+        max(col("gap_us")).as("max_gap_us"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start_us"), col("duration_us"), col("n_types"),
+        col("value_u"),
+        coalesce(col("max_gap_us"), lit(0L)).as("max_gap_us"),
+        when(col("n_events") > 1L,
+          expr("duration_us div (n_events - 1)")).otherwise(0L)
+          .as("mean_gap_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Peak-rate (burst) audit per event type — the rate-limit /
+    * capacity number an ingest SLO needs: per type, the observed
+    * minutes, total events, the hottest minute (count + which minute,
+    * earliest on ties), and burst = peak·minutes·1e6 / total — how
+    * many times the mean rate the peak hits, in exact truncating ppm.
+    *
+    * Scale shape: one combine agg on the (type, minute) grid (bounded
+    * by types × observed minutes), then a ≤ |types| rollup; the
+    * argmax rides min(minute) over the peak rows — no window over
+    * raw events. */
+  def burstDetect(s: SparkSession, dir: String): DataFrame = {
+    val perMin = events(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 60000000").as("minute"))
+      .agg(count(lit(1)).as("c"))
+    perMin
+      .withColumn("cmax",
+        max(col("c")).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_minutes"),
+        sum(col("c")).cast("long").as("n_events"),
+        max(col("c")).as("peak_events"),
+        min(when(col("c") === col("cmax"), col("minute"))).as("peak_minute"))
+      .select(col("event_type"), col("n_minutes"), col("n_events"),
+        col("peak_events"), col("peak_minute"),
+        expr("""cast(cast(peak_events as decimal(38,0)) * n_minutes
+          * 1000000 div n_events as bigint)""").as("burst_ppm"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_features" -> sessionFeatures _,
+    "q_burst_detect" -> burstDetect _,
     "q_event_lift" -> eventLift _,
     "q_kanon_audit" -> kanonAudit _,
     "q_attribution" -> attribution _,
@@ -1292,6 +1368,64 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same session rule as q_sessionize, same micro-unit value mass,
+    // same exact integer gap features.
+    "q_session_features" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |         CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT)
+        |           AS vu
+        |  FROM events),
+        |l AS (
+        |  SELECT *,
+        |         lag(ts_us) OVER w AS prev_ts_us
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |                      ORDER BY ts_us, event_id)),
+        |f AS (
+        |  SELECT *,
+        |         CASE WHEN prev_ts_us IS NULL
+        |                OR ts_us - prev_ts_us > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session,
+        |         CASE WHEN prev_ts_us IS NULL
+        |                OR ts_us - prev_ts_us > 1800000000
+        |              THEN NULL ELSE ts_us - prev_ts_us END AS gap_us
+        |  FROM l),
+        |g AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       min(ts_us) AS session_start_us,
+        |       max(ts_us) - min(ts_us) AS duration_us,
+        |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |       CAST(sum(CAST(vu AS HUGEINT)) AS BIGINT) AS value_u,
+        |       coalesce(max(gap_us), 0) AS max_gap_us,
+        |       CASE WHEN count(*) > 1
+        |            THEN (max(ts_us) - min(ts_us)) // (count(*) - 1)
+        |            ELSE 0 END AS mean_gap_us
+        |FROM g GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    // Same (type, minute) grid, same earliest-peak tie rule, same
+    // wide-cast truncating burst ppm.
+    "q_burst_detect" ->
+      """WITH m AS (
+        |  SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT *, max(c) OVER (PARTITION BY event_type) AS cmax
+        |  FROM m)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_minutes,
+        |       CAST(sum(c) AS BIGINT) AS n_events,
+        |       max(c) AS peak_events,
+        |       min(CASE WHEN c = cmax THEN minute END) AS peak_minute,
+        |       CAST(CAST(max(c) AS HUGEINT) * count(*) * 1000000 //
+        |            sum(c) AS BIGINT) AS burst_ppm
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same distinct basket sets, same ordered pairs, same wide-cast
     // truncating lift ratio — all integer.
     "q_event_lift" ->

@@ -1146,7 +1146,37 @@ object LlmOps {
         max(col("c")).as("max_bucket"))
       .orderBy("band", "size_bin")
 
+  /** Shard-writer plan — the "how many output files per (lang,
+    * source) cell" number a partitioned-parquet writer needs BEFORE
+    * the write: per cell, docs, token mass, ceil-divided file count at
+    * 50k tokens/file, and the cell's corpus share in exact ppm. The
+    * cell emitting one fat file (share ≫ files) is the repartition
+    * candidate; cells emitting thousands are the small-file problem.
+    * Integer end to end (ceil via (n + t − 1) div t).
+    *
+    * Scale shape: token counting is scan-side; ONE combine agg to the
+    * bounded |langs|·|sources| grid; the share window rides the grid,
+    * never rows. */
+  def writePlan(s: SparkSession, dir: String): DataFrame = {
+    val target = 50000L
+    t(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("decimal(38,0)")).cast("long")
+          .as("n_tokens"))
+      .withColumn("total_tokens",
+        sum(col("n_tokens")).over(Window.partitionBy()))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        expr(s"(n_tokens + ${target - 1}) div $target").as("n_files"),
+        expr("""cast(cast(n_tokens as decimal(38,0)) * 1000000
+          div total_tokens as bigint)""").as("share_ppm"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_write_plan" -> writePlan _,
     "q_lsh_bucket_skew" -> lshBucketSkew _,
     "q_quality_vs_dup" -> qualityVsDup _,
     "q_dedup_incremental" -> dedupIncremental _,
@@ -1355,6 +1385,22 @@ object LlmOps {
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same bounded cell grid, same ceil-divide file count, same
+    // truncating share ppm — all integer.
+    "q_write_plan" ->
+      """WITH c AS (
+        |  SELECT lang, source,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(CAST(len(string_split(text, ' ')) AS HUGEINT))
+        |           AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT)
+        |        AS total_tokens FROM c)
+        |SELECT lang, source, n_docs, n_tokens,
+        |       (n_tokens + 49999) // 50000 AS n_files,
+        |       CAST(CAST(n_tokens AS HUGEINT) * 1000000 //
+        |            total_tokens AS BIGINT) AS share_ppm
+        |FROM w ORDER BY lang, source""".stripMargin,
     // The q_minhash_dedup banding CTEs verbatim; same bitlength bins,
     // same wide-cast pair counts — all integer.
     "q_lsh_bucket_skew" ->

@@ -356,7 +356,16 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_source_overlap" -> 4,
       // vocab count combine + per-lang rank window + regression agg
       // over vocab rows
-      "q_zipf_fit" -> 3)) {
+      "q_zipf_fit" -> 3,
+      // one per-user window exchange + the (user, session) combine;
+      // exact distinct-type count costs the documented expand pass
+      "q_session_features" -> 3,
+      // the (type, minute) grid combine; peak window + rollup ride
+      // the bounded grid
+      "q_burst_detect" -> 2,
+      // one combine to the bounded (lang, source) grid; the share
+      // window rides the grid
+      "q_write_plan" -> 1)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
