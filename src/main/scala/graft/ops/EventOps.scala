@@ -1332,7 +1332,48 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Conditional next-type entropy per source state — how predictable
+    * the stream is AFTER each event type, the information-theoretic
+    * summary sitting on top of q_event_transitions' raw matrix: per
+    * from_type, H(next | from) = Σ (c/n)·ln(n/c) floored to nano-nats
+    * per transition (the q_doc_entropy discipline — a fixed IEEE
+    * double sequence from exact integer counts, engine-identical),
+    * plus the modal next type. H ≈ 0 means a deterministic follow-on
+    * (sessionization and next-event models are easy); H near ln(k)
+    * means uniform churn.
+    *
+    * Scale shape: the same per-user ordered window every sequence op
+    * shares, one combine agg to the bounded |types|² matrix, entropy
+    * over ≤ |types| rows per state. */
+  def transitionEntropy(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val counts = events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("c"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("n", sum(col("c")).over(byFrom).cast("long"))
+      .withColumn("cmax", max(col("c")).over(byFrom))
+      .withColumn("contrib_nano",
+        floor((col("c").cast("double") / col("n").cast("double")) *
+          log(col("n").cast("double") / col("c").cast("double")) *
+          lit(1000000000.0)).cast("long"))
+      .groupBy(col("from_type"))
+      .agg(max(col("n")).as("n_transitions"),
+        count(lit(1)).as("n_next_types"),
+        sum(col("contrib_nano")).cast("long").as("entropy_nano"),
+        min(when(col("c") === col("cmax"), col("to_type")))
+          .as("modal_next"))
+      .orderBy("from_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_transition_entropy" -> transitionEntropy _,
     "q_session_features" -> sessionFeatures _,
     "q_burst_detect" -> burstDetect _,
     "q_event_lift" -> eventLift _,
@@ -1376,6 +1417,39 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same per-user transition window as q_event_transitions, same
+    // floor-quantized nano-nat contributions (fixed IEEE ln sequence
+    // from exact integers), same modal tie rule.
+    "q_transition_entropy" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type AS to_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts_us, event_id) AS from_type
+        |  FROM e),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |x AS (
+        |  SELECT *,
+        |         CAST(sum(c) OVER (PARTITION BY from_type) AS BIGINT)
+        |           AS n,
+        |         max(c) OVER (PARTITION BY from_type) AS cmax
+        |  FROM c),
+        |k AS (
+        |  SELECT *,
+        |         CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |           ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) *
+        |           CAST(1000000000 AS DOUBLE)) AS BIGINT) AS contrib_nano
+        |  FROM x)
+        |SELECT from_type,
+        |       max(n) AS n_transitions,
+        |       CAST(count(*) AS BIGINT) AS n_next_types,
+        |       CAST(sum(contrib_nano) AS BIGINT) AS entropy_nano,
+        |       min(CASE WHEN c = cmax THEN to_type END) AS modal_next
+        |FROM k GROUP BY from_type ORDER BY from_type""".stripMargin,
     // Same session rule as q_sessionize, same micro-unit value mass,
     // same exact integer gap features.
     "q_session_features" ->

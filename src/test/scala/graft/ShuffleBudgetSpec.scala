@@ -365,7 +365,10 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_burst_detect" -> 2,
       // one combine to the bounded (lang, source) grid; the share
       // window rides the grid
-      "q_write_plan" -> 1)) {
+      "q_write_plan" -> 1,
+      // the shared per-user window exchange + the bounded |types|²
+      // transition combine; entropy rides the matrix
+      "q_transition_entropy" -> 2)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
