@@ -367,8 +367,9 @@ class ShuffleBudgetSpec extends SparkSpec {
       // window rides the grid
       "q_write_plan" -> 1,
       // the shared per-user window exchange + the bounded |types|²
-      // transition combine; entropy rides the matrix
-      "q_transition_entropy" -> 2)) {
+      // transition combine + the from_type re-key of that bounded
+      // matrix for the per-state window/agg (not data-scaled)
+      "q_transition_entropy" -> 3)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
