@@ -1473,7 +1473,42 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Per-source redundancy ratio — the "dedup which source first"
+    * number: of all 3-gram occurrences a source contributes, the share
+    * that are REPEATS of a type already seen in that source
+    * ((occurrences − types) / occurrences, exact truncating ppm), plus
+    * the hottest gram's count. High redundancy = template/boilerplate
+    * mill (dedup pays off immediately, compresses well); low = diverse
+    * text. Complements q_source_overlap (BETWEEN-source duplication)
+    * with the within-source number.
+    *
+    * Scale shape: grams travel as the codegen'd portable 60-bit hash;
+    * ONE (source, gram) combine collapses the corpus to per-source
+    * vocabularies; the rollup rides that bounded frame. */
+  def repeatRatio(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir, spread = true)
+      .where(size(col("toks")) >= 3)
+      .select(col("source"), explode(
+        graft.functions.PortableHashes.hashes(expr(
+          """transform(sequence(1, size(toks) - 2),
+            |  i -> concat(element_at(toks, i), ' ',
+            |              element_at(toks, i + 1), ' ',
+            |              element_at(toks, i + 2)))""".stripMargin)))
+        .as("gram_h"))
+      .groupBy(col("source"), col("gram_h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c").cast("decimal(38,0)")).cast("long").as("n_occurrences"),
+        max(col("c")).as("max_gram_count"))
+      .select(col("source"), col("n_types"), col("n_occurrences"),
+        col("max_gram_count"),
+        expr("""cast(cast(n_occurrences - n_types as decimal(38,0))
+          * 1000000 div n_occurrences as bigint)""").as("redundancy_ppm"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repeat_ratio" -> repeatRatio _,
     "q_source_overlap" -> sourceOverlap _,
     "q_zipf_fit" -> zipfFit _,
     "q_vocab_saturation" -> vocabSaturation _,
@@ -1516,6 +1551,31 @@ object TextOps {
     "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // Same hashed gram space, same (source, gram) collapse, same
+    // truncating redundancy ppm — all integer.
+    "q_repeat_ratio" ->
+      """WITH sh AS (
+        |  SELECT source,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT source,
+        |         CAST('0x' || substring(sha256(gram), 1, 15) AS BIGINT)
+        |           AS gram_h
+        |  FROM (SELECT source, unnest(shingles) AS gram FROM sh)),
+        |c AS (
+        |  SELECT source, gram_h, CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY 1, 2)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(sum(c) AS BIGINT) AS n_occurrences,
+        |       max(c) AS max_gram_count,
+        |       CAST((CAST(sum(c) AS HUGEINT) - count(*)) * 1000000 //
+        |            sum(c) AS BIGINT) AS redundancy_ppm
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // Same distinct type sets, same ordered source pairs, same
     // truncating Jaccard ppm — all integer.
     "q_source_overlap" ->

@@ -369,7 +369,10 @@ class ShuffleBudgetSpec extends SparkSpec {
       // the shared per-user window exchange + the bounded |types|²
       // transition combine + the from_type re-key of that bounded
       // matrix for the per-state window/agg (not data-scaled)
-      "q_transition_entropy" -> 3)) {
+      "q_transition_entropy" -> 3,
+      // hashed-gram (source, gram) combine + the bounded per-source
+      // rollup
+      "q_repeat_ratio" -> 2)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
