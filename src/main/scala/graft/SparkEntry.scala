@@ -23,8 +23,8 @@ object SparkEntry {
       TextOps.queries ++ VectorOps.queries ++ CompatOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. */
   def oracleSql: Map[String, String] =
     EventOps.oracles ++ RelationalOps.oracles ++ LlmOps.oracles ++
-      TextOps.oracles ++ VectorOps.oracles
+      TextOps.oracles ++ VectorOps.oracles ++ CompatOps.oracles
 }

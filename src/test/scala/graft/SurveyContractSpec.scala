@@ -35,7 +35,7 @@ class SurveyContractSpec extends AnyFunSuite {
     val orphans = (os -- qs).toList.sorted
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
     val rowsOnly = (qs -- os).toList.sorted
-    assert(rowsOnly == List("q_compat_datadriven_window"),
+    assert(rowsOnly.isEmpty, // every query oracled since r8
       s"rows-only set drifted: $rowsOnly")
   }
 }
