@@ -20,8 +20,25 @@ import org.apache.spark.sql.SparkSession
   *    silently timed as if they ran.
   */
 object Bench {
+  /** 1-minute loadavg + java-process count: the two facts that explain
+    * run-to-run variance on a shared box (VERDICT r7 item 2 — bench
+    * claims must be attributable when they diverge across sessions). */
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+  private def jvmCount(): Long =
+    try {
+      import scala.jdk.StreamConverters._
+      ProcessHandle.allProcesses().toScala(Seq)
+        .count(_.info().command().map[Boolean](_.contains("java")).orElse(false))
+        .toLong
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadAvg()
+    val jvmsStart = jvmCount()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
@@ -102,7 +119,21 @@ object Bench {
     // value, baseline_subset, errors, counts — sits at the very end of
     // the line where the tail always keeps it (r5 VERDICT lost `value`
     // and half the medians to the old order).
-    println(s"""{"runs":$runsJson,"queries":$qs,"metric":"total","unit":"sec","stat":"median","n_runs":$nRuns,"errors":$errJson,"n_queries":${results.size},"n_excluded":${names.size - results.size},"value":$total,"baseline_subset":$r1Subset,"sf":"$sfDir"}""")
+    val env = s""""env":{"load_start":$loadStart,"load_end":${loadAvg()},""" +
+      s""""cpus":${Runtime.getRuntime.availableProcessors},""" +
+      s""""jvms_start":$jvmsStart,"jvms_end":${jvmCount()}}"""
+    val line = s"""{"runs":$runsJson,"queries":$qs,"metric":"total","unit":"sec","stat":"median","n_runs":$nRuns,"errors":$errJson,"n_queries":${results.size},"n_excluded":${names.size - results.size},$env,"value":$total,"baseline_subset":$r1Subset,"sf":"$sfDir"}"""
+    println(line)
+    // The driver archives only a ~2000-char stdout TAIL, losing the
+    // per-query medians for keys a–o; persist the COMPLETE line so
+    // round-over-round per-query regression analysis has a committed
+    // artifact (VERDICT r7 item 3).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full_latest.json")),
+      line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full-artifact write failed: $e") }
     spark.stop()
   }
 }
