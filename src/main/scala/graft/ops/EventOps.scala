@@ -711,8 +711,11 @@ object EventOps {
         .as("mean_u"))
     // ONE sha per event; the 32 per-replicate draws derive from it
     // arithmetically (the MinhashSigs universal-family discipline) —
-    // sha volume is corpus-sized, not corpus × reps (5.1 s → ~1.5 s
-    // at sf0.1 with identical statistical behavior)
+    // sha volume is corpus-sized, not corpus × reps (5.1 s → ~1.5 s at
+    // sf0.1). Statistically ADEQUATE, not identical, to 32 independent
+    // shas: the universal family gives pairwise independence across
+    // events, but within one event the 32 draws are an affine chain of
+    // one hash, which can shift CI coverage slightly (ADVICE r7)
     val repMeans = e
       .withColumn("h", expr(
         """cast(conv(substring(sha2(concat('bs:',

@@ -1464,6 +1464,10 @@ object TextOps {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
         sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
+      // n_types = 1 makes the slope denominator exactly 0 (sxx = sx²)
+      // — a single-token-type language is unfittable, drop it (both
+      // engines would otherwise divide by zero; ADVICE r7)
+      .where(col("n_types") >= 2)
       .select(col("lang"), col("n_types"),
         expr("""cast((cast(n_types as decimal(38,0)) * sxy
             - cast(sx as decimal(38,0)) * sy) * 1000000
@@ -1626,7 +1630,8 @@ object TextOps {
         |            (CAST(count(*) AS HUGEINT) * sum(x * x)
         |           - CAST(sum(x) AS HUGEINT) * sum(x)) AS BIGINT)
         |         AS slope_ppm
-        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM r GROUP BY lang HAVING count(*) >= 2
+        |ORDER BY lang""".stripMargin,
     // Same 32-slice bucket rule, same 3-gram type space, same
     // first-slice charge, same truncating ppm — all integer.
     "q_vocab_saturation" ->
