@@ -1375,7 +1375,49 @@ object EventOps {
       .orderBy("from_type")
   }
 
+  /** Inter-arrival-time profile per event type — the number that
+    * sizes pollers, retry budgets, and watermark delays: gaps between
+    * consecutive events of the same (user, type), summarized per type
+    * with exact discrete order statistics (rank 1 + (n−1)·q div 100,
+    * the q_winsorize discipline — both engines pick the SAME element,
+    * no interpolated doubles) plus min/max/truncating mean. Per-user
+    * gaps (not global) because the operational question is "how often
+    * does ONE producer emit", and the global merge of interleaved
+    * users would understate gaps by the user count.
+    *
+    * Scale shape: one lag window on the (user, type) key, one rank
+    * window per type (the exact-order-statistics sort every
+    * percentile op shares), combine agg rides the rank partitioning.
+    * No global window, no value buffering (the builtin percentile()
+    * trap). */
+  def interarrival(s: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val gaps = events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"),
+        col("event_id"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(wu))
+      .where(col("gap_us").isNotNull)
+    val wr = Window.partitionBy(col("event_type")).orderBy(col("gap_us"))
+    gaps
+      .withColumn("r", row_number().over(wr).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("event_type"))).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        expr("cast(sum(cast(gap_us as decimal(38,0))) div count(1) as bigint)")
+          .as("mean_gap_us"),
+        max(when(col("r") === expr("1 + (n - 1) * 50 div 100"),
+          col("gap_us"))).as("p50_gap_us"),
+        max(when(col("r") === expr("1 + (n - 1) * 90 div 100"),
+          col("gap_us"))).as("p90_gap_us"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interarrival" -> interarrival _,
     "q_transition_entropy" -> transitionEntropy _,
     "q_session_features" -> sessionFeatures _,
     "q_burst_detect" -> burstDetect _,
@@ -1420,6 +1462,30 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same (user, type) lag window, same discrete rank positions
+    // (1 + (n-1)*q // 100 — integer, element-picking), truncating
+    // integer mean.
+    "q_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id, event_type
+        |           ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, gap_us,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY gap_us) AS r,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM g WHERE gap_us IS NOT NULL)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |       MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+        |       CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS mean_gap_us,
+        |       MAX(CASE WHEN r = 1 + (n - 1) * 50 // 100
+        |                THEN gap_us END) AS p50_gap_us,
+        |       MAX(CASE WHEN r = 1 + (n - 1) * 90 // 100
+        |                THEN gap_us END) AS p90_gap_us
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same per-user transition window as q_event_transitions, same
     // floor-quantized nano-nat contributions (fixed IEEE ln sequence
     // from exact integers), same modal tie rule.

@@ -1197,7 +1197,44 @@ object LlmOps {
       .orderBy("lang", "source")
   }
 
+  /** Token-weighted duplication inflation per source — the "which
+    * source is wasting my compute" number: of the tokens a source
+    * contributes, how many belong to docs that are NOT the canonical
+    * (min-doc_id) copy of their exact content hash. Doc-count dedup
+    * rates (q_dedup_corpus) understate the cost when the duplicated
+    * docs are long; training cost is paid in tokens, so the budget
+    * decision needs the token-weighted number. Canonical attribution
+    * is global (a source holding only copies of another source's
+    * docs shows 100% inflation — the right verdict for dedup order).
+    *
+    * Scale shape: content hash + token count are scan-side; ONE hash
+    * shuffle for the min-doc_id-per-hash window; the per-source
+    * combine agg is the only other movement. Never pairs, never a
+    * corpus join. */
+  def dupInflation(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, t(s, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        portableHash(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("canon",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("canon"), 1L).otherwise(0L))
+          .cast("long").as("n_canonical"),
+        sum(col("n_toks").cast("decimal(38,0)")).cast("long")
+          .as("tokens_total"),
+        sum(when(col("doc_id") === col("canon"), col("n_toks"))
+          .otherwise(0L).cast("decimal(38,0)")).cast("long")
+          .as("tokens_canonical"))
+      .select(col("source"), col("n_docs"), col("n_canonical"),
+        col("tokens_total"), col("tokens_canonical"),
+        expr("""cast(cast(tokens_total - tokens_canonical as decimal(38,0))
+          * 1000000 div tokens_total as bigint)""").as("dup_token_ppm"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_inflation" -> dupInflation _,
     "q_write_plan" -> writePlan _,
     "q_lsh_bucket_skew" -> lshBucketSkew _,
     "q_quality_vs_dup" -> qualityVsDup _,
@@ -1407,6 +1444,28 @@ object LlmOps {
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same portable content hash, same min-doc_id canonical rule,
+    // same truncating token ppm.
+    "q_dup_inflation" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST('0x' || substring(sha256(text), 1, 15) AS BIGINT)
+        |           AS h,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY h) AS canon FROM d)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id = canon THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_canonical,
+        |  CAST(SUM(n_toks) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(CASE WHEN doc_id = canon THEN n_toks ELSE 0 END)
+        |       AS BIGINT) AS tokens_canonical,
+        |  CAST((SUM(n_toks) - SUM(CASE WHEN doc_id = canon THEN n_toks
+        |                               ELSE 0 END)) * 1000000
+        |       // SUM(n_toks) AS BIGINT) AS dup_token_ppm
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // Same bounded cell grid, same ceil-divide file count, same
     // truncating share ppm — all integer.
     "q_write_plan" ->

@@ -1634,7 +1634,106 @@ object RelationalOps {
         max(col("c")).as("max_key_rows"))
       .orderBy("size_bin")
 
+  /** Incremental aggregate maintenance — the daily-rollup pattern a
+    * 100 TB warehouse lives on: the per-customer order rollup split
+    * into a BASE frame (orders before the pivot date — at scale a
+    * materialized table that never recomputes) and a DELTA frame (the
+    * live tail), merged by a full-outer coalesce-sum. The merged
+    * result is definitionally equal to the from-scratch rollup —
+    * which is exactly what the oracle checks, so the decomposition
+    * can't drift from the direct aggregate. Money in integer cents
+    * (floor(price·100), identical both engines), DECIMAL sums.
+    *
+    * Scale shape: two combine aggs (base + delta, each one hash
+    * exchange); both emit partitioned by the merge key, so the
+    * full-outer join adds NO exchange. At scale only the delta agg
+    * runs per refresh — the base is a stored table, and the merge
+    * cost is |touched keys|, not |history|. */
+  def deltaAgg(s: SparkSession, dir: String): DataFrame = {
+    val pivot = lit("1998-01-01").cast("timestamp")
+    val orders = t(s, dir, "orders").select(col("o_custkey"),
+      col("o_orderdate"),
+      expr("cast(floor(o_totalprice * cast(100 as double)) as bigint)")
+        .as("cents"))
+    def roll(df: DataFrame, suffix: String): DataFrame =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(s"n_$suffix"),
+          sum(col("cents").cast("decimal(38,0)")).cast("long")
+            .as(s"cents_$suffix"))
+    val base = roll(orders.where(col("o_orderdate") < pivot), "base")
+    val delta = roll(orders.where(col("o_orderdate") >= pivot), "delta")
+    base.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        (coalesce(col("n_base"), lit(0L)) +
+          coalesce(col("n_delta"), lit(0L))).as("n_total"),
+        (coalesce(col("cents_base"), lit(0L)) +
+          coalesce(col("cents_delta"), lit(0L))).as("total_cents"))
+      .orderBy("o_custkey")
+  }
+
+  /** Declarative data-quality rule battery (the Deequ/dbt-test
+    * shape): domain, range, uniqueness, and referential-integrity
+    * rules over lineitem/orders/customer, one result row per rule
+    * with checked/violation counts. Rules over the SAME table fuse
+    * into ONE conditional aggregate (a single scan emits all its
+    * rules' counters as columns, then explodes to rows — the Deequ
+    * trick), so adding a rule to a table costs zero extra scans.
+    * The uniqueness rule counts excess rows over distinct
+    * (l_orderkey, l_linenumber) pairs; the referential rule is a
+    * left-anti count of lineitem keys with no order.
+    *
+    * Scale shape: one scan + 1-row conditional agg per table; one
+    * combine agg for uniqueness; one anti join (shuffle on the key,
+    * AQE may broadcast at small SF). The 1-row frames cross-join
+    * only each other — bounded by the rule count. */
+  def dqRules(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val cnt = count(lit(1)).cast("long")
+    def viol(bad: Column): Column =
+      sum(when(bad, 1L).otherwise(0L)).cast("long")
+    def explodeRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+      df.agg(cnt.as("n_checked"),
+          rules.map { case (n, bad) => viol(bad).as(s"v_$n") }: _*)
+        .select(explode(array(rules.map { case (n, _) =>
+          struct(lit(n).as("rule"), col("n_checked"),
+            col(s"v_$n").as("n_violations")) }: _*)).as("r"))
+        .select(col("r.rule"), col("r.n_checked"), col("r.n_violations"))
+    val liRules = explodeRules(li, Seq(
+      "li_quantity_range" ->
+        (col("l_quantity") < 1.0 || col("l_quantity") > 50.0),
+      "li_discount_range" ->
+        (col("l_discount") < 0.0 || col("l_discount") > 0.08)))
+    val ordRules = explodeRules(t(s, dir, "orders"), Seq(
+      "ord_status_domain" -> !col("o_orderstatus").isin("O", "F", "P"),
+      "ord_priority_domain" -> !col("o_orderpriority").isin(
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))
+    val custRules = explodeRules(t(s, dir, "customer"), Seq(
+      "cu_acctbal_nonneg" -> (col("c_acctbal") < 0.0)))
+    val uniq = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).cast("long").as("n_checked"),
+        sum(col("c") - 1).cast("long").as("n_violations"))
+      .select(lit("li_linenumber_unique").as("rule"),
+        col("n_checked"), col("n_violations"))
+    val orphan = li.select(col("l_orderkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_violations"))
+      .crossJoin(broadcast(li.agg(cnt.as("n_checked"))))
+      .select(lit("li_orphan_orderkey").as("rule"),
+        col("n_checked"), col("n_violations"))
+    liRules.unionByName(ordRules).unionByName(custRules)
+      .unionByName(uniq).unionByName(orphan)
+      .select(col("rule"), col("n_checked"), col("n_violations"),
+        when(col("n_violations") === 0L, 1L).otherwise(0L).as("pass"))
+      .orderBy("rule")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_delta_agg" -> deltaAgg _,
+    "q_dq_rules" -> dqRules _,
     "q_fuzzy_blocked_join" -> fuzzyBlockedJoin _,
     "q_join_size_audit" -> joinSizeAudit _,
     "q_distinct_rollup" -> distinctRollup _,
@@ -1701,6 +1800,65 @@ object RelationalOps {
     "q_scalar_subquery" -> scalarSubquery _)
 
   val oracles: Map[String, String] = Map(
+    // The merged base+delta rollup is a partition of all orders, so
+    // the direct per-customer aggregate IS the oracle — the
+    // decomposition must reproduce it exactly. Integer cents.
+    "q_delta_agg" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        |  CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+        |  CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |       AS BIGINT) AS total_cents
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // Same rules, same counts: conditional aggregates per table,
+    // excess-over-distinct for uniqueness, anti-join count for the
+    // referential rule.
+    "q_dq_rules" ->
+      """WITH rules AS (
+        |  SELECT 'li_quantity_range' AS rule,
+        |         CAST(COUNT(*) AS BIGINT) AS n_checked,
+        |         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'li_discount_range', CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.08
+        |                       THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'ord_status_domain', CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |                       THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'ord_priority_domain', CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT',
+        |           '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+        |                       THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'cu_acctbal_nonneg', CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'li_linenumber_unique', CAST(SUM(c) AS BIGINT),
+        |         CAST(SUM(c - 1) AS BIGINT)
+        |  FROM (SELECT count(*) AS c FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL
+        |  SELECT 'li_orphan_orderkey',
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                            WHERE o.o_orderkey = l.l_orderkey)))
+        |SELECT rule, n_checked, n_violations,
+        |       CASE WHEN n_violations = 0 THEN CAST(1 AS BIGINT)
+        |            ELSE CAST(0 AS BIGINT) END AS pass
+        |FROM rules ORDER BY rule""".stripMargin,
     // Same distinct-name collapse, same last-token block, same
     // unit-cost levenshtein ≤ 2 — integer edit distances match.
     "q_fuzzy_blocked_join" ->

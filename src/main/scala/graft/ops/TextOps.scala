@@ -1511,7 +1511,93 @@ object TextOps {
           * 1000000 div n_occurrences as bigint)""").as("redundancy_ppm"))
       .orderBy("source")
 
+  /** (lang, gram_h) occurrence counts over the word-3-gram space —
+    * the shared vocabulary frame for the richness/concentration pair
+    * below. Grams travel as the codegen'd portable 60-bit hash (the
+    * q_repeat_ratio discipline: shuffle longs, not strings); ONE
+    * combine shuffle collapses the corpus to per-lang gram
+    * vocabularies. The unigram space is useless for these metrics on
+    * any corpus with a bounded word list — the gram space is where
+    * richness lives. */
+  private def langGramCounts(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir, spread = true)
+      .where(size(col("toks")) >= 3)
+      .select(col("lang"), explode(
+        graft.functions.PortableHashes.hashes(expr(
+          """transform(sequence(1, size(toks) - 2),
+            |  i -> concat(element_at(toks, i), ' ',
+            |              element_at(toks, i + 1), ' ',
+            |              element_at(toks, i + 2)))""".stripMargin)))
+        .as("gram_h"))
+      .groupBy(col("lang"), col("gram_h"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Hapax/dis-legomena profile per language over the 3-gram space —
+    * the lexical-richness tail that decides how much NEW text a
+    * language slice really brings (a high hapax share means the
+    * corpus is still discovering its distribution; near-zero means
+    * more data from this slice is mostly repetition — Heaps-law
+    * saturation, the static complement of q_vocab_saturation's
+    * growth curve). Exact truncating ppm shares of both the type
+    * inventory and the occurrence mass.
+    *
+    * Scale shape: the shared gram-vocabulary combine + a ≤ |langs|
+    * rollup — shuffles carry vocabularies, never the corpus. */
+  def hapaxRatio(s: SparkSession, dir: String): DataFrame =
+    langGramCounts(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c").cast("decimal(38,0)")).cast("long")
+          .as("n_occurrences"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_hapax"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).cast("long")
+          .as("n_dis"))
+      .select(col("lang"), col("n_types"), col("n_occurrences"),
+        col("n_hapax"), col("n_dis"),
+        expr("""cast(cast(n_hapax as decimal(38,0)) * 1000000
+          div n_types as bigint)""").as("hapax_type_ppm"),
+        expr("""cast(cast(n_hapax as decimal(38,0)) * 1000000
+          div n_occurrences as bigint)""").as("hapax_mass_ppm"))
+      .orderBy("lang")
+
+  /** Vocabulary-coverage knee points per language — the
+    * tokenizer-budget question asked directly: the smallest top-K
+    * gram set whose occurrence mass reaches 50/90/95% of the
+    * language's total. Concentrated languages (small k90) tokenize
+    * cheaply and dedup aggressively; flat ones don't. All integer:
+    * the threshold test is cum·100 ≥ total·q (no percentage
+    * doubles), ties in the ranking broken by gram hash.
+    *
+    * Scale shape: the shared gram-vocabulary combine, then ONE rank
+    * window + running sum per lang over VOCAB rows (the bounded
+    * frame every vocab op sorts — sub-linear in corpus size), and a
+    * ≤ |langs| rollup riding the window's partitioning. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val byLang = Window.partitionBy(col("lang"))
+    val ranked = Window.partitionBy(col("lang"))
+      .orderBy(col("c").desc, col("gram_h"))
+    langGramCounts(s, dir)
+      .withColumn("r", row_number().over(ranked).cast("long"))
+      .withColumn("cum", sum(col("c")).over(ranked
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .withColumn("total", sum(col("c")).over(byLang).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"),
+        max(col("total")).as("n_occurrences"),
+        min(when(col("cum") * 100 >= col("total") * 50, col("r")))
+          .as("k50"),
+        min(when(col("cum") * 100 >= col("total") * 90, col("r")))
+          .as("k90"),
+        min(when(col("cum") * 100 >= col("total") * 95, col("r")))
+          .as("k95"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hapax_ratio" -> hapaxRatio _,
+    "q_vocab_coverage" -> vocabCoverage _,
     "q_repeat_ratio" -> repeatRatio _,
     "q_source_overlap" -> sourceOverlap _,
     "q_zipf_fit" -> zipfFit _,
@@ -1555,6 +1641,71 @@ object TextOps {
     "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // Same hashed gram space keyed by lang, same count classes, same
+    // truncating ppms — all integer.
+    "q_hapax_ratio" ->
+      """WITH sh AS (
+        |  SELECT lang,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |c AS (
+        |  SELECT lang,
+        |         CAST('0x' || substring(sha256(gram), 1, 15) AS BIGINT)
+        |           AS gram_h,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT lang, unnest(shingles) AS gram FROM sh)
+        |  GROUP BY 1, 2)
+        |SELECT lang,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(sum(c) AS BIGINT) AS n_occurrences,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_hapax,
+        |       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dis,
+        |       CAST(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |            AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+        |         AS hapax_type_ppm,
+        |       CAST(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |            AS HUGEINT) * 1000000 // sum(c) AS BIGINT)
+        |         AS hapax_mass_ppm
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    // Same ranked vocabulary (count desc, hash tiebreak), same
+    // integer threshold test cum·100 ≥ total·q.
+    "q_vocab_coverage" ->
+      """WITH sh AS (
+        |  SELECT lang,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |c AS (
+        |  SELECT lang,
+        |         CAST('0x' || substring(sha256(gram), 1, 15) AS BIGINT)
+        |           AS gram_h,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT lang, unnest(shingles) AS gram FROM sh)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, c,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY c DESC, gram_h) AS BIGINT) AS r,
+        |         CAST(SUM(c) OVER (PARTITION BY lang
+        |           ORDER BY c DESC, gram_h
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |         CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT)
+        |           AS total
+        |  FROM c)
+        |SELECT lang,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       max(total) AS n_occurrences,
+        |       min(CASE WHEN cum * 100 >= total * 50 THEN r END) AS k50,
+        |       min(CASE WHEN cum * 100 >= total * 90 THEN r END) AS k90,
+        |       min(CASE WHEN cum * 100 >= total * 95 THEN r END) AS k95
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     // Same hashed gram space, same (source, gram) collapse, same
     // truncating redundancy ppm — all integer.
     "q_repeat_ratio" ->

@@ -1270,7 +1270,87 @@ object VectorOps {
       .limit(20)
   }
 
+  /** Embeddings as (id-cols, dim, vu) micro-unit rows: floors each
+    * float to floor(double(x)·1e6) scan-side INSIDE a transform (so
+    * the quantization is a projection, not an explode side-effect)
+    * then posexplodes. Shared by the power-iteration and drift ops. */
+  private def microDims(s: SparkSession, dir: String,
+                        idCols: Column*): DataFrame =
+    Tables.spread(s, t(s, dir, "embeddings"))
+      .select(idCols :+ posexplode(expr(
+        """transform(embedding,
+          |  x -> cast(floor(cast(x as double) * cast(1000000 as double))
+          |       as bigint))""".stripMargin)).as(Seq("dim", "vu")): _*)
+
+  /** One PCA power-iteration step, distributed and exactly integer:
+    * y = Xᵀ(X·v0) for the fixed seed direction v0 = 1⃗ — per vector
+    * the dot X·v0 is just the micro-unit component sum (scan-side
+    * HOF, no shuffle), and y_d = Σ_i s_i·x_{i,d} is one combine agg
+    * per dimension. The output direction profile (per-dim magnitude
+    * share of Σ|y|) is the first thing an embedding-health check
+    * reads: one dimension hoarding the variance means a collapsed or
+    * unnormalized encoder. Iterating this step (re-seeding v0 from
+    * y) is textbook power iteration; one step is the operator, the
+    * loop is an orchestration concern (the q_kmeans_step precedent).
+    *
+    * Scale shape: quantize + per-vector sum are scan-side; ONE
+    * combine agg to |dims| rows; the share denominator is a window
+    * over that bounded grid. Nothing corpus-sized moves. */
+  def pcaPower(s: SparkSession, dir: String): DataFrame = {
+    val svec = expr(
+      """aggregate(transform(embedding,
+        |  x -> cast(floor(cast(x as double) * cast(1000000 as double))
+        |       as bigint)),
+        |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin)
+    Tables.spread(s, t(s, dir, "embeddings"))
+      .select(svec.as("svec"), posexplode(expr(
+        """transform(embedding,
+          |  x -> cast(floor(cast(x as double) * cast(1000000 as double))
+          |       as bigint))""".stripMargin)).as(Seq("dim", "vu")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("cast(svec as decimal(38,0)) * vu")).as("y"))
+      .withColumn("tot", sum(abs(col("y"))).over(Window.partitionBy()))
+      .select(col("dim"), col("n_vecs"),
+        col("y").cast("long").as("y_u2"),
+        expr("""cast(abs(cast(y as decimal(38,0))) * 1000000
+          div tot as bigint)""").as("share_ppm"))
+      .orderBy("dim")
+  }
+
+  /** Per-label centroid drift vs the global centroid — the "did one
+    * class move" monitor for embedding refreshes and the imbalance
+    * check before IVF training (a label far from the global mean
+    * pulls coarse centroids toward itself). Centroids are exact
+    * integer per-dim means (truncating division of decimal sums);
+    * the per-label summary is the squared distance to the global
+    * centroid plus the raw dot — both exact integers, no sqrt/cosine
+    * doubles anywhere.
+    *
+    * Scale shape: one (label, dim) combine agg and one (dim) combine
+    * agg over the same scan; the global |dims|-row centroid
+    * broadcasts back; the final rollup is over the bounded
+    * |labels|·|dims| frame. */
+  def centroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val x = microDims(s, dir, col("label").cast("long").as("label"))
+    val mean = expr(
+      "cast(sum(cast(vu as decimal(38,0))) div count(1) as bigint)")
+    val byLabel = x.groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), mean.as("m"))
+    val global = x.groupBy(col("dim")).agg(mean.as("g"))
+    byLabel.join(broadcast(global), "dim")
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(expr("cast(m - g as decimal(38,0)) * (m - g)")).cast("long")
+          .as("dist2_u2"),
+        sum(expr("cast(m as decimal(38,0)) * g")).cast("long")
+          .as("dot_u2"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pca_power" -> pcaPower _,
+    "q_centroid_drift" -> centroidDrift _,
     "q_embedding_outliers" -> embeddingOutliers _,
     "q_hubness" -> hubness _,
     "q_kcenter_select" -> kcenterSelect _,
@@ -1546,6 +1626,50 @@ object VectorOps {
   }
 
   lazy val oracles: Map[String, String] = Map(
+    // Same micro-unit floors, same per-vector component sum, same
+    // HUGEINT y sums and truncating share ppm — bit-exact.
+    "q_pca_power" ->
+      """WITH v AS (
+        |  SELECT list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0)
+        |                AS BIGINT)) AS vu
+        |  FROM embeddings),
+        |s AS (SELECT vu, CAST(list_sum(vu) AS BIGINT) AS svec FROM v),
+        |x AS (SELECT svec, unnest(range(0, len(vu))) AS dim,
+        |             unnest(vu) AS vud
+        |      FROM s),
+        |y AS (SELECT CAST(dim AS BIGINT) AS dim,
+        |             CAST(count(*) AS BIGINT) AS n_vecs,
+        |             sum(CAST(svec AS HUGEINT) * vud) AS y
+        |      FROM x GROUP BY 1)
+        |SELECT dim, n_vecs, CAST(y AS BIGINT) AS y_u2,
+        |       CAST(abs(y) * 1000000 //
+        |            (SELECT sum(abs(y)) FROM y) AS BIGINT) AS share_ppm
+        |FROM y ORDER BY dim""".stripMargin,
+    // Same integer centroid means, same exact integer distance/dot
+    // sums over the bounded (label, dim) frame.
+    "q_centroid_drift" ->
+      """WITH x AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         unnest(range(0, len(embedding))) AS dim,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+        |           AS BIGINT) AS vu
+        |  FROM embeddings),
+        |bl AS (
+        |  SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(vu AS HUGEINT)) // count(*) AS BIGINT) AS m
+        |  FROM x GROUP BY 1, 2),
+        |g AS (
+        |  SELECT dim,
+        |         CAST(sum(CAST(vu AS HUGEINT)) // count(*) AS BIGINT) AS g
+        |  FROM x GROUP BY 1)
+        |SELECT bl.label, max(bl.n) AS n_vecs,
+        |       CAST(sum(CAST(bl.m - g.g AS HUGEINT) * (bl.m - g.g))
+        |            AS BIGINT) AS dist2_u2,
+        |       CAST(sum(CAST(bl.m AS HUGEINT) * g.g) AS BIGINT)
+        |         AS dot_u2
+        |FROM bl JOIN g ON bl.dim = g.dim
+        |GROUP BY bl.label ORDER BY bl.label""".stripMargin,
     // Same micro-unit floor, same integer centroid division, same
     // HUGEINT squared-distance sums, same (dist desc, vec_id) order.
     "q_embedding_outliers" ->

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{EventOps, LlmOps, RelationalOps, TextOps, VectorOps}
+
+/** Invariants of the round-8 operators beyond the DuckDB hash gate:
+  * properties that must hold at ANY scale, not just equality at the
+  * gate SF.
+  */
+class R8OpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("interarrival: order statistics bracket correctly per type") {
+    val rows = EventOps.interarrival(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mn, mx) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (mean, p50, p90) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(n > 0 && mn >= 0)
+      assert(mn <= p50 && p50 <= p90 && p90 <= mx)
+      assert(mn <= mean && mean <= mx)
+    }
+  }
+
+  test("delta agg: the merge reproduces the direct rollup exactly") {
+    val merged = RelationalOps.deltaAgg(spark, sfDir)
+    val direct = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(expr("cast(floor(o_totalprice * cast(100 as double)) as bigint)")
+          .cast("decimal(38,0)")).cast("long").as("total_cents"))
+    val diff = merged.select("o_custkey", "n_total", "total_cents")
+      .exceptAll(direct.select("o_custkey", "n_total", "total_cents"))
+    assert(diff.isEmpty, "base+delta merge drifted from the direct rollup")
+    // base + delta partitions the count
+    assert(merged.where(col("n_base") + col("n_delta") =!= col("n_total"))
+      .isEmpty)
+  }
+
+  test("dq rules: battery is complete, counts are consistent") {
+    val rows = RelationalOps.dqRules(spark, sfDir).collect()
+    val byRule = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byRule.keySet == Set(
+      "li_quantity_range", "li_discount_range", "li_linenumber_unique",
+      "li_orphan_orderkey", "ord_status_domain", "ord_priority_domain",
+      "cu_acctbal_nonneg"))
+    rows.foreach { r =>
+      val (checked, viol, pass) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(viol >= 0 && viol <= checked)
+      assert(pass == (if (viol == 0) 1L else 0L))
+    }
+    // referential integrity holds in the synthetic data; the
+    // uniqueness rule genuinely fires (duplicated line numbers exist)
+    assert(byRule("li_orphan_orderkey")._2 == 0L)
+    assert(byRule("li_linenumber_unique")._2 > 0L)
+    // all three lineitem-count-checked rules saw the same row count
+    assert(byRule("li_quantity_range")._1 == byRule("li_orphan_orderkey")._1)
+  }
+
+  test("dup inflation: canonical tokens bound totals; global sums agree") {
+    val rows = LlmOps.dupInflation(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // canonical docs <= docs
+      assert(r.getLong(4) <= r.getLong(3)) // canonical toks <= toks
+      val ppm = r.getLong(5)
+      assert(ppm >= 0 && ppm <= 1000000L)
+    }
+    // across sources, canonical docs = number of distinct content
+    // hashes in the corpus
+    val distinctHashes = Tables(spark, sfDir, "documents")
+      .select(sha2(col("text"), 256)).distinct.count()
+    assert(rows.map(_.getLong(2)).sum == distinctHashes)
+  }
+
+  test("hapax ratio: count classes partition consistently") {
+    val rows = TextOps.hapaxRatio(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (types, occ) = (r.getLong(1), r.getLong(2))
+      val (hapax, dis) = (r.getLong(3), r.getLong(4))
+      assert(hapax + dis <= types)
+      assert(occ >= types) // every type occurs at least once
+      assert(r.getLong(5) <= 1000000L && r.getLong(6) <= 1000000L)
+    }
+  }
+
+  test("vocab coverage: knee points are ordered and within the vocab") {
+    val rows = TextOps.vocabCoverage(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (types, k50, k90, k95) =
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(1 <= k50 && k50 <= k90 && k90 <= k95 && k95 <= types)
+    }
+  }
+
+  test("pca power: shares sum to ~1e6 over the dims grid") {
+    val rows = VectorOps.pcaPower(spark, sfDir).collect()
+    assert(rows.length > 0)
+    val shareSum = rows.map(_.getLong(3)).sum
+    // truncating ppm divisions lose < 1 ppm per dim
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - rows.length)
+    assert(rows.forall(_.getLong(1) == rows.head.getLong(1)),
+      "every dim sees every vector")
+  }
+
+  test("centroid drift: label centroids straddle the global centroid") {
+    val rows = VectorOps.centroidDrift(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) >= 0L)) // squared distance
+    // the global centroid is the n-weighted mean of label centroids
+    // (up to integer truncation): not all labels can drift the same
+    // signed direction, so min dist2 should be small relative to max
+    // — weak sanity only; the strong check is the oracle hash.
+    val n = rows.map(_.getLong(1)).sum
+    val total = Tables(spark, sfDir, "embeddings").count()
+    assert(n == total, "label partition must cover all vectors")
+  }
+}

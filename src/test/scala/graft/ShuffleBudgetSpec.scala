@@ -378,6 +378,36 @@ class ShuffleBudgetSpec extends SparkSpec {
     }
   }
 
+  test("r8 eighth-wave ops hold their declared shuffle budgets") {
+    for ((name, budget) <- Seq(
+      // ONE (user, type) window exchange + ONE type exchange carrying
+      // the rank window, the count window, and the combine agg
+      "q_interarrival" -> 2,
+      // base + delta combine aggs; the full-outer merge reuses their
+      // partitioning (+1 headroom for an AQE broadcast at tiny SF)
+      "q_delta_agg" -> 3,
+      // uniqueness combine + the anti join's two sides; per-table
+      // conditional aggs are 1-row single-partition reductions, not
+      // hash movement
+      "q_dq_rules" -> 4,
+      // content-hash window + per-source combine
+      "q_dup_inflation" -> 2,
+      // (lang, gram) vocabulary combine + bounded per-lang rollup
+      "q_hapax_ratio" -> 2,
+      // the same vocabulary combine + ONE lang exchange shared by the
+      // rank window, running sum, total window, and final agg
+      "q_vocab_coverage" -> 2,
+      // per-vector sum is scan-side; ONE dim combine; the share
+      // window rides the bounded |dims| grid
+      "q_pca_power" -> 1,
+      // (label, dim) + (dim) combines over one scan; broadcast
+      // centroid join; bounded per-label rollup
+      "q_centroid_drift" -> 3)) {
+      val n = hashExchanges(q(name))
+      assert(n <= budget, s"$name over budget: $n > $budget")
+    }
+  }
+
   test("broadcast-side similarity search never shuffles the corpus scan") {
     // brute-force top-k: the only hash exchange allowed is the final
     // per-query ranking of the tiny (queries x k) candidate frame
