@@ -1416,7 +1416,49 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Whale-concentration audit per event type — how much of the
+    * value mass the top-20 users carry (and the single heaviest
+    * user): the revenue-concentration / abuse-detection number that
+    * decides whether a per-user cap or a dedicated shard is needed.
+    * Value mass in exact micro-units; shares as truncating ppm.
+    *
+    * Scale shape: one (type, user) combine agg collapses events to
+    * per-user masses; ONE type exchange then carries the total
+    * window, the rank window, and the rollup. The rank ≤ 20 filter
+    * plans as WindowGroupLimit (per-partition top-k pruning before
+    * the full sort materializes) — the user frame is never globally
+    * sorted. */
+  def whaleShare(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val ranked = Window.partitionBy(col("event_type"))
+      .orderBy(col("mass_u").desc, col("user_id"))
+    events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("cast(floor(value * cast(1000000 as double)) as bigint)")
+          .as("vu"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("vu").cast("decimal(38,0)")).cast("long").as("mass_u"))
+      .withColumn("total_u", sum(col("mass_u")).over(byType).cast("long"))
+      .withColumn("n_users", count(lit(1)).over(byType))
+      .withColumn("rk", row_number().over(ranked))
+      .where(col("rk") <= 20)
+      .groupBy(col("event_type"))
+      .agg(max(col("n_users")).as("n_users"),
+        max(col("total_u")).as("total_u"),
+        sum(col("mass_u").cast("decimal(38,0)")).cast("long")
+          .as("top20_u"),
+        max(when(col("rk") === 1, col("mass_u"))).as("top1_u"))
+      .select(col("event_type"), col("n_users"), col("total_u"),
+        col("top20_u"), col("top1_u"),
+        expr("""cast(cast(top20_u as decimal(38,0)) * 1000000
+          div total_u as bigint)""").as("top20_ppm"),
+        expr("""cast(cast(top1_u as decimal(38,0)) * 1000000
+          div total_u as bigint)""").as("top1_ppm"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_whale_share" -> whaleShare _,
     "q_interarrival" -> interarrival _,
     "q_transition_entropy" -> transitionEntropy _,
     "q_session_features" -> sessionFeatures _,
@@ -1462,6 +1504,34 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same micro-unit masses, same (mass desc, user) rank, same
+    // truncating ppm shares.
+    "q_whale_share" ->
+      """WITH m AS (
+        |  SELECT event_type, user_id,
+        |         CAST(sum(CAST(floor(value * CAST(1000000 AS DOUBLE))
+        |              AS BIGINT)) AS BIGINT) AS mass_u
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *,
+        |         CAST(sum(mass_u) OVER (PARTITION BY event_type)
+        |              AS BIGINT) AS total_u,
+        |         CAST(count(*) OVER (PARTITION BY event_type)
+        |              AS BIGINT) AS n_users,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |           ORDER BY mass_u DESC, user_id) AS rk
+        |  FROM m)
+        |SELECT event_type, max(n_users) AS n_users,
+        |       max(total_u) AS total_u,
+        |       CAST(sum(mass_u) AS BIGINT) AS top20_u,
+        |       max(CASE WHEN rk = 1 THEN mass_u END) AS top1_u,
+        |       CAST(CAST(sum(mass_u) AS HUGEINT) * 1000000
+        |            // max(total_u) AS BIGINT) AS top20_ppm,
+        |       CAST(CAST(max(CASE WHEN rk = 1 THEN mass_u END)
+        |            AS HUGEINT) * 1000000 // max(total_u) AS BIGINT)
+        |         AS top1_ppm
+        |FROM w WHERE rk <= 20
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same (user, type) lag window, same discrete rank positions
     // (1 + (n-1)*q // 100 — integer, element-picking), truncating
     // integer mean.

@@ -1731,7 +1731,50 @@ object RelationalOps {
       .orderBy("rule")
   }
 
+  /** RFM (recency / frequency / monetary) customer segmentation —
+    * the marketing-warehouse workhorse: per customer, days since
+    * last order (pure integer day arithmetic — epoch_us div 86400e6,
+    * no calendar functions to disagree on), order count, and
+    * lifetime cents, each scored 1–4 by FIXED business cuts and
+    * packed into a 3-digit segment code. Fixed cuts (not in-data
+    * quantiles) are deliberate: segment membership stays stable as
+    * the corpus grows, and the scoring is a pure projection — the
+    * quantile-cut variant would need a global rank (see
+    * q_sort_boundaries for how that's planned at scale).
+    *
+    * Scale shape: ONE per-customer combine agg; the corpus max day
+    * is a 1-row reduce cross-joined back (broadcast literal); the
+    * scoring is scan-side arithmetic. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").select(col("o_custkey"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .as("day"),
+      expr("cast(floor(o_totalprice * cast(100 as double)) as bigint)")
+        .as("cents"))
+    val maxDay = orders.agg(max(col("day")).as("corpus_max_day"))
+    def score(c: Column, c4: Long, c3: Long, c2: Long): Column =
+      when(c >= c4, 4L).when(c >= c3, 3L).when(c >= c2, 2L).otherwise(1L)
+    orders.groupBy(col("o_custkey"))
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("cents").cast("decimal(38,0)")).cast("long")
+          .as("monetary_cents"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("o_custkey"),
+        (col("corpus_max_day") - col("last_day")).as("recency_days"),
+        col("frequency"), col("monetary_cents"),
+        score(-(col("corpus_max_day") - col("last_day")),
+          -180L, -365L, -730L).as("r_score"),
+        score(col("frequency"), 12L, 6L, 3L).as("f_score"),
+        score(col("monetary_cents"), 200000000L, 100000000L, 50000000L)
+          .as("m_score"))
+      .withColumn("segment",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm_segments" -> rfmSegments _,
     "q_delta_agg" -> deltaAgg _,
     "q_dq_rules" -> dqRules _,
     "q_fuzzy_blocked_join" -> fuzzyBlockedJoin _,
@@ -1800,6 +1843,43 @@ object RelationalOps {
     "q_scalar_subquery" -> scalarSubquery _)
 
   val oracles: Map[String, String] = Map(
+    // Same integer day arithmetic, same fixed cuts, same packed
+    // segment code.
+    "q_rfm_segments" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         epoch_us(o_orderdate) // 86400000000 AS day,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |a AS (
+        |  SELECT o_custkey, max(day) AS last_day,
+        |         CAST(count(*) AS BIGINT) AS frequency,
+        |         CAST(sum(cents) AS BIGINT) AS monetary_cents
+        |  FROM o GROUP BY 1),
+        |r AS (
+        |  SELECT o_custkey,
+        |         (SELECT max(day) FROM o) - last_day AS recency_days,
+        |         frequency, monetary_cents
+        |  FROM a),
+        |sc AS (
+        |  SELECT *,
+        |    CASE WHEN recency_days <= 180 THEN 4 WHEN recency_days <= 365
+        |         THEN 3 WHEN recency_days <= 730 THEN 2 ELSE 1 END AS r_score,
+        |    CASE WHEN frequency >= 12 THEN 4 WHEN frequency >= 6 THEN 3
+        |         WHEN frequency >= 3 THEN 2 ELSE 1 END AS f_score,
+        |    CASE WHEN monetary_cents >= 200000000 THEN 4
+        |         WHEN monetary_cents >= 100000000 THEN 3
+        |         WHEN monetary_cents >= 50000000 THEN 2
+        |         ELSE 1 END AS m_score
+        |  FROM r)
+        |SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+        |       frequency, monetary_cents,
+        |       CAST(r_score AS BIGINT) AS r_score,
+        |       CAST(f_score AS BIGINT) AS f_score,
+        |       CAST(m_score AS BIGINT) AS m_score,
+        |       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+        |         AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin,
     // The merged base+delta rollup is a partition of all orders, so
     // the direct per-customer aggregate IS the oracle — the
     // decomposition must reproduce it exactly. Integer cents.

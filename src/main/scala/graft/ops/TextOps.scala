@@ -1595,7 +1595,35 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Shared-head boilerplate clusters — the template-detector a web
+    * corpus runs before span-level dedup: docs grouped by the hash
+    * of their FIRST 3 tokens (the header/banner position), clusters
+    * of ≥ 2 docs reported with size, how many sources they span
+    * (cross-source heads are injected boilerplate, single-source
+    * heads are house templates), and the min-doc_id exemplar.
+    * Complements q_substring_spans (any-position spans) with the
+    * position-anchored head signal at a fraction of the cost — one
+    * hash per doc, not one per span.
+    *
+    * Scale shape: head hash is scan-side; ONE combine agg on the
+    * head hash (distinct-source count is bounded by |sources| inside
+    * the agg state); the ≥ 2 filter prunes to the cluster frame. */
+  def prefixCluster(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir, spread = true)
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("source"),
+        expr(ph("""concat(element_at(toks, 1), ' ',
+          element_at(toks, 2), ' ', element_at(toks, 3))"""))
+          .as("head_h"))
+      .groupBy(col("head_h"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("exemplar_doc_id"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("head_h"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_prefix_cluster" -> prefixCluster _,
     "q_hapax_ratio" -> hapaxRatio _,
     "q_vocab_coverage" -> vocabCoverage _,
     "q_repeat_ratio" -> repeatRatio _,
@@ -1641,6 +1669,22 @@ object TextOps {
     "CAST('0x' || substring(sha256(%s), 1, 15) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // Same head hash, same cluster threshold, same (size desc, hash)
+    // order.
+    "q_prefix_cluster" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         CAST('0x' || substring(sha256(
+        |           string_split(text, ' ')[1] || ' ' ||
+        |           string_split(text, ' ')[2] || ' ' ||
+        |           string_split(text, ' ')[3]), 1, 15) AS BIGINT)
+        |           AS head_h
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT head_h, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       min(doc_id) AS exemplar_doc_id
+        |FROM h GROUP BY head_h HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, head_h""".stripMargin,
     // Same hashed gram space keyed by lang, same count classes, same
     // truncating ppms — all integer.
     "q_hapax_ratio" ->

@@ -1348,7 +1348,40 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** Norm-band histogram per label — the encoder-health check that
+    * catches norm collapse (a label's vectors shrinking toward zero)
+    * and norm explosion before either poisons cosine rankings:
+    * squared norm in exact integer micro-units² per vector
+    * (scan-side fold over the short dim array), banded by bitlength
+    * (the exact integer log2 both engines share), counted per
+    * (label, band) with the band's min/max. A healthy encoder puts
+    * every label in 1–2 adjacent bands; a spread or a shifted band
+    * is the drift signal q_centroid_drift can't see (it tracks
+    * direction, this tracks magnitude).
+    *
+    * Scale shape: quantize + square-sum + band are all scan-side
+    * projections; ONE combine agg to the bounded |labels| × ≤64-band
+    * grid. Zero window functions, zero joins. */
+  def normBands(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, t(s, dir, "embeddings"))
+      .select(col("label").cast("long").as("label"),
+        expr("""aggregate(transform(embedding,
+          |  x -> cast(floor(cast(x as double) * cast(1000000 as double))
+          |       as bigint)),
+          |  cast(0 as decimal(38,0)), (a, x) -> a + cast(x as decimal(38,0)) * x)"""
+          .stripMargin).cast("long").as("norm2_u2"))
+      .select(col("label"), col("norm2_u2"),
+        when(col("norm2_u2") > 0L,
+          length(expr("bin(norm2_u2)")).cast("long")).otherwise(0L)
+          .as("band"))
+      .groupBy(col("label"), col("band"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("norm2_u2")).as("min_norm2_u2"),
+        max(col("norm2_u2")).as("max_norm2_u2"))
+      .orderBy("label", "band")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_norm_bands" -> normBands _,
     "q_pca_power" -> pcaPower _,
     "q_centroid_drift" -> centroidDrift _,
     "q_embedding_outliers" -> embeddingOutliers _,
@@ -1626,6 +1659,27 @@ object VectorOps {
   }
 
   lazy val oracles: Map[String, String] = Map(
+    // Same micro-unit squares, same bitlength bands (bin() length =
+    // exact integer log2 in both engines; 0 → band 0).
+    "q_norm_bands" ->
+      """WITH n AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         CAST(list_sum(list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0)
+        |                AS HUGEINT) *
+        |                CAST(floor(CAST(x AS DOUBLE) * 1000000.0)
+        |                AS BIGINT))) AS BIGINT) AS norm2_u2
+        |  FROM embeddings)
+        |SELECT label, norm2_u2_band AS band,
+        |       CAST(count(*) AS BIGINT) AS n_vecs,
+        |       min(norm2_u2) AS min_norm2_u2,
+        |       max(norm2_u2) AS max_norm2_u2
+        |FROM (SELECT label, norm2_u2,
+        |             CASE WHEN norm2_u2 > 0
+        |                  THEN CAST(length(bin(norm2_u2)) AS BIGINT)
+        |                  ELSE CAST(0 AS BIGINT) END AS norm2_u2_band
+        |      FROM n)
+        |GROUP BY label, band ORDER BY label, band""".stripMargin,
     // Same micro-unit floors, same per-vector component sum, same
     // HUGEINT y sums and truncating share ppm — bit-exact.
     "q_pca_power" ->

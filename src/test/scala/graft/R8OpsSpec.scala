@@ -105,6 +105,63 @@ class R8OpsSpec extends SparkSpec {
       "every dim sees every vector")
   }
 
+  test("rfm segments: scores respect the cuts and pack into the code") {
+    val rows = RelationalOps.rfmSegments(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rec, freq, cents) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (rs, fs, ms, seg) =
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(rec >= 0)
+      assert(seg == rs * 100 + fs * 10 + ms)
+      assert(rs == (if (rec <= 180) 4 else if (rec <= 365) 3
+        else if (rec <= 730) 2 else 1))
+      assert(fs == (if (freq >= 12) 4 else if (freq >= 6) 3
+        else if (freq >= 3) 2 else 1))
+      assert(ms == (if (cents >= 200000000L) 4
+        else if (cents >= 100000000L) 3
+        else if (cents >= 50000000L) 2 else 1))
+    }
+  }
+
+  test("whale share: top-1 <= top-20 <= total; ppms consistent") {
+    val rows = EventOps.whaleShare(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nUsers, total) = (r.getLong(1), r.getLong(2))
+      val (top20, top1) = (r.getLong(3), r.getLong(4))
+      assert(top1 <= top20 && top20 <= total)
+      assert(r.getLong(5) <= 1000000L && r.getLong(6) <= r.getLong(5))
+      // with <= 20 users, the top-20 mass IS the total
+      if (nUsers <= 20) assert(top20 == total && r.getLong(5) == 1000000L)
+    }
+  }
+
+  test("prefix cluster: every cluster has >= 2 docs, sources bounded") {
+    val rows = TextOps.prefixCluster(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2)
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1))
+    }
+    // ordered by size desc
+    val sizes = rows.map(_.getLong(1)).toSeq
+    assert(sizes == sizes.sorted.reverse)
+  }
+
+  test("norm bands: bands bracket their min/max; counts cover the corpus") {
+    val rows = VectorOps.normBands(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (band, mn, mx) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(mn <= mx)
+      if (band > 0) {
+        assert(64L - java.lang.Long.numberOfLeadingZeros(mn) == band)
+        assert(64L - java.lang.Long.numberOfLeadingZeros(mx) == band)
+      } else assert(mn == 0L && mx == 0L)
+    }
+    val total = Tables(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+  }
+
   test("centroid drift: label centroids straddle the global centroid") {
     val rows = VectorOps.centroidDrift(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -402,7 +402,18 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_pca_power" -> 1,
       // (label, dim) + (dim) combines over one scan; broadcast
       // centroid join; bounded per-label rollup
-      "q_centroid_drift" -> 3)) {
+      "q_centroid_drift" -> 3,
+      // ONE per-customer combine; corpus max day is a 1-row reduce
+      // broadcast back; scoring is scan-side
+      "q_rfm_segments" -> 1,
+      // (type, user) mass combine + ONE type exchange for the
+      // total/rank windows and rollup
+      "q_whale_share" -> 2,
+      // head hash scan-side + ONE combine on it; the exact distinct
+      // source count costs the documented expand pass
+      "q_prefix_cluster" -> 2,
+      // everything scan-side; ONE combine to the bounded band grid
+      "q_norm_bands" -> 1)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
