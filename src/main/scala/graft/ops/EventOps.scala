@@ -1457,7 +1457,70 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** View→purchase conversion-lag distribution — the time-to-event
+    * number a growth team reads next to q_funnel's step counts: per
+    * user, the lag from the FIRST view to the first purchase at or
+    * after it; summarized as a bitlength-µs histogram (log-scale
+    * bands, bounded output at any corpus size) with per-band exact
+    * min/max/truncating mean. A per-lag exact percentile would need
+    * a GLOBAL rank over converted users — the single-partition
+    * window trap; the log histogram answers the same "minutes or
+    * days?" question scale-free.
+    *
+    * Scale shape: first-view timestamp rides ONE per-user window
+    * exchange; the purchase filter + per-user lag combine reuse that
+    * partitioning; the band combine is bounded (≤64 rows). */
+  def conversionLag(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val lags = events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .withColumn("first_view_us",
+        min(when(col("event_type") === "view", col("ts_us"))).over(byUser))
+      .where(col("event_type") === "purchase" &&
+        col("first_view_us").isNotNull &&
+        col("ts_us") >= col("first_view_us"))
+      .groupBy(col("user_id"))
+      .agg((min(col("ts_us")) - max(col("first_view_us"))).as("lag_us"))
+    lags
+      .select(col("lag_us"),
+        when(col("lag_us") > 0L,
+          length(expr("bin(lag_us)")).cast("long")).otherwise(0L)
+          .as("band"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("lag_us")).as("min_lag_us"),
+        max(col("lag_us")).as("max_lag_us"),
+        expr("cast(sum(cast(lag_us as decimal(38,0))) div count(1) as bigint)")
+          .as("mean_lag_us"))
+      .orderBy("band")
+  }
+
+  /** Error-rate SLO burn per hour — the on-call dashboard query: per
+    * absolute hour bucket, total events, error events, the error
+    * rate in exact ppm, and whether the hour breached a 1% (10 000
+    * ppm) budget. The hour grid is bounded by the corpus time span;
+    * everything is one combine agg over it — the cheapest possible
+    * shape for a rate monitor, and the batch twin of what
+    * StreamingWindows computes incrementally.
+    *
+    * Scale shape: ONE combine agg on the hour grid; rate + breach
+    * are projections over grid rows. */
+  def sloBurn(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(expr("ts_us div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .cast("long").as("n_errors"))
+      .select(col("hour"), col("n_events"), col("n_errors"),
+        expr("""cast(cast(n_errors as decimal(38,0)) * 1000000
+          div n_events as bigint)""").as("error_ppm"))
+      .withColumn("breach",
+        when(col("error_ppm") > 10000L, 1L).otherwise(0L))
+      .orderBy("hour")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_conversion_lag" -> conversionLag _,
+    "q_slo_burn" -> sloBurn _,
     "q_whale_share" -> whaleShare _,
     "q_interarrival" -> interarrival _,
     "q_transition_entropy" -> transitionEntropy _,
@@ -1504,6 +1567,47 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same first-view window, same at-or-after purchase rule, same
+    // bitlength bands and truncating mean.
+    "q_conversion_lag" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |w AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+        |              OVER (PARTITION BY user_id) AS first_view_us
+        |  FROM e),
+        |lags AS (
+        |  SELECT user_id,
+        |         min(ts_us) - max(first_view_us) AS lag_us
+        |  FROM w
+        |  WHERE event_type = 'purchase' AND first_view_us IS NOT NULL
+        |    AND ts_us >= first_view_us
+        |  GROUP BY user_id),
+        |b AS (
+        |  SELECT lag_us,
+        |         CASE WHEN lag_us > 0
+        |              THEN CAST(length(bin(lag_us)) AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS band
+        |  FROM lags)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_users,
+        |       min(lag_us) AS min_lag_us, max(lag_us) AS max_lag_us,
+        |       CAST(sum(lag_us) // count(*) AS BIGINT) AS mean_lag_us
+        |FROM b GROUP BY band ORDER BY band""".stripMargin,
+    // Same hour grid, same integer ppm rate and breach threshold.
+    "q_slo_burn" ->
+      """SELECT epoch_us(ts) // 3600000000 AS hour,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_errors,
+        |       CAST(CAST(sum(CASE WHEN event_type = 'error' THEN 1
+        |                          ELSE 0 END) AS HUGEINT) * 1000000
+        |            // count(*) AS BIGINT) AS error_ppm,
+        |       CASE WHEN CAST(sum(CASE WHEN event_type = 'error' THEN 1
+        |                              ELSE 0 END) AS HUGEINT) * 1000000
+        |                 // count(*) > 10000
+        |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |         AS breach
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
     // Same micro-unit masses, same (mass desc, user) rank, same
     // truncating ppm shares.
     "q_whale_share" ->

@@ -1233,7 +1233,49 @@ object LlmOps {
           * 1000000 div tokens_total as bigint)""").as("dup_token_ppm"))
       .orderBy("source")
 
+  /** Per-source dataset card — the one-row-per-source datasheet a
+    * corpus release ships: doc and token inventory, language spread
+    * with the dominant language (modal, smallest-lang tie rule),
+    * and the within-source exact-dup rate (docs minus distinct
+    * content hashes, doc-weighted — the global token-weighted view
+    * is q_dup_inflation's job). One query instead of a notebook of
+    * five.
+    *
+    * Scale shape: one (source, lang) combine for the language
+    * profile (bounded grid, modal via the cmax-window-over-grid
+    * rule); one per-source combine carrying token sums + the exact
+    * distinct-hash count (2-phase); the two ≤ |sources| frames
+    * broadcast-join. */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(s, t(s, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        portableHash(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val langGrid = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val bySource = Window.partitionBy(col("source"))
+    val langProfile = langGrid
+      .withColumn("cmax", max(col("c")).over(bySource))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"),
+        min(when(col("c") === col("cmax"), col("lang")))
+          .as("dominant_lang"))
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("h")).as("n_distinct"),
+        sum(col("n_toks").cast("decimal(38,0)")).cast("long")
+          .as("tokens_total"))
+    stats.join(broadcast(langProfile), "source")
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("dominant_lang"), col("tokens_total"),
+        expr("tokens_total div n_docs").as("mean_tokens"),
+        expr("""cast(cast(n_docs - n_distinct as decimal(38,0))
+          * 1000000 div n_docs as bigint)""").as("within_dup_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dataset_card" -> datasetCard _,
     "q_dup_inflation" -> dupInflation _,
     "q_write_plan" -> writePlan _,
     "q_lsh_bucket_skew" -> lshBucketSkew _,
@@ -1444,6 +1486,37 @@ object LlmOps {
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same language grid + modal tie rule, same distinct-hash dup
+    // count, same truncating integer divisions.
+    "q_dataset_card" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang,
+        |         CAST('0x' || substring(sha256(text), 1, 15) AS BIGINT)
+        |           AS h,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |lg AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2),
+        |lp AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+        |         min(CASE WHEN c = cmax THEN lang END) AS dominant_lang
+        |  FROM (SELECT *, max(c) OVER (PARTITION BY source) AS cmax
+        |        FROM lg)
+        |  GROUP BY source),
+        |st AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+        |         CAST(sum(n_toks) AS BIGINT) AS tokens_total
+        |  FROM d GROUP BY source)
+        |SELECT st.source, st.n_docs, lp.n_langs, lp.dominant_lang,
+        |       st.tokens_total,
+        |       CAST(st.tokens_total // st.n_docs AS BIGINT)
+        |         AS mean_tokens,
+        |       CAST(CAST(st.n_docs - st.n_distinct AS HUGEINT) * 1000000
+        |            // st.n_docs AS BIGINT) AS within_dup_ppm
+        |FROM st JOIN lp ON st.source = lp.source
+        |ORDER BY st.source""".stripMargin,
     // Same portable content hash, same min-doc_id canonical rule,
     // same truncating token ppm.
     "q_dup_inflation" ->

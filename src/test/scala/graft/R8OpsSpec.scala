@@ -162,6 +162,44 @@ class R8OpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == total)
   }
 
+  test("conversion lag: bands bracket lags; lags are non-negative") {
+    val rows = EventOps.conversionLag(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (band, mn, mx, mean) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mn >= 0 && mn <= mean && mean <= mx)
+      if (band > 0) {
+        assert(64L - java.lang.Long.numberOfLeadingZeros(mn) == band)
+        assert(64L - java.lang.Long.numberOfLeadingZeros(mx) == band)
+      }
+    }
+  }
+
+  test("slo burn: error counts bound totals; breach matches the ppm") {
+    val rows = EventOps.sloBurn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, errs, ppm, breach) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(errs <= n)
+      assert(ppm <= 1000000L)
+      assert(breach == (if (ppm > 10000L) 1L else 0L))
+    }
+  }
+
+  test("dataset card: inventory is consistent with the documents table") {
+    val rows = LlmOps.datasetCard(spark, sfDir).collect()
+    val docs = Tables(spark, sfDir, "documents")
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    val langs = docs.select("lang").distinct.count()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= langs)
+      assert(r.getLong(6) >= 0 && r.getLong(6) < 1000000L)
+      assert(r.getLong(5) > 0) // mean tokens
+    }
+  }
+
   test("centroid drift: label centroids straddle the global centroid") {
     val rows = VectorOps.centroidDrift(spark, sfDir).collect()
     assert(rows.nonEmpty)

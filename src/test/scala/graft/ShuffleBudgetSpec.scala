@@ -413,7 +413,15 @@ class ShuffleBudgetSpec extends SparkSpec {
       // source count costs the documented expand pass
       "q_prefix_cluster" -> 2,
       // everything scan-side; ONE combine to the bounded band grid
-      "q_norm_bands" -> 1)) {
+      "q_norm_bands" -> 1,
+      // per-user window exchange + per-user lag combine riding it +
+      // the bounded band combine
+      "q_conversion_lag" -> 3,
+      // ONE combine agg on the bounded hour grid
+      "q_slo_burn" -> 1,
+      // (source, lang) grid + per-source stats (expand pass for the
+      // exact distinct) + the grid rollup; broadcast join adds none
+      "q_dataset_card" -> 4)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
