@@ -1773,7 +1773,50 @@ object RelationalOps {
       .orderBy("o_custkey")
   }
 
+  /** Order→ship fulfillment lag per order priority — the SLA
+    * question asked of the fact-fact join directly: days between
+    * o_orderdate and each lineitem's l_shipdate, summarized per
+    * priority with exact discrete order statistics (the
+    * q_interarrival rank discipline) plus truncating mean and max.
+    * Integer day arithmetic (epoch_us div 86400e6) — no calendar
+    * functions to disagree on.
+    *
+    * Scale shape: one hash shuffle join on the order key (both sides
+    * scaling — never broadcast); ONE priority exchange carries the
+    * rank window, the count window, and the rollup. Per-priority
+    * sorts parallelize across the 5 priorities — the same per-key
+    * order-statistics shape every percentile op here uses. */
+  def shipLag(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+        .as("ship_day"))
+    val ord = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .as("order_day"))
+    val wr = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("lag_days"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        (col("ship_day") - col("order_day")).as("lag_days"))
+      .withColumn("r", row_number().over(wr).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("o_orderpriority"))).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        min(col("lag_days")).as("min_lag_days"),
+        max(col("lag_days")).as("max_lag_days"),
+        expr("cast(sum(cast(lag_days as decimal(38,0))) div count(1) as bigint)")
+          .as("mean_lag_days"),
+        max(when(col("r") === expr("1 + (n - 1) * 50 div 100"),
+          col("lag_days"))).as("p50_lag_days"),
+        max(when(col("r") === expr("1 + (n - 1) * 90 div 100"),
+          col("lag_days"))).as("p90_lag_days"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ship_lag" -> shipLag _,
     "q_rfm_segments" -> rfmSegments _,
     "q_delta_agg" -> deltaAgg _,
     "q_dq_rules" -> dqRules _,
@@ -1843,6 +1886,31 @@ object RelationalOps {
     "q_scalar_subquery" -> scalarSubquery _)
 
   val oracles: Map[String, String] = Map(
+    // Same join, same integer day lags, same discrete rank
+    // positions and truncating mean.
+    "q_ship_lag" ->
+      """WITH j AS (
+        |  SELECT o.o_orderpriority,
+        |         epoch_us(l.l_shipdate) // 86400000000
+        |           - epoch_us(o.o_orderdate) // 86400000000 AS lag_days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |r AS (
+        |  SELECT o_orderpriority, lag_days,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY lag_days) AS r,
+        |         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM j)
+        |SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_lineitems,
+        |       min(lag_days) AS min_lag_days,
+        |       max(lag_days) AS max_lag_days,
+        |       CAST(sum(lag_days) // count(*) AS BIGINT)
+        |         AS mean_lag_days,
+        |       max(CASE WHEN r = 1 + (n - 1) * 50 // 100
+        |                THEN lag_days END) AS p50_lag_days,
+        |       max(CASE WHEN r = 1 + (n - 1) * 90 // 100
+        |                THEN lag_days END) AS p90_lag_days
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // Same integer day arithmetic, same fixed cuts, same packed
     // segment code.
     "q_rfm_segments" ->

@@ -200,6 +200,21 @@ class R8OpsSpec extends SparkSpec {
     }
   }
 
+  test("ship lag: order statistics bracket; all five priorities present") {
+    val rows = RelationalOps.shipLag(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (mn, mx) = (r.getLong(2), r.getLong(3))
+      val (mean, p50, p90) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(mn <= p50 && p50 <= p90 && p90 <= mx)
+      assert(mn <= mean && mean <= mx)
+      // NOTE: the synthetic shipdates are not constrained to follow
+      // their order dates, so negative lags are legitimate here — the
+      // op reports them rather than clamping (a real deployment wants
+      // to SEE impossible lags; that's a data-quality signal).
+    }
+  }
+
   test("centroid drift: label centroids straddle the global centroid") {
     val rows = VectorOps.centroidDrift(spark, sfDir).collect()
     assert(rows.nonEmpty)

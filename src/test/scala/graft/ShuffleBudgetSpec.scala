@@ -421,7 +421,10 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_slo_burn" -> 1,
       // (source, lang) grid + per-source stats (expand pass for the
       // exact distinct) + the grid rollup; broadcast join adds none
-      "q_dataset_card" -> 4)) {
+      "q_dataset_card" -> 4,
+      // fact-fact join (two sides) + ONE priority exchange for the
+      // rank/count windows and rollup
+      "q_ship_lag" -> 3)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
