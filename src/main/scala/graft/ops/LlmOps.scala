@@ -1274,7 +1274,143 @@ object LlmOps {
       .orderBy("source")
   }
 
+  /** Empirical LSH recall/precision curve vs exact Jaccard truth —
+    * the measured counterpart of q_lsh_tuning's analytic b/r curve,
+    * and the dedup family's answer to q_ann_recall: over a FIXED
+    * 500-doc evaluation window (doc_id < 500 — eval harnesses run on
+    * a capped block; the cap is the knob, so the all-pairs truth stays
+    * bounded at ANY corpus scale), ground truth = exact 3-gram Jaccard
+    * ≥ 0.5, candidates = the production band join restricted to the
+    * window. For each band-agreement threshold k = 1..8: candidates,
+    * truth hits, recall and precision in truncating ppm (zero-guarded
+    * — a threshold with no candidates reports 0, not a division
+    * error). Single-perm bands collide with probability ≈ j per band,
+    * so recall@k tracks a Binomial(8, j) tail — the curve shows where
+    * to set the agreement cut that q_dedup_incremental hardcodes.
+    *
+    * Scale shape: truth is an all-pairs gram join WITHIN the capped
+    * window only; candidates reuse the banded frame filtered to the
+    * window; the k-expansion is over ≤ bounded-pairs × 8 rows. */
+  def lshRecall(s: SparkSession, dir: String): DataFrame = {
+    val cap = 500L
+    val sample = t(s, dir, "documents").where(col("doc_id") < cap)
+    val grams = Tables.spread(s, sample)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(
+        graft.functions.PortableHashes.hashes(expr(
+          """transform(sequence(1, size(toks) - 2),
+            |  i -> concat(element_at(toks, i), ' ',
+            |              element_at(toks, i + 1), ' ',
+            |              element_at(toks, i + 2)))""".stripMargin)))
+        .as("gh"))
+      .distinct()
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val truth = grams.select(col("doc_id").as("da"), col("gh"))
+      .join(grams.select(col("doc_id").as("db"), col("gh")), Seq("gh"))
+      .where(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("da"),
+        col("n").as("na"))), Seq("da"))
+      .join(broadcast(sizes.select(col("doc_id").as("db"),
+        col("n").as("nb"))), Seq("db"))
+      .where(expr("""cast(inter as decimal(38,0)) * 1000000
+        div (na + nb - inter) >= 500000"""))
+      .select(col("da"), col("db"))
+    val banded = bandedSigs(s, dir).where(col("doc_id") < cap)
+    val cand = banded.select(col("band"), col("sig"),
+        col("doc_id").as("da"))
+      .join(banded.select(col("band"), col("sig"),
+        col("doc_id").as("db")), Seq("band", "sig"))
+      .where(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("agreement"))
+    val tagged = cand.join(truth.withColumn("is_truth", lit(1L)),
+        Seq("da", "db"), "left")
+      .select(col("agreement"), coalesce(col("is_truth"), lit(0L))
+        .as("is_truth"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    tagged
+      .select(explode(expr("sequence(1, 8)")).as("k0"),
+        col("agreement"), col("is_truth"))
+      .select(col("k0").cast("long").as("k"), col("agreement"),
+        col("is_truth"))
+      .where(col("agreement") >= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(col("is_truth")).cast("long").as("n_hits"))
+      .crossJoin(broadcast(nTruth))
+      .select(col("k"), col("n_truth"), col("n_candidates"), col("n_hits"),
+        when(col("n_truth") === 0L, 0L).otherwise(
+          expr("""cast(cast(n_hits as decimal(38,0)) * 1000000
+            div n_truth as bigint)""")).as("recall_ppm"),
+        when(col("n_candidates") === 0L, 0L).otherwise(
+          expr("""cast(cast(n_hits as decimal(38,0)) * 1000000
+            div n_candidates as bigint)""")).as("precision_ppm"))
+      .orderBy("k")
+  }
+
+  /** Cross-split near-dup leakage audit — the eval-integrity check a
+    * training run must pass: near-dup pairs (the production ≥ 2-band
+    * agreement rule) whose endpoints fall in DIFFERENT splits of the
+    * q_train_test_split hash rule. A test doc with a train near-dup
+    * inflates eval scores without any exact-match contamination —
+    * q_contamination's n-gram overlap can't see it; this is the
+    * near-dup complement. Pairs are oriented by split name, and each
+    * side's leaking-doc count is reported against that split's size
+    * in truncating ppm ("0.3% of test docs have a train near-dup").
+    *
+    * Scale shape: the same LSH-bounded candidate frame the dedup
+    * family shares (never all-pairs); split labels are scan-side
+    * hash arithmetic; the rollup is over ≤ 3 split-pair rows, split
+    * sizes a ≤ 3-row broadcast. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    def sp(c: Column): Column = {
+      val hb = portableHash(c.cast("string")) % 100L
+      when(hb < 90, "train").when(hb < 95, "valid").otherwise("test")
+    }
+    val banded = bandedSigs(s, dir)
+    val pairs = banded.select(col("band"), col("sig"),
+        col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("sig"),
+        col("doc_id").as("doc_b")), Seq("band", "sig"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .where(col("n_shared_bands") >= 2)
+      .select(col("doc_a"), col("doc_b"),
+        sp(col("doc_a")).as("sa"), sp(col("doc_b")).as("sb"))
+      .where(col("sa") =!= col("sb"))
+    val sizes = t(s, dir, "documents")
+      .select(sp(col("doc_id")).as("split"))
+      .groupBy(col("split")).agg(count(lit(1)).as("n_split"))
+    val oriented = pairs.select(
+      least(col("sa"), col("sb")).as("split_a"),
+      greatest(col("sa"), col("sb")).as("split_b"),
+      when(col("sa") <= col("sb"), col("doc_a")).otherwise(col("doc_b"))
+        .as("da"),
+      when(col("sa") <= col("sb"), col("doc_b")).otherwise(col("doc_a"))
+        .as("db"))
+    oriented
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("da")).as("n_docs_a"),
+        count_distinct(col("db")).as("n_docs_b"))
+      .join(broadcast(sizes.select(col("split").as("split_a"),
+        col("n_split").as("size_a"))), Seq("split_a"))
+      .join(broadcast(sizes.select(col("split").as("split_b"),
+        col("n_split").as("size_b"))), Seq("split_b"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        col("n_docs_a"), col("n_docs_b"),
+        expr("""cast(cast(n_docs_a as decimal(38,0)) * 1000000
+          div size_a as bigint)""").as("leak_a_ppm"),
+        expr("""cast(cast(n_docs_b as decimal(38,0)) * 1000000
+          div size_b as bigint)""").as("leak_b_ppm"))
+      .orderBy("split_a", "split_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lsh_recall" -> lshRecall _,
+    "q_split_leakage" -> splitLeakage _,
     "q_dataset_card" -> datasetCard _,
     "q_dup_inflation" -> dupInflation _,
     "q_write_plan" -> writePlan _,
@@ -1486,6 +1622,107 @@ object LlmOps {
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same capped window, same exact-Jaccard truth rule, same band
+    // join and per-threshold counts with the same zero guards.
+    "q_lsh_recall" ->
+      s"""WITH $minhashBandCtes,
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST('0x' || substring(sha256(gram), 1, 15) AS BIGINT)
+        |           AS gh
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(
+        |            range(1, len(string_split(text, ' ')) - 1),
+        |            i -> string_split(text, ' ')[i] || ' ' ||
+        |                 string_split(text, ' ')[i + 1] || ' ' ||
+        |                 string_split(text, ' ')[i + 2])) AS gram
+        |        FROM documents
+        |        WHERE doc_id < 500
+        |          AND len(string_split(text, ' ')) >= 3)),
+        |z AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |      FROM g GROUP BY 1),
+        |tr AS (
+        |  SELECT p.da, p.db FROM (
+        |    SELECT a.doc_id AS da, b.doc_id AS db,
+        |           CAST(count(*) AS BIGINT) AS inter
+        |    FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN z za ON p.da = za.doc_id
+        |  JOIN z zb ON p.db = zb.doc_id
+        |  WHERE CAST(p.inter AS HUGEINT) * 1000000
+        |        // (za.n + zb.n - p.inter) >= 500000),
+        |cd AS (
+        |  SELECT a.doc_id AS da, c.doc_id AS db,
+        |         CAST(count(*) AS BIGINT) AS agreement
+        |  FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig
+        |    AND a.doc_id < c.doc_id
+        |  WHERE a.doc_id < 500 AND c.doc_id < 500
+        |  GROUP BY 1, 2),
+        |tg AS (
+        |  SELECT cd.agreement,
+        |         CASE WHEN tr.da IS NULL THEN 0 ELSE 1 END AS is_truth
+        |  FROM cd LEFT JOIN tr ON cd.da = tr.da AND cd.db = tr.db),
+        |ks AS (SELECT unnest(range(1, 9)) AS k),
+        |agg AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n_candidates,
+        |         CAST(sum(is_truth) AS BIGINT) AS n_hits
+        |  FROM ks JOIN tg ON tg.agreement >= ks.k GROUP BY k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_truth,
+        |       n_candidates, n_hits,
+        |       CASE WHEN (SELECT count(*) FROM tr) = 0
+        |            THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(CAST(n_hits AS HUGEINT) * 1000000
+        |                 // (SELECT count(*) FROM tr) AS BIGINT) END
+        |         AS recall_ppm,
+        |       CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(CAST(n_hits AS HUGEINT) * 1000000
+        |                 // n_candidates AS BIGINT) END AS precision_ppm
+        |FROM agg ORDER BY k""".stripMargin,
+    // Same band pairs at the same >= 2 agreement, same hash split
+    // rule, same orientation and ppm denominators.
+    "q_split_leakage" ->
+      s"""WITH $minhashBandCtes,
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig
+        |    AND a.doc_id < c.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sp AS (
+        |  SELECT doc_id, CASE WHEN hb < 90 THEN 'train'
+        |                      WHEN hb < 95 THEN 'valid'
+        |                      ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |          CAST('0x' || substring(sha256(CAST(doc_id AS VARCHAR)),
+        |            1, 15) AS BIGINT) % 100 AS hb
+        |        FROM documents)),
+        |x AS (
+        |  SELECT pr.doc_a, pr.doc_b, sa.split AS sa, sb.split AS sb
+        |  FROM pr
+        |  JOIN sp sa ON pr.doc_a = sa.doc_id
+        |  JOIN sp sb ON pr.doc_b = sb.doc_id
+        |  WHERE sa.split <> sb.split),
+        |o AS (
+        |  SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+        |         CASE WHEN sa <= sb THEN doc_a ELSE doc_b END AS da,
+        |         CASE WHEN sa <= sb THEN doc_b ELSE doc_a END AS db
+        |  FROM x),
+        |sz AS (SELECT split, CAST(count(*) AS BIGINT) AS n
+        |       FROM sp GROUP BY 1),
+        |agg AS (
+        |  SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(count(DISTINCT da) AS BIGINT) AS n_docs_a,
+        |         CAST(count(DISTINCT db) AS BIGINT) AS n_docs_b
+        |  FROM o GROUP BY 1, 2)
+        |SELECT agg.split_a, agg.split_b, n_pairs, n_docs_a, n_docs_b,
+        |       CAST(CAST(n_docs_a AS HUGEINT) * 1000000 // za.n
+        |            AS BIGINT) AS leak_a_ppm,
+        |       CAST(CAST(n_docs_b AS HUGEINT) * 1000000 // zb.n
+        |            AS BIGINT) AS leak_b_ppm
+        |FROM agg
+        |JOIN sz za ON agg.split_a = za.split
+        |JOIN sz zb ON agg.split_b = zb.split
+        |ORDER BY split_a, split_b""".stripMargin,
     // Same language grid + modal tie rule, same distinct-hash dup
     // count, same truncating integer divisions.
     "q_dataset_card" ->

@@ -215,6 +215,37 @@ class R8OpsSpec extends SparkSpec {
     }
   }
 
+  test("lsh recall: monotone in the agreement threshold; counts nest") {
+    val rows = LlmOps.lshRecall(spark, sfDir).collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    val nTruth = rows.head.getLong(1)
+    rows.foreach { r =>
+      assert(r.getLong(1) == nTruth, "n_truth is a constant column")
+      assert(r.getLong(3) <= r.getLong(2), "hits bounded by candidates")
+      assert(r.getLong(3) <= nTruth, "hits bounded by truth")
+    }
+    // candidates and hits can only shrink as the threshold rises
+    rows.sliding(2).foreach { w =>
+      if (w.length == 2) {
+        assert(w(1).getLong(2) <= w(0).getLong(2))
+        assert(w(1).getLong(3) <= w(0).getLong(3))
+      }
+    }
+    // single-perm bands: truth pairs (jaccard >= 0.5) collide on at
+    // least one of 8 bands with overwhelming probability
+    assert(nTruth == 0 || rows.head.getLong(4) >= 900000L,
+      s"recall@1 collapsed: ${rows.head.getLong(4)}")
+  }
+
+  test("split leakage: pairs oriented, leak ppms bounded") {
+    val rows = LlmOps.splitLeakage(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "split pair is oriented")
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(4) <= r.getLong(2))
+      assert(r.getLong(5) <= 1000000L && r.getLong(6) <= 1000000L)
+    }
+  }
+
   test("centroid drift: label centroids straddle the global centroid") {
     val rows = VectorOps.centroidDrift(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -424,7 +424,14 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_dataset_card" -> 4,
       // fact-fact join (two sides) + ONE priority exchange for the
       // rank/count windows and rollup
-      "q_ship_lag" -> 3)) {
+      "q_ship_lag" -> 3,
+      // eval harness over the FIXED 500-doc window: gram distinct +
+      // gh-keyed truth join + pair/size combines + the band pair
+      // join + k-threshold agg — every frame window-bounded
+      "q_lsh_recall" -> 12,
+      // the shared band pair join + pair combine + the <= 3-row
+      // split rollup; split sizes broadcast
+      "q_split_leakage" -> 7)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
