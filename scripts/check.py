@@ -9,14 +9,16 @@ Reads each <out_dir>/<name>/ parquet (Spark result), runs the matching
 oracle SQL from <out_dir>/oracle_sql.json in DuckDB against the sf_dir
 tables, sorts columns by name, and compares values row by row.
 
-q_dedup_clusters gets special handling at bench scale (documents >
-1000 rows): the declared single-statement oracle's recursive closure
-is quadratic in component size — fine at the driver's sf0.01 gate,
-hangs at sf0.1 — so check.py recomputes the same answer with an
-iterative temp-table min-label loop (diameter rounds, linear state),
-seeded from the declared q_minhash_dedup oracle so the pair semantics
-can't drift. At gate SFs the declared SQL runs as-is, keeping this
-script a faithful replica of what the driver executes.
+q_dedup_clusters and q_cluster_stats get special handling at bench
+scale (documents > 1000 rows): the declared single-statement oracles'
+recursive closure is quadratic in component size — fine at the
+driver's sf0.01 gate, hangs at sf0.1+ — so check.py recomputes the
+same answer with an iterative temp-table min-label loop (diameter
+rounds, linear state), seeded from the declared q_minhash_dedup
+oracle so the pair semantics can't drift; cluster_stats is the size
+histogram over those labels (the declared oracle's own tail). At
+gate SFs the declared SQL runs as-is, keeping this script a faithful
+replica of what the driver executes.
 """
 import glob
 import json
@@ -89,6 +91,19 @@ def iterative_cc_oracle(con, oracle):
         FROM cc_lbl ORDER BY doc_id""").fetch_arrow_table()
 
 
+def iterative_cluster_stats_oracle(con, oracle):
+    """q_cluster_stats via the same iterative labels: the declared
+    oracle's tail (cluster-size histogram) over iterative_cc_oracle's
+    cc_lbl instead of the recursive closure's labels — identical by
+    the same least-label fixed point."""
+    iterative_cc_oracle(con, oracle)  # (re)builds cc_lbl
+    return con.execute("""
+        SELECT csize, count(*) AS n_clusters,
+               CAST(sum(csize) AS BIGINT) AS n_docs
+        FROM (SELECT lbl, count(*) AS csize FROM cc_lbl GROUP BY lbl)
+        GROUP BY csize ORDER BY csize""").fetch_arrow_table()
+
+
 def main(out_dir, sf_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -116,9 +131,12 @@ def main(out_dir, sf_dir):
             print(f"[ROWS ] {name}: {got.num_rows} rows (no oracle declared)")
             continue
         try:
-            if name == "q_dedup_clusters" and con.execute(
-                    "SELECT count(*) FROM documents").fetchone()[0] > 1000:
+            big = con.execute(
+                "SELECT count(*) FROM documents").fetchone()[0] > 1000
+            if name == "q_dedup_clusters" and big:
                 want = iterative_cc_oracle(con, oracle)
+            elif name == "q_cluster_stats" and big:
+                want = iterative_cluster_stats_oracle(con, oracle)
             else:
                 want = con.execute(oracle[name]).fetch_arrow_table()
         except Exception as e:
