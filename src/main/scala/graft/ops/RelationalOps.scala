@@ -161,7 +161,12 @@ object RelationalOps {
         col("f_ts_us") <= col("p_ts_us") + hourUs)
       .groupBy(col("p_event_id"))
       .agg(count(lit(1)).as("n_followers"),
-        r6(avg(col("f_value"))).as("avg_follower_value"))
+        // exact truncating micro-unit mean, not round(avg(double), 6):
+        // the double average's accumulation order flipped the 6th
+        // decimal at the sf1 probe (one group landed on a boundary)
+        expr("""cast(sum(cast(cast(floor(f_value * cast(1000000 as double))
+          as bigint) as decimal(38,0))) div count(1) as bigint)""")
+          .as("avg_follower_value_u"))
       .orderBy("p_event_id")
   }
 
@@ -215,20 +220,35 @@ object RelationalOps {
   /** TPC-H Q1 shape: the canonical hash-agg with exact decimal sums. */
   def groupbyAgg(s: SparkSession, dir: String): DataFrame = {
     val d = (c: Column) => c.cast("decimal(12,2)")
+    // The derived money sums and the means ship as exact micro-unit
+    // BIGINTs, not rounded doubles: at the sf1 scale probe the
+    // scale-6 decimal sum's unscaled value crossed 2^53, where
+    // DuckDB's hugeint→double→÷1e6 cast double-rounds one ulp apart
+    // from the correctly-rounded conversion — and a double AVG's
+    // accumulation order can flip round(,6) at any scale. Integer
+    // micro-units sidestep both forever (fits BIGINT to sf ~100000).
     t(s, dir, "lineitem")
       .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         msum(col("l_quantity")).as("sum_qty"),
         msum(col("l_extendedprice")).as("sum_base_price"),
-        sum(d(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - d(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
-        sum(d(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - d(col("l_discount"))) *
+        sum(((d(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - d(col("l_discount"))))
+          * lit(1000000L)).cast("long").cast("decimal(38,0)"))
+          .cast("long").as("sum_disc_price_u"),
+        sum(((d(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - d(col("l_discount"))) *
           (lit(1).cast("decimal(12,2)") + d(col("l_tax"))))
-          .cast("double").as("sum_charge"),
-        r6(avg(col("l_quantity"))).as("avg_qty"),
-        r6(avg(col("l_extendedprice"))).as("avg_price"),
-        r6(avg(col("l_discount"))).as("avg_disc"),
+          * lit(1000000L)).cast("long").cast("decimal(38,0)"))
+          .cast("long").as("sum_charge_u"),
+        expr("""sum(cast(cast(cast(l_quantity as decimal(12,2)) * 1000000
+          as bigint) as decimal(38,0))) div count(1)""").cast("long")
+          .as("avg_qty_u"),
+        expr("""sum(cast(cast(cast(l_extendedprice as decimal(12,2)) * 1000000
+          as bigint) as decimal(38,0))) div count(1)""").cast("long")
+          .as("avg_price_u"),
+        expr("""sum(cast(cast(cast(l_discount as decimal(12,2)) * 1000000
+          as bigint) as decimal(38,0))) div count(1)""").cast("long")
+          .as("avg_disc_u"),
         count(lit(1)).as("count_order"),
         countDistinct(col("l_orderkey")).as("n_orders"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -1169,7 +1189,13 @@ object RelationalOps {
         ceil(col("l_extendedprice") / 1000.0).as("price_k_ceil"),
         floor(col("l_extendedprice") / 1000.0).as("price_k_floor"),
         (col("l_linenumber") % 3).cast("long").as("line_mod3"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+      // (the q_dq_rules uniqueness rule fires on it), so the key alone
+      // is a PARTIAL order — engines permuted the tie rows at the sf1
+      // probe. Extending the sort by the value columns makes it total
+      // up to full-row duplicates, whose order cannot matter.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty_sq"),
+        col("abs_disc_delta"), col("ln_price"))
 
   /** Conditional expression sweep: CASE / nullif / coalesce /
     * least / greatest. */
@@ -2428,7 +2454,9 @@ object RelationalOps {
         |ORDER BY o_orderkey, u.metric""".stripMargin,
     "q_range_join" ->
       """SELECT e1.event_id AS p_event_id, count(*) AS n_followers,
-        |       round(avg(e2.value), 6) AS avg_follower_value
+        |       CAST(sum(CAST(floor(e2.value * CAST(1000000 AS DOUBLE))
+        |            AS BIGINT)) // count(*) AS BIGINT)
+        |         AS avg_follower_value_u
         |FROM events e1 JOIN events e2
         |  ON epoch_us(e2.ts) > epoch_us(e1.ts)
         | AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 3600000000
@@ -2467,14 +2495,19 @@ object RelationalOps {
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |       CAST(sum(CAST((CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |                * 1000000 AS BIGINT)) AS BIGINT) AS sum_disc_price_u,
+        |       CAST(sum(CAST((CAST(l_extendedprice AS DECIMAL(12,2)) *
         |                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) *
-        |                (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
-        |       round(avg(l_quantity), 6) AS avg_qty,
-        |       round(avg(l_extendedprice), 6) AS avg_price,
-        |       round(avg(l_discount), 6) AS avg_disc,
+        |                (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))))
+        |                * 1000000 AS BIGINT)) AS BIGINT) AS sum_charge_u,
+        |       CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 1000000
+        |            AS BIGINT)) // count(*) AS BIGINT) AS avg_qty_u,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 1000000
+        |            AS BIGINT)) // count(*) AS BIGINT) AS avg_price_u,
+        |       CAST(sum(CAST(CAST(l_discount AS DECIMAL(12,2)) * 1000000
+        |            AS BIGINT)) // count(*) AS BIGINT) AS avg_disc_u,
         |       count(*) AS count_order,
         |       count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem
@@ -2604,7 +2637,9 @@ object RelationalOps {
         |       CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
         |       CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
         |       CAST(l_linenumber % 3 AS BIGINT) AS line_mod3
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, qty_sq, abs_disc_delta,
+        |         ln_price""".stripMargin,
     "q_scalar_conditional" ->
       """SELECT o_orderkey,
         |       CASE WHEN o_totalprice > 300000.0 THEN 'high'
