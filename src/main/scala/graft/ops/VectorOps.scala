@@ -616,7 +616,11 @@ object VectorOps {
             .as("score"))
         .withColumn("rn", row_number().over(pickW)).where(col("rn") === 1)
         .select(col("qid"), col("cid"), col("score"), lit(step).as("step"))
-      sel = sel.unionByName(pick)
+      // pin the growing selection each step: without this, step k's
+      // plan embeds every prior step's window+join chain and the
+      // final plan re-executes them combinatorially (the frames are
+      // ≤ 5 rows — the cost is plan depth and stage count, not data)
+      sel = pin(sel.unionByName(pick))
     }
     sel.select(col("qid"), col("step"), col("cid"), col("score").as("mmr_score"))
       .orderBy("qid", "step")
