@@ -1518,7 +1518,64 @@ object EventOps {
         when(col("error_ppm") > 10000L, 1L).otherwise(0L))
       .orderBy("hour")
 
+  /** Population Stability Index drift per event type — the model-
+    * monitoring standard beside q_ks_drift's KS statistic: events
+    * split into early/late halves at the corpus time midpoint
+    * ((min+max) div 2, a 1-row broadcast), values binned into
+    * sign-aware bitlength bands (exact integer log2 — no data-driven
+    * quantile bins to coordinate), PSI = Σ (p−q)·(ln p − ln q) over
+    * bands present in BOTH halves, floored to nano-units. The ln
+    * arguments are correctly-rounded doubles of integer ratios
+    * (cp/n1, cq/n2 — each < 1, never an integer product that could
+    * cross 2^53 at scale), so the IEEE sequence is engine-identical
+    * at any corpus size. Bands present in only one half are COUNTED
+    * and excluded rather than epsilon-smoothed — deterministic, and
+    * the dropped-band count is itself a drift signal (a brand-new
+    * value band IS drift).
+    *
+    * Scale shape: one combine agg to the bounded (type, band, half)
+    * grid; the PSI rollup rides grid rows. */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("ts_us"),
+      expr("cast(floor(value * cast(1000000 as double)) as bigint)")
+        .as("vu"))
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2")
+      .cast("long").as("mid_us"))
+    val band = when(col("vu") > 0L,
+        length(expr("bin(vu)")).cast("long"))
+      .when(col("vu") < 0L,
+        -length(expr("bin(-vu)")).cast("long"))
+      .otherwise(0L)
+    val grid = ev.crossJoin(broadcast(mid))
+      .select(col("event_type"), band.as("band"),
+        when(col("ts_us") < col("mid_us"), 1L).otherwise(0L).as("early"))
+      .groupBy(col("event_type"), col("band"))
+      .agg(sum(col("early")).cast("long").as("cp"),
+        sum(lit(1L) - col("early")).cast("long").as("cq"))
+    val byType = Window.partitionBy(col("event_type"))
+    grid
+      .withColumn("n1", sum(col("cp")).over(byType).cast("long"))
+      .withColumn("n2", sum(col("cq")).over(byType).cast("long"))
+      .withColumn("contrib_nano",
+        when(col("cp") > 0L && col("cq") > 0L,
+          floor((col("cp").cast("double") / col("n1").cast("double") -
+            col("cq").cast("double") / col("n2").cast("double")) *
+            (log(col("cp").cast("double") / col("n1").cast("double")) -
+              log(col("cq").cast("double") / col("n2").cast("double"))) *
+            lit(1000000000.0)).cast("long")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n1")).as("n_early"),
+        max(col("n2")).as("n_late"),
+        count(lit(1)).as("n_bands"),
+        sum(when(col("contrib_nano").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_bands_dropped"),
+        sum(coalesce(col("contrib_nano"), lit(0L))).cast("long")
+          .as("psi_nano"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi_drift" -> psiDrift _,
     "q_conversion_lag" -> conversionLag _,
     "q_slo_burn" -> sloBurn _,
     "q_whale_share" -> whaleShare _,
@@ -1567,6 +1624,52 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same midpoint split, same sign-aware bitlength bands, same
+    // both-halves rule and nano-unit floors from integer-ratio lns.
+    "q_psi_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us,
+        |         CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT)
+        |           AS vu
+        |  FROM events),
+        |mid AS (SELECT CAST((min(ts_us) + max(ts_us)) // 2 AS BIGINT)
+        |          AS mid_us FROM e),
+        |g AS (
+        |  SELECT event_type,
+        |         CASE WHEN vu > 0 THEN CAST(length(bin(vu)) AS BIGINT)
+        |              WHEN vu < 0 THEN -CAST(length(bin(-vu)) AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS band,
+        |         CASE WHEN ts_us < (SELECT mid_us FROM mid)
+        |              THEN 1 ELSE 0 END AS early
+        |  FROM e),
+        |c AS (
+        |  SELECT event_type, band,
+        |         CAST(sum(early) AS BIGINT) AS cp,
+        |         CAST(sum(1 - early) AS BIGINT) AS cq
+        |  FROM g GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *,
+        |         CAST(sum(cp) OVER (PARTITION BY event_type) AS BIGINT)
+        |           AS n1,
+        |         CAST(sum(cq) OVER (PARTITION BY event_type) AS BIGINT)
+        |           AS n2
+        |  FROM c),
+        |k AS (
+        |  SELECT event_type, n1, n2,
+        |         CASE WHEN cp > 0 AND cq > 0 THEN
+        |           CAST(floor((CAST(cp AS DOUBLE) / n1
+        |                       - CAST(cq AS DOUBLE) / n2) *
+        |                      (ln(CAST(cp AS DOUBLE) / n1)
+        |                       - ln(CAST(cq AS DOUBLE) / n2)) *
+        |                      1000000000.0) AS BIGINT)
+        |         END AS contrib_nano
+        |  FROM w)
+        |SELECT event_type, max(n1) AS n_early, max(n2) AS n_late,
+        |       CAST(count(*) AS BIGINT) AS n_bands,
+        |       CAST(sum(CASE WHEN contrib_nano IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_bands_dropped,
+        |       CAST(sum(coalesce(contrib_nano, 0)) AS BIGINT) AS psi_nano
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same first-view window, same at-or-after purchase rule, same
     // bitlength bands and truncating mean.
     "q_conversion_lag" ->

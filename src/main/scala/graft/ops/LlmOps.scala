@@ -1408,7 +1408,51 @@ object LlmOps {
       .orderBy("split_a", "split_b")
   }
 
+  /** Deterministic hard-negative sampling for contrastive training —
+    * per anchor doc (a 2% hash sample), 4 negatives drawn by hashing
+    * (anchor, i) onto the dense doc_id ring, skipping self and
+    * same-source hits by advancing through 8 deterministic candidate
+    * draws (unrolled — no RNG state, no rejection loop to
+    * coordinate across executors; re-runs and engines draw the SAME
+    * negatives, so training data is reproducible by construction).
+    * Cross-source negatives are the cheap "hard enough" default a
+    * contrastive pipeline starts from; the ANN family upgrades them
+    * to semantic hard negatives later.
+    *
+    * Scale shape: anchors and their 8 candidate ids are scan-side
+    * (short-array HOF, one sha per draw); one join against the
+    * corpus on the candidate id (shuffle on a uniform hash-derived
+    * key — no skew by construction); the keep-first-4 window rides
+    * the anchor partitioning. */
+  def negativeSampling(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val cands = docs
+      .where(portableHash(col("doc_id").cast("string")) % 50L === 0L)
+      .select(col("doc_id").as("anchor_id"),
+        col("source").as("anchor_source"))
+      .crossJoin(broadcast(n))
+      .select(col("anchor_id"), col("anchor_source"),
+        posexplode(expr(
+          """transform(sequence(0, 7), i ->
+            |  cast(conv(substring(sha2(concat(cast(anchor_id as string),
+            |    '#', cast(i as string)), 256), 1, 15), 16, 10) as bigint)
+            |  % n_docs)""".stripMargin)).as(Seq("i", "cand_id")))
+    val wr = Window.partitionBy(col("anchor_id")).orderBy(col("i"))
+    cands
+      .join(docs.select(col("doc_id").as("cand_id"),
+        col("source").as("neg_source")), Seq("cand_id"))
+      .where(col("cand_id") =!= col("anchor_id") &&
+        col("neg_source") =!= col("anchor_source"))
+      .withColumn("neg_rank", row_number().over(wr).cast("long"))
+      .where(col("neg_rank") <= 4L)
+      .select(col("anchor_id"), col("neg_rank"),
+        col("cand_id").as("neg_doc_id"), col("neg_source"))
+      .orderBy("anchor_id", "neg_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_negative_sampling" -> negativeSampling _,
     "q_lsh_recall" -> lshRecall _,
     "q_split_leakage" -> splitLeakage _,
     "q_dataset_card" -> datasetCard _,
@@ -1622,6 +1666,34 @@ object LlmOps {
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same anchor sample, same (anchor, i) hash draws on the dense
+    // id ring, same skip rules and keep-first-4.
+    "q_negative_sampling" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+        |            FROM documents),
+        |a AS (
+        |  SELECT doc_id AS anchor_id, source AS anchor_source
+        |  FROM documents
+        |  WHERE CAST('0x' || substring(sha256(CAST(doc_id AS VARCHAR)),
+        |          1, 15) AS BIGINT) % 50 = 0),
+        |c AS (
+        |  SELECT anchor_id, anchor_source, i,
+        |         CAST('0x' || substring(sha256(CAST(anchor_id AS VARCHAR)
+        |           || '#' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+        |           % (SELECT n_docs FROM nn) AS cand_id
+        |  FROM a, (SELECT unnest(range(0, 8)) AS i)),
+        |j AS (
+        |  SELECT c.anchor_id, c.i, c.cand_id, d.source AS neg_source
+        |  FROM c JOIN documents d ON d.doc_id = c.cand_id
+        |  WHERE c.cand_id <> c.anchor_id
+        |    AND d.source <> c.anchor_source),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+        |                               ORDER BY i) AS rk
+        |  FROM j)
+        |SELECT anchor_id, CAST(rk AS BIGINT) AS neg_rank,
+        |       cand_id AS neg_doc_id, neg_source
+        |FROM r WHERE rk <= 4 ORDER BY anchor_id, neg_rank""".stripMargin,
     // Same capped window, same exact-Jaccard truth rule, same band
     // join and per-threshold counts with the same zero guards.
     "q_lsh_recall" ->

@@ -1384,7 +1384,35 @@ object VectorOps {
         max(col("norm2_u2")).as("max_norm2_u2"))
       .orderBy("label", "band")
 
+  /** ANN index sizing plan — q_write_plan's counterpart for the
+    * vector side: from corpus statistics alone (count, dims, raw
+    * bytes), the numbers an IVF-PQ deployment is sized with BEFORE
+    * building anything: nlist as the power of two nearest √n from
+    * below (2^(bitlength(n) div 2) — integer-exact), expected rows
+    * per cell, the default probe count (nlist div 16, floor 1), PQ
+    * code bytes at the m = dims/4 geometry this engine's PQ ops use,
+    * and the raw→code scan-shrink ratio. One planning row; the index
+    * build (q_kmeans_step, q_product_quantize) consumes these.
+    *
+    * Scale shape: ONE 1-row reduce over the scan; everything else is
+    * arithmetic on that row. */
+  def annPlan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), size(col("embedding")).cast("long").as("dims"))
+      .agg(count(lit(1)).as("n_vecs"), max(col("dims")).as("dims"))
+      .select(col("n_vecs"), col("dims"),
+        expr("cast(pow(2, length(bin(n_vecs)) div 2) as bigint)")
+          .as("nlist"),
+        col("dims").multiply(4L).as("raw_bytes_per_vec"),
+        expr("dims div 4").as("pq_code_bytes"))
+      .select(col("n_vecs"), col("dims"), col("nlist"),
+        expr("n_vecs div nlist").as("rows_per_cell"),
+        greatest(expr("nlist div 16"), lit(1L)).as("nprobe_default"),
+        col("raw_bytes_per_vec"), col("pq_code_bytes"),
+        expr("raw_bytes_per_vec div pq_code_bytes").as("scan_shrink_x"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_plan" -> annPlan _,
     "q_norm_bands" -> normBands _,
     "q_pca_power" -> pcaPower _,
     "q_centroid_drift" -> centroidDrift _,
@@ -1663,6 +1691,29 @@ object VectorOps {
   }
 
   lazy val oracles: Map[String, String] = Map(
+    // Same 1-row reduce, same bitlength-derived power-of-two nlist,
+    // same integer sizing arithmetic.
+    "q_ann_plan" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |         CAST(max(len(embedding)) AS BIGINT) AS dims
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT n_vecs, dims,
+        |         CAST(pow(2, length(bin(n_vecs)) // 2) AS BIGINT)
+        |           AS nlist,
+        |         dims * 4 AS raw_bytes_per_vec,
+        |         dims // 4 AS pq_code_bytes
+        |  FROM a)
+        |SELECT n_vecs, dims, nlist,
+        |       CAST(n_vecs // nlist AS BIGINT) AS rows_per_cell,
+        |       greatest(CAST(nlist // 16 AS BIGINT), 1)
+        |         AS nprobe_default,
+        |       CAST(raw_bytes_per_vec AS BIGINT) AS raw_bytes_per_vec,
+        |       CAST(pq_code_bytes AS BIGINT) AS pq_code_bytes,
+        |       CAST(raw_bytes_per_vec // pq_code_bytes AS BIGINT)
+        |         AS scan_shrink_x
+        |FROM b""".stripMargin,
     // Same micro-unit squares, same bitlength bands (bin() length =
     // exact integer log2 in both engines; 0 → band 0).
     "q_norm_bands" ->

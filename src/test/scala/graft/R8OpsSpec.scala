@@ -246,6 +246,48 @@ class R8OpsSpec extends SparkSpec {
     }
   }
 
+  test("psi drift: halves partition the corpus; psi is non-negative") {
+    val rows = EventOps.psiDrift(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n1, n2) = (r.getLong(1), r.getLong(2))
+      val (bands, dropped, psi) =
+        (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n1 > 0 && n2 > 0)
+      assert(dropped <= bands)
+      // each contribution (p-q)(ln p - ln q) >= 0; floors can shave
+      // at most 1 nano-unit per band
+      assert(psi >= -bands)
+    }
+  }
+
+  test("ann plan: sizing arithmetic is self-consistent") {
+    val r = VectorOps.annPlan(spark, sfDir).collect()(0)
+    val (n, dims, nlist) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nlist > 0 && (nlist & (nlist - 1)) == 0, "nlist is a power of 2")
+    assert(nlist.toDouble <= math.sqrt(n.toDouble) * 2)
+    assert(r.getLong(3) == n / nlist)
+    assert(r.getLong(5) == dims * 4)
+    assert(r.getLong(7) == (dims * 4) / (dims / 4))
+  }
+
+  test("negative sampling: no self or same-source negatives, ranks dense") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = LlmOps.negativeSampling(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (anchor, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq, "ranks are dense from 1")
+      rs.foreach { r =>
+        assert(r.getLong(2) != anchor, "self-negative")
+        assert(r.getString(3) != docs(anchor), "same-source negative")
+        assert(r.getString(3) == docs(r.getLong(2)), "source mismatch")
+      }
+    }
+  }
+
   test("centroid drift: label centroids straddle the global centroid") {
     val rows = VectorOps.centroidDrift(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -425,6 +425,14 @@ class ShuffleBudgetSpec extends SparkSpec {
       // fact-fact join (two sides) + ONE priority exchange for the
       // rank/count windows and rollup
       "q_ship_lag" -> 3,
+      // ONE combine to the bounded (type, band) grid; the midpoint
+      // is a 1-row reduce broadcast; PSI rollup rides grid rows
+      "q_psi_drift" -> 2,
+      // ONE 1-row reduce; sizing is pure arithmetic
+      "q_ann_plan" -> 0,
+      // candidate join (two sides on the uniform hash-derived id) +
+      // the anchor window
+      "q_negative_sampling" -> 3,
       // eval harness over the FIXED 500-doc window: gram distinct +
       // gh-keyed truth join + pair/size combines + the band pair
       // join + k-threshold agg — every frame window-bounded
