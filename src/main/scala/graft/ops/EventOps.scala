@@ -1574,7 +1574,41 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Benford first-digit audit per event type — the forensic
+    * data-quality screen for value columns: observed share of each
+    * leading digit (values ≥ 1 — the integer-part digit is the
+    * well-defined one) vs the Benford expectation
+    * ln(1+1/d)/ln(10), both floored to exact ppm (the expectation is
+    * a fixed IEEE sequence from integer literals — engine-identical).
+    * Organic multiplicative data tracks Benford; injected, capped,
+    * or fabricated values don't — large signed deviations are where
+    * an auditor looks first. (The synthetic corpus is uniform, so it
+    * deviates hard — which is itself the correct verdict.)
+    *
+    * Scale shape: digit extraction is a scan projection; ONE combine
+    * agg to the bounded |types|×9 grid; shares ride grid windows. */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    events(s, dir)
+      .select(col("event_type"), col("value"))
+      .where(col("value") >= 1.0)
+      .select(col("event_type"),
+        expr("""cast(substring(cast(cast(floor(value) as bigint) as string),
+          1, 1) as bigint)""").as("digit"))
+      .groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_type", sum(col("n")).over(byType).cast("long"))
+      .select(col("event_type"), col("digit"), col("n"),
+        expr("""cast(cast(n as decimal(38,0)) * 1000000
+          div n_type as bigint)""").as("obs_ppm"),
+        floor(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+          log(lit(10.0)) * lit(1000000.0)).cast("long").as("benford_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("benford_ppm"))
+      .orderBy("event_type", "digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford_audit" -> benfordAudit _,
     "q_psi_drift" -> psiDrift _,
     "q_conversion_lag" -> conversionLag _,
     "q_slo_burn" -> sloBurn _,
@@ -1624,6 +1658,32 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same digit rule, same grid shares, same fixed-IEEE Benford
+    // expectation floors.
+    "q_benford_audit" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         CAST(substring(CAST(CAST(floor(value) AS BIGINT)
+        |           AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM events WHERE value >= 1),
+        |c AS (
+        |  SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, CAST(sum(n) OVER (PARTITION BY event_type)
+        |            AS BIGINT) AS n_type
+        |  FROM c)
+        |SELECT event_type, digit, n,
+        |       CAST(CAST(n AS HUGEINT) * 1000000 // n_type AS BIGINT)
+        |         AS obs_ppm,
+        |       CAST(floor(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)
+        |            / ln(CAST(10 AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+        |            AS BIGINT) AS benford_ppm,
+        |       CAST(CAST(n AS HUGEINT) * 1000000 // n_type AS BIGINT)
+        |         - CAST(floor(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE)
+        |                / digit) / ln(CAST(10 AS DOUBLE))
+        |                * CAST(1000000 AS DOUBLE)) AS BIGINT) AS dev_ppm
+        |FROM w ORDER BY event_type, digit""".stripMargin,
     // Same midpoint split, same sign-aware bitlength bands, same
     // both-halves rule and nano-unit floors from integer-ratio lns.
     "q_psi_drift" ->

@@ -1451,7 +1451,44 @@ object LlmOps {
       .orderBy("anchor_id", "neg_rank")
   }
 
+  /** Local clustering coefficient per node over the near-dup
+    * candidate graph — the node-level refinement of
+    * q_triangle_count's single global closure number: coefficient
+    * ≈ 1 means the doc sits inside a near-clique (a true duplicate
+    * cluster — safe to collapse aggressively); a high-degree node
+    * with coefficient ≈ 0 is an LSH HUB (a template shard colliding
+    * with everything — the node whose edges q_common_neighbors
+    * flags for re-verification). Exact truncating ppm:
+    * 2·triangles·1e6 div (deg·(deg−1)), nodes with deg ≥ 2.
+    *
+    * Scale shape: the checkpointed candidate frame (derived once —
+    * three self-references would otherwise re-run the banding);
+    * ordered triangles (u<v<w) explode to their three corners for
+    * the per-node count; wedge-join cost is Σ deg² over the LSH
+    * graph, the q_triangle_count physics. */
+  def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val e = candidateFrame(s, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val tris = e.toDF("u", "v").join(e.toDF("v", "w"), "v")
+      .join(e.toDF("u", "w"), Seq("u", "w"))
+      .select(col("u"), col("v"), col("w"))
+    val triPerNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.where(col("deg") >= 2L)
+      .join(triPerNode, Seq("node"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .select(col("node").as("doc_id"), col("deg").as("degree"),
+        col("n_triangles"),
+        expr("""cast(2 * cast(n_triangles as decimal(38,0)) * 1000000
+          div (degree * (degree - 1)) as bigint)""").as("coeff_ppm"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_clustering_coeff" -> clusteringCoeff _,
     "q_negative_sampling" -> negativeSampling _,
     "q_lsh_recall" -> lshRecall _,
     "q_split_leakage" -> splitLeakage _,
@@ -1666,6 +1703,37 @@ object LlmOps {
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same ordered-triangle corners, same symmetric degrees, same
+    // truncating coefficient over deg >= 2 nodes.
+    "q_clustering_coeff" ->
+      s"""WITH $minhashBandCtes,
+        |e AS (
+        |  SELECT a.doc_id AS u, c.doc_id AS v
+        |  FROM m a JOIN m c ON a.band = c.band AND a.sig = c.sig
+        |    AND a.doc_id < c.doc_id
+        |  GROUP BY 1, 2),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM und GROUP BY 1),
+        |tris AS (
+        |  SELECT e1.u, e1.v, e2.v AS w
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT u AS node FROM tris
+        |        UNION ALL SELECT v FROM tris
+        |        UNION ALL SELECT w FROM tris)
+        |  GROUP BY node)
+        |SELECT deg.node AS doc_id, deg.deg AS degree,
+        |       coalesce(tn.n_triangles, 0) AS n_triangles,
+        |       CAST(2 * CAST(coalesce(tn.n_triangles, 0) AS HUGEINT)
+        |            * 1000000 // (deg.deg * (deg.deg - 1)) AS BIGINT)
+        |         AS coeff_ppm
+        |FROM deg LEFT JOIN tn ON tn.node = deg.node
+        |WHERE deg.deg >= 2
+        |ORDER BY doc_id""".stripMargin,
     // Same anchor sample, same (anchor, i) hash draws on the dense
     // id ring, same skip rules and keep-first-4.
     "q_negative_sampling" ->

@@ -288,6 +288,39 @@ class R8OpsSpec extends SparkSpec {
     }
   }
 
+  test("clustering coeff: ppm in [0, 1e6]; triangles bounded by wedges") {
+    val rows = LlmOps.clusteringCoeff(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (deg, tri, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(deg >= 2)
+      assert(2 * tri <= deg * (deg - 1), "triangles exceed wedges")
+      assert(ppm >= 0 && ppm <= 1000000L)
+    }
+    // the node-level triangle corners must sum to 3x the global count
+    val global = SparkEntry.queries("q_triangle_count")(spark, sfDir)
+      .collect()(0).getLong(3)
+    // nodes with deg < 2 cannot host a triangle corner, so the
+    // deg >= 2 filter loses none
+    assert(rows.map(_.getLong(2)).sum == 3 * global)
+  }
+
+  test("benford audit: shares sum to ~1e6 per type; expectation is fixed") {
+    val rows = EventOps.benfordAudit(spark, sfDir).collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      val share = rs.map(_.getLong(3)).sum
+      assert(share <= 1000000L && share >= 1000000L - 9)
+      rs.foreach { r =>
+        assert(r.getLong(1) >= 1 && r.getLong(1) <= 9)
+        assert(r.getLong(5) == r.getLong(3) - r.getLong(4))
+      }
+      // Benford expectation for digit 1 is ~301030 ppm
+      assert(rs.find(_.getLong(1) == 1L)
+        .forall(_.getLong(4) == 301029L))
+    }
+  }
+
   test("centroid drift: label centroids straddle the global centroid") {
     val rows = VectorOps.centroidDrift(spark, sfDir).collect()
     assert(rows.nonEmpty)

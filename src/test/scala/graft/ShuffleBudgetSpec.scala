@@ -428,6 +428,11 @@ class ShuffleBudgetSpec extends SparkSpec {
       // ONE combine to the bounded (type, band) grid; the midpoint
       // is a 1-row reduce broadcast; PSI rollup rides grid rows
       "q_psi_drift" -> 2,
+      // digit grid combine; shares ride grid windows
+      "q_benford_audit" -> 2,
+      // checkpointed candidate frame + symmetric degree combine +
+      // two wedge/closure joins + the corner-explode combine
+      "q_clustering_coeff" -> 9,
       // ONE 1-row reduce; sizing is pure arithmetic
       "q_ann_plan" -> 0,
       // candidate join (two sides on the uniform hash-derived id) +
