@@ -1607,7 +1607,104 @@ object EventOps {
       .orderBy("event_type", "digit")
   }
 
+  /** DAU / rolling-7-day WAU / stickiness per day — the product-
+    * analytics headline triple. Activity collapses to the distinct
+    * (user, day) frame first (one combine shuffle — the frame is
+    * bounded by users × active days, never raw events); each activity
+    * day then contributes to the 7 WAU windows it falls in via a
+    * scan-side `sequence` explode (fixed 7× fanout on the already-
+    * collapsed frame, clipped to the observed day span so no phantom
+    * trailing days appear), and a second distinct collapse yields WAU.
+    * Stickiness = DAU·1e6 div WAU in truncating ppm. The alternative —
+    * COUNT(DISTINCT) OVER a RANGE frame — doesn't exist in either
+    * engine and the self-join form fans out the same 7×; this shape
+    * keeps both distincts two-phase and map-side-combined.
+    *
+    * Scale shape: two distinct combines on (user, day)-sized frames +
+    * one grid-sized broadcast join; fanout is the fixed window/stride
+    * ratio, independent of corpus size. */
+  def dauStickiness(s: SparkSession, dir: String): DataFrame = {
+    val acts = events(s, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val span = acts.agg(max(col("day")).cast("long").as("max_day"))
+    val dau = acts.groupBy(col("day"))
+      .agg(count(lit(1)).cast("long").as("dau"))
+    val wau = acts.crossJoin(broadcast(span))
+      .select(col("user_id"),
+        explode(expr("sequence(day, least(day + 6, max_day))")).as("day"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).cast("long").as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("""cast(cast(dau as decimal(38,0)) * 1000000
+          div wau as bigint)""").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+
+  /** Stationary distribution of the event-type Markov chain — where
+    * the traffic settles if the observed per-user transition dynamics
+    * run forever: the q_event_transitions matrix driven through 4
+    * power iterations entirely in integer mass units (1e12 total),
+    * per-step contribution = mass_from · cnt(from→to) div out(from)
+    * (wide-cast truncating — deterministic at any scale, no floating
+    * accumulation to order across executors); types with no outgoing
+    * transitions retain their mass (self-loop convention), truncation
+    * remainders are dropped identically in both engines. The matrix
+    * and every mass vector are ≤ |types|² / |types| rows, so all four
+    * iterations are bounded-grid broadcast joins; the only data-scaled
+    * work is the one per-user ordered window deriving transitions —
+    * run ONCE and pinned (checkpoint) so the no-CSE re-execution of a
+    * frame referenced by every iteration can't re-scan the corpus
+    * 4×; the iteration joins broadcast the pinned grid.
+    *
+    * Scale shape: one per-user sort window + one combine to the
+    * |types|² grid (pinned); iterations touch only grid frames. */
+  def markovStationary(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val reliable = s.sparkContext.getCheckpointDir.isDefined
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val trans = pin(events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(byUser))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).cast("long").as("cnt")))
+    val out = trans.groupBy(col("from_type"))
+      .agg(sum(col("cnt")).cast("long").as("out_n"))
+    val types = trans.select(col("from_type").as("event_type"))
+      .union(trans.select(col("to_type")))
+      .distinct()
+    val nTypes = types.agg(count(lit(1)).cast("long").as("n_types"))
+    val mass0 = types.crossJoin(broadcast(nTypes))
+      .select(col("event_type"),
+        expr("cast(1000000000000 div n_types as bigint)").as("mass"))
+    val transOut = broadcast(trans.join(out, "from_type"))
+    val stepped = (1 to 4).foldLeft(mass0) { (m, _) =>
+      val flow = m.join(transOut, m("event_type") === transOut("from_type"))
+        .groupBy(col("to_type").as("event_type"))
+        .agg(sum(expr("""cast(cast(mass as decimal(38,0)) * cnt
+          div out_n as bigint)""")).cast("long").as("inflow"))
+      val kept = m.join(broadcast(out),
+          m("event_type") === out("from_type"), "left_anti")
+        .select(col("event_type"), col("mass").as("inflow"))
+      flow.union(kept)
+        .groupBy(col("event_type"))
+        .agg(sum(col("inflow")).cast("long").as("mass"))
+    }
+    mass0.select(col("event_type"), col("mass").as("mass_init"))
+      .join(stepped.select(col("event_type"), col("mass").as("mass_4")),
+        "event_type")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dau_stickiness" -> dauStickiness _,
+    "q_markov_stationary" -> markovStationary _,
     "q_benford_audit" -> benfordAudit _,
     "q_psi_drift" -> psiDrift _,
     "q_conversion_lag" -> conversionLag _,
@@ -1658,6 +1755,72 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same distinct (user, day) collapse, same clipped 7-day fanout,
+    // same truncating ppm.
+    "q_dau_stickiness" ->
+      """WITH acts AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |sp AS (SELECT CAST(max(day) AS BIGINT) AS max_day FROM acts),
+        |dau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |  FROM acts GROUP BY day),
+        |wx AS (
+        |  SELECT DISTINCT user_id, day FROM (
+        |    SELECT user_id,
+        |           unnest(range(day, least(day + 6, max_day) + 1)) AS day
+        |    FROM acts, sp)),
+        |wau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS wau
+        |  FROM wx GROUP BY day)
+        |SELECT d.day, d.dau, w.wau,
+        |       CAST(CAST(d.dau AS HUGEINT) * 1000000 // w.wau AS BIGINT)
+        |         AS stickiness_ppm
+        |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin,
+    // Same lead-window transitions, same integer mass units, same
+    // 4 truncating power iterations with mass retention on sinks.
+    "q_markov_stationary" -> {
+      val step = (prev: String, cur: String) =>
+        s"""$cur AS (
+           |  SELECT event_type, CAST(sum(inflow) AS BIGINT) AS mass
+           |  FROM (
+           |    SELECT t.to_type AS event_type,
+           |           CAST(CAST(m.mass AS HUGEINT) * t.cnt // o.out_n
+           |                AS BIGINT) AS inflow
+           |    FROM $prev m
+           |    JOIN trans t ON m.event_type = t.from_type
+           |    JOIN outn o ON t.from_type = o.from_type
+           |    UNION ALL
+           |    SELECT m.event_type, m.mass FROM $prev m
+           |    WHERE m.event_type NOT IN (SELECT from_type FROM outn))
+           |  GROUP BY event_type)""".stripMargin
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type AS from_type,
+         |         lead(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY epoch_us(ts), event_id) AS to_type
+         |  FROM events),
+         |trans AS (
+         |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |outn AS (
+         |  SELECT from_type, CAST(sum(cnt) AS BIGINT) AS out_n
+         |  FROM trans GROUP BY 1),
+         |types AS (
+         |  SELECT from_type AS event_type FROM trans
+         |  UNION SELECT to_type FROM trans),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM types),
+         |m0 AS (
+         |  SELECT event_type,
+         |         CAST(1000000000000 // n_types AS BIGINT) AS mass
+         |  FROM types, nt),
+         |${step("m0", "m1")},
+         |${step("m1", "m2")},
+         |${step("m2", "m3")},
+         |${step("m3", "m4")}
+         |SELECT m0.event_type, m0.mass AS mass_init, m4.mass AS mass_4
+         |FROM m0 JOIN m4 USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    },
     // Same digit rule, same grid shares, same fixed-IEEE Benford
     // expectation floors.
     "q_benford_audit" ->

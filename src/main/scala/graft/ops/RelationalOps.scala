@@ -1841,7 +1841,57 @@ object RelationalOps {
       .orderBy("o_orderpriority")
   }
 
+  /** Snapshot diff — the table-migration / replication-audit primitive:
+    * classify every key across two table snapshots as added / removed /
+    * changed / unchanged and roll the counts + money mass up per
+    * priority. The two snapshots are deterministic hash-slices of the
+    * same orders table (A drops h%20=0, B drops h%20=1 and perturbs
+    * the price one cent where h%7=0 — so every class is non-empty and
+    * the oracle genuinely tests the classification, not 0 == 0). The
+    * diff itself is ONE full-outer shuffle join on the primary key —
+    * the minimum data movement for a key-level diff; both snapshot
+    * scans carry only (key, priority, cents). At 100 TB this is how a
+    * copy is audited when q_table_fingerprint says "something differs":
+    * fingerprint first (zero-shuffle), key-level diff second (one
+    * shuffle), and the output is grid-sized either way.
+    *
+    * Scale shape: one full-outer hash join on the key + one combine to
+    * the priority × class grid. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val ph =
+      "cast(conv(substring(sha2(cast(%s as string), 256), 1, 15), 16, 10) as bigint)"
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority"),
+      expr("cast(floor(o_totalprice * cast(100 as double)) as bigint)")
+        .as("cents"),
+      expr(ph.format("o_orderkey")).as("h"))
+    val snapA = base.where(expr("h % 20 != 0"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("cents").as("cents_a"))
+    val snapB = base.where(expr("h % 20 != 1"))
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio_b"),
+        when(expr("h % 7 = 0"), col("cents") + 1L).otherwise(col("cents"))
+          .as("cents_b"))
+    snapA.join(snapB, Seq("o_orderkey"), "full_outer")
+      .select(
+        coalesce(col("o_orderpriority"), col("prio_b"))
+          .as("o_orderpriority"),
+        when(col("cents_a").isNull, lit("added"))
+          .when(col("cents_b").isNull, lit("removed"))
+          .when(col("cents_a") =!= col("cents_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change_class"),
+        coalesce(col("cents_a"), lit(0L)).as("ca"),
+        coalesce(col("cents_b"), lit(0L)).as("cb"))
+      .groupBy(col("o_orderpriority"), col("change_class"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("ca").cast("decimal(38,0)")).cast("long").as("cents_a"),
+        sum(col("cb").cast("decimal(38,0)")).cast("long").as("cents_b"))
+      .withColumn("delta_cents", col("cents_b") - col("cents_a"))
+      .orderBy("o_orderpriority", "change_class")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_diff" -> snapshotDiff _,
     "q_ship_lag" -> shipLag _,
     "q_rfm_segments" -> rfmSegments _,
     "q_delta_agg" -> deltaAgg _,
@@ -1912,6 +1962,39 @@ object RelationalOps {
     "q_scalar_subquery" -> scalarSubquery _)
 
   val oracles: Map[String, String] = Map(
+    // Same hash slices, same one-cent perturbation, same FULL OUTER
+    // classification and integer cent masses.
+    "q_snapshot_diff" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(floor(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)
+        |           AS cents,
+        |         CAST('0x' || substring(sha256(CAST(o_orderkey AS VARCHAR)),
+        |              1, 15) AS BIGINT) AS h
+        |  FROM orders),
+        |a AS (
+        |  SELECT o_orderkey, o_orderpriority, cents AS cents_a
+        |  FROM b WHERE h % 20 != 0),
+        |bb AS (
+        |  SELECT o_orderkey, o_orderpriority AS prio_b,
+        |         CASE WHEN h % 7 = 0 THEN cents + 1 ELSE cents END
+        |           AS cents_b
+        |  FROM b WHERE h % 20 != 1),
+        |j AS (
+        |  SELECT coalesce(a.o_orderpriority, bb.prio_b) AS o_orderpriority,
+        |         CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |              WHEN bb.o_orderkey IS NULL THEN 'removed'
+        |              WHEN cents_a != cents_b THEN 'changed'
+        |              ELSE 'unchanged' END AS change_class,
+        |         coalesce(cents_a, 0) AS ca, coalesce(cents_b, 0) AS cb
+        |  FROM a FULL OUTER JOIN bb ON a.o_orderkey = bb.o_orderkey)
+        |SELECT o_orderpriority, change_class,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(ca) AS BIGINT) AS cents_a,
+        |       CAST(sum(cb) AS BIGINT) AS cents_b,
+        |       CAST(sum(cb) AS BIGINT) - CAST(sum(ca) AS BIGINT)
+        |         AS delta_cents
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Same join, same integer day lags, same discrete rank
     // positions and truncating mean.
     "q_ship_lag" ->

@@ -763,6 +763,35 @@ object VectorOps {
        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  /** The q_pq_residual DuckDB oracle for an (m, k) geometry — same
+    * argmin assignment, same micro-unit floors, same grid shares. */
+  private[graft] def pqResidualOracle(m: Int, k: Int): String =
+    s"""${pqCommonCtes(m, k)},
+       |a AS (
+       |  SELECT vec_id, sub, d2,
+       |         row_number() OVER (PARTITION BY vec_id, sub
+       |           ORDER BY d2, cent_id) AS rn
+       |  FROM d),
+       |e AS (
+       |  SELECT sub,
+       |         CAST(floor(d2 * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+       |           AS err_u
+       |  FROM a WHERE rn = 1),
+       |g AS (
+       |  SELECT sub, CAST(count(*) AS BIGINT) AS n_vecs,
+       |         CAST(sum(err_u) AS BIGINT) AS sum_err_u,
+       |         CAST(max(err_u) AS BIGINT) AS max_err_u
+       |  FROM e GROUP BY sub),
+       |tt AS (SELECT *, CAST(sum(sum_err_u) OVER () AS BIGINT) AS tot
+       |       FROM g)
+       |SELECT CAST(sub AS BIGINT) AS sub, n_vecs,
+       |       CAST(sum_err_u // n_vecs AS BIGINT) AS mean_err_u,
+       |       max_err_u,
+       |       CASE WHEN tot > 0 THEN
+       |         CAST(CAST(sum_err_u AS HUGEINT) * 1000000 // tot AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS err_share_ppm
+       |FROM tt ORDER BY sub""".stripMargin
+
   /** The q_ann_pq_search DuckDB oracle for an (m, k) geometry. */
   private[graft] def annPqOracle(m: Int, k: Int): String =
     s"""${pqCommonCtes(m, k)},
@@ -1411,7 +1440,109 @@ object VectorOps {
         col("raw_bytes_per_vec"), col("pq_code_bytes"),
         expr("raw_bytes_per_vec div pq_code_bytes").as("scan_shrink_x"))
 
+  /** IVF cell-balance audit — the post-training health check on the
+    * coarse quantizer: per-cell population, corpus share, and a
+    * balance factor (cell size × n_cells / total, 1e6 = perfectly
+    * uniform). A hot cell (balance ≫ 1e6) is a serving tail-latency
+    * bomb — every query probing it scans that whole cell — and the
+    * signal to retrain or split; q_ann_plan sizes the index, this
+    * audits what training actually produced, and q_lsh_bucket_skew is
+    * its LSH-side twin.
+    *
+    * Scale shape: the assignment is the shared broadcast-16-centroid
+    * scan; sizes are ONE combine to the ≤ nlist-row grid; shares ride
+    * an unpartitioned window over that provably bounded grid. */
+  def ivfBalance(s: SparkSession, dir: String): DataFrame = {
+    val grid = Window.partitionBy(lit(1))
+    ivfAssign(s, dir)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+      .withColumn("total", sum(col("n_vecs")).over(grid).cast("long"))
+      .withColumn("n_cells", count(lit(1)).over(grid).cast("long"))
+      .select(col("cluster_id"), col("n_vecs"),
+        expr("""cast(cast(n_vecs as decimal(38,0)) * 1000000
+          div total as bigint)""").as("share_ppm"),
+        expr("""cast(cast(n_vecs as decimal(38,0)) * n_cells * 1000000
+          div total as bigint)""").as("balance_ppm"))
+      .orderBy("cluster_id")
+  }
+
+  /** Per-subspace PQ residual-energy audit — where the quantization
+    * error actually lives: for each of the m subspaces, the count,
+    * truncating-mean and max of the argmin-codeword squared residual
+    * (micro-units, the exact integers q_product_quantize already
+    * ships per vector) plus each subspace's share of total error.
+    * A subspace carrying an outsized share is the one that needs more
+    * codewords (or an OPQ rotation) — the diagnostic read before
+    * re-spending training budget; q_pq_recall says "accuracy is off",
+    * this says WHERE.
+    *
+    * Scale shape: reuses the encoder's broadcast-codebook assignment
+    * scan; ONE combine to the m-row grid; the share window spans m
+    * rows by construction. */
+  def pqResidual(s: SparkSession, dir: String): DataFrame = {
+    val grid = Window.partitionBy(lit(1))
+    pqAssigned(s, dir)
+      .select(col("sub").cast("long").as("sub"),
+        floor(col("d2") * lit(1000000.0)).cast("long").as("err_u"))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum(col("err_u").cast("decimal(38,0)")).cast("long").as("sum_err_u"),
+        max(col("err_u")).as("max_err_u"))
+      .withColumn("tot_err", sum(col("sum_err_u")).over(grid).cast("long"))
+      .select(col("sub"), col("n_vecs"),
+        expr("cast(sum_err_u div n_vecs as bigint)").as("mean_err_u"),
+        col("max_err_u"),
+        when(col("tot_err") > 0L,
+          expr("""cast(cast(sum_err_u as decimal(38,0)) * 1000000
+            div tot_err as bigint)""")).otherwise(0L).as("err_share_ppm"))
+      .orderBy("sub")
+  }
+
+  /** Top-1 neighbor reciprocity per label inside the fixed 100-vector
+    * eval window — the complement of q_hubness: a healthy embedding
+    * space has high mutual-nearest-neighbor rates, while hub-dominated
+    * spaces (high-dim degradation) send many vectors' top-1 pointing
+    * at a few hubs that don't point back. Low reciprocity predicts
+    * poor k-NN classification and noisy SemDeDup keeps — this is the
+    * cheap canary to run before trusting either.
+    *
+    * Scale shape: the eval window is a FIXED 100-vector slice
+    * (q_srp_recall's bounded-truth pattern — constant cost at any
+    * corpus size); the window cross is broadcast on one side; the
+    * reciprocity check is a self-join of the 100-row top-1 frame. */
+  def knnReciprocity(s: SparkSession, dir: String): DataFrame = {
+    val win = withNorm(s, dir).where(col("vec_id") < 100)
+    val q = win.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+      col("embedding").as("qe"), col("norm").as("qn"))
+    val c = win.select(col("vec_id").as("cid"),
+      col("embedding").as("ce"), col("norm").as("cn"))
+    val topW = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    val top1 = q.crossJoin(broadcast(c))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("qlabel"), col("cid"),
+        r6(dot("qe", "ce") / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rn", row_number().over(topW)).where(col("rn") === 1)
+      .select(col("qid"), col("qlabel"), col("cid").as("nbr"))
+    val back = top1.select(col("qid").as("b_qid"), col("nbr").as("b_nbr"))
+    top1.join(back,
+        col("nbr") === col("b_qid") && col("b_nbr") === col("qid"), "left")
+      .select(col("qlabel").cast("long").as("label"),
+        when(col("b_qid").isNotNull, 1L).otherwise(0L).as("recip"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum(col("recip")).cast("long").as("n_reciprocal"))
+      .withColumn("recip_ppm",
+        expr("""cast(cast(n_reciprocal as decimal(38,0)) * 1000000
+          div n_vecs as bigint)"""))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivf_balance" -> ivfBalance _,
+    "q_pq_residual" -> pqResidual _,
+    "q_knn_reciprocity" -> knnReciprocity _,
     "q_ann_plan" -> annPlan _,
     "q_norm_bands" -> normBands _,
     "q_pca_power" -> pcaPower _,
@@ -1945,6 +2076,66 @@ object VectorOps {
         |FROM b
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_product_quantize" -> pqOracle(PqM, PqK),
+    "q_pq_residual" -> pqResidualOracle(PqM, PqK),
+    // Same broadcast-centroid assignment, same grid shares and
+    // balance factor.
+    "q_ivf_balance" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS norm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
+        |  FROM base WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cluster_id FROM (
+        |    SELECT b.vec_id, c.cent_id,
+        |           round(list_reduce(list_transform(list_zip(b.embedding, c.cent_emb),
+        |                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |                 / (b.norm * c.cent_norm), 6) AS ccos
+        |    FROM base b, cents c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) = 1),
+        |sizes AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vecs
+        |  FROM assign GROUP BY cluster_id),
+        |tt AS (
+        |  SELECT *, CAST(sum(n_vecs) OVER () AS BIGINT) AS total,
+        |         CAST(count(*) OVER () AS BIGINT) AS n_cells
+        |  FROM sizes)
+        |SELECT cluster_id, n_vecs,
+        |       CAST(CAST(n_vecs AS HUGEINT) * 1000000 // total AS BIGINT)
+        |         AS share_ppm,
+        |       CAST(CAST(n_vecs AS HUGEINT) * n_cells * 1000000 // total
+        |            AS BIGINT) AS balance_ppm
+        |FROM tt ORDER BY cluster_id""".stripMargin,
+    // Same fixed eval window, same r6 cosine top-1 rule, same mutual
+    // self-join and truncating ppm.
+    "q_knn_reciprocity" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, embedding,
+        |         sqrt(list_reduce(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS norm
+        |  FROM embeddings WHERE vec_id < 100),
+        |p AS (
+        |  SELECT q.vec_id AS qid, q.label AS qlabel, c.vec_id AS cid,
+        |         round(list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |               / (q.norm * c.norm), 6) AS cos
+        |  FROM base q, base c WHERE q.vec_id != c.vec_id),
+        |t1 AS (
+        |  SELECT qid, qlabel, cid AS nbr FROM p
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, cid) = 1),
+        |r AS (
+        |  SELECT CAST(a.qlabel AS BIGINT) AS label,
+        |         CASE WHEN b.qid IS NOT NULL THEN 1 ELSE 0 END AS recip
+        |  FROM t1 a LEFT JOIN t1 b ON a.nbr = b.qid AND b.nbr = a.qid)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(sum(recip) AS BIGINT) AS n_reciprocal,
+        |       CAST(CAST(sum(recip) AS HUGEINT) * 1000000 // count(*)
+        |            AS BIGINT) AS recip_ppm
+        |FROM r GROUP BY label ORDER BY label""".stripMargin,
     "q_ann_pq_search" -> annPqOracle(PqM, PqK),
     "q_ann_ivfpq" -> annIvfPqOracle(PqM, PqK),
     "q_rank_fusion" -> rankFusionOracle(PqM, PqK),

@@ -333,4 +333,81 @@ class R8OpsSpec extends SparkSpec {
     val total = Tables(spark, sfDir, "embeddings").count()
     assert(n == total, "label partition must cover all vectors")
   }
+
+  test("dau stickiness: WAU dominates DAU, stickiness is a ratio") {
+    val rows = EventOps.dauStickiness(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dau >= 1 && wau >= dau,
+        "a user active on day d is active in d's 7-day window")
+      assert(ppm <= 1000000L && ppm == dau * 1000000L / wau)
+    }
+  }
+
+  test("markov stationary: integer mass is conserved up to truncation") {
+    val rows = EventOps.markovStationary(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val init = rows.map(_.getLong(1)).sum
+    val after = rows.map(_.getLong(2)).sum
+    // each of 4 iterations drops < |types|² units to truncation
+    assert(after <= init)
+    assert(init - after <= 4L * rows.length * rows.length)
+    // every type retains positive mass (chain is irreducible enough
+    // in the synthetic data; zero mass would mean a lost type)
+    assert(rows.forall(_.getLong(2) > 0L))
+  }
+
+  test("snapshot diff: every class appears and changed rows cost 1 cent") {
+    val rows = RelationalOps.snapshotDiff(spark, sfDir).collect()
+    val classes = rows.map(_.getString(1)).toSet
+    assert(classes == Set("added", "removed", "changed", "unchanged"))
+    rows.foreach { r =>
+      assert(r.getLong(5) == r.getLong(4) - r.getLong(3),
+        "delta must equal cents_b - cents_a")
+      if (r.getString(1) == "changed")
+        assert(r.getLong(5) == r.getLong(2),
+          "each changed row was perturbed by exactly one cent")
+      if (r.getString(1) == "added") assert(r.getLong(3) == 0L)
+      if (r.getString(1) == "removed") assert(r.getLong(4) == 0L)
+    }
+  }
+
+  test("ivf balance: cells cover the corpus, shares and balance agree") {
+    val rows = VectorOps.ivfBalance(spark, sfDir).collect()
+    val total = Tables(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.length <= 16)
+    val shares = rows.map(_.getLong(2)).sum
+    assert(shares <= 1000000L && shares >= 1000000L - rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) * rows.length ||
+        // truncation can differ by ≤ n_cells between the two routes
+        math.abs(r.getLong(3) - r.getLong(2) * rows.length) <= rows.length)
+    }
+  }
+
+  test("pq residual: one row per subspace, seeds quantize exactly") {
+    val rows = VectorOps.pqResidual(spark, sfDir).collect()
+    assert(rows.length == VectorOps.PqM)
+    val shares = rows.map(_.getLong(4)).sum
+    assert(shares <= 1000000L)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(2) <= r.getLong(3), "mean must not exceed max")
+      assert(r.getLong(2) >= 0L)
+    }
+  }
+
+  test("knn reciprocity: mutual pairs come in twos") {
+    val rows = VectorOps.knnReciprocity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nRecip = rows.map(_.getLong(2)).sum
+    assert(nRecip % 2 == 0, "reciprocity is symmetric — count must be even")
+    assert(rows.map(_.getLong(1)).sum == 100L, "eval window is fixed at 100")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) <= 1000000L)
+    }
+  }
 }

@@ -444,7 +444,25 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_lsh_recall" -> 12,
       // the shared band pair join + pair combine + the <= 3-row
       // split rollup; split sizes broadcast
-      "q_split_leakage" -> 7)) {
+      "q_split_leakage" -> 7,
+      // two distinct combines on (user, day)-sized frames + the two
+      // day-grid count combines + the grid-sized dau×wau join
+      "q_dau_stickiness" -> 6,
+      // one per-user sort window + the |types|² transition combine;
+      // 4 bounded-grid iterations each cost a grid join + combine
+      "q_markov_stationary" -> 14,
+      // ONE full-outer hash join on the key (two sides) + the
+      // priority × class grid combine
+      "q_snapshot_diff" -> 3,
+      // broadcast-centroid assignment + per-vec argmax window +
+      // ONE combine to the ≤ nlist grid; shares ride the grid
+      "q_ivf_balance" -> 2,
+      // broadcast-codebook assignment + per-(vec, sub) argmin
+      // window + ONE combine to the m-row grid
+      "q_pq_residual" -> 2,
+      // fixed-window broadcast cross + per-query top-1 window +
+      // the 100-row self-join + label combine
+      "q_knn_reciprocity" -> 4)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
