@@ -1890,7 +1890,42 @@ object RelationalOps {
       .orderBy("o_orderpriority", "change_class")
   }
 
+  /** Open-order backlog aging — the fulfillment-ops dashboard: orders
+    * still open (status 'O') bucketed by age in 30-day bands against
+    * the corpus max order date (a 1-row broadcast anchor, so the
+    * query is replayable against a frozen snapshot), per priority:
+    * counts, money mass in exact cents, and the age range inside the
+    * band. The aging grid is how a backlog burn-down is prioritized —
+    * old urgent orders first; q_ship_lag measures fulfilled flow,
+    * this measures what's stuck.
+    *
+    * Scale shape: status filter + day arithmetic pushed to the scan;
+    * ONE combine agg to the bounded priority × band grid. */
+  def orderBacklog(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("order_day"),
+        expr("cast(floor(o_totalprice * cast(100 as double)) as bigint)")
+          .as("cents"))
+    val anchor = ord.agg(max(col("order_day")).cast("long").as("max_day"))
+    ord.where(col("o_orderstatus") === "O")
+      .crossJoin(broadcast(anchor))
+      .select(col("o_orderpriority"),
+        expr("(max_day - order_day) div 30").as("age_band"),
+        (col("max_day") - col("order_day")).as("age_days"),
+        col("cents"))
+      .groupBy(col("o_orderpriority"), col("age_band"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        min(col("age_days")).as("min_age_days"),
+        max(col("age_days")).as("max_age_days"),
+        sum(col("cents").cast("decimal(38,0)")).cast("long")
+          .as("backlog_cents"))
+      .orderBy("o_orderpriority", "age_band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_order_backlog" -> orderBacklog _,
     "q_snapshot_diff" -> snapshotDiff _,
     "q_ship_lag" -> shipLag _,
     "q_rfm_segments" -> rfmSegments _,
@@ -1962,6 +1997,24 @@ object RelationalOps {
     "q_scalar_subquery" -> scalarSubquery _)
 
   val oracles: Map[String, String] = Map(
+    // Same status filter, same 1-row max-day anchor, same 30-day
+    // bands and exact cent mass.
+    "q_order_backlog" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_orderstatus,
+        |         epoch_us(o_orderdate) // 86400000000 AS order_day,
+        |         CAST(floor(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)
+        |           AS cents
+        |  FROM orders),
+        |a AS (SELECT CAST(max(order_day) AS BIGINT) AS max_day FROM o)
+        |SELECT o_orderpriority,
+        |       CAST((max_day - order_day) // 30 AS BIGINT) AS age_band,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(min(max_day - order_day) AS BIGINT) AS min_age_days,
+        |       CAST(max(max_day - order_day) AS BIGINT) AS max_age_days,
+        |       CAST(sum(cents) AS BIGINT) AS backlog_cents
+        |FROM o, a WHERE o_orderstatus = 'O'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Same hash slices, same one-cent perturbation, same FULL OUTER
     // classification and integer cent masses.
     "q_snapshot_diff" ->

@@ -452,6 +452,102 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** b-bit minhash (Li & König 2010, b=1): keep only the LOWEST BIT
+    * of each of the 128 minhash values, packed into four 32-bit words
+    * — 16 bytes of signature state per document instead of 1 KB, the
+    * 64× memory/network shrink that makes minhash indexes fit at
+    * 100 TB. Estimation: for b=1 the expected bit-agreement is
+    * (1+J)/2, so Ĵ = 2·agree/128 − 1 (the unbiasing that corrects
+    * the 50% random-collision floor). Emits, per LSH candidate pair,
+    * the full-width and 1-bit agreement counts and both estimates in
+    * truncating ppm plus their gap — the measured answer to "can we
+    * afford to shrink the signature store 64×". Words are packed by
+    * a 32-step integer fold (a·2+bit: overflow-safe in 32-bit
+    * chunks; a 64-bit pack would overflow BIGINT on a set high bit);
+    * XOR + bit_count on the packed words does the agreement in 4
+    * codegen'd integer ops — exactly how a serving layer would.
+    *
+    * Scale shape: identical to q_minhash_jaccard_est — per-doc
+    * narrow hash pipeline, band equi-join bounded by collisions; the
+    * pair-side arithmetic is 4 integer xor/popcounts instead of a
+    * 128-lane compare. */
+  def bbitMinhash(s: SparkSession, dir: String): DataFrame = {
+    val packs = (0 until 4).map(k => expr(
+      s"""aggregate(slice(transform(mh, x -> x % 2), ${32 * k + 1}, 32),
+         |  cast(0 as bigint), (a, x) -> a * 2 + x)""".stripMargin)
+      .as(s"w$k"))
+    val base = shingled(s, dir)
+      .select(col("doc_id"), array_distinct(
+        graft.functions.PortableHashes.hashes(
+          col("shingles"), 2147483647L)).as("hset"))
+      .select(col("doc_id"),
+        graft.functions.MinhashSigs.sigs(col("hset"), 128).as("mh"))
+      .select(col("doc_id") +: col("mh") +: packs: _*)
+    val banded = base.select(col("doc_id"), col("mh"),
+      col("w0"), col("w1"), col("w2"), col("w3"),
+      explode(expr(
+        """transform(sequence(0, 7), b -> struct(
+          |  b AS band, element_at(mh, b + 1) AS sig))""".stripMargin)).as("bs"))
+      .select(col("doc_id"), col("mh"),
+        col("w0"), col("w1"), col("w2"), col("w3"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val left = banded.select(col("band"), col("sig"),
+      col("doc_id").as("doc_a"), col("mh").as("mh_a"),
+      col("w0").as("a0"), col("w1").as("a1"),
+      col("w2").as("a2"), col("w3").as("a3"))
+    val right = banded.select(col("band"), col("sig"),
+      col("doc_id").as("doc_b"), col("mh").as("mh_b"),
+      col("w0").as("b0"), col("w1").as("b1"),
+      col("w2").as("b2"), col("w3").as("b3"))
+    left.join(right, Seq("band", "sig"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v))")
+          .cast("long").as("n_agree_full"),
+        expr("""cast(128 - bit_count(a0 ^ b0) - bit_count(a1 ^ b1)
+          - bit_count(a2 ^ b2) - bit_count(a3 ^ b3) as bigint)""")
+          .as("n_agree_bit"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        col("n_agree_full"), col("n_agree_bit"),
+        expr("n_agree_full * 1000000 div 128").as("est_full_ppm"),
+        expr("(2 * n_agree_bit - 128) * 1000000 div 128")
+          .as("est_bit_ppm"))
+      .withColumn("gap_ppm", col("est_bit_ppm") - col("est_full_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Tokenizer fertility per language — BPE-ish regex tokens per
+    * whitespace word and chars per token, the pair of numbers that
+    * sizes a token budget across languages (fertility > 1e6 means
+    * the tokenizer fragments that language's words — its documents
+    * cost more sequence length per word of content). Pure combine
+    * rollup of the q_token_count_bpe per-doc signals to the |langs|
+    * grid in truncating ppm.
+    *
+    * Scale shape: token counting is scan-side; ONE combine to the
+    * |langs| grid; ratios are grid projections. */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("re"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("ws").cast("decimal(38,0)")).cast("long").as("n_ws_tokens"),
+        sum(col("re").cast("decimal(38,0)")).cast("long").as("n_re_tokens"),
+        sum(col("n_chars").cast("decimal(38,0)")).cast("long")
+          .as("sum_chars"))
+      .select(col("lang"), col("n_docs"), col("n_ws_tokens"),
+        col("n_re_tokens"),
+        expr("""cast(cast(n_re_tokens as decimal(38,0)) * 1000000
+          div n_ws_tokens as bigint)""").as("fertility_ppm"),
+        expr("""cast(cast(sum_chars as decimal(38,0)) * 1000000
+          div n_re_tokens as bigint)""").as("chars_per_token_ppm"))
+      .orderBy("lang")
+
   /** Corpus vocabulary heavy-hitters: global top-30 tokens by
     * occurrence count with document frequency — the frequency table a
     * tokenizer/stopword/BPE pass starts from. Explode → combine-heavy
@@ -947,7 +1043,16 @@ object TextOps {
     * the q_bpe_pair_counts plateau argument); V is a 1-row broadcast;
     * scoring joins key on the vocab hash (Heaps-law-bounded frames,
     * AQE picks broadcast vs shuffle); the final agg is doc-keyed. */
-  def docPerplexity(s: SparkSession, dir: String): DataFrame = {
+  def docPerplexity(s: SparkSession, dir: String): DataFrame =
+    perDocNll(s, dir)
+      .select(col("doc_id"), col("n_bigrams"), col("ce_micro"),
+        col("avg_nll_micro"))
+      .orderBy("doc_id")
+
+  /** Per-doc (doc_id, lang, n_bigrams, ce_micro, avg_nll_micro) —
+    * the q_doc_perplexity core with the lang label retained, shared
+    * with the CCNet-style bucket assignment ([[ccnetBuckets]]). */
+  private def perDocNll(s: SparkSession, dir: String): DataFrame = {
     val bg = Tables.spread(s, t(s, dir, "documents"))
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 2)
@@ -962,7 +1067,7 @@ object TextOps {
     val bc = ref.groupBy(col("bgr")).agg(count(lit(1)).as("bc"))
     val uc = ref.groupBy(col("w1")).agg(count(lit(1)).as("uc"))
     val v = ref.agg(countDistinct(col("w1")).as("v"))
-    bg.groupBy(col("doc_id"), col("w1"), col("bgr"))
+    bg.groupBy(col("doc_id"), col("lang"), col("w1"), col("bgr"))
       .agg(count(lit(1)).as("occ"))
       .join(bc, Seq("bgr"), "left").join(uc, Seq("w1"), "left")
       .crossJoin(broadcast(v))
@@ -970,12 +1075,46 @@ object TextOps {
         log((coalesce(col("uc"), lit(0L)) + col("v")).cast("double") /
             (coalesce(col("bc"), lit(0L)) + lit(1L)).cast("double")) *
         lit(1000000.0)).cast("long"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("occ")).cast("long").as("n_bigrams"),
         sum(col("occ") * col("cost_micro")).as("ce_micro"))
-      .select(col("doc_id"), col("n_bigrams"), col("ce_micro"),
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("ce_micro"),
         expr("ce_micro div n_bigrams").as("avg_nll_micro"))
-      .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020 §3.3): per
+    * language, documents are ranked by the bigram-LM negative
+    * log-likelihood ([[docPerplexity]]'s exact-integer score) and
+    * split into head / middle / tail terciles — head (lowest NLL ≈
+    * most fluent) is what CCNet keeps for pretraining, tail is the
+    * noise bucket. The tercile cut is the discrete rank rule
+    * 3r ≤ n / 3r ≤ 2n (exact, no quantile sketch to coordinate);
+    * emits per-(lang, bucket) doc counts, NLL range, and token mass
+    * so the "what do we keep" budget decision reads off one grid.
+    *
+    * Scale shape: the per-doc score reuses the perplexity pipeline
+    * (vocabulary-bounded shuffles); the rank is ONE per-lang window
+    * (keys parallelize across langs — at 100 TB the two-phase
+    * bucket-offset rank of q_class_rebalance swaps in); the rollup
+    * is a combine to the |langs|×3 grid. */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_nll_micro"), col("doc_id"))
+    val nW = Window.partitionBy(col("lang"))
+    perDocNll(s, dir)
+      .withColumn("r", row_number().over(byLang).cast("long"))
+      .withColumn("n", count(lit(1)).over(nW).cast("long"))
+      .withColumn("bucket",
+        when(expr("r * 3 <= n"), lit("head"))
+          .when(expr("r * 3 <= 2 * n"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("avg_nll_micro")).as("min_nll_micro"),
+        max(col("avg_nll_micro")).as("max_nll_micro"),
+        sum(col("n_bigrams").cast("decimal(38,0)")).cast("long")
+          .as("token_mass"))
+      .orderBy("lang", "bucket")
   }
 
   /** Mutual-information feature selection — which cheap quality
@@ -1653,6 +1792,9 @@ object TextOps {
     "q_bpe_pair_counts" -> bpePairCounts _,
     "q_minhash_containment" -> minhashContainment _,
     "q_minhash_jaccard_est" -> minhashJaccardEst _,
+    "q_bbit_minhash" -> bbitMinhash _,
+    "q_ccnet_buckets" -> ccnetBuckets _,
+    "q_tokenizer_fertility" -> tokenizerFertility _,
     "q_doc_chunk" -> docChunk _,
     "q_chunk_dedup" -> chunkDedup _,
     "q_lang_id" -> langId _,
@@ -2760,6 +2902,144 @@ object TextOps {
         |         - jaccard) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS abs_err_u
         |FROM scored
         |ORDER BY doc_a, doc_b""").stripMargin,
+    // Same sig family and band join; same 32-bit packs (list_reduce
+    // with no init ≡ fold from 0 here since 0·2+b₁ = b₁), same
+    // xor/popcount agreement and truncating ppm estimates.
+    "q_bbit_minhash" ->
+      ("""WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]) AS shingles
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sets AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(shingles,
+        |           sh -> """ + phSqlDuck.format("sh") + """ % 2147483647)) AS hset
+        |  FROM s),
+        |m AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 128), j -> list_min(list_transform(hset,
+        |           h -> (h * (j + 1) + 37 * j + 101) % 2147483647))) AS mh
+        |  FROM sets),
+        |w AS (
+        |  SELECT doc_id, mh,
+        |         list_reduce(list_transform(mh, x -> x % 2)[1:32],
+        |           (a, x) -> a * 2 + x) AS w0,
+        |         list_reduce(list_transform(mh, x -> x % 2)[33:64],
+        |           (a, x) -> a * 2 + x) AS w1,
+        |         list_reduce(list_transform(mh, x -> x % 2)[65:96],
+        |           (a, x) -> a * 2 + x) AS w2,
+        |         list_reduce(list_transform(mh, x -> x % 2)[97:128],
+        |           (a, x) -> a * 2 + x) AS w3
+        |  FROM m),
+        |bands AS (
+        |  SELECT doc_id, b.range AS band,
+        |         mh[CAST(b.range AS INT) + 1] AS sig
+        |  FROM m, range(0, 8) b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM bands a JOIN bands c
+        |    ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id),
+        |scored AS (
+        |  SELECT cand.doc_a, cand.doc_b,
+        |         CAST(len(list_filter(range(0, 128),
+        |           j -> x.mh[CAST(j AS INT) + 1] = y.mh[CAST(j AS INT) + 1]))
+        |           AS BIGINT) AS n_agree_full,
+        |         CAST(128 - bit_count(xor(x.w0, y.w0))
+        |              - bit_count(xor(x.w1, y.w1))
+        |              - bit_count(xor(x.w2, y.w2))
+        |              - bit_count(xor(x.w3, y.w3)) AS BIGINT) AS n_agree_bit
+        |  FROM cand
+        |  JOIN w x ON x.doc_id = cand.doc_a
+        |  JOIN w y ON y.doc_id = cand.doc_b)
+        |SELECT doc_a, doc_b, n_agree_full, n_agree_bit,
+        |       CAST(n_agree_full * 1000000 // 128 AS BIGINT) AS est_full_ppm,
+        |       CAST((2 * n_agree_bit - 128) * 1000000 // 128 AS BIGINT)
+        |         AS est_bit_ppm,
+        |       CAST((2 * n_agree_bit - 128) * 1000000 // 128 AS BIGINT)
+        |         - CAST(n_agree_full * 1000000 // 128 AS BIGINT) AS gap_ppm
+        |FROM scored
+        |ORDER BY doc_a, doc_b""").stripMargin,
+    // Same per-doc NLL core, same discrete tercile rank rule, same
+    // grid rollup.
+    "q_ccnet_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, lang, unnest(list_transform(
+        |    range(1, len(toks)), i -> struct_pack(
+        |      w1 := toks[i], bgr := toks[i] || ' ' || toks[i + 1]))) AS p
+        |  FROM tok),
+        |f AS (SELECT doc_id, lang, p.w1 AS w1, p.bgr AS bgr FROM bg),
+        |bc AS (SELECT bgr, count(*) AS bc FROM f WHERE lang = 'en'
+        |       GROUP BY bgr),
+        |uc AS (SELECT w1, count(*) AS uc FROM f WHERE lang = 'en'
+        |       GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w1) AS v FROM f WHERE lang = 'en'),
+        |occ AS (
+        |  SELECT doc_id, lang, w1, bgr, count(*) AS occ
+        |  FROM f GROUP BY doc_id, lang, w1, bgr),
+        |cost AS (
+        |  SELECT o.doc_id, o.lang, o.occ,
+        |         CAST(floor(ln(
+        |           CAST(coalesce(uc.uc, 0) + v.v AS DOUBLE) /
+        |           CAST(coalesce(bc.bc, 0) + 1 AS DOUBLE)) * 1000000.0)
+        |           AS BIGINT) AS cost_micro
+        |  FROM occ o
+        |  LEFT JOIN bc ON o.bgr = bc.bgr
+        |  LEFT JOIN uc ON o.w1 = uc.w1
+        |  CROSS JOIN v),
+        |a AS (
+        |  SELECT doc_id, lang, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(occ * cost_micro) AS BIGINT) AS ce_micro
+        |  FROM cost GROUP BY doc_id, lang),
+        |d AS (
+        |  SELECT doc_id, lang, n_bigrams,
+        |         CAST(ce_micro // n_bigrams AS BIGINT) AS avg_nll_micro
+        |  FROM a),
+        |r AS (
+        |  SELECT *,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY avg_nll_micro, doc_id) AS BIGINT) AS r,
+        |         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM d),
+        |b AS (
+        |  SELECT lang,
+        |         CASE WHEN r * 3 <= n THEN 'head'
+        |              WHEN r * 3 <= 2 * n THEN 'middle'
+        |              ELSE 'tail' END AS bucket,
+        |         avg_nll_micro, n_bigrams
+        |  FROM r)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(avg_nll_micro) AS min_nll_micro,
+        |       max(avg_nll_micro) AS max_nll_micro,
+        |       CAST(sum(n_bigrams) AS BIGINT) AS token_mass
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    // Same regex token rule, same decimal-routed sums and truncating
+    // ppm ratios.
+    "q_tokenizer_fertility" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+        |           AS re,
+        |         n_chars
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+        |         CAST(sum(re) AS BIGINT) AS n_re_tokens,
+        |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM d GROUP BY lang)
+        |SELECT lang, n_docs, n_ws_tokens, n_re_tokens,
+        |       CAST(CAST(n_re_tokens AS HUGEINT) * 1000000 // n_ws_tokens
+        |            AS BIGINT) AS fertility_ppm,
+        |       CAST(CAST(sum_chars AS HUGEINT) * 1000000 // n_re_tokens
+        |            AS BIGINT) AS chars_per_token_ppm
+        |FROM g ORDER BY lang""".stripMargin,
     "q_bpe_pair_counts" ->
       """WITH wf AS (
         |  SELECT w, count(*) AS freq

@@ -399,6 +399,61 @@ class R8OpsSpec extends SparkSpec {
     }
   }
 
+  test("bbit minhash: 1-bit agreement dominates full-width agreement") {
+    val rows = TextOps.bbitMinhash(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (full, bit) = (r.getLong(2), r.getLong(3))
+      // equal 32-bit sigs ⇒ equal low bits, so bit-agreement ≥ full
+      assert(bit >= full && bit <= 128L && full >= 0L)
+      assert(r.getLong(4) == full * 1000000L / 128L)
+      assert(r.getLong(6) == r.getLong(5) - r.getLong(4))
+    }
+  }
+
+  test("ccnet buckets: terciles partition each language in NLL order") {
+    val rows = TextOps.ccnetBuckets(spark, sfDir).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    byLang.foreach { case (_, rs) =>
+      val m = rs.map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(m.keySet == Set("head", "middle", "tail"))
+      // tercile sizes differ by at most 1
+      val sizes = m.values.map(_._1)
+      assert(sizes.max - sizes.min <= 1)
+      // NLL ranges are ordered: head (fluent) below middle below tail
+      assert(m("head")._3 <= m("middle")._2 ||
+        m("head")._3 <= m("middle")._3)
+      assert(m("middle")._3 <= m("tail")._3)
+    }
+  }
+
+  test("tokenizer fertility: one row per lang, ratios positive") {
+    val rows = TextOps.tokenizerFertility(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+      assert(r.getLong(4) > 0 && r.getLong(5) > 0)
+      // the regex tokenizer never merges across whitespace
+      assert(r.getLong(3) >= r.getLong(2))
+    }
+  }
+
+  test("order backlog: only open orders, bands are consistent") {
+    val rows = RelationalOps.orderBacklog(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (band, n) = (r.getLong(1), r.getLong(2))
+      val (mn, mx) = (r.getLong(3), r.getLong(4))
+      assert(band >= 0 && n > 0)
+      assert(mn <= mx && mn / 30 == band && mx / 30 == band)
+      assert(r.getLong(5) > 0L)
+    }
+    val open = Tables(spark, sfDir, "orders")
+      .where(col("o_orderstatus") === "O").count()
+    assert(rows.map(_.getLong(2)).sum == open)
+  }
+
   test("knn reciprocity: mutual pairs come in twos") {
     val rows = VectorOps.knnReciprocity(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -462,7 +462,18 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_pq_residual" -> 2,
       // fixed-window broadcast cross + per-query top-1 window +
       // the 100-row self-join + label combine
-      "q_knn_reciprocity" -> 4)) {
+      "q_knn_reciprocity" -> 4,
+      // the jaccard-est band join (two sides) + the pair distinct;
+      // packing and popcount agreement are scan/pair-side
+      "q_bbit_minhash" -> 4,
+      // the perplexity pipeline's vocabulary shuffles + the per-lang
+      // rank window + the grid rollup
+      "q_ccnet_buckets" -> 9,
+      // token counting scan-side; ONE combine to the |langs| grid
+      "q_tokenizer_fertility" -> 1,
+      // status filter + day arithmetic on the scan; 1-row anchor
+      // broadcast; ONE combine to the priority × band grid
+      "q_order_backlog" -> 1)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
