@@ -1702,7 +1702,48 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Seasonal-naive forecast residuals — the cheapest anomaly
+    * baseline that respects daily seasonality: the first 21 days are
+    * the training window, the remainder the test window; expected
+    * test count per (type, hour-of-day) cell = train count scaled by
+    * the test/train day ratio in truncating integers, compared to the
+    * actual. The residual ratio (actual·1e6 div expected) is the
+    * "this Tuesday 3 pm is 4× normal" number an on-call dashboard
+    * wants — q_burst_detect finds point bursts, this finds whole
+    * cells off their seasonal profile. The split day derives from a
+    * 1-row min-day anchor so the query replays identically on a
+    * frozen snapshot.
+    *
+    * Scale shape: anchor broadcast + ONE combine agg to the bounded
+    * (type, hour-of-day) grid carrying both halves as conditional
+    * sums; everything after is grid projections. */
+  def seasonalBaseline(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"),
+      expr("ts_us div 86400000000").as("day"),
+      expr("(ts_us div 3600000000) % 24").as("hod"))
+    val span = ev.agg(min(col("day")).cast("long").as("min_day"),
+      max(col("day")).cast("long").as("max_day"))
+    ev.crossJoin(broadcast(span))
+      .select(col("event_type"), col("hod"),
+        when(col("day") < col("min_day") + 21L, 1L).otherwise(0L)
+          .as("is_train"),
+        (col("max_day") - col("min_day") + 1L - 21L).as("test_days"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("is_train")).cast("long").as("n_train"),
+        sum(lit(1L) - col("is_train")).cast("long").as("n_test"),
+        max(col("test_days")).as("test_days"))
+      .select(col("event_type"), col("hod"), col("n_train"), col("n_test"),
+        expr("""cast(cast(n_train as decimal(38,0)) * test_days
+          div 21 as bigint)""").as("expected_test"))
+      .withColumn("resid", col("n_test") - col("expected_test"))
+      .withColumn("ratio_ppm",
+        expr("""cast(cast(n_test as decimal(38,0)) * 1000000
+          div greatest(expected_test, 1) as bigint)"""))
+      .orderBy("event_type", "hod")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_baseline" -> seasonalBaseline _,
     "q_dau_stickiness" -> dauStickiness _,
     "q_markov_stationary" -> markovStationary _,
     "q_benford_audit" -> benfordAudit _,
@@ -1755,6 +1796,36 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same 21-day split anchor, same grid conditional sums, same
+    // truncating scaling and ratio.
+    "q_seasonal_baseline" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) // 86400000000 AS day,
+        |         (epoch_us(ts) // 3600000000) % 24 AS hod
+        |  FROM events),
+        |sp AS (SELECT CAST(min(day) AS BIGINT) AS min_day,
+        |              CAST(max(day) AS BIGINT) AS max_day FROM e),
+        |g AS (
+        |  SELECT event_type, hod,
+        |         CAST(sum(CASE WHEN day < min_day + 21 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_train,
+        |         CAST(sum(CASE WHEN day < min_day + 21 THEN 0 ELSE 1 END)
+        |           AS BIGINT) AS n_test,
+        |         CAST(max(max_day - min_day + 1 - 21) AS BIGINT)
+        |           AS test_days
+        |  FROM e, sp GROUP BY 1, 2),
+        |x AS (
+        |  SELECT event_type, hod, n_train, n_test,
+        |         CAST(CAST(n_train AS HUGEINT) * test_days // 21 AS BIGINT)
+        |           AS expected_test
+        |  FROM g)
+        |SELECT event_type, CAST(hod AS BIGINT) AS hod, n_train, n_test,
+        |       expected_test,
+        |       n_test - expected_test AS resid,
+        |       CAST(CAST(n_test AS HUGEINT) * 1000000
+        |            // greatest(expected_test, 1) AS BIGINT) AS ratio_ppm
+        |FROM x ORDER BY event_type, hod""".stripMargin,
     // Same distinct (user, day) collapse, same clipped 7-day fanout,
     // same truncating ppm.
     "q_dau_stickiness" ->

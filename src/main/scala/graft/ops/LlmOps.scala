@@ -1487,7 +1487,48 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Dedup survivorship — which source's documents WIN dedup groups
+    * and which source's get dropped in favor of whom: per exact-dup
+    * group the keep-min-doc_id rule picks a winner (the same rule as
+    * q_dedup_corpus, so this audits that exact filter), and every
+    * dropped document becomes a (winner_source → loser_source) edge
+    * with its character mass. A source that mostly loses to one other
+    * source is a mirror/scrape of it — the cross-source attribution
+    * q_dup_inflation's per-source totals can't show.
+    *
+    * The gate corpus carries no byte-exact duplicates, so the query
+    * unions a deterministic "mirror" source (every doc_id % 5 == 0
+    * re-keyed +1e7 with source 'mirror' — the q_dedup_normalized
+    * planted-variant pattern): the arg-min winner rule and the grid
+    * rollup are then genuinely exercised instead of 0 == 0, and any
+    * organic duplicates at larger SF fold in on top.
+    *
+    * Scale shape: ONE content-hash combine (arg-min winner rides it
+    * via min_by) + the hash-keyed join-back; the rollup is a combine
+    * to the ≤ |sources|² grid. */
+  def dedupSurvivorship(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+    val mirror = base.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        lit("mirror").as("source"), col("n_chars"), col("text"))
+    val docs = base.unionAll(mirror)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        sha2(col("text"), 256).as("h"))
+    val winners = docs.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("win_doc"),
+        min_by(col("source"), col("doc_id")).as("winner_source"))
+    docs.join(winners, "h")
+      .where(col("doc_id") =!= col("win_doc"))
+      .groupBy(col("winner_source"), col("source").as("loser_source"))
+      .agg(count(lit(1)).cast("long").as("n_lost_docs"),
+        sum(col("n_chars").cast("decimal(38,0)")).cast("long")
+          .as("lost_chars"))
+      .orderBy("winner_source", "loser_source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_survivorship" -> dedupSurvivorship _,
     "q_clustering_coeff" -> clusteringCoeff _,
     "q_negative_sampling" -> negativeSampling _,
     "q_lsh_recall" -> lshRecall _,
@@ -1703,6 +1744,25 @@ object LlmOps {
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same keep-min rule (arg_min ≡ min_by, doc_id unique), same
+    // hash join-back and grid rollup.
+    "q_dedup_survivorship" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars, sha256(text) AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'mirror', n_chars, sha256(text)
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |w AS (
+        |  SELECT h, min(doc_id) AS win_doc,
+        |         arg_min(source, doc_id) AS winner_source
+        |  FROM d GROUP BY h)
+        |SELECT w.winner_source, d.source AS loser_source,
+        |       CAST(count(*) AS BIGINT) AS n_lost_docs,
+        |       CAST(sum(d.n_chars) AS BIGINT) AS lost_chars
+        |FROM d JOIN w ON d.h = w.h
+        |WHERE d.doc_id != w.win_doc
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Same ordered-triangle corners, same symmetric degrees, same
     // truncating coefficient over deg >= 2 nodes.
     "q_clustering_coeff" ->

@@ -1924,7 +1924,68 @@ object RelationalOps {
       .orderBy("o_orderpriority", "age_band")
   }
 
+  /** Candidate (child column, parent column) pairs probed by
+    * [[fkDiscovery]] — the real TPC-H FK skeleton plus one deliberate
+    * decoy (l_linenumber ⊆ n_nationkey by value range, not by
+    * meaning) that demonstrates the classic containment false
+    * positive: discovery needs the cardinality ratio TOO, which the
+    * operator therefore emits. Query AND oracle are generated from
+    * this one list (the per-geometry-oracle discipline). */
+  private[graft] val FkPairs: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("lineitem", "l_linenumber", "nation", "n_nationkey"))
+
+  /** Foreign-key discovery by inclusion-dependency profiling (the
+    * Bellman/profiling-literature containment test): for each
+    * candidate (child, parent) column pair, the distinct child values
+    * contained in the parent's distinct values, as a truncating ppm,
+    * plus both distinct cardinalities and their ratio. Containment =
+    * 1e6 flags an FK candidate — and the deliberate decoy pair shows
+    * why production discovery ALSO reads the cardinality ratio (7
+    * line numbers ⊆ 25 nation keys is a value-range accident, visible
+    * as a tiny child/parent ratio ×  huge row-to-distinct collapse).
+    *
+    * Scale shape: per pair, two 2-phase distinct combines (each
+    * moving only that column's distinct values — the q_profile_stats
+    * discipline) + one join keyed on the value; per-pair frames are
+    * key-cardinality-bounded, pairs are a fixed candidate list. */
+  def fkDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val perPair = FkPairs.map { case (ct, cc, pt, pc) =>
+      val child = t(s, dir, ct).select(col(cc).cast("long").as("k"))
+        .where(col("k").isNotNull).distinct()
+      val parent = t(s, dir, pt).select(col(pc).cast("long").as("k"))
+        .where(col("k").isNotNull).distinct()
+        .withColumn("in_parent", lit(1L))
+      val pcount = parent
+        .agg(count(lit(1)).cast("long").as("n_parent_distinct"))
+      child.join(parent, Seq("k"), "left")
+        .agg(count(lit(1)).cast("long").as("n_child_distinct"),
+          sum(coalesce(col("in_parent"), lit(0L))).cast("long")
+            .as("n_matched"))
+        .crossJoin(broadcast(pcount))
+        .select(lit(s"$ct.$cc").as("child_col"),
+          lit(s"$pt.$pc").as("parent_col"),
+          col("n_child_distinct"), col("n_parent_distinct"),
+          col("n_matched"))
+    }
+    perPair.reduce(_.unionAll(_))
+      .select(col("child_col"), col("parent_col"),
+        col("n_child_distinct"), col("n_parent_distinct"), col("n_matched"),
+        expr("""cast(cast(n_matched as decimal(38,0)) * 1000000
+          div n_child_distinct as bigint)""").as("containment_ppm"),
+        expr("""cast(cast(n_child_distinct as decimal(38,0)) * 1000000
+          div n_parent_distinct as bigint)""").as("card_ratio_ppm"))
+      .orderBy("child_col", "parent_col")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fk_discovery" -> fkDiscovery _,
     "q_order_backlog" -> orderBacklog _,
     "q_snapshot_diff" -> snapshotDiff _,
     "q_ship_lag" -> shipLag _,
@@ -1996,7 +2057,35 @@ object RelationalOps {
     "q_correlated_exists" -> correlatedExists _,
     "q_scalar_subquery" -> scalarSubquery _)
 
+  /** q_fk_discovery oracle generated from [[FkPairs]] — the same
+    * candidate list drives query and oracle. */
+  private[graft] def fkDiscoveryOracle: String = {
+    val subs = FkPairs.map { case (ct, cc, pt, pc) =>
+      s"""  SELECT '$ct.$cc' AS child_col, '$pt.$pc' AS parent_col,
+         |         CAST(count(*) AS BIGINT) AS n_child_distinct,
+         |         CAST((SELECT count(DISTINCT $pc) FROM $pt
+         |               WHERE $pc IS NOT NULL) AS BIGINT)
+         |           AS n_parent_distinct,
+         |         CAST(sum(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_matched
+         |  FROM (SELECT DISTINCT CAST($cc AS BIGINT) AS k FROM $ct
+         |        WHERE $cc IS NOT NULL) c
+         |  LEFT JOIN (SELECT DISTINCT CAST($pc AS BIGINT) AS k FROM $pt
+         |             WHERE $pc IS NOT NULL) p USING (k)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH u AS (
+       |$subs)
+       |SELECT child_col, parent_col, n_child_distinct, n_parent_distinct,
+       |       n_matched,
+       |       CAST(CAST(n_matched AS HUGEINT) * 1000000
+       |            // n_child_distinct AS BIGINT) AS containment_ppm,
+       |       CAST(CAST(n_child_distinct AS HUGEINT) * 1000000
+       |            // n_parent_distinct AS BIGINT) AS card_ratio_ppm
+       |FROM u ORDER BY child_col, parent_col""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_fk_discovery" -> fkDiscoveryOracle,
     // Same status filter, same 1-row max-day anchor, same 30-day
     // bands and exact cent mass.
     "q_order_backlog" ->

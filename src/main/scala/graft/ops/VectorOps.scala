@@ -1539,7 +1539,49 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** Centroid-assignment margin histogram — how decisively each
+    * vector picks its IVF cell: margin = cos(best centroid) −
+    * cos(second-best), floored to micro-units and bucketed in 0.1
+    * bands. A mass of low-margin vectors sits on cell BOUNDARIES —
+    * their true neighbors straddle two cells, which is exactly when
+    * nprobe=1 recall collapses and q_ann_ivf_multiprobe's second
+    * probe pays for itself. This histogram is the a-priori read of
+    * that tradeoff (q_ivf_balance audits cell sizes; this audits
+    * assignment confidence).
+    *
+    * Scale shape: the shared broadcast-centroid cross + ONE per-vec
+    * rank window; the histogram is a combine to the ≤ 21-band grid
+    * with shares riding it. */
+  def assignMargin(s: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(s, dir)
+    val cents = base.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        col("norm").as("cent_norm"))
+    val rankW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    base.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        r6(dot("embedding", "cent_emb") / (col("norm") * col("cent_norm")))
+          .as("ccos"))
+      .withColumn("ar", row_number().over(rankW)).where(col("ar") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("ar") === 1, col("ccos"))).as("c1"),
+        max(when(col("ar") === 2, col("ccos"))).as("c2"))
+      .select(floor((col("c1") - col("c2")) * lit(1000000.0)).cast("long")
+        .as("margin_u"))
+      .select(expr("margin_u div 100000").as("band"), col("margin_u"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        min(col("margin_u")).as("min_margin_u"),
+        max(col("margin_u")).as("max_margin_u"))
+      .withColumn("share_ppm", expr(
+        """cast(cast(n_vecs as decimal(38,0)) * 1000000
+          div sum(n_vecs) over (partition by 1) as bigint)"""))
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assign_margin" -> assignMargin _,
     "q_ivf_balance" -> ivfBalance _,
     "q_pq_residual" -> pqResidual _,
     "q_knn_reciprocity" -> knnReciprocity _,
@@ -2077,6 +2119,43 @@ object VectorOps {
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_product_quantize" -> pqOracle(PqM, PqK),
     "q_pq_residual" -> pqResidualOracle(PqM, PqK),
+    // Same broadcast-centroid cross, same top-2 rank rule, same
+    // micro-unit floors and 0.1 bands.
+    "q_assign_margin" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, v) -> a + v)) AS norm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
+        |  FROM base WHERE vec_id < 16),
+        |cc AS (
+        |  SELECT b.vec_id, c.cent_id,
+        |         round(list_reduce(list_transform(list_zip(b.embedding, c.cent_emb),
+        |                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, v) -> a + v)
+        |               / (b.norm * c.cent_norm), 6) AS ccos
+        |  FROM base b, cents c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, cent_id) AS ar FROM cc),
+        |m AS (
+        |  SELECT vec_id,
+        |         CAST(floor((max(CASE WHEN ar = 1 THEN ccos END)
+        |           - max(CASE WHEN ar = 2 THEN ccos END))
+        |           * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS margin_u
+        |  FROM ranked WHERE ar <= 2 GROUP BY vec_id),
+        |g AS (
+        |  SELECT margin_u // 100000 AS band,
+        |         CAST(count(*) AS BIGINT) AS n_vecs,
+        |         min(margin_u) AS min_margin_u,
+        |         max(margin_u) AS max_margin_u
+        |  FROM m GROUP BY 1)
+        |SELECT band, n_vecs, min_margin_u, max_margin_u,
+        |       CAST(CAST(n_vecs AS HUGEINT) * 1000000
+        |            // CAST(sum(n_vecs) OVER () AS BIGINT) AS BIGINT)
+        |         AS share_ppm
+        |FROM g ORDER BY band""".stripMargin,
     // Same broadcast-centroid assignment, same grid shares and
     // balance factor.
     "q_ivf_balance" ->

@@ -454,6 +454,62 @@ class R8OpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == open)
   }
 
+  test("fk discovery: real FKs contained, decoy flagged by ratio") {
+    val rows = RelationalOps.fkDiscovery(spark, sfDir).collect()
+    assert(rows.length == RelationalOps.FkPairs.length)
+    val m = rows.map(r => r.getString(0) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // the real FK skeleton is fully contained
+    Seq("lineitem.l_orderkey", "orders.o_custkey", "customer.c_nationkey",
+      "nation.n_regionkey").foreach { k =>
+      assert(m(k)._4 == 1000000L, s"$k should be fully contained")
+    }
+    // the decoy is contained too (the classic false positive)...
+    assert(m("lineitem.l_linenumber")._4 == 1000000L)
+    // ...but its cardinality ratio exposes it: 7 line numbers vs 25
+    // nation keys, far below a genuine key-to-key ratio
+    assert(m("lineitem.l_linenumber")._5 < 500000L)
+  }
+
+  test("seasonal baseline: split counts partition each cell") {
+    val rows = EventOps.seasonalBaseline(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getLong(2) + r.getLong(3)).sum
+    val all = Tables.events(spark, sfDir).count()
+    assert(total == all, "train+test must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 23)
+      assert(r.getLong(5) == r.getLong(3) - r.getLong(4))
+      assert(r.getLong(6) >= 0L)
+    }
+  }
+
+  test("dedup survivorship: planted mirror loses every group") {
+    val rows = LlmOps.dedupSurvivorship(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the planted mirror guarantees dup groups")
+    // mirror ids are original+1e7, so the original always wins
+    assert(rows.forall(_.getString(0) != "mirror"),
+      "mirror can never win (its doc_ids are offset above all originals)")
+    assert(rows.forall(_.getString(1) == "mirror") ||
+      rows.exists(_.getString(1) == "mirror"))
+    rows.foreach { r => assert(r.getLong(2) > 0 && r.getLong(3) > 0) }
+  }
+
+  test("assign margin: bands tile the margin range, shares sum to ~1e6") {
+    val rows = VectorOps.assignMargin(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = Tables(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    val shares = rows.map(_.getLong(4)).sum
+    assert(shares <= 1000000L && shares >= 1000000L - rows.length)
+    rows.foreach { r =>
+      val (band, mn, mx) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(mn >= 0 && mn <= mx)
+      assert(mn / 100000 == band && mx / 100000 == band)
+    }
+  }
+
   test("knn reciprocity: mutual pairs come in twos") {
     val rows = VectorOps.knnReciprocity(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -473,7 +473,19 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_tokenizer_fertility" -> 1,
       // status filter + day arithmetic on the scan; 1-row anchor
       // broadcast; ONE combine to the priority × band grid
-      "q_order_backlog" -> 1)) {
+      "q_order_backlog" -> 1,
+      // per candidate pair: two 2-phase distincts + the value join
+      // (8 fixed pairs; each frame key-cardinality-bounded)
+      "q_fk_discovery" -> 26,
+      // 1-row span anchor broadcast + ONE combine to the
+      // (type, hour-of-day) grid
+      "q_seasonal_baseline" -> 1,
+      // ONE content-hash combine + the hash join-back + the
+      // |sources|² grid rollup
+      "q_dedup_survivorship" -> 4,
+      // broadcast-centroid cross + per-vec rank window + the
+      // ≤ 21-band grid combine; share rides the grid
+      "q_assign_margin" -> 2)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
