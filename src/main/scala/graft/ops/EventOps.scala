@@ -1742,7 +1742,60 @@ object EventOps {
       .orderBy("event_type", "hod")
   }
 
+  /** Time-constrained funnel — q_funnel with the per-step conversion
+    * window real product analytics ships: a click only converts if it
+    * lands within 24 h of the user's first view, a purchase within
+    * 24 h of that click. Unwindowed funnels overcount (a purchase
+    * months later is not attributable); the windowed counts and mean
+    * step lags are the numbers a growth dashboard actually reports.
+    * Lags are exact µs integers with truncating integer means.
+    *
+    * Scale shape: identical to q_funnel — three per-user combine
+    * aggs chained by user-keyed joins (each right side one row per
+    * user), the window predicates are join filters; one final 1-row
+    * reduce. */
+  def funnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val e = events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+    val c = e.where(col("event_type") === "click")
+      .join(v, "user_id")
+      .where(col("ts_us") >= col("t_view") &&
+        col("ts_us") < col("t_view") + dayUs)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("t_click"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .where(col("ts_us") >= col("t_click") &&
+        col("ts_us") < col("t_click") + dayUs)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("t_purchase"),
+        max(col("t_click")).as("t_click_p"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_view"),
+        count(col("t_click")).as("n_click_24h"),
+        count(col("t_purchase")).as("n_purchase_24h"),
+        coalesce(sum((col("t_click") - col("t_view")).cast("decimal(38,0)"))
+          .cast("long"), lit(0L)).as("click_lag_sum"),
+        coalesce(sum((col("t_purchase") - col("t_click_p"))
+          .cast("decimal(38,0)")).cast("long"), lit(0L))
+          .as("purchase_lag_sum"))
+      .select(col("n_view"), col("n_click_24h"), col("n_purchase_24h"),
+        expr("1000000 * cast(n_click_24h as decimal(38,0)) div n_view")
+          .cast("long").as("click_ppm"),
+        expr("1000000 * cast(n_purchase_24h as decimal(38,0)) div n_view")
+          .cast("long").as("purchase_ppm"),
+        expr("click_lag_sum div greatest(n_click_24h, 1)")
+          .as("mean_click_lag_us"),
+        expr("purchase_lag_sum div greatest(n_purchase_24h, 1)")
+          .as("mean_purchase_lag_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_windowed" -> funnelWindowed _,
     "q_seasonal_baseline" -> seasonalBaseline _,
     "q_dau_stickiness" -> dauStickiness _,
     "q_markov_stationary" -> markovStationary _,
@@ -1796,6 +1849,43 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same first-view anchor, same 24 h windows, same truncating
+    // integer means.
+    "q_funnel_windowed" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |v AS (
+        |  SELECT user_id, min(ts_us) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t_click
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us >= v.t_view
+        |    AND e.ts_us < v.t_view + 86400000000
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t_purchase,
+        |         max(c.t_click) AS t_click_p
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us >= c.t_click
+        |    AND e.ts_us < c.t_click + 86400000000
+        |  GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_view,
+        |       CAST(count(c.t_click) AS BIGINT) AS n_click_24h,
+        |       CAST(count(p.t_purchase) AS BIGINT) AS n_purchase_24h,
+        |       CAST(1000000 * CAST(count(c.t_click) AS HUGEINT)
+        |            // count(*) AS BIGINT) AS click_ppm,
+        |       CAST(1000000 * CAST(count(p.t_purchase) AS HUGEINT)
+        |            // count(*) AS BIGINT) AS purchase_ppm,
+        |       CAST(coalesce(sum(c.t_click - v.t_view), 0)
+        |            // greatest(count(c.t_click), 1) AS BIGINT)
+        |         AS mean_click_lag_us,
+        |       CAST(coalesce(sum(p.t_purchase - p.t_click_p), 0)
+        |            // greatest(count(p.t_purchase), 1) AS BIGINT)
+        |         AS mean_purchase_lag_us
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
     // Same 21-day split anchor, same grid conditional sums, same
     // truncating scaling and ratio.
     "q_seasonal_baseline" ->

@@ -1984,7 +1984,142 @@ object RelationalOps {
       .orderBy("child_col", "parent_col")
   }
 
+  /** Shared dialect-parameterized SQL of [[hllSetAlgebra]] — ONE
+    * template generates the Spark query and the DuckDB oracle, so the
+    * sketch arithmetic provably cannot drift between them. */
+  private[graft] def hllAlgebraSql(duck: Boolean): String = {
+    val ph =
+      if (duck)
+        "CAST('0x' || substring(sha256(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT)"
+      else
+        "cast(conv(substring(sha2(cast(l_partkey as string), 256), 1, 15), 16, 10) as bigint)"
+    val d = if (duck) "//" else "div"
+    def shl(e: String) =
+      if (duck) s"(CAST(1 AS BIGINT) << ($e))"
+      else s"shiftleft(CAST(1 AS BIGINT), $e)"
+    val src = if (duck) "lineitem" else "lineitem_hll_algebra_spread"
+    val est = s"""CAST(floor(
+      CAST(0.7213 AS DOUBLE)
+        / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(512.0 AS DOUBLE))
+        * CAST(262144 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        / CAST(sum(${shl("52 - m")})
+               + (512 - count(*)) * ${shl("52")} AS DOUBLE)) AS BIGINT)"""
+    s"""WITH reg AS (
+      SELECT flag, h % 512 AS bucket,
+             max(CASE WHEN h $d 512 = 0 THEN 52
+                      ELSE 52 - length(bin(h $d 512)) END) AS m
+      FROM (SELECT l_returnflag AS flag, $ph AS h FROM $src)
+      GROUP BY flag, h % 512),
+    pairs AS (
+      SELECT 'A' AS fa, 'N' AS fb UNION ALL
+      SELECT 'A', 'R' UNION ALL
+      SELECT 'N', 'R'),
+    ureg AS (
+      SELECT p.fa, p.fb, r.bucket, max(r.m) AS m
+      FROM pairs p JOIN reg r ON r.flag = p.fa OR r.flag = p.fb
+      GROUP BY p.fa, p.fb, r.bucket),
+    est1 AS (SELECT flag, $est AS hll,
+                    CAST(512 - count(*) AS BIGINT) AS n_empty
+             FROM reg GROUP BY flag),
+    estu AS (SELECT fa, fb, $est AS hll_union,
+                    CAST(512 - count(*) AS BIGINT) AS n_empty_union
+             FROM ureg GROUP BY fa, fb),
+    f AS (SELECT DISTINCT l_returnflag AS flag, l_partkey AS k FROM $src),
+    ex1 AS (SELECT flag, CAST(count(*) AS BIGINT) AS exact FROM f
+            GROUP BY flag),
+    exu AS (
+      SELECT p.fa, p.fb, CAST(count(DISTINCT f.k) AS BIGINT) AS exact_union
+      FROM pairs p JOIN f ON f.flag = p.fa OR f.flag = p.fb
+      GROUP BY p.fa, p.fb)
+    SELECT u.fa, u.fb,
+           ea.exact AS exact_a, eb.exact AS exact_b, u.exact_union,
+           ea.exact + eb.exact - u.exact_union AS exact_inter,
+           ha.hll AS hll_a, hb.hll AS hll_b, hu.hll_union,
+           ha.hll + hb.hll - hu.hll_union AS hll_inter,
+           ha.n_empty AS empty_a, hb.n_empty AS empty_b,
+           hu.n_empty_union AS empty_union,
+           CAST(CAST(ea.exact + eb.exact - u.exact_union AS DECIMAL(38, 0))
+                * 1000000 $d u.exact_union AS BIGINT) AS exact_jacc_ppm,
+           CAST(CAST(ha.hll + hb.hll - hu.hll_union AS DECIMAL(38, 0))
+                * 1000000 $d hu.hll_union AS BIGINT) AS hll_jacc_ppm
+    FROM exu u
+    JOIN ex1 ea ON ea.flag = u.fa
+    JOIN ex1 eb ON eb.flag = u.fb
+    JOIN est1 ha ON ha.flag = u.fa
+    JOIN est1 hb ON hb.flag = u.fb
+    JOIN estu hu ON hu.fa = u.fa AND hu.fb = u.fb
+    ORDER BY u.fa, u.fb"""
+  }
+
+  /** HLL set algebra — sketch union and intersection across groups
+    * (Flajolet et al.; the mergeable-sketch property as a QUERY, not
+    * just a spec): the portable p=9 HLL registers of each return
+    * flag's part-key set are merged pairwise by register max — the
+    * exact operation a 1000-executor deployment uses to combine
+    * per-partition / per-day sketches without touching rows — giving
+    * |A∪B| estimates; intersections fall out by inclusion–exclusion
+    * (signed — the standard caveat that sketch intersections of
+    * dissimilar sets can go negative stays visible), alongside exact
+    * answers so the error is measurable. Raw estimates ship WITHOUT
+    * the small-range linear-counting correction (it needs ln(), not
+    * bit-portable — q_approx_distinct's documented choice); the
+    * empty-register counts ride along so a consumer applies
+    * m·ln(m/V) when in linear-counting range, which the spec does.
+    * Query and oracle are ONE dialect-parameterized template.
+    *
+    * Scale shape: register build is one sketch-sized combine (≤
+    * flags × 512 rows move); pair merges and estimates live on the
+    * bounded register grid; the exact side (distinct frame + pair
+    * distinct) is the cost the sketch avoids, kept for the error
+    * column. */
+  def hllSetAlgebra(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    Tables.spread(s, s.table("lineitem")
+        .select(col("l_returnflag"), col("l_partkey")))
+      .createOrReplaceTempView("lineitem_hll_algebra_spread")
+    s.sql(hllAlgebraSql(duck = false))
+  }
+
+  /** Exact weighted median (and weighted quartiles) of the extended
+    * price, weighted by quantity, per return flag — the "median
+    * dollar" (half the QUANTITY mass sits below this price), which a
+    * plain median of rows cannot answer. Distributed shape: collapse
+    * to (flag, price) with combined weights FIRST (the tie-collapse
+    * keeps the window frame bounded by distinct prices), ONE per-flag
+    * ordered window for the running weight, then a combine agg picks
+    * the threshold rows — never a whole-group buffer, exactly the
+    * q_median_percentile discipline with weights.
+    *
+    * Scale shape: one combine to the (flag, distinct price) frame +
+    * ONE per-flag sort window + a grid combine; per-flag sorts
+    * parallelize across flags. */
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("price_cents"))
+    val flagAll = Window.partitionBy(col("l_returnflag"))
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("cast(floor(l_extendedprice * cast(100 as double)) as bigint)")
+          .as("price_cents"),
+        expr("cast(l_quantity as bigint)").as("w"))
+      .groupBy(col("l_returnflag"), col("price_cents"))
+      .agg(sum(col("w")).cast("long").as("w"))
+      .withColumn("cumw", sum(col("w")).over(byFlag).cast("long"))
+      .withColumn("totw", sum(col("w")).over(flagAll).cast("long"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("totw")).as("total_weight"),
+        min(when(col("cumw") * 4 >= col("totw"), col("price_cents")))
+          .as("wp25_cents"),
+        min(when(col("cumw") * 2 >= col("totw"), col("price_cents")))
+          .as("wp50_cents"),
+        min(when(col("cumw") * 4 >= col("totw") * 3, col("price_cents")))
+          .as("wp75_cents"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_set_algebra" -> hllSetAlgebra _,
+    "q_weighted_median" -> weightedMedian _,
     "q_fk_discovery" -> fkDiscovery _,
     "q_order_backlog" -> orderBacklog _,
     "q_snapshot_diff" -> snapshotDiff _,
@@ -2085,6 +2220,30 @@ object RelationalOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_hll_set_algebra" -> hllAlgebraSql(duck = true),
+    // Same tie-collapse, same running-weight thresholds.
+    "q_weighted_median" ->
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |         CAST(floor(l_extendedprice * CAST(100 AS DOUBLE)) AS BIGINT)
+        |           AS price_cents,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *,
+        |         CAST(sum(w) OVER (PARTITION BY l_returnflag
+        |           ORDER BY price_cents) AS BIGINT) AS cumw,
+        |         CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+        |           AS totw
+        |  FROM g)
+        |SELECT l_returnflag, max(totw) AS total_weight,
+        |       min(CASE WHEN cumw * 4 >= totw THEN price_cents END)
+        |         AS wp25_cents,
+        |       min(CASE WHEN cumw * 2 >= totw THEN price_cents END)
+        |         AS wp50_cents,
+        |       min(CASE WHEN cumw * 4 >= totw * 3 THEN price_cents END)
+        |         AS wp75_cents
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_fk_discovery" -> fkDiscoveryOracle,
     // Same status filter, same 1-row max-day anchor, same 30-day
     // bands and exact cent mass.

@@ -510,6 +510,64 @@ class R8OpsSpec extends SparkSpec {
     }
   }
 
+  test("hll set algebra: estimates bracket exacts, union dominates") {
+    val rows = RelationalOps.hllSetAlgebra(spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (exA, exB, exU, exI) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val (hA, hB, hU, hI) =
+        (r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))
+      // set identities on the exact side
+      assert(exU <= exA + exB && exU >= math.max(exA, exB))
+      assert(exI == exA + exB - exU && exI >= 0)
+      // sketch identities: merged-register union dominates each side
+      // (max-merge can only raise registers)
+      assert(hU >= math.max(hA, hB))
+      assert(hI == hA + hB - hU)
+      // raw estimates are biased high in linear-counting range (the
+      // documented omission); the emitted empty counts recover the
+      // corrected estimate: m·ln(m/V)
+      val emptyU = r.getLong(10 + 2)
+      val corrected =
+        if (emptyU > 0) math.round(512.0 * math.log(512.0 / emptyU))
+        else hU
+      assert(math.abs(corrected - exU) <= math.max(exU / 4, 30),
+        s"corrected union estimate $corrected too far from exact $exU")
+    }
+  }
+
+  test("weighted median: quartiles ordered and half the mass below p50") {
+    val rows = RelationalOps.weightedMedian(spark, sfDir).collect()
+    assert(rows.length == 3)
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("cast(floor(l_extendedprice * cast(100 as double)) as bigint)")
+          .as("pc"),
+        expr("cast(l_quantity as bigint)").as("w"))
+    rows.foreach { r =>
+      val (flag, tot) = (r.getString(0), r.getLong(1))
+      val (p25, p50, p75) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(p25 <= p50 && p50 <= p75)
+      // weight mass at or below the weighted median is >= half
+      val below = li.where(col("l_returnflag") === flag &&
+          col("pc") <= p50)
+        .agg(sum(col("w")).cast("long")).collect()(0).getLong(0)
+      assert(below * 2 >= tot)
+    }
+  }
+
+  test("windowed funnel: windowed counts never exceed the open funnel") {
+    val win = EventOps.funnelWindowed(spark, sfDir).collect()(0)
+    val open = EventOps.funnel(spark, sfDir).collect()(0)
+    assert(win.getLong(0) == open.getLong(0), "view anchor is identical")
+    assert(win.getLong(1) <= open.getLong(1))
+    assert(win.getLong(2) <= open.getLong(2))
+    // conversion lags are inside the 24 h windows
+    assert(win.getLong(5) >= 0 && win.getLong(5) < 86400000000L)
+    assert(win.getLong(6) >= 0 && win.getLong(6) < 86400000000L)
+  }
+
   test("knn reciprocity: mutual pairs come in twos") {
     val rows = VectorOps.knnReciprocity(spark, sfDir).collect()
     assert(rows.nonEmpty)

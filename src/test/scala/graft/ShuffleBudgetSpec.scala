@@ -485,7 +485,16 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_dedup_survivorship" -> 4,
       // broadcast-centroid cross + per-vec rank window + the
       // ≤ 21-band grid combine; share rides the grid
-      "q_assign_margin" -> 2)) {
+      "q_assign_margin" -> 2,
+      // register combine + distinct frame + pair-side exact distinct;
+      // the register CTE re-derives per reference (no CSE) but every
+      // extra exchange moves register/distinct-frame rows only
+      "q_hll_set_algebra" -> 14,
+      // tie-collapse combine + ONE per-flag window exchange + grid
+      "q_weighted_median" -> 2,
+      // three per-user combines chained by user-keyed joins, one
+      // final 1-row reduce — q_funnel's budget with window filters
+      "q_funnel_windowed" -> 8)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
