@@ -1794,7 +1794,86 @@ object EventOps {
           .as("mean_purchase_lag_us"))
   }
 
+  /** Activation time — per signed-up user, the time from signup to
+    * their 10th subsequent event (the "aha moment" metric growth
+    * teams optimize): exact µs lags bucketed in bitlength bands, with
+    * a band −1 row counting signed-up users who never reached 10
+    * events (the not-yet-activated cohort a plain histogram would
+    * silently drop). One per-user rank window (events at/after
+    * signup, ordered ts then event_id) + one combine to the bounded
+    * band grid.
+    *
+    * Scale shape: per-user sorts parallelize across users; the rank
+    * ≤ 10 filter plans as WindowGroupLimit; the histogram grid is
+    * ≤ 64 bands. */
+  def activationTime(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+    val signup = e.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t0"))
+    val rankW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val tenth = e.join(signup, "user_id")
+      .where(col("ts_us") >= col("t0"))
+      .withColumn("rn", row_number().over(rankW))
+      .where(col("rn") === 10)
+      .select(col("user_id"), (col("ts_us") - col("t0")).as("act_us"))
+    signup.join(tenth, Seq("user_id"), "left")
+      .select(when(col("act_us").isNull, lit(-1L))
+        .when(col("act_us") > 0L,
+          length(expr("bin(act_us)")).cast("long")).otherwise(0L)
+        .as("band"), col("act_us"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        coalesce(min(col("act_us")), lit(-1L)).as("min_act_us"),
+        coalesce(max(col("act_us")), lit(-1L)).as("max_act_us"),
+        coalesce(expr("""cast(sum(cast(act_us as decimal(38,0)))
+          div greatest(count(act_us), 1) as bigint)"""), lit(-1L))
+          .as("mean_act_us"))
+      .orderBy("band")
+  }
+
+  /** Churn by signup cohort — per signup day, how many users' LAST
+    * event is more than 7 days before the corpus end (churned), the
+    * churn rate in ppm, and the truncating-mean observed lifetime in
+    * days. The corpus max day is a 1-row anchor so the cut is
+    * replayable; lifetime = last day − signup day, exact integers.
+    * Reads beside q_retention_cohort's activity matrix as the single
+    * number per cohort.
+    *
+    * Scale shape: two per-user combines (signup day, last day) joined
+    * on user_id (right side one row per user) + ONE combine to the
+    * cohort-day grid; the anchor is a broadcast. */
+  def churnCohorts(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+    val signup = e.where(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(expr("min(ts_us) div 86400000000").as("cohort_day"))
+    val last = e.groupBy(col("user_id"))
+      .agg(expr("max(ts_us) div 86400000000").as("last_day"))
+    val anchor = e.agg(expr("max(ts_us) div 86400000000")
+      .cast("long").as("max_day"))
+    signup.join(last, "user_id")
+      .crossJoin(broadcast(anchor))
+      .select(col("cohort_day"),
+        when(col("last_day") < col("max_day") - 7L, 1L).otherwise(0L)
+          .as("churned"),
+        (col("last_day") - col("cohort_day")).as("lifetime_days"))
+      .groupBy(col("cohort_day"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(col("churned")).cast("long").as("n_churned"),
+        expr("""cast(cast(sum(churned) as decimal(38,0)) * 1000000
+          div count(1) as bigint)""").as("churn_ppm"),
+        expr("""cast(sum(cast(lifetime_days as decimal(38,0)))
+          div count(1) as bigint)""").as("mean_lifetime_days"))
+      .orderBy("cohort_day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_activation_time" -> activationTime _,
+    "q_churn_cohorts" -> churnCohorts _,
     "q_funnel_windowed" -> funnelWindowed _,
     "q_seasonal_baseline" -> seasonalBaseline _,
     "q_dau_stickiness" -> dauStickiness _,
@@ -1849,6 +1928,62 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same signup anchor, same 10th-event rank rule, same bitlength
+    // bands with the −1 not-activated row.
+    "q_activation_time" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, min(ts_us) AS t0 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |r AS (
+        |  SELECT e.user_id, e.ts_us, s.t0,
+        |         row_number() OVER (PARTITION BY e.user_id
+        |           ORDER BY e.ts_us, e.event_id) AS rn
+        |  FROM e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.ts_us >= s.t0),
+        |t AS (SELECT user_id, ts_us - t0 AS act_us FROM r WHERE rn = 10),
+        |j AS (SELECT s.user_id, t.act_us
+        |      FROM s LEFT JOIN t ON s.user_id = t.user_id),
+        |b AS (
+        |  SELECT CASE WHEN act_us IS NULL THEN -1
+        |              WHEN act_us > 0 THEN CAST(length(bin(act_us)) AS BIGINT)
+        |              ELSE 0 END AS band, act_us
+        |  FROM j)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_users,
+        |       coalesce(min(act_us), -1) AS min_act_us,
+        |       coalesce(max(act_us), -1) AS max_act_us,
+        |       coalesce(CAST(sum(act_us)
+        |         // greatest(count(act_us), 1) AS BIGINT), -1)
+        |         AS mean_act_us
+        |FROM b GROUP BY band ORDER BY band""".stripMargin,
+    // Same cohort/last-day combines, same 7-day cut from the 1-row
+    // anchor, same truncating ppm and mean.
+    "q_churn_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |s AS (
+        |  SELECT user_id, min(ts_us) // 86400000000 AS cohort_day
+        |  FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |l AS (
+        |  SELECT user_id, max(ts_us) // 86400000000 AS last_day
+        |  FROM e GROUP BY 1),
+        |a AS (SELECT CAST(max(ts_us) // 86400000000 AS BIGINT) AS max_day
+        |      FROM e),
+        |j AS (
+        |  SELECT s.cohort_day,
+        |         CASE WHEN l.last_day < a.max_day - 7 THEN 1 ELSE 0 END
+        |           AS churned,
+        |         l.last_day - s.cohort_day AS lifetime_days
+        |  FROM s JOIN l ON s.user_id = l.user_id CROSS JOIN a)
+        |SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(churned) AS BIGINT) AS n_churned,
+        |       CAST(CAST(sum(churned) AS HUGEINT) * 1000000 // count(*)
+        |            AS BIGINT) AS churn_ppm,
+        |       CAST(sum(lifetime_days) // count(*) AS BIGINT)
+        |         AS mean_lifetime_days
+        |FROM j GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
     // Same first-view anchor, same 24 h windows, same truncating
     // integer means.
     "q_funnel_windowed" ->

@@ -2117,7 +2117,51 @@ object RelationalOps {
       .orderBy("l_returnflag")
   }
 
+  /** KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002) — the
+    * ALL-INTEGER distinct estimator beside HLL: keep the k = 256
+    * smallest 60-bit portable hashes of each flag's part-key set;
+    * estimate = (k−1)·2^60 div h_(k) (exact integer division of
+    * exact integers — unlike HLL, NO floating-point op anywhere, so
+    * there is no IEEE sequence to coordinate). Sets smaller than k
+    * are counted exactly (the KMV rule). The 'ALL' row estimates the
+    * three-way union from the bottom-k of the merged hash set —
+    * bottom-k is mergeable by union-then-retrim, the property that
+    * lets per-partition sketches combine on a 1000-executor cluster;
+    * bottom-k overlap also gives Jaccard (the KMV bonus HLL lacks).
+    *
+    * Scale shape: ONE distinct combine on (flag, hash); the per-flag
+    * top-k rank plans as WindowGroupLimit (per-partition top-k, never
+    * a global sort); every downstream frame is ≤ flags × k rows. The
+    * exact distinct rides along as the measured error. */
+  def bottomkSketch(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val ph =
+      "cast(conv(substring(sha2(cast(%s as string), 256), 1, 15), 16, 10) as bigint)"
+    val hashes = Tables.spread(s, t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey")))
+      .select(col("l_returnflag").as("flag"),
+        expr(ph.format("l_partkey")).as("h"))
+      .distinct()
+    val tagged = hashes.unionAll(
+      hashes.select(lit("ALL").as("flag"), col("h")).distinct())
+    val rankW = Window.partitionBy(col("flag")).orderBy(col("h"))
+    val sk = tagged
+      .withColumn("rn", row_number().over(rankW)).where(col("rn") <= k)
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        max(col("h")).as("kth_hash"))
+    val exact = tagged.groupBy(col("flag"))
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+    sk.join(exact, "flag")
+      .select(col("flag"), col("n_exact"), col("n_kept"), col("kth_hash"),
+        when(col("n_kept") < k, col("n_kept")).otherwise(
+          expr(s"cast((cast(${k - 1} as decimal(38,0)) * 1152921504606846976)" +
+            " div kth_hash as bigint)")).as("kmv_est"))
+      .orderBy("flag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bottomk_sketch" -> bottomkSketch _,
     "q_hll_set_algebra" -> hllSetAlgebra _,
     "q_weighted_median" -> weightedMedian _,
     "q_fk_discovery" -> fkDiscovery _,
@@ -2220,6 +2264,33 @@ object RelationalOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same distinct hash frame, same bottom-256 rank, same
+    // all-integer (k−1)·2^60 div h_(k) estimate.
+    "q_bottomk_sketch" ->
+      """WITH h0 AS (
+        |  SELECT DISTINCT l_returnflag AS flag,
+        |         CAST('0x' || substring(sha256(CAST(l_partkey AS VARCHAR)),
+        |              1, 15) AS BIGINT) AS h
+        |  FROM lineitem),
+        |tagged AS (
+        |  SELECT flag, h FROM h0
+        |  UNION ALL
+        |  SELECT DISTINCT 'ALL' AS flag, h FROM h0),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY flag ORDER BY h) AS rn
+        |  FROM tagged),
+        |sk AS (
+        |  SELECT flag, CAST(count(*) AS BIGINT) AS n_kept,
+        |         max(h) AS kth_hash
+        |  FROM r WHERE rn <= 256 GROUP BY flag),
+        |ex AS (
+        |  SELECT flag, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM tagged GROUP BY flag)
+        |SELECT s.flag, e.n_exact, s.n_kept, s.kth_hash,
+        |       CASE WHEN s.n_kept < 256 THEN s.n_kept
+        |            ELSE CAST(CAST(255 AS HUGEINT) * 1152921504606846976
+        |                      // s.kth_hash AS BIGINT) END AS kmv_est
+        |FROM sk s JOIN ex e ON s.flag = e.flag ORDER BY s.flag""".stripMargin,
     "q_hll_set_algebra" -> hllAlgebraSql(duck = true),
     // Same tie-collapse, same running-weight thresholds.
     "q_weighted_median" ->

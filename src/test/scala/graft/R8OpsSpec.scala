@@ -568,6 +568,47 @@ class R8OpsSpec extends SparkSpec {
     assert(win.getLong(6) >= 0 && win.getLong(6) < 86400000000L)
   }
 
+  test("bottomk sketch: KMV estimate tracks exact, ALL row dominates") {
+    val rows = RelationalOps.bottomkSketch(spark, sfDir).collect()
+    val m = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m.keySet == Set("A", "N", "R", "ALL"))
+    m.foreach { case (flag, (exact, kept, kth, est)) =>
+      assert(kept <= 256 && kth > 0)
+      if (kept < 256) assert(est == exact, s"$flag small-set rule")
+      // KMV relative SE is ~1/sqrt(k-2) ≈ 6.3%; allow 25%
+      else assert(math.abs(est - exact) <= exact / 4,
+        s"$flag KMV estimate $est too far from $exact")
+    }
+    assert(m("ALL")._1 >= Seq("A", "N", "R").map(m(_)._1).max)
+  }
+
+  test("activation time: bands partition signups; -1 row is unactivated") {
+    val rows = EventOps.activationTime(spark, sfDir).collect()
+    val signups = Tables.events(spark, sfDir)
+      .where(col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == signups)
+    rows.foreach { r =>
+      val band = r.getLong(0)
+      if (band == -1L) assert(r.getLong(2) == -1L && r.getLong(4) == -1L)
+      else {
+        assert(r.getLong(2) <= r.getLong(3))
+        assert(r.getLong(2) <= r.getLong(4) && r.getLong(4) <= r.getLong(3))
+      }
+    }
+  }
+
+  test("churn cohorts: rates are ratios, lifetimes non-negative") {
+    val rows = EventOps.churnCohorts(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1))
+      assert(r.getLong(4) >= 0L)
+    }
+  }
+
   test("knn reciprocity: mutual pairs come in twos") {
     val rows = VectorOps.knnReciprocity(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -494,7 +494,15 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_weighted_median" -> 2,
       // three per-user combines chained by user-keyed joins, one
       // final 1-row reduce — q_funnel's budget with window filters
-      "q_funnel_windowed" -> 8)) {
+      "q_funnel_windowed" -> 8,
+      // ONE (flag, hash) distinct + the ALL re-distinct + the flag
+      // rank exchange (WindowGroupLimit) + two ≤ 4-row grid combines
+      "q_bottomk_sketch" -> 6,
+      // signup combine + rank-window exchange + band grid combine
+      "q_activation_time" -> 4,
+      // signup/last-day combines + user join + cohort grid; anchor
+      // is a 1-row broadcast
+      "q_churn_cohorts" -> 5)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
