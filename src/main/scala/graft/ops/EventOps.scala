@@ -1871,7 +1871,66 @@ object EventOps {
       .orderBy("cohort_day")
   }
 
+  /** Semi-structured schema inference over the props payload — the
+    * profiling pass a pipeline runs before promoting raw JSON to
+    * typed columns: per discovered KEY (not a fixed path list —
+    * unlike q_json_extract, keys are found dynamically), occurrence
+    * coverage and a type census (integer / boolean / string via
+    * char-class-only regex, identical in Java regex and RE2) with a
+    * deterministic verdict. The driver's props are uniformly
+    * {"k": int}, so the query plants three deterministic variant
+    * shapes by event_id mod 4 (extra string tag, boolean flag, a
+    * string-typed object) — the q_pii_redact planted-data pattern:
+    * discovery, extraction, and inference are genuinely exercised,
+    * and real-world key variety folds in on top.
+    *
+    * Scale shape: parse + plant are scan-side projections; the
+    * explode fans out by keys-per-object (bounded by schema width,
+    * not corpus); ONE combine to the |keys| grid; the 1-row total is
+    * a broadcast. */
+  def propsSchema(s: SparkSession, dir: String): DataFrame = {
+    val planted = events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("kv"))
+      .select(col("event_id"),
+        when(col("event_id") % 4 === 1, concat(
+          lit("{\"k\": "), col("kv").cast("string"),
+          lit(", \"tag\": \"t"), (col("kv") % 5).cast("string"),
+          lit("\"}")))
+        .when(col("event_id") % 4 === 2, concat(
+          lit("{\"k\": "), col("kv").cast("string"), lit(", \"flag\": "),
+          when(col("kv") % 2 === 0, lit("true")).otherwise(lit("false")),
+          lit("}")))
+        .when(col("event_id") % 4 === 3, concat(
+          lit("{\"v\": \"s"), col("kv").cast("string"), lit("\"}")))
+        .otherwise(concat(lit("{\"k\": "), col("kv").cast("string"),
+          lit("}"))).as("props"))
+    val total = planted.agg(count(lit(1)).cast("long").as("n_events"))
+    planted
+      .select(explode(expr("from_json(props, 'map<string,string>')"))
+        .as(Seq("key", "v")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(when(col("v").rlike("^-?[0-9]+$"), 1L).otherwise(0L))
+          .cast("long").as("n_int"),
+        sum(when(col("v").isin("true", "false"), 1L).otherwise(0L))
+          .cast("long").as("n_bool"))
+      .withColumn("n_str", col("n_rows") - col("n_int") - col("n_bool"))
+      .withColumn("inferred_type",
+        when(col("n_int") === col("n_rows"), lit("int"))
+          .when(col("n_bool") === col("n_rows"), lit("bool"))
+          .when(col("n_int") + col("n_bool") === 0L, lit("string"))
+          .otherwise(lit("mixed")))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage_ppm",
+        expr("""cast(cast(n_rows as decimal(38,0)) * 1000000
+          div n_events as bigint)"""))
+      .drop("n_events")
+      .orderBy("key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_props_schema" -> propsSchema _,
     "q_activation_time" -> activationTime _,
     "q_churn_cohorts" -> churnCohorts _,
     "q_funnel_windowed" -> funnelWindowed _,
@@ -1928,6 +1987,47 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same planted variants, same dynamic key discovery, same type
+    // census regexes and verdict rule.
+    "q_props_schema" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+        |  FROM events),
+        |planted AS (
+        |  SELECT CASE
+        |    WHEN event_id % 4 = 1 THEN
+        |      '{"k": ' || kv || ', "tag": "t' || (kv % 5) || '"}'
+        |    WHEN event_id % 4 = 2 THEN
+        |      '{"k": ' || kv || ', "flag": ' ||
+        |      CASE WHEN kv % 2 = 0 THEN 'true' ELSE 'false' END || '}'
+        |    WHEN event_id % 4 = 3 THEN '{"v": "s' || kv || '"}'
+        |    ELSE '{"k": ' || kv || '}' END AS props
+        |  FROM base),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_events FROM planted),
+        |kv2 AS (
+        |  SELECT props, unnest(json_keys(props::JSON)) AS key
+        |  FROM planted),
+        |e AS (
+        |  SELECT key, json_extract_string(props, '$.' || key) AS v
+        |  FROM kv2),
+        |g AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(sum(CASE WHEN regexp_matches(v, '^-?[0-9]+$')
+        |              THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+        |         CAST(sum(CASE WHEN v IN ('true', 'false')
+        |              THEN 1 ELSE 0 END) AS BIGINT) AS n_bool
+        |  FROM e GROUP BY key)
+        |SELECT key, n_rows, n_int, n_bool,
+        |       n_rows - n_int - n_bool AS n_str,
+        |       CASE WHEN n_int = n_rows THEN 'int'
+        |            WHEN n_bool = n_rows THEN 'bool'
+        |            WHEN n_int + n_bool = 0 THEN 'string'
+        |            ELSE 'mixed' END AS inferred_type,
+        |       CAST(CAST(n_rows AS HUGEINT) * 1000000
+        |            // (SELECT n_events FROM tot) AS BIGINT)
+        |         AS coverage_ppm
+        |FROM g ORDER BY key""".stripMargin,
     // Same signup anchor, same 10th-event rank rule, same bitlength
     // bands with the −1 not-activated row.
     "q_activation_time" ->

@@ -1580,7 +1580,46 @@ object VectorOps {
       .orderBy("band")
   }
 
+  /** Pairwise covariance of the first 8 embedding dimensions — the
+    * redundancy read on embedding capacity (strongly covarying dims
+    * waste width; the diagonal is per-dim variance, the input
+    * q_pca_power's direction profile can't give): exact integers end
+    * to end — micro-unit quantization scan-side, DECIMAL(38,0) power
+    * sums, covariance as the truncating (n·Σxy − Σx·Σy) div n² in
+    * micro²-units. The 8-dim scope keeps the pair fanout a fixed 36×
+    * on the scan (corpus-independent); full-width covariance at scale
+    * is the same shape with a d²-bounded grid.
+    *
+    * Scale shape: the pair explode is scan-side with constant fanout;
+    * ONE combine to the 36-cell grid; everything after is grid
+    * arithmetic. */
+  def dimCovariance(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(explode(expr(
+        """flatten(transform(sequence(0, 7), i ->
+          |  transform(sequence(i, 7), j -> struct(
+          |    i AS i, j AS j,
+          |    cast(floor(cast(element_at(embedding, cast(i as int) + 1)
+          |      as double) * cast(1000000 as double)) as bigint) AS qi,
+          |    cast(floor(cast(element_at(embedding, cast(j as int) + 1)
+          |      as double) * cast(1000000 as double)) as bigint) AS qj))))
+          |""".stripMargin)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.qi").as("qi"), col("p.qj").as("qj"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum(col("qi").cast("decimal(38,0)")).as("sx"),
+        sum(col("qj").cast("decimal(38,0)")).as("sy"),
+        sum((col("qi") * col("qj")).cast("decimal(38,0)")).as("sxy"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n_vecs"),
+        expr("""cast((n_vecs * sxy - sx * sy)
+          div (cast(n_vecs as decimal(38,0)) * n_vecs) as bigint)""")
+          .as("cov_micro2"))
+      .orderBy("i", "j")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dim_covariance" -> dimCovariance _,
     "q_assign_margin" -> assignMargin _,
     "q_ivf_balance" -> ivfBalance _,
     "q_pq_residual" -> pqResidual _,
@@ -2119,6 +2158,28 @@ object VectorOps {
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_product_quantize" -> pqOracle(PqM, PqK),
     "q_pq_residual" -> pqResidualOracle(PqM, PqK),
+    // Same micro-unit quantization, same exact power sums, same
+    // truncating covariance arithmetic.
+    "q_dim_covariance" ->
+      """WITH p AS (
+        |  SELECT i.range AS i, j.range AS j,
+        |         CAST(floor(CAST(embedding[CAST(i.range AS INT) + 1]
+        |           AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS qi,
+        |         CAST(floor(CAST(embedding[CAST(j.range AS INT) + 1]
+        |           AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS qj
+        |  FROM embeddings, range(0, 8) i, range(0, 8) j
+        |  WHERE j.range >= i.range),
+        |g AS (
+        |  SELECT i, j, CAST(count(*) AS BIGINT) AS n_vecs,
+        |         CAST(sum(qi) AS HUGEINT) AS sx,
+        |         CAST(sum(qj) AS HUGEINT) AS sy,
+        |         CAST(sum(CAST(qi AS HUGEINT) * qj) AS HUGEINT) AS sxy
+        |  FROM p GROUP BY i, j)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n_vecs,
+        |       CAST((n_vecs * sxy - sx * sy)
+        |            // (CAST(n_vecs AS HUGEINT) * n_vecs) AS BIGINT)
+        |         AS cov_micro2
+        |FROM g ORDER BY i, j""".stripMargin,
     // Same broadcast-centroid cross, same top-2 rank rule, same
     // micro-unit floors and 0.1 bands.
     "q_assign_margin" ->

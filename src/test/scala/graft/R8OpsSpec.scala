@@ -609,6 +609,43 @@ class R8OpsSpec extends SparkSpec {
     }
   }
 
+  test("props schema: all four planted keys discovered and typed") {
+    val rows = EventOps.propsSchema(spark, sfDir).collect()
+    val m = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getString(5), r.getLong(6))).toMap
+    assert(m.keySet == Set("k", "tag", "flag", "v"))
+    // k appears in all shapes except the v-variant (~3/4 coverage)
+    assert(m("k")._2 == "int")
+    assert(m("k")._3 > 650000L && m("k")._3 < 850000L)
+    assert(m("flag")._2 == "bool" && m("tag")._2 == "string")
+    assert(m("v")._2 == "string")
+    // the three variant shapes each cover ~a quarter of events
+    Seq("tag", "flag", "v").foreach { k =>
+      assert(m(k)._3 > 150000L && m(k)._3 < 350000L)
+    }
+  }
+
+  test("dim covariance: diagonal is variance (non-negative), symmetric scope") {
+    val rows = VectorOps.dimCovariance(spark, sfDir).collect()
+    assert(rows.length == 36, "8 dims -> 36 upper-triangle cells")
+    val n = Tables(spark, sfDir, "embeddings").count()
+    rows.foreach { r =>
+      assert(r.getLong(0) <= r.getLong(1))
+      assert(r.getLong(2) == n)
+      if (r.getLong(0) == r.getLong(1))
+        assert(r.getLong(3) >= 0L, "variance cannot be negative")
+    }
+    // Cauchy-Schwarz: |cov(i,j)| <= sqrt(var_i * var_j) (integer
+    // truncation can push at most 1 unit over)
+    val vars = rows.filter(r => r.getLong(0) == r.getLong(1))
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    rows.filter(r => r.getLong(0) != r.getLong(1)).foreach { r =>
+      val bound = math.sqrt(vars(r.getLong(0)).toDouble *
+        vars(r.getLong(1)).toDouble)
+      assert(math.abs(r.getLong(3)) <= bound + 1.0)
+    }
+  }
+
   test("knn reciprocity: mutual pairs come in twos") {
     val rows = VectorOps.knnReciprocity(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -502,7 +502,12 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_activation_time" -> 4,
       // signup/last-day combines + user join + cohort grid; anchor
       // is a 1-row broadcast
-      "q_churn_cohorts" -> 5)) {
+      "q_churn_cohorts" -> 5,
+      // parse + plant + explode scan-side; ONE combine to the |keys|
+      // grid; the 1-row total broadcast
+      "q_props_schema" -> 2,
+      // constant 36× pair explode scan-side; ONE combine to the grid
+      "q_dim_covariance" -> 1)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
