@@ -1929,7 +1929,43 @@ object EventOps {
       .orderBy("key")
   }
 
+  /** Observed-lifetime survival curve — for each day offset d, how
+    * many signed-up users were still active at d days after signup
+    * (last event at offset ≥ d) and the survival fraction in ppm:
+    * the Kaplan-Meier-flavored read beside q_retention_cohort (which
+    * counts activity ON day d — bouncy) and q_churn_cohorts (one
+    * number per cohort): survival is monotone by construction, so
+    * the curve's knee is where users are lost. Each user explodes to
+    * their lifetime+1 offsets — fanout bounded by the corpus day
+    * span, applied to the per-user frame, never raw events.
+    *
+    * Scale shape: two per-user combines + user join, a span-bounded
+    * explode on the user frame, ONE combine to the day-offset grid;
+    * n_signups is a 1-row broadcast. */
+  def survivalCurve(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+    val signup = e.where(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(expr("min(ts_us) div 86400000000").as("cohort_day"))
+    val last = e.groupBy(col("user_id"))
+      .agg(expr("max(ts_us) div 86400000000").as("last_day"))
+    val lifetimes = signup.join(last, "user_id")
+      .select((col("last_day") - col("cohort_day")).as("lifetime_days"))
+    val total = lifetimes.agg(count(lit(1)).cast("long").as("n_signups"))
+    lifetimes
+      .select(explode(expr("sequence(0, lifetime_days)")).as("day_offset"))
+      .groupBy(col("day_offset"))
+      .agg(count(lit(1)).cast("long").as("n_surviving"))
+      .crossJoin(broadcast(total))
+      .select(col("day_offset"), col("n_surviving"),
+        expr("""cast(cast(n_surviving as decimal(38,0)) * 1000000
+          div n_signups as bigint)""").as("survival_ppm"))
+      .orderBy("day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_survival_curve" -> survivalCurve _,
     "q_props_schema" -> propsSchema _,
     "q_activation_time" -> activationTime _,
     "q_churn_cohorts" -> churnCohorts _,
@@ -1987,6 +2023,29 @@ object EventOps {
     "q_sessionize" -> sessionize _)
 
   val oracles: Map[String, String] = Map(
+    // Same lifetime derivation, same inclusive offset fanout, same
+    // truncating ppm.
+    "q_survival_curve" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |s AS (
+        |  SELECT user_id, min(ts_us) // 86400000000 AS cohort_day
+        |  FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |l AS (
+        |  SELECT user_id, max(ts_us) // 86400000000 AS last_day
+        |  FROM e GROUP BY 1),
+        |lt AS (
+        |  SELECT l.last_day - s.cohort_day AS lifetime_days
+        |  FROM s JOIN l ON s.user_id = l.user_id),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_signups FROM lt),
+        |x AS (
+        |  SELECT unnest(range(0, lifetime_days + 1)) AS day_offset
+        |  FROM lt)
+        |SELECT day_offset, CAST(count(*) AS BIGINT) AS n_surviving,
+        |       CAST(CAST(count(*) AS HUGEINT) * 1000000
+        |            // (SELECT n_signups FROM tot) AS BIGINT)
+        |         AS survival_ppm
+        |FROM x GROUP BY day_offset ORDER BY day_offset""".stripMargin,
     // Same planted variants, same dynamic key discovery, same type
     // census regexes and verdict rule.
     "q_props_schema" ->

@@ -2160,7 +2160,59 @@ object RelationalOps {
       .orderBy("flag")
   }
 
+  /** Count-min join-size estimation (the AGMS/count-min inner
+    * product, Cormode & Muthukrishnan §4.2) — estimate |lineitem ⋈
+    * σ(orders)| BEFORE shuffling either table: each side folds to a
+    * 4 × 1024 count-min grid (one combine each, sketch-sized
+    * movement), the estimate is the MIN over rows of the bucketwise
+    * product sum Σ_j cm₁[r][j]·cm₂[r][j] — an upper bound that is
+    * exact when no bucket collides. This is the CBO primitive that
+    * decides broadcast-vs-shuffle and flags runaway joins from
+    * sketch-sized state; q_join_size_audit reads exact per-key
+    * histograms (needs a pass per key column), this composes from
+    * sketches that were maintainable incrementally. The exact join
+    * count rides along as the measured error; hash rows come from
+    * the minhash affine family over ONE sha per key.
+    *
+    * Scale shape: two scan-side 4× explodes + two combines to 4×1024
+    * grids; the estimate is a grid join + 4-row reduce; the exact
+    * join is the cost the sketch avoids (kept as the error column).
+    */
+  def cmJoinEstimate(s: SparkSession, dir: String): DataFrame = {
+    val ph =
+      "cast(conv(substring(sha2(cast(%s as string), 256), 1, 15), 16, 10) as bigint)"
+    def sketch(df: DataFrame, key: String): DataFrame =
+      df.select(expr(ph.format(key)).as("h"))
+        .select(explode(expr(
+          """transform(sequence(0, 3), r -> struct(r AS r,
+            |  ((h % 2147483647) * (r + 1) + 37 * r + 101)
+            |    % 2147483647 % 1024 AS bucket))""".stripMargin)).as("p"))
+        .groupBy(col("p.r").as("r"), col("p.bucket").as("bucket"))
+        .agg(count(lit(1)).cast("long").as("c"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+    val urgent = t(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val cm1 = sketch(li, "l_orderkey")
+    val cm2 = sketch(urgent, "o_orderkey")
+    val rowEsts = cm1.join(cm2.withColumnRenamed("c", "c2"),
+        Seq("r", "bucket"))
+      .groupBy(col("r"))
+      .agg(sum((col("c") * col("c2")).cast("decimal(38,0)")).cast("long")
+        .as("row_est"))
+    val est = rowEsts.agg(min(col("row_est")).as("cm_est"),
+      max(col("row_est")).as("worst_row_est"))
+    val exact = li.join(urgent,
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).cast("long").as("exact_rows"))
+    est.crossJoin(exact)
+      .select(col("exact_rows"), col("cm_est"), col("worst_row_est"),
+        expr("""cast(cast(cm_est - exact_rows as decimal(38,0)) * 1000000
+          div greatest(exact_rows, 1) as bigint)""").as("overest_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cm_join_estimate" -> cmJoinEstimate _,
     "q_bottomk_sketch" -> bottomkSketch _,
     "q_hll_set_algebra" -> hllSetAlgebra _,
     "q_weighted_median" -> weightedMedian _,
@@ -2264,6 +2316,46 @@ object RelationalOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same affine hash rows, same 4×1024 grids, same min-of-inner-
+    // products estimate and exact join error.
+    "q_cm_join_estimate" ->
+      """WITH s1 AS (
+        |  SELECT CAST('0x' || substring(sha256(CAST(l_orderkey
+        |         AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM lineitem),
+        |e1 AS (
+        |  SELECT r.range AS r,
+        |         ((h % 2147483647) * (r.range + 1) + 37 * r.range + 101)
+        |           % 2147483647 % 1024 AS bucket
+        |  FROM s1, range(0, 4) r),
+        |cm1 AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+        |        FROM e1 GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT CAST('0x' || substring(sha256(CAST(o_orderkey
+        |         AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |e2 AS (
+        |  SELECT r.range AS r,
+        |         ((h % 2147483647) * (r.range + 1) + 37 * r.range + 101)
+        |           % 2147483647 % 1024 AS bucket
+        |  FROM s2, range(0, 4) r),
+        |cm2 AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+        |        FROM e2 GROUP BY 1, 2),
+        |re AS (
+        |  SELECT cm1.r,
+        |         CAST(sum(CAST(cm1.c AS HUGEINT) * cm2.c) AS BIGINT)
+        |           AS row_est
+        |  FROM cm1 JOIN cm2 ON cm1.r = cm2.r AND cm1.bucket = cm2.bucket
+        |  GROUP BY 1),
+        |est AS (SELECT min(row_est) AS cm_est,
+        |               max(row_est) AS worst_row_est FROM re),
+        |ex AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS exact_rows
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderpriority = '1-URGENT')
+        |SELECT exact_rows, cm_est, worst_row_est,
+        |       CAST(CAST(cm_est - exact_rows AS HUGEINT) * 1000000
+        |            // greatest(exact_rows, 1) AS BIGINT) AS overest_ppm
+        |FROM est, ex""".stripMargin,
     // Same distinct hash frame, same bottom-256 rank, same
     // all-integer (k−1)·2^60 div h_(k) estimate.
     "q_bottomk_sketch" ->

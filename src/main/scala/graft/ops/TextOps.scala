@@ -255,7 +255,10 @@ object TextOps {
     * NOT as nested array-fold lambdas. The lambda formulation is
     * interpreted expression-by-expression (no whole-stage codegen) and
     * benched ~80x slower; same math, different engine path. */
-  def simhashDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Distinct simhash byte-band candidate pairs with their Hamming
+    * distance — the shared core of q_simhash_dedup (filters ≤ 1) and
+    * q_simhash_hamming (histograms the whole distribution). */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val tok = tokenized(s, dir, spread = true)
       .select(col("doc_id"), explode(col("toks")).as("tk"))
       .select(col("doc_id"), expr(ph("tk")).as("th"))
@@ -276,9 +279,35 @@ object TextOps {
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b")).distinct()
       .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as bigint)"))
+  }
+
+  def simhashDedup(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(s, dir)
       .where(col("hamming") <= 1)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
+
+  /** Simhash threshold calibration — the Hamming-distance HISTOGRAM
+    * over the byte-band candidate pairs q_simhash_dedup prunes with
+    * its fixed ≤ 1 cutoff: pair counts and candidate share per
+    * distance, the distribution that says where the near-dup/noise
+    * valley actually sits before committing to a threshold (Manku et
+    * al.'s k choice, made from data instead of folklore). Same
+    * collision-bounded candidate frame; the histogram is ONE combine
+    * to a ≤ 33-row grid.
+    *
+    * Scale shape: identical to q_simhash_dedup's band join; the
+    * histogram grid is constant-size with shares riding it. */
+  def simhashHamming(s: SparkSession, dir: String): DataFrame = {
+    val grid = Window.partitionBy(lit(1))
+    simhashPairs(s, dir)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+      .withColumn("n_cands", sum(col("n_pairs")).over(grid).cast("long"))
+      .select(col("hamming"), col("n_pairs"),
+        expr("""cast(cast(n_pairs as decimal(38,0)) * 1000000
+          div n_cands as bigint)""").as("share_ppm"))
+      .orderBy("hamming")
   }
 
   /** Banded MinHash rows with the hashed shingle set carried along:
@@ -1803,6 +1832,7 @@ object TextOps {
     "q_token_count_bpe" -> tokenCountBpe _,
     "q_doc_fingerprint" -> docFingerprint _,
     "q_simhash_dedup" -> simhashDedup _,
+    "q_simhash_hamming" -> simhashHamming _,
     "q_ngram_jaccard" -> ngramJaccard _,
     "q_pii_redact" -> piiRedact _,
     "q_repetition_filter" -> repetitionFilter _)
@@ -2732,6 +2762,42 @@ object TextOps {
         |FROM pairs
         |WHERE bit_count(xor(sim_a, sim_b)) <= 1
         |ORDER BY doc_a, doc_b""").stripMargin,
+    // Same simhash pipeline and candidate frame; histogram instead
+    // of the <= 1 cut.
+    "q_simhash_hamming" ->
+      ("""WITH h AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split(text, ' '), tk -> """ + phSqlDuck.format("tk") + """) AS th
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 32), i ->
+        |           list_sum(list_transform(th, hh ->
+        |             CASE WHEN (hh >> i) & 1 = 1 THEN 1 ELSE -1 END))) AS bits
+        |  FROM h),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(list_sum(list_transform(range(0, 32), i ->
+        |           CASE WHEN bits[i + 1] > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+        |  FROM b),
+        |bands AS (
+        |  SELECT doc_id, simhash, r.range AS band,
+        |         (simhash >> (8 * r.range)) & 255 AS byte
+        |  FROM s, range(0, 4) r),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |         a.simhash AS sim_a, c.simhash AS sim_b
+        |  FROM bands a JOIN bands c
+        |    ON a.band = c.band AND a.byte = c.byte AND a.doc_id < c.doc_id),
+        |g AS (
+        |  SELECT CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming,
+        |         CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM pairs GROUP BY 1)
+        |SELECT hamming, n_pairs,
+        |       CAST(CAST(n_pairs AS HUGEINT) * 1000000
+        |            // CAST(sum(n_pairs) OVER () AS BIGINT) AS BIGINT)
+        |         AS share_ppm
+        |FROM g ORDER BY hamming""").stripMargin,
     "q_ngram_jaccard" ->
       ("""WITH s AS (
         |  SELECT doc_id,

@@ -646,6 +646,46 @@ class R8OpsSpec extends SparkSpec {
     }
   }
 
+  test("cm join estimate: upper bound that tightens with min-of-rows") {
+    val r = RelationalOps.cmJoinEstimate(spark, sfDir).collect()(0)
+    val (exact, est, worst) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(exact > 0, "the urgent-orders join is non-trivial")
+    // count-min inner product NEVER underestimates
+    assert(est >= exact, "count-min is an upper bound")
+    assert(worst >= est, "min over rows is the tightest row")
+    assert(r.getLong(3) == (est - exact) * 1000000L / exact)
+    // 4096 buckets vs ~thousands of keys: the bound should be tight
+    assert(est <= exact * 3, s"estimate $est unreasonably loose vs $exact")
+  }
+
+  test("survival curve: monotone non-increasing from full coverage") {
+    val rows = EventOps.survivalCurve(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(0) == 0L)
+    val n0 = rows.head.getLong(1)
+    assert(rows.head.getLong(2) == 1000000L,
+      "every signup survives to offset 0")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(0) == a.getLong(0) + 1, "offsets are contiguous")
+        assert(b.getLong(1) <= a.getLong(1), "survival is monotone")
+      case _ =>
+    }
+    assert(rows.forall(_.getLong(1) <= n0))
+  }
+
+  test("simhash hamming: histogram covers the dedup op's candidates") {
+    val hist = TextOps.simhashHamming(spark, sfDir).collect()
+    assert(hist.nonEmpty)
+    val shares = hist.map(_.getLong(2)).sum
+    assert(shares <= 1000000L && shares >= 1000000L - hist.length)
+    // the <= 1 mass in the histogram equals the dedup op's row count
+    val nearMass = hist.filter(_.getLong(0) <= 1L).map(_.getLong(1)).sum
+    val dedupRows = TextOps.simhashDedup(spark, sfDir).count()
+    assert(nearMass == dedupRows)
+    assert(hist.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 32))
+  }
+
   test("knn reciprocity: mutual pairs come in twos") {
     val rows = VectorOps.knnReciprocity(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -507,7 +507,16 @@ class ShuffleBudgetSpec extends SparkSpec {
       // grid; the 1-row total broadcast
       "q_props_schema" -> 2,
       // constant 36× pair explode scan-side; ONE combine to the grid
-      "q_dim_covariance" -> 1)) {
+      "q_dim_covariance" -> 1,
+      // two sketch combines + the 4×1024 grid join + 4-row reduce +
+      // the exact join (two sides) kept as the error column
+      "q_cm_join_estimate" -> 8,
+      // signup/last-day combines + user join; offset fanout on the
+      // user frame; ONE day-offset grid combine; 1-row broadcast
+      "q_survival_curve" -> 6,
+      // the simhash band join (both sides recompute the per-doc
+      // fold) + pair distinct + the ≤ 33-row histogram combine
+      "q_simhash_hamming" -> 8)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
