@@ -2211,7 +2211,48 @@ object RelationalOps {
           div greatest(exact_rows, 1) as bigint)""").as("overest_ppm"))
   }
 
+  /** Freshness audit — the first data-ops dashboard: per table, the
+    * row count and (for event-timed tables) the max event day and
+    * its lag behind the freshest table in the warehouse. A table
+    * whose lag grows run over run has a stalled ingest; the row
+    * count catches truncated loads. Non-timestamped dimensions emit
+    * −1 days (inventory-only rows). Each per-table probe is ONE
+    * 1-row reduce — zero shuffles, network = one row per table —
+    * which is why a freshness board can poll a 100 TB warehouse
+    * every minute.
+    *
+    * Scale shape: 10 independent 1-row scan reduces + grid-sized
+    * union; the global max is a window over the ≤ 10-row frame. */
+  def freshnessAudit(s: SparkSession, dir: String): DataFrame = {
+    val timed = Map(
+      "events" -> "ts", "orders" -> "o_orderdate",
+      "lineitem" -> "l_shipdate")
+    val perTable = Tables.names.map { n =>
+      val df =
+        if (n == "events") Tables.events(s, dir)
+          .withColumn("ed", expr("ts_us div 86400000000"))
+        else if (timed.contains(n)) t(s, dir, n)
+          .withColumn("ed", expr(
+            s"unix_micros(cast(${timed(n)} as timestamp)) div 86400000000"))
+        else t(s, dir, n).withColumn("ed", lit(null).cast("long"))
+      df.agg(count(lit(1)).cast("long").as("n_rows"),
+          coalesce(max(col("ed")), lit(-1L)).as("max_event_day"))
+        .select(lit(n).as("table_name"), col("n_rows"),
+          col("max_event_day"))
+    }
+    val grid = Window.partitionBy(lit(1))
+    perTable.reduce(_.unionAll(_))
+      .withColumn("freshest_day",
+        max(col("max_event_day")).over(grid).cast("long"))
+      .select(col("table_name"), col("n_rows"), col("max_event_day"),
+        when(col("max_event_day") >= 0L,
+          col("freshest_day") - col("max_event_day")).otherwise(-1L)
+          .as("lag_days"))
+      .orderBy("table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_freshness_audit" -> freshnessAudit _,
     "q_cm_join_estimate" -> cmJoinEstimate _,
     "q_bottomk_sketch" -> bottomkSketch _,
     "q_hll_set_algebra" -> hllSetAlgebra _,
@@ -2315,7 +2356,32 @@ object RelationalOps {
        |FROM u ORDER BY child_col, parent_col""".stripMargin
   }
 
+  /** q_freshness_audit oracle generated from the same table list. */
+  private[graft] def freshnessOracle: String = {
+    val timed = Map(
+      "events" -> "ts", "orders" -> "o_orderdate",
+      "lineitem" -> "l_shipdate")
+    val subs = Tables.names.map { n =>
+      val day = timed.get(n)
+        .map(c => s"coalesce(CAST(max(epoch_us($c) // 86400000000) " +
+          "AS BIGINT), -1)")
+        .getOrElse("CAST(-1 AS BIGINT)")
+      s"""  SELECT '$n' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |         $day AS max_event_day
+         |  FROM $n""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH u AS (
+       |$subs)
+       |SELECT table_name, n_rows, max_event_day,
+       |       CASE WHEN max_event_day >= 0
+       |            THEN CAST(max(max_event_day) OVER () AS BIGINT)
+       |                 - max_event_day
+       |            ELSE CAST(-1 AS BIGINT) END AS lag_days
+       |FROM u ORDER BY table_name""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_freshness_audit" -> freshnessOracle,
     // Same affine hash rows, same 4×1024 grids, same min-of-inner-
     // products estimate and exact join error.
     "q_cm_join_estimate" ->

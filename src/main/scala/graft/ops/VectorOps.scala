@@ -849,6 +849,38 @@ object VectorOps {
        |SELECT qid, n_hit, CAST(1000000 * n_hit // 5 AS BIGINT) AS recall_ppm
        |FROM h ORDER BY qid""".stripMargin
 
+  /** The q_mrr_eval DuckDB oracle for an (m, k) geometry — embeds
+    * [[annPqOracle]] so the eval can't drift from the search. */
+  private[graft] def mrrOracle(m: Int, k: Int): String =
+    s"""WITH adc AS (
+       |${annPqOracle(m, k)}),
+       |fv AS (
+       |  SELECT vec_id, embedding,
+       |         list_reduce(list_transform(embedding,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS xx
+       |  FROM embeddings),
+       |truth AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS truth_id,
+       |         CAST(floor((q.xx + c.xx - CAST(2.0 AS DOUBLE) *
+       |           list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+       |             t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+       |             (a, b) -> a + b)) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+       |           AS d2u
+       |  FROM fv q, fv c
+       |  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
+       |t1 AS (
+       |  SELECT qid, truth_id FROM truth
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |    ORDER BY d2u, truth_id) = 1)
+       |SELECT t1.qid, t1.truth_id,
+       |       coalesce(adc.rn, -1) AS adc_rank,
+       |       CASE WHEN adc.rn IS NOT NULL
+       |            THEN CAST(1000000 // adc.rn AS BIGINT)
+       |            ELSE CAST(0 AS BIGINT) END AS rr_ppm
+       |FROM t1 LEFT JOIN adc
+       |  ON t1.qid = adc.qid AND t1.truth_id = adc.vec_id
+       |ORDER BY t1.qid""".stripMargin
+
   /** (vec_id, sub, subvec, xx): the vector split into the m PQ
     * subspaces with each subvector's self-dot precomputed. */
   private def pqSubbed(df: DataFrame, m: Int): DataFrame = {
@@ -1618,7 +1650,81 @@ object VectorOps {
           .as("cov_micro2"))
       .orderBy("i", "j")
 
+  /** Effective dimensionality — the participation ratio
+    * PR = (Σᵢ varᵢ)² / Σᵢ varᵢ² over all 64 dimensions, the one
+    * number that says how much of the embedding width actually
+    * carries variance (PR = d for isotropic, → 1 when one direction
+    * dominates): the headline beside q_pca_power's direction profile
+    * and q_dim_covariance's pairwise detail. Exact integers end to
+    * end — micro-unit quantization, DECIMAL(38,0) power sums,
+    * per-dim variance by the truncating covariance rule, PR in
+    * truncating micro-dims.
+    *
+    * Scale shape: one posexplode (fixed 64× fanout) + ONE combine to
+    * the |dims| grid + a 1-row reduce. */
+  def effectiveDims(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        expr("""cast(floor(cast(x as double) * cast(1000000 as double))
+          as bigint)""").as("q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("sx"),
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("sxx"))
+      .select(expr("""cast((n * sxx - sx * sx)
+        div (cast(n as decimal(38,0)) * n) as bigint)""").as("v"))
+      .agg(count(lit(1)).cast("long").as("n_dims"),
+        sum(col("v").cast("decimal(38,0)")).as("sv"),
+        sum(expr("cast(v as decimal(38,0)) * v")).as("svv"))
+      .select(col("n_dims"),
+        col("sv").cast("long").as("sum_var_micro2"),
+        expr("""cast(sv * sv * 1000000 div svv as bigint)""")
+          .as("pr_micro"))
+
+  /** Mean-reciprocal-rank eval of the PQ/ADC serving path — the
+    * ranking-quality complement to q_pq_recall's recall@5: for each
+    * eval query, WHERE the exact nearest neighbor lands in the ADC
+    * top-5 (rank, −1 on a miss) and the reciprocal rank in ppm. MRR
+    * penalizes a truth hit buried at rank 5 where recall@5 calls it
+    * perfect — the metric that predicts user-facing search quality.
+    * Truth and candidate ranks both derive from the shared
+    * fixed-IEEE micro-unit distances, so ranks are engine-exact.
+    *
+    * Scale shape: truth = the bounded 10-query broadcast × one exact
+    * scan (the q_pq_recall pattern); the rank join touches only
+    * (queries × 5)-row frames; the production ADC operator is reused
+    * verbatim. */
+  def mrrEval(s: SparkSession, dir: String): DataFrame = {
+    val fv = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      graft.functions.GraftFunctions.array_dot(col("embedding"), col("embedding"))
+        .as("xx"))
+    val q = fv.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("xx").as("qxx"))
+    val truthW = Window.partitionBy(col("qid"))
+      .orderBy(col("d2u"), col("vec_id"))
+    val truth = fv.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        floor((col("qxx") + col("xx") - lit(2.0) * dot("qe", "embedding"))
+          * lit(1000000.0)).cast("long").as("d2u"))
+      .withColumn("rn", row_number().over(truthW)).where(col("rn") === 1)
+      .select(col("qid"), col("vec_id").as("truth_id"))
+    val adc = annPqSearch(s, dir)
+      .select(col("qid"), col("vec_id").as("truth_id"),
+        col("rn").as("adc_rank"))
+    truth.join(adc, Seq("qid", "truth_id"), "left")
+      .select(col("qid"), col("truth_id"),
+        coalesce(col("adc_rank"), lit(-1L)).as("adc_rank"),
+        when(col("adc_rank").isNotNull,
+          expr("1000000 div adc_rank")).otherwise(0L).as("rr_ppm"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_effective_dims" -> effectiveDims _,
+    "q_mrr_eval" -> mrrEval _,
     "q_dim_covariance" -> dimCovariance _,
     "q_assign_margin" -> assignMargin _,
     "q_ivf_balance" -> ivfBalance _,
@@ -2158,6 +2264,34 @@ object VectorOps {
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_product_quantize" -> pqOracle(PqM, PqK),
     "q_pq_residual" -> pqResidualOracle(PqM, PqK),
+    "q_mrr_eval" -> mrrOracle(PqM, PqK),
+    // Same quantization + power sums; PR from exact wide-cast
+    // integer arithmetic.
+    "q_effective_dims" ->
+      """WITH e AS (
+        |  SELECT dim,
+        |         CAST(floor(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE))
+        |           AS BIGINT) AS q
+        |  FROM (SELECT unnest(embedding) AS x,
+        |               unnest(range(0, len(embedding))) AS dim
+        |        FROM embeddings)),
+        |g AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(q) AS HUGEINT) AS sx,
+        |         CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sxx
+        |  FROM e GROUP BY dim),
+        |v AS (
+        |  SELECT CAST((n * sxx - sx * sx)
+        |              // (CAST(n AS HUGEINT) * n) AS BIGINT) AS v
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_dims,
+        |         CAST(sum(v) AS HUGEINT) AS sv,
+        |         CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS svv
+        |  FROM v)
+        |SELECT n_dims, CAST(sv AS BIGINT) AS sum_var_micro2,
+        |       CAST(sv * sv * 1000000 // svv AS BIGINT) AS pr_micro
+        |FROM a""".stripMargin,
     // Same micro-unit quantization, same exact power sums, same
     // truncating covariance arithmetic.
     "q_dim_covariance" ->

@@ -686,6 +686,46 @@ class R8OpsSpec extends SparkSpec {
     assert(hist.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 32))
   }
 
+  test("freshness audit: every table reported, lags anchored at zero") {
+    val rows = RelationalOps.freshnessAudit(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet == Tables.names.toSet)
+    val timed = rows.filter(_.getLong(2) >= 0L)
+    assert(timed.map(_.getString(0)).toSet ==
+      Set("events", "orders", "lineitem"))
+    assert(timed.exists(_.getLong(3) == 0L),
+      "the freshest table has zero lag")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L)
+      if (r.getLong(2) < 0L) assert(r.getLong(3) == -1L)
+      else assert(r.getLong(3) >= 0L)
+    }
+  }
+
+  test("effective dims: PR between 1 and n_dims") {
+    val r = VectorOps.effectiveDims(spark, sfDir).collect()(0)
+    val (nDims, pr) = (r.getLong(0), r.getLong(2))
+    assert(nDims == 64L)
+    assert(pr >= 1000000L, "PR >= 1 by Cauchy-Schwarz")
+    assert(pr <= nDims * 1000000L, "PR <= d")
+    assert(r.getLong(1) > 0L)
+  }
+
+  test("mrr eval: ranks consistent with recall@5") {
+    val rows = VectorOps.mrrEval(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (rank, rr) = (r.getLong(2), r.getLong(3))
+      if (rank == -1L) assert(rr == 0L)
+      else {
+        assert(rank >= 1 && rank <= 5)
+        assert(rr == 1000000L / rank)
+      }
+    }
+    // a query whose truth-top1 is found at rank 1 contributes full rr
+    assert(rows.exists(_.getLong(2) == 1L),
+      "ADC should find at least one truth top-1 at rank 1")
+  }
+
   test("knn reciprocity: mutual pairs come in twos") {
     val rows = VectorOps.knnReciprocity(spark, sfDir).collect()
     assert(rows.nonEmpty)

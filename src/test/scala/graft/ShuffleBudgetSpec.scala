@@ -516,7 +516,16 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_survival_curve" -> 6,
       // the simhash band join (both sides recompute the per-doc
       // fold) + pair distinct + the ≤ 33-row histogram combine
-      "q_simhash_hamming" -> 8)) {
+      "q_simhash_hamming" -> 8,
+      // ten independent 1-row scan reduces; union + window ride the
+      // ≤ 10-row grid
+      "q_freshness_audit" -> 0,
+      // fixed 64× posexplode scan-side + ONE dim combine + 1-row
+      // reduce
+      "q_effective_dims" -> 1,
+      // broadcast truth block + the ADC assignment windows + the
+      // (queries × 5)-row rank join
+      "q_mrr_eval" -> 6)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
