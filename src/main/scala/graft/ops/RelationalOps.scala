@@ -1988,16 +1988,20 @@ object RelationalOps {
     * template generates the Spark query and the DuckDB oracle, so the
     * sketch arithmetic provably cannot drift between them. */
   private[graft] def hllAlgebraSql(duck: Boolean): String = {
-    val ph =
-      if (duck)
-        "CAST('0x' || substring(sha256(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT)"
-      else
-        "cast(conv(substring(sha2(cast(l_partkey as string), 256), 1, 15), 16, 10) as bigint)"
     val d = if (duck) "//" else "div"
     def shl(e: String) =
       if (duck) s"(CAST(1 AS BIGINT) << ($e))"
       else s"shiftleft(CAST(1 AS BIGINT), $e)"
-    val src = if (duck) "lineitem" else "lineitem_hll_algebra_spread"
+    // the hashed DISTINCT (flag, key) frame — registers and exact
+    // sides both derive from it; the Spark path pre-pins it as a
+    // temp view (5 CTE references, no CSE — a pinned frame saves 4
+    // sha+distinct re-derivations), DuckDB inlines the subquery
+    val f0 = if (duck)
+      """(SELECT l_returnflag AS flag, l_partkey AS k,
+             CAST('0x' || substring(sha256(CAST(l_partkey AS VARCHAR)),
+                  1, 15) AS BIGINT) AS h
+         FROM (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem))"""
+    else "hll_algebra_hashed"
     val est = s"""CAST(floor(
       CAST(0.7213 AS DOUBLE)
         / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(512.0 AS DOUBLE))
@@ -2008,7 +2012,7 @@ object RelationalOps {
       SELECT flag, h % 512 AS bucket,
              max(CASE WHEN h $d 512 = 0 THEN 52
                       ELSE 52 - length(bin(h $d 512)) END) AS m
-      FROM (SELECT l_returnflag AS flag, $ph AS h FROM $src)
+      FROM $f0 f0reg
       GROUP BY flag, h % 512),
     pairs AS (
       SELECT 'A' AS fa, 'N' AS fb UNION ALL
@@ -2024,7 +2028,7 @@ object RelationalOps {
     estu AS (SELECT fa, fb, $est AS hll_union,
                     CAST(512 - count(*) AS BIGINT) AS n_empty_union
              FROM ureg GROUP BY fa, fb),
-    f AS (SELECT DISTINCT l_returnflag AS flag, l_partkey AS k FROM $src),
+    f AS (SELECT flag, k FROM $f0 f0f),
     ex1 AS (SELECT flag, CAST(count(*) AS BIGINT) AS exact FROM f
             GROUP BY flag),
     exu AS (
@@ -2073,10 +2077,21 @@ object RelationalOps {
     * distinct) is the cost the sketch avoids, kept for the error
     * column. */
   def hllSetAlgebra(s: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(s, dir)
-    Tables.spread(s, s.table("lineitem")
+    val ph =
+      "cast(conv(substring(sha2(cast(l_partkey as string), 256), 1, 15), 16, 10) as bigint)"
+    val reliable = s.sparkContext.getCheckpointDir.isDefined
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    // hash the DISTINCT (flag, key) frame once and pin it: the
+    // template references it from 5 CTEs (no CSE), and the distinct
+    // frame is bounded by key cardinality × |flags| — the sketch
+    // input a deployment would materialize anyway
+    pin(Tables.spread(s, t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_partkey")))
-      .createOrReplaceTempView("lineitem_hll_algebra_spread")
+      .distinct()
+      .select(col("l_returnflag").as("flag"), col("l_partkey").as("k"),
+        expr(ph).as("h")))
+      .createOrReplaceTempView("hll_algebra_hashed")
     s.sql(hllAlgebraSql(duck = false))
   }
 

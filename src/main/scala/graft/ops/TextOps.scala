@@ -277,8 +277,14 @@ object TextOps {
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
     a.join(b, Seq("band", "byte"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b")).distinct()
-      .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as bigint)"))
+      // hamming is a pure function of the pair, so distinct over
+      // (pair, hamming) ≡ distinct over pairs — computing it BEFORE
+      // the distinct drops the two signature columns from the
+      // dedup shuffle (the unfiltered candidate frame is the op's
+      // dominant movement)
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(sim_a ^ sim_b) as bigint)").as("hamming"))
+      .distinct()
   }
 
   def simhashDedup(s: SparkSession, dir: String): DataFrame =
