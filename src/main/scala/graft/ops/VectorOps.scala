@@ -1722,7 +1722,54 @@ object VectorOps {
       .orderBy("qid")
   }
 
+  /** Exact dedup over opaque BINARY media payloads, per mime type —
+    * the multimodal twin of q_exact_dedup: media dedup hashes the
+    * payload bytes (codec-agnostic — a byte-identical image is a dup
+    * whatever it depicts), and the per-mime storage ledger (payload
+    * count, unique count, dup rows, total vs unique bytes, saved
+    * ppm) is the number a 100 TB media lake dedups FOR. Payloads are
+    * the document bytes under a deterministic doc_id-mod mime
+    * assignment, and a planted byte-identical mirror copy (doc_id %
+    * 4 = 0, re-keyed +2e7) keeps the grouping genuinely exercised at
+    * gate SF — the q_dedup_survivorship plant pattern on the binary
+    * column.
+    *
+    * Scale shape: hashing is scan-side on the binary column; ONE
+    * content-hash combine + a mime-grid rollup — identical physics
+    * to text exact-dedup, payload size only affects the scan. */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.spread(s, t(s, dir, "documents"))
+      .select(col("doc_id"),
+        expr("""case when doc_id % 3 = 0 then 'image/x-stub'
+          when doc_id % 3 = 1 then 'audio/x-stub'
+          else 'video/x-stub' end""").as("mime"),
+        encode(col("text"), "UTF-8").as("payload"))
+    val withMirror = base.unionAll(
+      base.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("mime"),
+          col("payload")))
+    withMirror
+      .select(col("mime"), sha2(col("payload"), 256).as("h"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("mime"), col("h"))
+      .agg(count(lit(1)).cast("long").as("n_copies"),
+        max(col("n_bytes")).as("n_bytes"))
+      .groupBy(col("mime"))
+      .agg(sum(col("n_copies")).cast("long").as("n_payloads"),
+        count(lit(1)).cast("long").as("n_unique"),
+        sum(col("n_copies") - 1L).cast("long").as("n_dup_rows"),
+        sum((col("n_bytes") * col("n_copies")).cast("decimal(38,0)"))
+          .cast("long").as("bytes_total"),
+        sum(col("n_bytes").cast("decimal(38,0)")).cast("long")
+          .as("bytes_unique"))
+      .withColumn("saved_ppm",
+        expr("""cast(cast(bytes_total - bytes_unique as decimal(38,0))
+          * 1000000 div bytes_total as bigint)"""))
+      .orderBy("mime")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_dedup" -> mediaDedup _,
     "q_effective_dims" -> effectiveDims _,
     "q_mrr_eval" -> mrrEval _,
     "q_dim_covariance" -> dimCovariance _,
@@ -2265,6 +2312,35 @@ object VectorOps {
     "q_product_quantize" -> pqOracle(PqM, PqK),
     "q_pq_residual" -> pqResidualOracle(PqM, PqK),
     "q_mrr_eval" -> mrrOracle(PqM, PqK),
+    // Same mime assignment, same planted mirror, same payload-byte
+    // hashing (sha over the UTF-8 bytes ≡ sha over the string) and
+    // integer byte ledger.
+    "q_media_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image/x-stub'
+        |              WHEN doc_id % 3 = 1 THEN 'audio/x-stub'
+        |              ELSE 'video/x-stub' END AS mime,
+        |         sha256(text) AS h,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |a AS (
+        |  SELECT mime, h, n_bytes FROM base
+        |  UNION ALL
+        |  SELECT mime, h, n_bytes FROM base WHERE doc_id % 4 = 0),
+        |g AS (
+        |  SELECT mime, h, CAST(count(*) AS BIGINT) AS n_copies,
+        |         max(n_bytes) AS n_bytes
+        |  FROM a GROUP BY 1, 2)
+        |SELECT mime, CAST(sum(n_copies) AS BIGINT) AS n_payloads,
+        |       CAST(count(*) AS BIGINT) AS n_unique,
+        |       CAST(sum(n_copies - 1) AS BIGINT) AS n_dup_rows,
+        |       CAST(sum(n_bytes * n_copies) AS BIGINT) AS bytes_total,
+        |       CAST(sum(n_bytes) AS BIGINT) AS bytes_unique,
+        |       CAST(CAST(sum(n_bytes * n_copies) - sum(n_bytes) AS HUGEINT)
+        |            * 1000000 // sum(n_bytes * n_copies) AS BIGINT)
+        |         AS saved_ppm
+        |FROM g GROUP BY mime ORDER BY mime""".stripMargin,
     // Same quantization + power sums; PR from exact wide-cast
     // integer arithmetic.
     "q_effective_dims" ->

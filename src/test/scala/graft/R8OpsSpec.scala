@@ -726,6 +726,20 @@ class R8OpsSpec extends SparkSpec {
       "ADC should find at least one truth top-1 at rank 1")
   }
 
+  test("media dedup: planted mirror accounts for every dup byte") {
+    val rows = VectorOps.mediaDedup(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("image/x-stub", "audio/x-stub", "video/x-stub"))
+    val total = Tables(spark, sfDir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total + (total + 3) / 4)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+      assert(r.getLong(5) <= r.getLong(4))
+      assert(r.getLong(6) >= 0L && r.getLong(6) < 1000000L)
+    }
+  }
+
   test("knn reciprocity: mutual pairs come in twos") {
     val rows = VectorOps.knnReciprocity(spark, sfDir).collect()
     assert(rows.nonEmpty)

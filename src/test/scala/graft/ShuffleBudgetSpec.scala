@@ -525,7 +525,10 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_effective_dims" -> 1,
       // broadcast truth block + the ADC assignment windows + the
       // (queries × 5)-row rank join
-      "q_mrr_eval" -> 6)) {
+      "q_mrr_eval" -> 6,
+      // payload hashing scan-side; ONE content-hash combine + the
+      // ≤ 3-row mime rollup
+      "q_media_dedup" -> 2)) {
       val n = hashExchanges(q(name))
       assert(n <= budget, s"$name over budget: $n > $budget")
     }
