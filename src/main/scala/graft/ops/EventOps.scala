@@ -955,24 +955,22 @@ object EventOps {
     * exact: micro-unit values, DECIMAL(38,0) sums (corpus-scale sums
     * overflow bigint), one truncating division per mean.
     *
-    * Scale shape: one rank window per type (the q_median_percentile
-    * order-statistics discipline), the 5-row bounds frame broadcast
-    * back, one combine agg. The per-type sort is the same
-    * hash-partitioned window every order statistic here uses; at
-    * extreme per-key volume the q_quality_vs_dup two-phase
-    * domain-bucket rank is the drop-in upgrade. */
+    * Scale shape: the clip bounds are two-phase SELECTION order
+    * statistics ([[TwoPhaseRank.orderStatistics]], r9): (type,
+    * bucket) counts roll up map-side (only the bounded grid moves),
+    * the offsets grid locates which buckets hold the p05/p95 ranks,
+    * and ONLY those buckets' rows are sorted — the corpus itself
+    * crosses no exchange and is never window-partitioned on the
+    * ≤ |event types| key. Provably the same discrete order statistic
+    * (oracle unchanged). The 5-row bounds frame broadcasts back; one
+    * map-side-combined agg finishes. */
   def winsorize(s: SparkSession, dir: String): DataFrame = {
     val vu = microValues(s, dir)
-    val w = Window.partitionBy(col("event_type")).orderBy(col("vu"), col("event_id"))
-    val ranked = vu
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .withColumn("n",
-        count(lit(1)).over(Window.partitionBy(col("event_type"))))
-    val bounds = ranked.groupBy(col("event_type")).agg(
-      max(when(col("rnk") === expr("1 + (n - 1) * 5 div 100"), col("vu")))
-        .as("lo_u"),
-      max(when(col("rnk") === expr("1 + (n - 1) * 95 div 100"), col("vu")))
-        .as("hi_u"))
+    val bounds = TwoPhaseRank.orderStatistics(
+      vu, Seq("event_type"), "vu", Seq(col("event_id")),
+      Seq("lo_u" -> "1 + (n - 1) * 5 div 100",
+        "hi_u" -> "1 + (n - 1) * 95 div 100"))
+      .select(col("event_type"), col("lo_u"), col("hi_u"))
     vu.join(broadcast(bounds), "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -999,29 +997,27 @@ object EventOps {
     * micro-unit integers — no interpolation, no doubles, so the
     * whole operator is integer-exact cross-engine.
     *
-    * Scale shape: two rank windows per type (values, then absolute
-    * deviations — the second pass is inherent: MAD is a median OF a
-    * median-derived column), each the per-type order-statistics
-    * window; the 5-row median/MAD frames broadcast back; one final
-    * combine agg. */
+    * Scale shape: two two-phase SELECTION order statistics
+    * ([[TwoPhaseRank.orderStatistics]], r9 — values, then absolute
+    * deviations; the second pass is inherent: MAD is a median OF a
+    * median-derived column). Each pass moves only the bounded (type,
+    * bucket) counts grid and sorts only the median-holding buckets —
+    * the corpus crosses no exchange and is never window-partitioned
+    * on the ≤ |event types| key; provably the same discrete order
+    * statistic (oracle unchanged). The 5-row median/MAD frames
+    * broadcast back; one final map-side-combined agg. */
   def madOutliers(s: SparkSession, dir: String): DataFrame = {
     val vu = microValues(s, dir)
-    val w1 = Window.partitionBy(col("event_type")).orderBy(col("vu"), col("event_id"))
-    val r1 = vu
-      .withColumn("rnk", row_number().over(w1).cast("long"))
-      .withColumn("n",
-        count(lit(1)).over(Window.partitionBy(col("event_type"))))
-    val med = r1.groupBy(col("event_type")).agg(
-      max(when(col("rnk") === expr("1 + (n - 1) div 2"), col("vu"))).as("med_u"))
+    val med = TwoPhaseRank.orderStatistics(
+      vu, Seq("event_type"), "vu", Seq(col("event_id")),
+      Seq("med_u" -> "1 + (n - 1) div 2"))
+      .select(col("event_type"), col("med_u"))
     val dev = vu.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("vu") - col("med_u")))
-    val w2 = Window.partitionBy(col("event_type")).orderBy(col("dev"), col("event_id"))
-    val r2 = dev
-      .withColumn("rnk2", row_number().over(w2).cast("long"))
-      .withColumn("n",
-        count(lit(1)).over(Window.partitionBy(col("event_type"))))
-    val mad = r2.groupBy(col("event_type")).agg(
-      max(when(col("rnk2") === expr("1 + (n - 1) div 2"), col("dev"))).as("mad_u"))
+    val mad = TwoPhaseRank.orderStatistics(
+      dev, Seq("event_type"), "dev", Seq(col("event_id")),
+      Seq("mad_u" -> "1 + (n - 1) div 2"))
+      .select(col("event_type"), col("mad_u"))
     dev.join(broadcast(mad), "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -1046,35 +1042,42 @@ object EventOps {
     * in DECIMAL(38,0)/HUGEINT, shipped as ppm of n_a·n_b plus the
     * micro-unit value where the sup is attained.
     *
-    * Scale shape: one hash shuffle on event_type carries BOTH the
-    * ordered cumulative windows and the unordered totals (same
-    * partition key → one exchange, Spark stacks the window nodes);
-    * the midpoint is a scan-reduce broadcast. No joins, no
-    * per-row state beyond the sort the ECDF definition requires. */
+    * Scale shape: the ECDF cumulative counts are the DISTRIBUTED
+    * two-phase RANGE-frame prefix sums ([[TwoPhaseRank
+    * .withRangeCumSums]]) — never a corpus-sized ordered window
+    * partitioned on the ≤ |event types| key; exchanges stay on the
+    * uniform (type, bucket) grain, peers of a value share a bucket so
+    * the RANGE tie semantics are exact, and the result provably
+    * equals the naive per-type cumulative (oracle unchanged). The
+    * per-type totals ride a map-side-combined 5-row agg; the sup and
+    * its attaining value come from ONE lexicographic (d, −vu) max in
+    * the final combine — no dmax window. The midpoint is a
+    * scan-reduce broadcast. */
   def ksDrift(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).select(col("event_type"), col("ts_us"),
       expr("cast(floor(value * cast(1000000 as double)) as bigint)").as("vu"))
     val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid_us"))
-    val wAll = Window.partitionBy(col("event_type"))
-    val wCum = Window.partitionBy(col("event_type")).orderBy(col("vu"))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.crossJoin(broadcast(mid))
+    val tagged = ev.crossJoin(broadcast(mid))
       .withColumn("ia", when(col("ts_us") <= col("mid_us"), 1L).otherwise(0L))
       .withColumn("ib", lit(1L) - col("ia"))
-      .withColumn("na", sum(col("ia")).over(wAll))
-      .withColumn("nb", sum(col("ib")).over(wAll))
-      .withColumn("ca", sum(col("ia")).over(wCum))
-      .withColumn("cb", sum(col("ib")).over(wCum))
+    val totals = tagged.groupBy(col("event_type"))
+      .agg(sum(col("ia")).as("na"), sum(col("ib")).as("nb"))
+    TwoPhaseRank.withRangeCumSums(
+        tagged, Seq("event_type"), "vu", Seq("ia" -> "ca", "ib" -> "cb"))
+      .join(broadcast(totals), "event_type")
+      .where(col("na") > 0 && col("nb") > 0)
       .withColumn("d", abs(expr(
         "cast(ca as decimal(38,0)) * nb - cast(cb as decimal(38,0)) * na")))
-      .withColumn("dmax", max(col("d")).over(wAll))
-      .where(col("na") > 0 && col("nb") > 0)
       .groupBy(col("event_type"))
       .agg(max(col("na")).as("n_early"), max(col("nb")).as("n_late"),
         expr("""cast(max(d) * 1000000 div
                 (cast(max(na) as decimal(38,0)) * max(nb)) as bigint)""")
           .as("ks_ppm"),
-        min(when(col("d") === col("dmax"), col("vu"))).as("ks_at_u"))
+        // lexicographic max over (d, -vu): max d first, then min vu
+        // among its peers — identical to min(vu where d = dmax)
+        max(struct(col("d"), (-col("vu")).as("nv"))).as("m"))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        col("ks_ppm"), (-col("m.nv")).as("ks_at_u"))
       .orderBy("event_type")
   }
 
@@ -1088,18 +1091,19 @@ object EventOps {
     * an exact integer-div ppm; degenerate lags (constant or too few
     * pairs) emit NULL identically in both engines.
     *
-    * Scale shape: ONE per-type time-ordered window produces all
-    * three lag columns (three Lag expressions share the sort), then
-    * one combine agg; 5 output rows. The per-type sort is the
-    * operator's inherent cost — same envelope as every order
-    * statistic here. */
+    * Scale shape: the lags are the DISTRIBUTED two-phase sequential
+    * lag ([[TwoPhaseRank.withLags]], r9): a uniform-grain two-phase
+    * rank orders the series, fixed-size rank blocks receive the
+    * previous block's last 3 rows as carry-in, and an ordinary
+    * (type, block) window — all three Lag expressions share its
+    * sort — computes the lags; provably equal to the naive per-type
+    * corpus window (oracle unchanged). One combine agg; 5 output
+    * rows. */
   def lagAutocorr(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
-    val lagged = (1 to 3).foldLeft(
+    val lagged = TwoPhaseRank.withLags(
       events(s, dir).select(col("event_type"), col("event_id"), col("ts_us"),
-        expr("cast(floor(value * cast(1000000 as double)) as bigint)").as("vu"))) {
-      (d, k) => d.withColumn(s"x$k", lag(col("vu"), k).over(w))
-    }
+        expr("cast(floor(value * cast(1000000 as double)) as bigint)").as("vu")),
+      Seq("event_type"), "ts_us", Seq(col("event_id")), "vu", 3, "x")
     val sums = (1 to 3).flatMap { k =>
       Seq(count(col(s"x$k")).cast("long").as(s"n$k"),
         sum(expr(s"cast(x$k as decimal(38,0))")).as(s"sx$k"),
@@ -1385,11 +1389,13 @@ object EventOps {
     * does ONE producer emit", and the global merge of interleaved
     * users would understate gaps by the user count.
     *
-    * Scale shape: one lag window on the (user, type) key, one rank
-    * window per type (the exact-order-statistics sort every
-    * percentile op shares), combine agg rides the rank partitioning.
-    * No global window, no value buffering (the builtin percentile()
-    * trap). */
+    * Scale shape: one lag window on the (user, type) key — a
+    * high-cardinality grain that parallelizes — then the percentiles
+    * are two-phase SELECTION order statistics ([[TwoPhaseRank
+    * .orderStatistics]], r9): only the bounded (type, bucket) grid
+    * moves and only the p50/p90-holding buckets sort; the gap frame
+    * is never window-partitioned on the ≤ |event types| key (oracle
+    * unchanged). min/max/mean ride a map-side-combined 5-row agg. */
   def interarrival(s: SparkSession, dir: String): DataFrame = {
     val wu = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts_us"), col("event_id"))
@@ -1398,21 +1404,21 @@ object EventOps {
         col("event_id"))
       .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(wu))
       .where(col("gap_us").isNotNull)
-    val wr = Window.partitionBy(col("event_type")).orderBy(col("gap_us"))
-    gaps
-      .withColumn("r", row_number().over(wr).cast("long"))
-      .withColumn("n", count(lit(1))
-        .over(Window.partitionBy(col("event_type"))).cast("long"))
-      .groupBy(col("event_type"))
+    val pct = TwoPhaseRank.orderStatistics(gaps, Seq("event_type"),
+      "gap_us", Seq(col("user_id"), col("event_id")),
+      Seq("p50_gap_us" -> "1 + (n - 1) * 50 div 100",
+        "p90_gap_us" -> "1 + (n - 1) * 90 div 100"))
+      .select(col("event_type"), col("p50_gap_us"), col("p90_gap_us"))
+    gaps.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_gaps"),
         min(col("gap_us")).as("min_gap_us"),
         max(col("gap_us")).as("max_gap_us"),
         expr("cast(sum(cast(gap_us as decimal(38,0))) div count(1) as bigint)")
-          .as("mean_gap_us"),
-        max(when(col("r") === expr("1 + (n - 1) * 50 div 100"),
-          col("gap_us"))).as("p50_gap_us"),
-        max(when(col("r") === expr("1 + (n - 1) * 90 div 100"),
-          col("gap_us"))).as("p90_gap_us"))
+          .as("mean_gap_us"))
+      .join(broadcast(pct), "event_type")
+      .select(col("event_type"), col("n_gaps"), col("min_gap_us"),
+        col("max_gap_us"), col("mean_gap_us"), col("p50_gap_us"),
+        col("p90_gap_us"))
       .orderBy("event_type")
   }
 
@@ -1698,7 +1704,9 @@ object EventOps {
     }
     mass0.select(col("event_type"), col("mass").as("mass_init"))
       .join(stepped.select(col("event_type"), col("mass").as("mass_4")),
-        "event_type")
+        Seq("event_type"), "left")
+      .select(col("event_type"), col("mass_init"),
+        coalesce(col("mass_4"), lit(0L)).as("mass_4"))
       .orderBy("event_type")
   }
 
@@ -1795,8 +1803,9 @@ object EventOps {
   }
 
   /** Activation time — per signed-up user, the time from signup to
-    * their 10th subsequent event (the "aha moment" metric growth
-    * teams optimize): exact µs lags bucketed in bitlength bands, with
+    * their 10th event counting the signup itself, i.e. signup plus 9
+    * subsequent events (the "aha moment" metric growth teams
+    * optimize): exact µs lags bucketed in bitlength bands, with
     * a band −1 row counting signed-up users who never reached 10
     * events (the not-yet-activated cohort a plain histogram would
     * silently drop). One per-user rank window (events at/after
@@ -2272,8 +2281,9 @@ object EventOps {
          |${step("m1", "m2")},
          |${step("m2", "m3")},
          |${step("m3", "m4")}
-         |SELECT m0.event_type, m0.mass AS mass_init, m4.mass AS mass_4
-         |FROM m0 JOIN m4 USING (event_type)
+         |SELECT m0.event_type, m0.mass AS mass_init,
+         |       COALESCE(m4.mass, 0) AS mass_4
+         |FROM m0 LEFT JOIN m4 USING (event_type)
          |ORDER BY event_type""".stripMargin
     },
     // Same digit rule, same grid shares, same fixed-IEEE Benford

@@ -177,7 +177,7 @@ object LlmOps {
     * cost as connectedComponents, with the iteration count FIXED
     * (power iteration, not convergence-bound). */
   def dedupPagerank(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashDedup(s, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = sharedPairs(s, dir).select(col("doc_a"), col("doc_b"))
     val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val nodes = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -440,7 +440,7 @@ object LlmOps {
     * Degree/wedge stats are one combine agg, output is one row. */
   def triangleCount(s: SparkSession, dir: String): DataFrame =
     triangleStats(
-      minhashDedup(s, dir).select(col("doc_a").as("u"), col("doc_b").as("v")))
+      sharedPairs(s, dir).select(col("doc_a").as("u"), col("doc_b").as("v")))
 
   /** Common-neighbor link scoring over the near-dup graph — the
     * edge-pruning refinement (SlimPajama-style) that separates true
@@ -463,7 +463,7 @@ object LlmOps {
     * times here, and Spark's no-CSE self-joins would otherwise
     * re-run the LSH banding per reference. */
   def commonNeighbors(s: SparkSession, dir: String): DataFrame =
-    commonNeighborsOf(candidateFrame(s, dir))
+    commonNeighborsOf(sharedOrCheckpointed(s, dir))
 
   /** Session-scoped materialization of the LSH candidate-pair frame —
     * the 100 TB shape for the whole graph family. The per-query oracle
@@ -479,6 +479,39 @@ object LlmOps {
     if (s.sparkContext.getCheckpointDir.isDefined) pairs.checkpoint(eager = true)
     else pairs.localCheckpoint(true)
   }
+
+  /** Conf-gated STANDING candidate frame (r9, VERDICT item 2): with
+    * `spark.graft.dedup.materialize=true` the whole graph family
+    * (clusters / cluster_stats / pagerank / triangles / reach /
+    * consensus / common_neighbors / degree / clustering_coeff, plus
+    * quality_vs_dup's membership probe) consults ONE session-scoped
+    * materialized pair frame per (session, corpus dir) instead of
+    * re-deriving the LSH banding in-plan per query — the 100 TB
+    * deployment shape the README ceiling describes, now a switch
+    * rather than prose. Default off: the oracle contract's
+    * no-cross-query-materialization policy stays the gate behavior,
+    * and results are row-identical either way
+    * (SharedCandidateFrameSpec pins identity + measured deltas).
+    * Cache is keyed by session identity — a new session (or a new
+    * corpus dir) re-derives; snapshot semantics are the caller's
+    * contract, exactly as a materialized table's would be. */
+  private val standingPairs =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private[graft] def materializeOn(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.dedup.materialize").contains("true")
+
+  def sharedPairs(s: SparkSession, dir: String): DataFrame =
+    if (materializeOn(s))
+      standingPairs.computeIfAbsent((System.identityHashCode(s), dir),
+        _ => candidateFrame(s, dir))
+    else minhashDedup(s, dir)
+
+  /** As [[sharedPairs]] but falling back to a per-query checkpoint —
+    * for the operators that reference the edge frame many times and
+    * therefore ALWAYS need a materialization barrier. */
+  private def sharedOrCheckpointed(s: SparkSession, dir: String): DataFrame =
+    if (materializeOn(s)) sharedPairs(s, dir) else candidateFrame(s, dir)
 
   /** [[commonNeighbors]] over an already-materialized candidate frame
     * (doc_a, doc_b[, …]) — the edge frame is referenced six times
@@ -521,7 +554,7 @@ object LlmOps {
     * is 3 unrolled join+distinct rounds over the CANDIDATE edge
     * list. */
   def recursiveReach(s: SparkSession, dir: String): DataFrame = {
-    minhashDedup(s, dir).select(col("doc_a"), col("doc_b"))
+    sharedPairs(s, dir).select(col("doc_a"), col("doc_b"))
       .createOrReplaceTempView("graft_neardup_edges")
     s.sql("""
       WITH RECURSIVE edges AS (
@@ -555,7 +588,7 @@ object LlmOps {
     * over CANDIDATE-PAIR frames — volume set by band collisions, not
     * corpus size. */
   def dedupConsensus(s: SparkSession, dir: String): DataFrame = {
-    val lex = minhashDedup(s, dir)
+    val lex = sharedPairs(s, dir)
       .select(col("doc_a"), col("doc_b"), lit(true).as("lex"))
     val simh = TextOps.simhashDedup(s, dir)
       .select(col("doc_a"), col("doc_b"), lit(true).as("simh"))
@@ -704,7 +737,7 @@ object LlmOps {
     * propagation cap (r3 threw here) switch to large-star/small-star
     * contraction — see [[starContract]]. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashDedup(s, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = sharedPairs(s, dir).select(col("doc_a"), col("doc_b"))
     connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
@@ -923,7 +956,7 @@ object LlmOps {
     * Two combine-enabled aggregations over the pair list; output is
     * O(max degree) rows. */
   def dedupDegree(s: SparkSession, dir: String): DataFrame =
-    dedupDegreeOf(minhashDedup(s, dir))
+    dedupDegreeOf(sharedPairs(s, dir))
 
   /** [[dedupDegree]] over an already-materialized candidate frame. */
   def dedupDegreeOf(pairsFrame: DataFrame): DataFrame = {
@@ -978,17 +1011,22 @@ object LlmOps {
     * deterministic "shuffle" a training run wants). pack_id comes from
     * the exclusive running token count — a doc straddling a boundary
     * belongs to the pack it started in, packs can overflow by less
-    * than one doc (standard greedy packing). One partitioned window
-    * per shard — no global sort; per-pack stats out. */
+    * than one doc (standard greedy packing). The running count is the
+    * DISTRIBUTED two-phase prefix sum ([[TwoPhaseRank
+    * .withRunningSums]], r9) on the uniform `hk div 2^53` coarsening
+    * (128 hash buckets — the q_class_rebalance bucketing) — never a
+    * corpus-sized window partitioned on the small |langs| key;
+    * provably equal to the naive per-lang cumulative (oracle
+    * unchanged). Per-pack stats out. */
   def sequencePack(s: SparkSession, dir: String): DataFrame = {
     val ctx = 2048L
-    val w = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "documents")
+    val base = t(s, dir, "documents")
       .select(col("lang"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("toks"),
         portableHash(concat(lit("pack:"), col("doc_id").cast("string"))).as("hk"))
-      .withColumn("cum", sum(col("toks")).over(w))
+    TwoPhaseRank.withRunningSums(base, Seq("lang"),
+        Seq(col("hk"), col("doc_id")), expr("hk div 9007199254740992"),
+        Seq("toks" -> "cum"))
       .select(col("lang"), expr(s"(cum - toks) div $ctx").as("pack_id"), col("toks"))
       .groupBy(col("lang"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
@@ -1109,7 +1147,7 @@ object LlmOps {
   def qualityVsDup(s: SparkSession, dir: String): DataFrame = {
     val q = graft.ops.TextOps.qualityScore(s, dir)
       .select(col("doc_id"), col("quality_score_u"))
-    val pairs = minhashDedup(s, dir)
+    val pairs = sharedPairs(s, dir)
     val dup = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .distinct().withColumn("is_dup", lit(1L))
@@ -1467,7 +1505,7 @@ object LlmOps {
     * the per-node count; wedge-join cost is Σ deg² over the LSH
     * graph, the q_triangle_count physics. */
   def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
-    val e = candidateFrame(s, dir)
+    val e = sharedOrCheckpointed(s, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
@@ -1498,10 +1536,12 @@ object LlmOps {
     *
     * The gate corpus carries no byte-exact duplicates, so the query
     * unions a deterministic "mirror" source (every doc_id % 5 == 0
-    * re-keyed +1e7 with source 'mirror' — the q_dedup_normalized
-    * planted-variant pattern): the arg-min winner rule and the grid
-    * rollup are then genuinely exercised instead of 0 == 0, and any
-    * organic duplicates at larger SF fold in on top.
+    * re-keyed by a max(doc_id)+1 offset with source 'mirror' — the
+    * q_dedup_normalized planted-variant pattern): the arg-min winner
+    * rule and the grid rollup are then genuinely exercised instead of
+    * 0 == 0, and any organic duplicates at larger SF fold in on top.
+    * The offset derives from the corpus itself (1-row broadcast), so
+    * mirror keys can never collide with real doc_ids at any SF.
     *
     * Scale shape: ONE content-hash combine (arg-min winner rides it
     * via min_by) + the hash-keyed join-back; the rollup is a combine
@@ -1509,8 +1549,10 @@ object LlmOps {
   def dedupSurvivorship(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+    val off = base.agg((max(col("doc_id")) + 1L).as("off"))
     val mirror = base.where(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 10000000L).as("doc_id"),
+      .crossJoin(broadcast(off))
+      .select((col("doc_id") + col("off")).as("doc_id"),
         lit("mirror").as("source"), col("n_chars"), col("text"))
     val docs = base.unionAll(mirror)
       .select(col("doc_id"), col("source"), col("n_chars"),
@@ -1747,12 +1789,13 @@ object LlmOps {
     // Same keep-min rule (arg_min ≡ min_by, doc_id unique), same
     // hash join-back and grid rollup.
     "q_dedup_survivorship" ->
-      """WITH d AS (
+      """WITH o AS (SELECT max(doc_id) + 1 AS off FROM documents),
+        |d AS (
         |  SELECT doc_id, source, n_chars, sha256(text) AS h
         |  FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000000, 'mirror', n_chars, sha256(text)
-        |  FROM documents WHERE doc_id % 5 = 0),
+        |  SELECT doc_id + o.off, 'mirror', n_chars, sha256(text)
+        |  FROM documents, o WHERE doc_id % 5 = 0),
         |w AS (
         |  SELECT h, min(doc_id) AS win_doc,
         |         arg_min(source, doc_id) AS winner_source

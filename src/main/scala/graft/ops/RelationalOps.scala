@@ -342,38 +342,44 @@ object RelationalOps {
   }
 
   /** Exact median / interpolated percentiles as DISTRIBUTED order
-    * statistics: rank each group with a sort window, pick the two
-    * bracketing rows per target with conditional aggregates, and
-    * interpolate — one sort per order column, constant memory per
-    * group. (Spark's builtin exact `percentile()` buffers every value
-    * of a group in executor memory — correct here, fatal at 100 TB.)
-    * Interpolation matches quantile_cont to well under the r6 grid. */
+    * statistics: rank each group, pick the two bracketing rows per
+    * target with conditional aggregates, and interpolate — constant
+    * memory per group. (Spark's builtin exact `percentile()` buffers
+    * every value of a group in executor memory — correct here, fatal
+    * at 100 TB.) Both bracketing rows come from two-phase SELECTION
+    * order statistics ([[graft.ops.TwoPhaseRank.orderStatistics]],
+    * r9): only the bounded (flag, cents-bucket) counts grids move and
+    * only the buckets holding a target rank sort — lineitem is never
+    * window-partitioned on the 3-value returnflag key (oracle
+    * unchanged). Interpolation matches quantile_cont to well under
+    * the r6 grid. */
   def medianPercentile(s: SparkSession, dir: String): DataFrame = {
-    val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-    val wp = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-    val ranked = t(s, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-      .withColumn("rq", row_number().over(wq).cast("double") - 1)
-      .withColumn("rp", row_number().over(wp).cast("double") - 1)
-      .withColumn("n",
-        count(lit(1)).over(Window.partitionBy(col("l_returnflag"))).cast("double"))
-    def lohi(rank: Column, value: Column, q: Double): Seq[Column] = {
-      val pos = (col("n") - 1) * q
-      Seq(max(when(rank === floor(pos), value)),
-        max(when(rank === ceil(pos), value)))
-    }
+    val base = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+    val ties = Seq(col("l_orderkey"), col("l_linenumber"))
+    // 1-based bracketing ranks for the 0-based floor/ceil positions
+    def pos(q: Double): Seq[String] = Seq(
+      s"cast(floor((n - 1) * $q) as bigint) + 1",
+      s"cast(ceil((n - 1) * $q) as bigint) + 1")
+    val qs = graft.ops.TwoPhaseRank.orderStatistics(
+      base, Seq("l_returnflag"), "l_quantity", ties,
+      Seq("v0", "v1").zip(pos(0.5)),
+      Some(graft.ops.TwoPhaseRank.monotoneBucket(
+        "cast(floor(l_quantity * 100) as bigint)")))
+    val ps = graft.ops.TwoPhaseRank.orderStatistics(
+      base, Seq("l_returnflag"), "l_extendedprice", ties,
+      Seq("v2", "v3").zip(pos(0.5)) ++ Seq("v4", "v5").zip(pos(0.9)) ++
+        Seq("v6", "v7").zip(pos(0.99)),
+      Some(graft.ops.TwoPhaseRank.monotoneBucket(
+        "cast(floor(l_extendedprice * 100) as bigint)")))
+      .drop("n")
     def interp(nn: Column, lo: Column, hi: Column, q: Double): Column = {
       val pos = (nn - 1) * q
       r6(lo + (pos - floor(pos)) * (hi - lo))
     }
-    val aggs =
-      lohi(col("rq"), col("l_quantity"), 0.5) ++
-        lohi(col("rp"), col("l_extendedprice"), 0.5) ++
-        lohi(col("rp"), col("l_extendedprice"), 0.9) ++
-        lohi(col("rp"), col("l_extendedprice"), 0.99)
-    val named = aggs.zipWithIndex.map { case (c, i) => c.as(s"v$i") }
-    ranked.groupBy(col("l_returnflag"))
-      .agg(max(col("n")).as("nn"), named: _*)
+    qs.join(ps, "l_returnflag")
+      .withColumn("nn", col("n").cast("double"))
       .select(
         col("l_returnflag"),
         interp(col("nn"), col("v0"), col("v1"), 0.5).as("median_qty"),
@@ -1808,10 +1814,13 @@ object RelationalOps {
     * functions to disagree on.
     *
     * Scale shape: one hash shuffle join on the order key (both sides
-    * scaling — never broadcast); ONE priority exchange carries the
-    * rank window, the count window, and the rollup. Per-priority
-    * sorts parallelize across the 5 priorities — the same per-key
-    * order-statistics shape every percentile op here uses. */
+    * scaling — never broadcast); the percentiles are two-phase
+    * SELECTION order statistics ([[graft.ops.TwoPhaseRank
+    * .orderStatistics]], r9): only the bounded (priority, bucket)
+    * counts grid moves and only the p50/p90-holding buckets sort —
+    * the join output is never window-partitioned on the 5-value
+    * priority key (oracle unchanged). min/max/mean ride a
+    * map-side-combined 5-row agg. */
   def shipLag(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"),
       expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
@@ -1820,24 +1829,25 @@ object RelationalOps {
       col("o_orderpriority"),
       expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
         .as("order_day"))
-    val wr = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("lag_days"))
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_orderpriority"),
+    val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), col("l_orderkey"),
         (col("ship_day") - col("order_day")).as("lag_days"))
-      .withColumn("r", row_number().over(wr).cast("long"))
-      .withColumn("n", count(lit(1))
-        .over(Window.partitionBy(col("o_orderpriority"))).cast("long"))
-      .groupBy(col("o_orderpriority"))
+    val pct = graft.ops.TwoPhaseRank.orderStatistics(joined,
+      Seq("o_orderpriority"), "lag_days", Seq(col("l_orderkey")),
+      Seq("p50_lag_days" -> "1 + (n - 1) * 50 div 100",
+        "p90_lag_days" -> "1 + (n - 1) * 90 div 100"))
+      .select(col("o_orderpriority"), col("p50_lag_days"),
+        col("p90_lag_days"))
+    joined.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lineitems"),
         min(col("lag_days")).as("min_lag_days"),
         max(col("lag_days")).as("max_lag_days"),
         expr("cast(sum(cast(lag_days as decimal(38,0))) div count(1) as bigint)")
-          .as("mean_lag_days"),
-        max(when(col("r") === expr("1 + (n - 1) * 50 div 100"),
-          col("lag_days"))).as("p50_lag_days"),
-        max(when(col("r") === expr("1 + (n - 1) * 90 div 100"),
-          col("lag_days"))).as("p90_lag_days"))
+          .as("mean_lag_days"))
+      .join(broadcast(pct), "o_orderpriority")
+      .select(col("o_orderpriority"), col("n_lineitems"),
+        col("min_lag_days"), col("max_lag_days"), col("mean_lag_days"),
+        col("p50_lag_days"), col("p90_lag_days"))
       .orderBy("o_orderpriority")
   }
 

@@ -1128,17 +1128,17 @@ object TextOps {
     * so the "what do we keep" budget decision reads off one grid.
     *
     * Scale shape: the per-doc score reuses the perplexity pipeline
-    * (vocabulary-bounded shuffles); the rank is ONE per-lang window
-    * (keys parallelize across langs — at 100 TB the two-phase
-    * bucket-offset rank of q_class_rebalance swaps in); the rollup
-    * is a combine to the |langs|×3 grid. */
+    * (vocabulary-bounded shuffles); the per-lang rank is the
+    * DISTRIBUTED two-phase domain-bucket rank ([[graft.ops
+    * .TwoPhaseRank]] — the q_class_rebalance discipline): never a
+    * corpus-sized window partitioned on the small |langs| key, every
+    * exchange on the uniform (lang, bucket) grain, provably the same
+    * rank (oracle unchanged); the rollup is a combine to the
+    * |langs|×3 grid. */
   def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
-    val byLang = Window.partitionBy(col("lang"))
-      .orderBy(col("avg_nll_micro"), col("doc_id"))
-    val nW = Window.partitionBy(col("lang"))
-    perDocNll(s, dir)
-      .withColumn("r", row_number().over(byLang).cast("long"))
-      .withColumn("n", count(lit(1)).over(nW).cast("long"))
+    graft.ops.TwoPhaseRank.withRankAndCount(
+        perDocNll(s, dir), Seq("lang"), "avg_nll_micro",
+        Seq(col("doc_id")), "r", "n")
       .withColumn("bucket",
         when(expr("r * 3 <= n"), lit("head"))
           .when(expr("r * 3 <= 2 * n"), lit("middle"))

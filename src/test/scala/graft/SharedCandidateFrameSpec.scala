@@ -78,4 +78,38 @@ class SharedCandidateFrameSpec extends SparkSpec {
     assert(shared < rederived,
       f"shared $shared%.2f s not below re-deriving $rederived%.2f s")
   }
+
+  test("spark.graft.dedup.materialize gates the standing frame " +
+    "across the graph family with identical answers") {
+    // the queries-map entries the conf affects (the README ceiling's
+    // graph family + quality_vs_dup's membership probe)
+    val family = Seq("q_dedup_clusters", "q_cluster_stats",
+      "q_dedup_pagerank", "q_triangle_count", "q_recursive_reach",
+      "q_dedup_consensus", "q_common_neighbors", "q_dedup_degree",
+      "q_clustering_coeff", "q_quality_vs_dup")
+    def run(name: String): (Seq[String], Double) = {
+      val t0 = System.nanoTime()
+      val r = rows(SparkEntry.queries(name)(spark, dir))
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val off = family.map(n => n -> run(n)).toMap
+    spark.conf.set("spark.graft.dedup.materialize", "true")
+    try {
+      val on = family.map(n => n -> run(n)).toMap
+      family.foreach { n =>
+        assert(on(n)._1 == off(n)._1, s"$n differs under materialize")
+      }
+      val tOff = off.values.map(_._2).sum
+      val tOn = on.values.map(_._2).sum
+      family.foreach { n =>
+        info(f"$n%-22s off=${off(n)._2}%5.2f s  on=${on(n)._2}%5.2f s")
+      }
+      info(f"family total: off=$tOff%.2f s on=$tOn%.2f s " +
+        f"(${100 * (1 - tOn / tOff)}%.0f%% saved; 'on' includes the " +
+        "one-time derivation inside the first query)")
+      // ten queries, one derivation: the standing frame must win
+      assert(tOn < tOff,
+        f"standing frame $tOn%.2f s not below re-deriving $tOff%.2f s")
+    } finally spark.conf.unset("spark.graft.dedup.materialize")
+  }
 }
