@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.streaming.SoakHarness
+
+/** Throughput soak main at the driver's bench shape (local[32]) —
+  * the reference's derived bar is ≥ 100 events/s/key sustained
+  * (`/root/reference/README.md:66`; SURVEY §6): with 1,000 live keys
+  * that is 100,000 events/s aggregate through JSON parse → demux →
+  * data-driven 1 s window. Prints one JSON line per variant with the
+  * aggregate rate, per-batch wall times, and state rows; exit 1 if
+  * the NoTimeout run misses the bar (real-time keep-up: wall ≤ event
+  * time). Usage: runMain graft.Soak [keys=1000] [hz=100] [batches=30]
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val keys = args.lift(0).map(_.toInt).getOrElse(1000)
+    val hz = args.lift(1).map(_.toInt).getOrElse(100)
+    val batches = args.lift(2).map(_.toInt).getOrElse(30)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // state-store commit overhead scales with partition count while
+    // 1000 keys parallelize fine across few partitions — default the
+    // streaming shuffle narrower than the batch bench's 32
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val bar = keys.toLong * hz
+    var ok = true
+    for ((ttl, tag) <- Seq(None -> "noTimeout", Some("86400") -> "ttl")) {
+      val r = SoakHarness.run(spark, keys, hz, batches, ttl, s"soak_$tag")
+      val rate = batches.toLong * keys * hz / r.totalSec
+      val steady = r.steadyEventsPerSec(keys, hz)
+      val stateOk = r.stateRows.toSet == Set(keys.toLong)
+      if (tag == "noTimeout") ok = stateOk && steady >= bar
+      println(s"""{"soak":"$tag","keys":$keys,"hz":$hz,"batches":$batches,""" +
+        s""""events":${batches.toLong * keys * hz},""" +
+        f""""total_sec":${r.totalSec}%.2f,"events_per_sec":$rate%.0f,""" +
+        f""""steady_events_per_sec":$steady%.0f,""" +
+        s""""bar":$bar,"state_rows_flat":$stateOk,""" +
+        s""""batch_wall_sec":[${r.wallSec.map(w => f"$w%.2f").mkString(",")}],""" +
+        s""""emitted":[${r.emitted.mkString(",")}]}""")
+    }
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

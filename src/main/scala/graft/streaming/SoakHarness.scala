@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.sources.StreamSource
+
+/** Replayable throughput soak for the compat pipeline — the harness
+  * behind StreamingSoakSpec (bounded-state/lag asserts on the shared
+  * test session) and the `graft.Soak` main (the real ≥ 100 events/s/
+  * key bar at the driver's local[32] bench shape). Drives `keys` keys
+  * at `hz` events/s/key for `batches` seconds of EVENT time through
+  * the full pipeline — JSON envelope → compatPoints parse → per-key
+  * demux → data-driven 1 s window (flatMapGroupsWithState) — one
+  * micro-batch per event-time second, the reference's
+  * trigger-per-buffer model (DispatcherFunction.cs:21-33).
+  * MemoryStream makes the load wall-clock-independent: two runs see
+  * byte-identical batches. */
+object SoakHarness {
+
+  case class Report(stateRows: Seq[Long], wallSec: Seq[Double],
+                    emitted: Seq[Long], totalSec: Double) {
+    /** Aggregate events/s over the whole run (includes warmup). */
+    def eventsPerSec(keys: Int, hz: Int): Double =
+      stateRows.size.toLong * keys * hz / totalSec
+    /** Steady-state events/s: first two batches excluded (codegen +
+      * state-store init warmup) — the SUSTAINED number the reference
+      * bar is about. */
+    def steadyEventsPerSec(keys: Int, hz: Int): Double = {
+      val steady = wallSec.drop(2)
+      steady.size.toLong * keys * hz / steady.sum
+    }
+  }
+
+  private val BaseUs = 1767225600000000L // 2026-01-01T00:00:00Z
+
+  private val streamIds = new java.util.concurrent.atomic.AtomicInteger(7000)
+
+  /** `ttl` = Some(seconds) exercises the reference-faithful start-key
+    * TTL variant (spark.graft.compat.ttl); None = the NoTimeout
+    * defect-compat default. `queryName` must be unique per run in a
+    * shared session (memory-sink table name). */
+  def run(spark: SparkSession, keys: Int, hz: Int, batches: Int,
+          ttl: Option[String], queryName: String): Report = {
+    import spark.implicits._
+    val stepUs = 1000000L / hz
+    def envelope(idCol: org.apache.spark.sql.Column) = to_json(struct(
+      timestamp_micros(lit(BaseUs) + (idCol / keys).cast("long") * stepUs)
+        .as("Timestamp"),
+      concat(lit("dev-"), pmod(idCol, lit(3))).as("DeviceId"),
+      concat(lit("sess-"), pmod(idCol, lit(keys))).as("SessionId"),
+      lit("soak").as("SensorType"),
+      array(lit("speed"), lit("player")).as("Names"),
+      array(pmod(idCol, lit(100)).cast("string"),
+        pmod(idCol, lit(keys)).cast("string")).as("Values")))
+
+    ttl.foreach(spark.conf.set(StreamingCompat.TtlConf, _))
+    try {
+      // a MemoryStream batch is ONE partition unless told otherwise —
+      // which would serialize the whole pre-shuffle JSON envelope +
+      // parse on a single core; split it so the scan-side work
+      // parallelizes like any real multi-partition source
+      val mem = MemoryStream[Long](
+        SoakHarness.streamIds.incrementAndGet(), spark,
+        Some(spark.conf.get("spark.sql.shuffle.partitions").toInt))
+      val raw = mem.toDF().select(envelope(col("value")).as("value"),
+        col("value").as("seq"))
+      val rows = StreamingCompat.windowsConfigured(
+        spark, StreamSource.compatPoints(spark, raw))
+      // noop sink: the soak measures the PIPELINE; a memory sink's
+      // driver-side row collection added ~0.4 s/batch of pure
+      // harness cost (progress metrics still report output rows)
+      val q = rows.writeStream.format("noop").queryName(queryName)
+        .outputMode("append").start()
+      val stateRows = collection.mutable.ArrayBuffer[Long]()
+      val wall = collection.mutable.ArrayBuffer[Double]()
+      val emitted = collection.mutable.ArrayBuffer[Long]()
+      val perBatch = keys.toLong * hz
+      val t0 = System.nanoTime()
+      try {
+        var lastEmitted = 0L
+        for (sec <- 0 until batches) {
+          mem.addData(sec * perBatch until (sec + 1) * perBatch)
+          val b0 = System.nanoTime()
+          q.processAllAvailable()
+          wall += (System.nanoTime() - b0) / 1e9
+          // progress metrics, not a sink-table job — the soak loop
+          // must not pay a growing count() scan per batch. The TTL
+          // variant's EventTimeTimeout triggers a trailing no-data
+          // micro-batch per watermark advance, so lastProgress alone
+          // under-reports: sum sink rows across the progress buffer
+          // (100-deep — comfortably above 2 entries/iteration).
+          val progresses = q.recentProgress
+          stateRows += progresses.last.stateOperators.head.numRowsTotal
+          // numOutputRows = -1 is the "unknown" sentinel (first
+          // no-data batch); count it as 0
+          val totalEmitted =
+            progresses.map(p => math.max(0L, p.sink.numOutputRows)).sum
+          emitted += totalEmitted - lastEmitted
+          lastEmitted = totalEmitted
+        }
+      } finally q.stop()
+      Report(stateRows.toSeq, wall.toSeq, emitted.toSeq,
+        (System.nanoTime() - t0) / 1e9)
+    } finally ttl.foreach(_ => spark.conf.unset(StreamingCompat.TtlConf))
+  }
+}
