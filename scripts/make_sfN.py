@@ -28,7 +28,7 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 
 
-def main(copies, out_dir):
+def main(copies, out_dir, only=None):
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {min(os.cpu_count() or 8, 16)}")
@@ -75,6 +75,8 @@ def main(copies, out_dir):
     }
 
     for t, proj in shifted.items():
+        if only and t not in only:
+            continue
         dst = f"{out_dir}/{t}.parquet"
         if proj is None:
             q = f"SELECT * FROM {src(t)}"
@@ -89,4 +91,8 @@ def main(copies, out_dir):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), sys.argv[2])
+    # optional 3rd arg: comma-separated table subset, e.g.
+    #   python3 scripts/make_sfN.py 100 target/testdata/sf10 documents,embeddings
+    # (the r9 sf10 probe needs only the dedup-family inputs)
+    subset = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    main(int(sys.argv[1]), sys.argv[2], subset)

@@ -1730,9 +1730,12 @@ object VectorOps {
     * ppm) is the number a 100 TB media lake dedups FOR. Payloads are
     * the document bytes under a deterministic doc_id-mod mime
     * assignment, and a planted byte-identical mirror copy (doc_id %
-    * 4 = 0, re-keyed +2e7) keeps the grouping genuinely exercised at
-    * gate SF — the q_dedup_survivorship plant pattern on the binary
-    * column.
+    * 4 = 0) keeps the grouping genuinely exercised at gate SF — the
+    * q_dedup_survivorship plant pattern on the binary column. The
+    * mirror needs no re-keyed doc_id: the hash grouping never sees
+    * doc_id, so the copy rides as a bare duplicate row (r9 — the
+    * previous +2e7 re-key was inert and, like the survivorship
+    * offset ADVICE r8 flagged, collision-prone at ≥ 2e7 docs).
     *
     * Scale shape: hashing is scan-side on the binary column; ONE
     * content-hash combine + a mime-grid rollup — identical physics
@@ -1746,8 +1749,7 @@ object VectorOps {
         encode(col("text"), "UTF-8").as("payload"))
     val withMirror = base.unionAll(
       base.where(col("doc_id") % 4 === 0)
-        .select((col("doc_id") + 20000000L).as("doc_id"), col("mime"),
-          col("payload")))
+        .select(col("doc_id"), col("mime"), col("payload")))
     withMirror
       .select(col("mime"), sha2(col("payload"), 256).as("h"),
         octet_length(col("payload")).cast("long").as("n_bytes"))

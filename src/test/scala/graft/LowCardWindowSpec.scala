@@ -33,7 +33,11 @@ class LowCardWindowSpec extends SparkSpec {
 
   private val lowCardKeys =
     Set("event_type", "o_orderpriority", "lang", "o_orderstatus",
-      "l_returnflag", "l_linestatus")
+      "l_returnflag", "l_linestatus",
+      // r9 widening: documents.source (20 values), embeddings.label
+      // (10), the synthesized mime column (3) — same serialization
+      // physics, slightly more tasks
+      "source", "label", "mime")
 
   private def isBoundedBelow(p: SparkPlan): Boolean =
     p.find(n => n.isInstanceOf[BaseAggregateExec] ||
