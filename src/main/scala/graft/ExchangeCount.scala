@@ -29,7 +29,9 @@ object ExchangeCount {
         case p => p.treeString
       }
       val c = "Exchange hashpartitioning".r.findAllIn(plan).length
-      println(s"EXCHANGES $n $c")
+      val r = "ReusedExchange".r.findAllIn(plan).length
+      val s2 = "Scan parquet".r.findAllIn(plan).length
+      println(s"EXCHANGES $n $c reused=$r scans=$s2")
     }
     spark.stop()
   }

@@ -31,8 +31,19 @@ object Soak {
     spark.sparkContext.setLogLevel("ERROR")
     val bar = keys.toLong * hz
     var ok = true
-    for ((ttl, tag) <- Seq(None -> "noTimeout", Some("86400") -> "ttl")) {
-      val r = SoakHarness.run(spark, keys, hz, batches, ttl, s"soak_$tag")
+    // third variant: the RocksDB state store — the production setting
+    // once keyed state outgrows executor heap (the HDFS-backed default
+    // keeps every version in memory); same pipeline, provider only
+    val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    for ((ttl, provider, tag) <- Seq(
+      (None, None, "noTimeout"),
+      (Some("86400"), None, "ttl"),
+      (None, Some(rocks), "noTimeout_rocksdb"))) {
+      provider.foreach(p =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+      val r = try SoakHarness.run(spark, keys, hz, batches, ttl, s"soak_$tag")
+      finally provider.foreach(_ => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass"))
       val rate = batches.toLong * keys * hz / r.totalSec
       val steady = r.steadyEventsPerSec(keys, hz)
       val stateOk = r.stateRows.toSet == Set(keys.toLong)

@@ -51,6 +51,12 @@ class LowCardWindowSpec extends SparkSpec {
             .asInstanceOf[AttributeReference].name) &&
           !isBoundedBelow(w.child) =>
       s"Window on ${w.partitionSpec.head.sql}"
+    // the degenerate case: NO partition key = ONE sort task for the
+    // whole frame — legal only over an agg-bounded grid (r8's manual
+    // single-partition audit, now mechanical)
+    case w: WindowExec
+        if w.partitionSpec.isEmpty && !isBoundedBelow(w.child) =>
+      "global Window (no partition key)"
   }
 
   test("no corpus-sized window partitions solely on a low-card key") {
