@@ -1098,12 +1098,18 @@ object EventOps {
     * (type, block) window — all three Lag expressions share its
     * sort — computes the lags; provably equal to the naive per-type
     * corpus window (oracle unchanged). One combine agg; 5 output
-    * rows. */
+    * rows. The rank bucket is an explicit HOURLY coarsening of
+    * `ts_us`: the default bitlength bucket is degenerate on
+    * epoch-microsecond domains (constant bitlength ⇒ one bucket ⇒
+    * one sort task per type — the serialized shape back again),
+    * while `ts_us div 3.6e9` spreads a 30-day corpus over ~720
+    * monotone buckets and stays grid-bounded at decade spans. */
   def lagAutocorr(s: SparkSession, dir: String): DataFrame = {
     val lagged = TwoPhaseRank.withLags(
       events(s, dir).select(col("event_type"), col("event_id"), col("ts_us"),
         expr("cast(floor(value * cast(1000000 as double)) as bigint)").as("vu")),
-      Seq("event_type"), "ts_us", Seq(col("event_id")), "vu", 3, "x")
+      Seq("event_type"), "ts_us", Seq(col("event_id")), "vu", 3, "x",
+      bucketOverride = Some(expr("ts_us div 3600000000")))
     val sums = (1 to 3).flatMap { k =>
       Seq(count(col(s"x$k")).cast("long").as(s"n$k"),
         sum(expr(s"cast(x$k as decimal(38,0))")).as(s"sx$k"),

@@ -43,7 +43,18 @@ import org.apache.spark.sql.functions._
 object TwoPhaseRank {
 
   /** Monotone, domain-bounded (≤ ~4.2k values per sign) coarsening of
-    * a signed BIGINT expression. b(v1) <= b(v2) whenever v1 <= v2. */
+    * a signed BIGINT expression. b(v1) <= b(v2) whenever v1 <= v2.
+    *
+    * DEGENERATE for narrow-band domains: values sharing a bitlength
+    * AND top-5-bits all land in ONE bucket — epoch-microsecond
+    * timestamps (constant bitlength ~51, top-5-bit granularity ≈ 2.2
+    * years) collapse any sub-year corpus to a single bucket, which
+    * re-serializes the per-key sort the two-phase shape exists to
+    * avoid. For such domains pass an explicit fixed-granularity
+    * coarsening instead (e.g. `ts_us div 3_600_000_000` — hourly;
+    * still monotone, and the (keys × hours) offsets grid stays
+    * broadcastable for decade-scale spans).
+    * `TwoPhaseBucketSpreadSpec` pins both the trap and the fix. */
   def monotoneBucket(v: String): Column = expr(
     s"""(CASE WHEN $v < 0 THEN -1 ELSE 1 END) *
        |(length(bin(abs($v))) * 32 +
@@ -58,9 +69,10 @@ object TwoPhaseRank {
     * rank to be reproducible cross-engine). */
   def withRankAndCount(
       df: DataFrame, keys: Seq[String], v: String, ties: Seq[Column],
-      rankName: String, nName: String): DataFrame =
-    withRankAndCountBucketed(df, keys, col(v) +: ties, monotoneBucket(v),
-      rankName, nName)
+      rankName: String, nName: String,
+      bucketOverride: Option[Column] = None): DataFrame =
+    withRankAndCountBucketed(df, keys, col(v) +: ties,
+      bucketOverride.getOrElse(monotoneBucket(v)), rankName, nName)
 
   /** As [[withRankAndCount]] but with an explicit sort-column list and
     * an explicit `bucket` expression, which MUST be a monotone
@@ -213,8 +225,10 @@ object TwoPhaseRank {
   def withLags(
       df: DataFrame, keys: Seq[String], v: String, ties: Seq[Column],
       src: String, maxLag: Int, prefix: String,
-      blockSize: Int = 4096): DataFrame = {
-    val ranked = withRankAndCount(df, keys, v, ties, "__tpr_r", "__tpr_n")
+      blockSize: Int = 4096,
+      bucketOverride: Option[Column] = None): DataFrame = {
+    val ranked = withRankAndCount(df, keys, v, ties, "__tpr_r", "__tpr_n",
+        bucketOverride)
       .drop("__tpr_n")
     val withPb = ranked
       .withColumn("__tpr_pb", expr(s"(__tpr_r - 1) div $blockSize"))
