@@ -492,20 +492,28 @@ object LlmOps {
     * no-cross-query-materialization policy stays the gate behavior,
     * and results are row-identical either way
     * (SharedCandidateFrameSpec pins identity + measured deltas).
-    * Cache is keyed by session identity — a new session (or a new
-    * corpus dir) re-derives; snapshot semantics are the caller's
-    * contract, exactly as a materialized table's would be. */
+    * Cache is keyed by the session REFERENCE (default object
+    * identity — two live sessions can never share a key, unlike the
+    * r9 identityHashCode key, which can collide and hand one session
+    * a frame bound to another), so a new session (or a new corpus
+    * dir) re-derives; snapshot semantics are the caller's contract,
+    * exactly as a materialized table's would be. Entries whose
+    * owning context has stopped are purged on access, so a stopped
+    * session's checkpoint blocks are not pinned for the JVM
+    * lifetime. */
   private val standingPairs =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
 
   private[graft] def materializeOn(s: SparkSession): Boolean =
     s.conf.getOption("spark.graft.dedup.materialize").contains("true")
 
   def sharedPairs(s: SparkSession, dir: String): DataFrame =
-    if (materializeOn(s))
-      standingPairs.computeIfAbsent((System.identityHashCode(s), dir),
+    if (materializeOn(s)) {
+      standingPairs.keySet.removeIf(_._1.sparkContext.isStopped)
+      standingPairs.computeIfAbsent((s, dir),
         _ => candidateFrame(s, dir))
-    else minhashDedup(s, dir)
+    } else minhashDedup(s, dir)
 
   /** As [[sharedPairs]] but falling back to a per-query checkpoint —
     * for the operators that reference the edge frame many times and

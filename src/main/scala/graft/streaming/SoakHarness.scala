@@ -55,6 +55,17 @@ object SoakHarness {
         pmod(idCol, lit(keys)).cast("string")).as("Values")))
 
     ttl.foreach(spark.conf.set(StreamingCompat.TtlConf, _))
+    // recentProgress is a RING buffer (default 100 entries); the TTL
+    // variant emits ~2 progress entries per batch (data + trailing
+    // no-data watermark batch), so a long soak would silently drop
+    // leading entries and corrupt the emitted-rows diffs. Size the
+    // buffer to the run (2 entries/batch + slack) and assert below
+    // that it never wrapped.
+    val progressCap = math.max(100, 2 * batches + 16)
+    val prevCap =
+      spark.conf.getOption("spark.sql.streaming.numRecentProgressUpdates")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      progressCap.toString)
     try {
       // a MemoryStream batch is ONE partition unless told otherwise —
       // which would serialize the whole pre-shuffle JSON envelope +
@@ -88,9 +99,12 @@ object SoakHarness {
           // must not pay a growing count() scan per batch. The TTL
           // variant's EventTimeTimeout triggers a trailing no-data
           // micro-batch per watermark advance, so lastProgress alone
-          // under-reports: sum sink rows across the progress buffer
-          // (100-deep — comfortably above 2 entries/iteration).
+          // under-reports: sum sink rows across the (run-sized,
+          // wrap-checked) progress buffer.
           val progresses = q.recentProgress
+          require(progresses.length < progressCap,
+            s"recentProgress wrapped (${progresses.length} >= cap " +
+              s"$progressCap) — emitted counts would be wrong")
           stateRows += progresses.last.stateOperators.head.numRowsTotal
           // numOutputRows = -1 is the "unknown" sentinel (first
           // no-data batch); count it as 0
@@ -102,6 +116,14 @@ object SoakHarness {
       } finally q.stop()
       Report(stateRows.toSeq, wall.toSeq, emitted.toSeq,
         (System.nanoTime() - t0) / 1e9)
-    } finally ttl.foreach(_ => spark.conf.unset(StreamingCompat.TtlConf))
+    } finally {
+      prevCap match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
+      }
+      ttl.foreach(_ => spark.conf.unset(StreamingCompat.TtlConf))
+    }
   }
 }
