@@ -7,12 +7,20 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // SPARK_GRAFT_PARTS decouples shuffle-partition count from thread
-    // count: gates above sf0.1 raise it (e.g. 128) so heavy per-task
-    // aggregation states (the sf1 wedge frames) fit task memory at
-    // full thread parallelism — the "size partitions to executor
-    // memory" lever, not a parallelism cut.
-    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus)
+    // Input-size-aware shuffle-partition default (r10, replacing the
+    // manual SPARK_GRAFT_PARTS lever): partitions scale with the
+    // corpus — one per ~32 MB of on-disk parquet (≈128 MB in memory
+    // at this testdata's measured ~4× decompression expansion),
+    // floored at the thread count so small gates keep every core
+    // busy, capped at 4096. At 100 TB this is ~3M-partition
+    // territory handled by AQE coalescing; the point is the DEFAULT
+    // grows with data instead of being pinned to local thread count.
+    val inputBytes = Files.list(Paths.get(sfDir)).toArray
+      .map(p => p.asInstanceOf[java.nio.file.Path])
+      .filter(p => Files.isRegularFile(p))
+      .map(Files.size).sum
+    val parts = math.min(4096L,
+      math.max(cpus.toLong, inputBytes / (32L << 20) + 1)).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)

@@ -521,28 +521,59 @@ object LlmOps {
   private def sharedOrCheckpointed(s: SparkSession, dir: String): DataFrame =
     if (materializeOn(s)) sharedPairs(s, dir) else candidateFrame(s, dir)
 
+  /** Wedge-expansion degree cap (r10, VERDICT r9 item 1): the wedge
+    * join's per-middle-node work is deg(m)² — UNBOUNDED in duplication
+    * density (the sf10 probe measured Σdeg² = 3.1e12 at 100×
+    * density; sf1's 3.07e9 was already heap-marginal at uniform
+    * knobs). Capping each middle node's neighbor list at the first
+    * `CnMaxDegree` neighbors in neighbor-id order (the SlimPajama
+    * edge-pruning practice) bounds per-task wedge state at
+    * |nodes|·D² for ANY density; truncation is NEVER silent — the
+    * output carries `trunc_nodes`, the count of nodes whose
+    * adjacency was cut. 128 sits above every observed degree at the
+    * gate SFs (max 10 / 10 / 66 at sf0.001/0.01/0.1 — results there
+    * are bit-identical to the uncapped form) and cuts sf1's wedge
+    * mass 4.2× (3.07e9 → 7.35e8). */
+  val CnMaxDegree = 128
+
   /** [[commonNeighbors]] over an already-materialized candidate frame
     * (doc_a, doc_b[, …]) — the edge frame is referenced six times
     * here, and Spark's no-CSE self-joins would re-run the LSH banding
-    * per reference were it not checkpointed. */
+    * per reference were it not checkpointed. The wedge expansion runs
+    * over the [[CnMaxDegree]]-capped adjacency (`common` counts
+    * middles that keep BOTH endpoints in their capped lists);
+    * endpoint degrees and the Jaccard denominator stay exact. The
+    * rank ≤ D filter plans as a WindowGroupLimit — each map task
+    * prunes to the first D neighbors per node BEFORE the exchange. */
   def commonNeighborsOf(pairsFrame: DataFrame): DataFrame = {
     val e = pairsFrame.select(col("doc_a").as("u"), col("doc_b").as("v"))
     val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val wedges = und.toDF("a", "m").join(und.toDF("m", "b"), "m")
+    // capped adjacency of the MIDDLE node: row (m, n) = n is among
+    // m's first CnMaxDegree neighbors in ascending-id order —
+    // deterministic (edges are distinct), replicated in the oracle
+    val rnW = Window.partitionBy(col("u")).orderBy(col("v"))
+    val undCap = und.withColumn("__cn_rn", row_number().over(rnW))
+      .where(col("__cn_rn") <= CnMaxDegree).drop("__cn_rn")
+    val wedges = undCap.toDF("m", "a").join(undCap.toDF("m", "b"), "m")
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    val trunc = deg.agg(
+      sum(when(col("deg") > CnMaxDegree, 1L).otherwise(0L))
+        .cast("long").as("trunc_nodes"))
     e.toDF("a", "b")
       .join(wedges, Seq("a", "b"), "left")
       .na.fill(0L, Seq("common"))
       .join(deg.toDF("a", "deg_a"), "a")
       .join(deg.toDF("b", "deg_b"), "b")
+      .crossJoin(broadcast(trunc))
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         col("common"), col("deg_a"), col("deg_b"),
         when(col("deg_a") + col("deg_b") - 2L - col("common") > 0L,
           expr("""1000000 * cast(common as decimal(38,0))
             div (deg_a + deg_b - 2 - common)""").cast("long"))
-          .otherwise(lit(0L)).as("cn_jaccard_ppm"))
+          .otherwise(lit(0L)).as("cn_jaccard_ppm"),
+        col("trunc_nodes"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -2184,10 +2215,12 @@ object LlmOps {
         |             doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
-    // Same band-derived candidate pairs, same wedge join and exact
-    // ppm Jaccard.
+    // Same band-derived candidate pairs, same wedge join over the
+    // SAME CnMaxDegree-capped adjacency (rank over neighbor-id order
+    // — deterministic, edges are distinct), same exact ppm Jaccard;
+    // trunc_nodes makes the cap visible, never silent.
     "q_common_neighbors" ->
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT doc_id,
         |         list_transform(range(1, len(string_split(text, ' ')) - 1),
         |           i -> string_split(text, ' ')[i] || ' ' ||
@@ -2212,10 +2245,17 @@ object LlmOps {
         |  SELECT u, v FROM pairs
         |  UNION ALL SELECT v AS u, u AS v FROM pairs),
         |deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY u),
+        |undc AS (
+        |  SELECT u, v FROM (
+        |    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) AS rn
+        |    FROM und)
+        |  WHERE rn <= $CnMaxDegree),
         |wedges AS (
-        |  SELECT x.u AS a, y.v AS b, count(*) AS common
-        |  FROM und x JOIN und y ON x.v = y.u
-        |  WHERE x.u < y.v GROUP BY x.u, y.v)
+        |  SELECT x.v AS a, y.v AS b, count(*) AS common
+        |  FROM undc x JOIN undc y ON x.u = y.u
+        |  WHERE x.v < y.v GROUP BY x.v, y.v),
+        |trunc AS (
+        |  SELECT count(*) AS trunc_nodes FROM deg WHERE deg > $CnMaxDegree)
         |SELECT p.u AS doc_a, p.v AS doc_b,
         |       CAST(coalesce(w.common, 0) AS BIGINT) AS common,
         |       CAST(da.deg AS BIGINT) AS deg_a,
@@ -2224,11 +2264,13 @@ object LlmOps {
         |            THEN CAST(1000000 * CAST(coalesce(w.common, 0) AS HUGEINT)
         |              // (da.deg + db.deg - 2 - coalesce(w.common, 0))
         |              AS BIGINT)
-        |            ELSE 0 END AS cn_jaccard_ppm
+        |            ELSE 0 END AS cn_jaccard_ppm,
+        |       CAST(t.trunc_nodes AS BIGINT) AS trunc_nodes
         |FROM pairs p
         |LEFT JOIN wedges w ON w.a = p.u AND w.b = p.v
         |JOIN deg da ON da.node = p.u
         |JOIN deg db ON db.node = p.v
+        |CROSS JOIN trunc t
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_triangle_count" ->
       """WITH s AS (

@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftTable
+
+/** ACID-lite copy-on-write table (VERDICT r9 missing-item 3): the
+  * manifest protocol must deliver the three file-level claims the
+  * query-level q_merge_upsert simulation cannot — snapshot isolation
+  * under concurrent mutation, rewrite-only-touched-files, and
+  * optimistic conflict detection — while producing EXACTLY the
+  * query's merge semantics. */
+class GraftTableSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshRoot(): String = {
+    val p = Files.createTempDirectory("graft_table_")
+    p.toString
+  }
+
+  private def docs = Tables(spark, sf, "documents")
+    .select(col("doc_id"), col("text"), col("lang"), col("source"))
+
+  /** The q_merge_upsert change derivation (doc_id mod 7: 0 → update,
+    * 1 → delete, 2 → insert-as-new-id) in GraftTable's change-batch
+    * shape. */
+  private def changeBatch = docs.where(col("doc_id") % 7 < 3)
+    .select(
+      when(col("doc_id") % 7 === 2, col("doc_id") + 10000000L)
+        .otherwise(col("doc_id")).as("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(lit("updated: "), col("text")))
+        .when(col("doc_id") % 7 === 2, concat(lit("inserted: "), col("text")))
+        .otherwise(lit(null).cast("string")).as("new_text"),
+      (col("doc_id") % 7 === 1).as("is_delete"),
+      when(col("doc_id") % 7 === 2, col("lang"))
+        .otherwise(lit(null).cast("string")).as("new_lang"),
+      when(col("doc_id") % 7 === 2, col("source"))
+        .otherwise(lit(null).cast("string")).as("new_source"))
+
+  test("create + read roundtrip across range-clustered files") {
+    val root = freshRoot()
+    val snap = GraftTable.create(spark, root, docs, "doc_id", 4)
+    assert(snap.version === 1)
+    assert(snap.files.size === 4)
+    // range layout: file key intervals must not overlap
+    val sorted = snap.files.sortBy(_.minKey)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.maxKey < b.minKey,
+        s"overlapping file ranges: $a / $b")
+      case _ =>
+    }
+    val back = GraftTable.read(spark, root)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
+  test("merge applies q_merge_upsert semantics at file level") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, docs, "doc_id", 4)
+    val (snap, stats) = GraftTable.merge(spark, root, changeBatch)
+    assert(snap.version === 2)
+
+    // expected snapshot: the query-level full-outer merge
+    val chg = changeBatch
+    val expected = docs.join(chg
+        .withColumnRenamed("doc_id", "k"),
+        col("doc_id") === col("k"), "full_outer")
+      .where(!coalesce(col("is_delete"), lit(false)))
+      .select(coalesce(col("doc_id"), col("k")).as("doc_id"),
+        coalesce(col("new_text"), col("text")).as("text"),
+        coalesce(col("new_lang"), col("lang")).as("lang"),
+        coalesce(col("new_source"), col("source")).as("source"))
+    val actual = GraftTable.read(spark, root)
+      .select("doc_id", "text", "lang", "source")
+    assert(actual.exceptAll(expected).isEmpty &&
+      expected.exceptAll(actual).isEmpty,
+      "file-level merge diverged from the query-level merge")
+
+    // reported counts match the change derivation
+    val nUpd = changeBatch.where(!col("is_delete") &&
+      col("doc_id") < 10000000L).count()
+    val nDel = changeBatch.where(col("is_delete")).count()
+    val nIns = changeBatch.where(col("doc_id") >= 10000000L).count()
+    assert(stats.rowsUpdated === nUpd)
+    assert(stats.rowsDeleted === nDel)
+    assert(stats.rowsInserted === nIns)
+  }
+
+  test("snapshot isolation: a resolved reader is immune to later commits") {
+    val root = freshRoot()
+    val v1 = GraftTable.create(spark, root, docs, "doc_id", 4)
+    val pinned = GraftTable.read(spark, v1) // resolved BEFORE the merge
+    val before = pinned.count()
+    GraftTable.merge(spark, root, changeBatch)
+    // the pinned frame still reads version 1's files — bit-identical
+    assert(pinned.count() === before)
+    assert(pinned.exceptAll(docs).isEmpty && docs.exceptAll(pinned).isEmpty,
+      "v1 reader saw writes from v2")
+    // and the explicit time-travel read agrees
+    val v1again = GraftTable.read(spark, GraftTable.snapshot(root, 1))
+    assert(v1again.exceptAll(docs).isEmpty)
+    assert(GraftTable.latest(root).version === 2)
+  }
+
+  test("merge rewrites ONLY files whose key range is touched") {
+    val root = freshRoot()
+    val v1 = GraftTable.create(spark, root, docs, "doc_id", 4)
+    // confine the change batch to the lowest file's key range
+    val lowFile = v1.files.minBy(_.minKey)
+    val narrow = changeBatch
+      .where(col("doc_id") <= lowFile.maxKey && !col("is_delete") &&
+        col("doc_id") < 10000000L)
+    assert(narrow.count() > 0, "test premise: some update hits file 1")
+    val (snap, stats) = GraftTable.merge(spark, root, narrow)
+    assert(stats.filesRewritten === 1,
+      s"expected 1 rewritten file, got ${stats.filesRewritten}")
+    assert(stats.filesKept === 3)
+    // untouched files are carried BY REFERENCE (same physical path)
+    val keptPaths = snap.files.map(_.path).toSet
+    val untouched = v1.files.filterNot(_ == lowFile).map(_.path)
+    assert(untouched.forall(keptPaths), "untouched file was rewritten")
+    assert(!keptPaths(lowFile.path), "touched file still referenced")
+  }
+
+  test("optimistic concurrency: a raced commit throws, table intact") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, docs, "doc_id", 2)
+    // simulate a concurrent writer holding the v2 claim (the state a
+    // racing merge is in between its claim and its publish)
+    Files.createFile(Paths.get(root, "manifest", "v2.lock"))
+    intercept[GraftTable.ConcurrentWriteException] {
+      GraftTable.merge(spark, root, changeBatch)
+    }
+    // the loser's failure must not corrupt v1, and readers never see
+    // the claimed-but-unpublished v2 (json names appear only via
+    // atomic rename)
+    assert(GraftTable.currentVersion(root) === 1)
+    val v1 = GraftTable.read(spark, GraftTable.snapshot(root, 1))
+    assert(v1.exceptAll(docs).isEmpty && docs.exceptAll(v1).isEmpty)
+  }
+}
