@@ -1,0 +1,185 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-replay` — a custom DataSource V2 `MicroBatchStream` that
+  * replays a [[LoadGen]] text corpus as a rate-limited stream through
+  * the PUBLIC Source API (VERDICT r9 item 6): the same
+  * `(value string, seq long)` surface [[StreamSource.raw]] normalizes
+  * every connector to, so `compatPoints → StreamingCompat.windows`
+  * runs over it unchanged. This exercises the R1 ingest seam
+  * (DispatcherFunction.cs:21-23 — an Event Hub trigger feeding JSON
+  * blobs) end-to-end through Spark's connector machinery: offset
+  * tracking, per-batch planning, partitioned readers, checkpoint
+  * restore — everything a broker connector does except speak a wire
+  * protocol (no broker exists in the sandbox; that residue is the
+  * declared ceiling).
+  *
+  * Options:
+  *   - `path`          (required) LoadGen output dir of text files
+  *   - `rowsPerBatch`  rows released per micro-batch (default 1000)
+  *   - `numPartitions` reader splits per batch (default 2)
+  *
+  * Semantics: the corpus is the files in lexicographic name order,
+  * lines in file order — a fixed global sequence. `seq` is the
+  * global line index (the "native monotone sequence" contract
+  * StreamSource documents). Offsets are released-row counts:
+  * `latestOffset` advances by `rowsPerBatch` per trigger until the
+  * corpus is exhausted, so `processAllAvailable()` drains the whole
+  * corpus deterministically. Offsets serialize as plain longs and the
+  * line order is deterministic, so a checkpoint restart resumes
+  * mid-corpus exactly (same recovery contract the compat pipeline is
+  * proven under in StreamingRecoverySpec).
+  *
+  * Scale notes: the driver touches only file METADATA (name + line
+  * count, once at stream init); rows are read by executors, each
+  * reader scanning just its [start,end) slice via the per-file
+  * spans. Readers use local-FS line streams — the replay corpus is a
+  * test/dev artifact by definition (LoadGen writes it); a cluster
+  * connector would swap the two Files.lines calls for the Hadoop FS
+  * API and nothing else. */
+class ReplaySource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-replay"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ReplaySource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ReplayTable
+}
+
+object ReplaySource {
+  val schema: StructType = new StructType()
+    .add("value", StringType).add("seq", LongType)
+
+  /** (file path, line count) per corpus file, lexicographic order —
+    * the global-sequence index. */
+  def index(dir: String): Seq[(String, Long)] =
+    Files.list(Paths.get(dir)).iterator.asScala
+      .filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith(".") &&
+        !p.getFileName.toString.startsWith("_"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map { p =>
+        val s = Files.lines(p, StandardCharsets.UTF_8)
+        try (p.toString, s.count()) finally s.close()
+      }
+}
+
+private class ReplayTable extends Table with SupportsRead {
+  override def name(): String = "graft-replay"
+  override def schema(): StructType = ReplaySource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = ReplaySource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ReplayMicroBatchStream(
+            Option(options.get("path")).getOrElse(
+              sys.error("graft-replay needs a path option")),
+            Option(options.get("rowsPerBatch")).map(_.toLong).getOrElse(1000L),
+            Option(options.get("numPartitions")).map(_.toInt).getOrElse(2))
+      }
+    }
+}
+
+private case class ReplayOffset(rows: Long) extends Offset {
+  override def json(): String = rows.toString
+}
+
+/** Contiguous global-row range [start, end) plus its per-file spans
+  * (file, skipLines, takeLines). */
+private case class ReplayPartition(start: Long,
+    spans: Seq[(String, Long, Long)]) extends InputPartition
+
+private class ReplayMicroBatchStream(dir: String, rowsPerBatch: Long,
+                                     numPartitions: Int)
+    extends MicroBatchStream {
+
+  private val files = ReplaySource.index(dir)
+  private val total = files.map(_._2).sum
+  private var released = 0L
+
+  override def initialOffset(): Offset = ReplayOffset(0L)
+
+  override def latestOffset(): Offset = {
+    released = math.min(total, released + rowsPerBatch)
+    ReplayOffset(released)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    // a restart resumes from the checkpointed offset; keep the local
+    // release cursor at least there so latestOffset never regresses
+    val o = ReplayOffset(json.toLong)
+    released = math.max(released, o.rows)
+    o
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  /** Map global range [lo, hi) to per-file (path, skip, take) spans. */
+  private def spansFor(lo: Long, hi: Long): Seq[(String, Long, Long)] = {
+    var base = 0L
+    val out = Seq.newBuilder[(String, Long, Long)]
+    files.foreach { case (path, n) =>
+      val s = math.max(lo, base)
+      val e = math.min(hi, base + n)
+      if (e > s) out += ((path, s - base, e - s))
+      base += n
+    }
+    out.result()
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[ReplayOffset].rows
+    val hi = end.asInstanceOf[ReplayOffset].rows
+    val n = math.max(1, math.min(numPartitions, (hi - lo).toInt))
+    val step = (hi - lo + n - 1) / n
+    (0 until n).iterator
+      .map(i => (lo + i * step, math.min(hi, lo + (i + 1) * step)))
+      .filter { case (s, e) => e > s }
+      .map { case (s, e) => ReplayPartition(s, spansFor(s, e)): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val rp = p.asInstanceOf[ReplayPartition]
+        new PartitionReader[InternalRow] {
+          private var seq = rp.start - 1
+          private val lines = rp.spans.iterator.flatMap {
+            case (path, skip, take) =>
+              val s = Files.lines(Paths.get(path), StandardCharsets.UTF_8)
+              s.skip(skip).limit(take).iterator.asScala
+          }
+          override def next(): Boolean = lines.hasNext
+          override def get(): InternalRow = {
+            seq += 1
+            InternalRow(UTF8String.fromString(lines.next()), seq)
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+}

@@ -70,6 +70,10 @@ object StreamSource {
         src.select(
           envelopeJson(col("timestamp"), col("value")).as("value"),
           col("value").as("seq"))
+      case "graft-replay" =>
+        // the in-repo DSv2 MicroBatchStream (ReplaySource) already
+        // emits the normalized surface with a native monotone seq
+        src
       case _ =>
         // text/socket/json-file/... : expect a string-able `value`
         // column; derive seq from content (stable across runs, unlike
