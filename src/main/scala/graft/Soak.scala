@@ -35,15 +35,33 @@ object Soak {
     // once keyed state outgrows executor heap (the HDFS-backed default
     // keeps every version in memory); same pipeline, provider only
     val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    for ((ttl, provider, tag) <- Seq(
-      (None, None, "noTimeout"),
-      (Some("86400"), None, "ttl"),
-      (None, Some(rocks), "noTimeout_rocksdb"))) {
+    // ttl_lazy: same TTL pipeline with the watermark-advance no-data
+    // micro-batches disabled — the r9 soak measured the TTL variant at
+    // 82k vs the 115k NoTimeout baseline, and the gap is NOT per-key
+    // timer churn (deadlines clear on first advance, so almost no
+    // timers stay armed): it is the trailing no-data batch the engine
+    // schedules per watermark advance (2 progress entries/iteration vs
+    // 1, ~+0.35 s/iteration of pure batch overhead). Disabling them
+    // makes timeout OBSERVATION lazy — processed at the key's next
+    // data batch — which is exactly the reference's Redis model (a
+    // TTL-expired start key is only seen dead at the next read,
+    // DispatcherFunction.cs:74-80). The eager default stays: its
+    // timing is what StreamingCompatTtlSpec pins.
+    val noData = "spark.sql.streaming.noDataMicroBatches.enabled"
+    for ((ttl, provider, lazyTimeout, tag) <- Seq(
+      (None, None, false, "noTimeout"),
+      (Some("86400"), None, false, "ttl"),
+      (Some("86400"), None, true, "ttl_lazy"),
+      (None, Some(rocks), false, "noTimeout_rocksdb"))) {
       provider.foreach(p =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+      if (lazyTimeout) spark.conf.set(noData, "false")
       val r = try SoakHarness.run(spark, keys, hz, batches, ttl, s"soak_$tag")
-      finally provider.foreach(_ => spark.conf.unset(
-        "spark.sql.streaming.stateStore.providerClass"))
+      finally {
+        provider.foreach(_ => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass"))
+        if (lazyTimeout) spark.conf.unset(noData)
+      }
       val rate = batches.toLong * keys * hz / r.totalSec
       val steady = r.steadyEventsPerSec(keys, hz)
       val stateOk = r.stateRows.toSet == Set(keys.toLong)
@@ -53,6 +71,7 @@ object Soak {
         f""""total_sec":${r.totalSec}%.2f,"events_per_sec":$rate%.0f,""" +
         f""""steady_events_per_sec":$steady%.0f,""" +
         s""""bar":$bar,"state_rows_flat":$stateOk,""" +
+        s""""progress_entries":${r.progressEntries},""" +
         s""""batch_wall_sec":[${r.wallSec.map(w => f"$w%.2f").mkString(",")}],""" +
         s""""emitted":[${r.emitted.mkString(",")}]}""")
     }

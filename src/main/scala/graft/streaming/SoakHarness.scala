@@ -19,7 +19,8 @@ import graft.sources.StreamSource
 object SoakHarness {
 
   case class Report(stateRows: Seq[Long], wallSec: Seq[Double],
-                    emitted: Seq[Long], totalSec: Double) {
+                    emitted: Seq[Long], totalSec: Double,
+                    progressEntries: Int) {
     /** Aggregate events/s over the whole run (includes warmup). */
     def eventsPerSec(keys: Int, hz: Int): Double =
       stateRows.size.toLong * keys * hz / totalSec
@@ -113,9 +114,14 @@ object SoakHarness {
           emitted += totalEmitted - lastEmitted
           lastEmitted = totalEmitted
         }
+        Report(stateRows.toSeq, wall.toSeq, emitted.toSeq,
+          (System.nanoTime() - t0) / 1e9,
+          // micro-batches actually run: the TTL variant's watermark
+          // advance schedules a trailing no-data batch per iteration
+          // (~2 entries/batch vs 1) — the measured source of its
+          // per-batch overhead
+          q.recentProgress.length)
       } finally q.stop()
-      Report(stateRows.toSeq, wall.toSeq, emitted.toSeq,
-        (System.nanoTime() - t0) / 1e9)
     } finally {
       prevCap match {
         case Some(v) =>
