@@ -266,4 +266,27 @@ object GraftTable {
       updatedCount, deletedCount,
       insertedEntry.map(_.rows).sum))
   }
+
+  /** CDC log compaction + copy-on-write apply — the file-level
+    * counterpart of [[graft.ops.RelationalOps.cdcApply]]'s
+    * query-level compaction: the change log (`op` ∈ I/U/D plus the
+    * merge key, `orderCols` sequencing columns, and `new_<c>` value
+    * columns) compacts to each key's LAST change by (orderCols)
+    * order — rn = 1 over a per-key window (plentiful key; Spark
+    * plans the rank filter as WindowGroupLimit, pruning map-side) —
+    * and the compacted batch applies through [[merge]]: last-op
+    * deletes drop the key, last-op inserts/updates upsert it,
+    * untouched files carry by reference. One log-carrying shuffle +
+    * the merge — the lakehouse CDC-sink shape. */
+  def applyCdc(spark: SparkSession, root: String, log: DataFrame,
+               orderCols: Seq[String]): (Snapshot, MergeStats) = {
+    val key = latest(root).key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(orderCols.map(col(_).desc): _*)
+    val compacted = log.withColumn("__gt_rn", row_number().over(w))
+      .where(col("__gt_rn") === 1)
+      .withColumn("is_delete", col("op") === "D")
+      .drop("__gt_rn" +: "op" +: orderCols: _*)
+    merge(spark, root, compacted)
+  }
 }

@@ -124,6 +124,46 @@ class GraftTableSpec extends SparkSpec {
     assert(!keptPaths(lowFile.path), "touched file still referenced")
   }
 
+  test("CDC log compaction applies last-writer-wins at file level") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, docs, "doc_id", 4)
+    // per doc_id%5: 0 → U then D (delete wins), 1 → D then U (update
+    // wins), 2 → two U's (later value wins); others untouched
+    val touchedDocs = docs.where(col("doc_id") % 5 < 3)
+    val log = touchedDocs.select(col("doc_id"),
+        lit(1L).as("chg_seq"),
+        when(col("doc_id") % 5 === 0, lit("U")).otherwise(
+          when(col("doc_id") % 5 === 1, lit("D")).otherwise(lit("U")))
+          .as("op"),
+        concat(lit("first: "), col("text")).as("new_text"),
+        lit(null).cast("string").as("new_lang"),
+        lit(null).cast("string").as("new_source"))
+      .unionByName(touchedDocs.select(col("doc_id"),
+        lit(2L).as("chg_seq"),
+        when(col("doc_id") % 5 === 0, lit("D")).otherwise(lit("U"))
+          .as("op"),
+        concat(lit("last: "), col("text")).as("new_text"),
+        lit(null).cast("string").as("new_lang"),
+        lit(null).cast("string").as("new_source")))
+    val (_, stats) = GraftTable.applyCdc(spark, root, log, Seq("chg_seq"))
+    val after = GraftTable.read(spark, root)
+    // mod-0 docs deleted, mod-1 and mod-2 carry the LAST change's text
+    assert(after.where(col("doc_id") % 5 === 0).count() === 0)
+    val survivors = after.where(col("doc_id") % 5 === 1 ||
+      col("doc_id") % 5 === 2)
+    assert(survivors.count() ===
+      docs.where(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2).count())
+    assert(survivors.where(!col("text").startsWith("last: ")).count() === 0,
+      "a survivor kept a non-final change")
+    // untouched docs unchanged
+    val untouched = after.where(col("doc_id") % 5 >= 3)
+    val wantUntouched = docs.where(col("doc_id") % 5 >= 3)
+    assert(untouched.exceptAll(wantUntouched).isEmpty &&
+      wantUntouched.exceptAll(untouched).isEmpty)
+    assert(stats.rowsDeleted ===
+      docs.where(col("doc_id") % 5 === 0).count())
+  }
+
   test("optimistic concurrency: a raced commit throws, table intact") {
     val root = freshRoot()
     GraftTable.create(spark, root, docs, "doc_id", 2)
