@@ -53,7 +53,12 @@ object GraftTable {
   /** One immutable data file + its pruning stats. */
   case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long)
 
-  case class Snapshot(version: Int, key: String, files: Seq[FileEntry]) {
+  /** `batch` = highest streaming micro-batch id applied (−1 for
+    * batch-write commits) — the Delta-style transaction marker
+    * [[upsertSink]] uses to make crash-replayed micro-batches
+    * idempotent. */
+  case class Snapshot(version: Int, key: String, files: Seq[FileEntry],
+                      batch: Long = -1L) {
     def totalRows: Long = files.map(_.rows).sum
   }
 
@@ -88,12 +93,14 @@ object GraftTable {
       s"""{"path":"${f.path}","rows":${f.rows},""" +
         s""""minKey":${f.minKey},"maxKey":${f.maxKey}}""")
       .mkString("[", ",", "]")
-    s"""{"version":${s.version},"key":"${s.key}","files":$files}"""
+    s"""{"version":${s.version},"key":"${s.key}","batch":${s.batch},""" +
+      s""""files":$files}"""
   }
 
   private val FileRe =
     """\{"path":"([^"]+)","rows":(-?\d+),"minKey":(-?\d+),"maxKey":(-?\d+)\}""".r
   private val HeadRe = """\{"version":(\d+),"key":"([^"]+)",""".r.unanchored
+  private val BatchRe = """"batch":(-?\d+)""".r.unanchored
 
   private def parse(json: String): Snapshot = {
     val head = HeadRe.findFirstMatchIn(json)
@@ -101,7 +108,9 @@ object GraftTable {
     val files = FileRe.findAllMatchIn(json).map(m =>
       FileEntry(m.group(1), m.group(2).toLong,
         m.group(3).toLong, m.group(4).toLong)).toSeq
-    Snapshot(head.group(1).toInt, head.group(2), files)
+    val batch = BatchRe.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    Snapshot(head.group(1).toInt, head.group(2), files, batch)
   }
 
   def snapshot(root: String, version: Int): Snapshot =
@@ -196,8 +205,8 @@ object GraftTable {
     * base — take their `new_<c>` values verbatim). Exactly
     * [[graft.ops.RelationalOps.mergeUpsert]]'s semantics, applied at
     * file level. */
-  def merge(spark: SparkSession, root: String,
-            changes: DataFrame): (Snapshot, MergeStats) = {
+  def merge(spark: SparkSession, root: String, changes: DataFrame,
+            batchId: Long = -1L): (Snapshot, MergeStats) = {
     val base = latest(root)
     val key = base.key
     val valueCols = read(spark, base).columns.filterNot(_ == key).toSeq
@@ -243,9 +252,14 @@ object GraftTable {
       else touchedDf.join(chg.where(coalesce(col("is_delete"), lit(false))),
         col(key) === col("__gt_k"), "left_semi").count()
 
-    val rewritten =
-      if (touchedDf == null) Seq.empty
-      else Seq(writeFile(root, merged(touchedDf), key)).flatten
+    // one output file PER touched input file — the rewrite preserves
+    // the original range clustering, so the min/max pruning quality
+    // survives arbitrarily many merges (a single merged output would
+    // blend key ranges and erode file skipping over time). Driver
+    // loops over touched FILES (manifest-scale); a cluster writer
+    // would run one job with an output-per-input partitioner.
+    val rewritten = touched.flatMap(f =>
+      writeFile(root, merged(spark.read.parquet(f.path)), key))
 
     // inserts: change keys matching NO base file (anti-join against
     // the full base — base keys are the authority, not the prune)
@@ -259,7 +273,7 @@ object GraftTable {
     val insertedEntry = writeFile(root, insertDf, key)
 
     val snap = Snapshot(base.version + 1, key,
-      kept ++ rewritten ++ insertedEntry)
+      kept ++ rewritten ++ insertedEntry, batchId)
     commit(root, snap)
     (snap, MergeStats(snap.version, touched.size, kept.size,
       rewritten.size + insertedEntry.size,
@@ -279,7 +293,8 @@ object GraftTable {
     * untouched files carry by reference. One log-carrying shuffle +
     * the merge — the lakehouse CDC-sink shape. */
   def applyCdc(spark: SparkSession, root: String, log: DataFrame,
-               orderCols: Seq[String]): (Snapshot, MergeStats) = {
+               orderCols: Seq[String],
+               batchId: Long = -1L): (Snapshot, MergeStats) = {
     val key = latest(root).key
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key)).orderBy(orderCols.map(col(_).desc): _*)
@@ -287,6 +302,52 @@ object GraftTable {
       .where(col("__gt_rn") === 1)
       .withColumn("is_delete", col("op") === "D")
       .drop("__gt_rn" +: "op" +: orderCols: _*)
-    merge(spark, root, compacted)
+    merge(spark, root, compacted, batchId)
+  }
+
+  /** `foreachBatch` sink applying each streaming micro-batch of CDC
+    * changes through [[applyCdc]] — the reference's Redis-keyed state
+    * graduated to a lakehouse upsert sink. Exactly-once across
+    * crash/replay the same way Delta's `txnVersion` works: every
+    * commit records its micro-batch id in the manifest, and a
+    * replayed batch (id ≤ the latest snapshot's) is skipped — the
+    * checkpoint may re-deliver a batch whose commit already landed,
+    * and the marker makes the re-apply a no-op instead of a double
+    * merge.
+    *
+    *   stream.writeStream.foreachBatch(GraftTable.upsertSink(root,
+    *     Seq("chg_seq"))).option("checkpointLocation", …).start()
+    */
+  def upsertSink(root: String,
+                 orderCols: Seq[String]): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      if (batchId > latest(root).batch)
+        applyCdc(batch.sparkSession, root, batch, orderCols, batchId)
+    }
+
+  /** Deletes data files referenced ONLY by snapshots older than the
+    * `keepVersions` most recent, plus those snapshots' manifests —
+    * the retention/VACUUM half of copy-on-write (old files accumulate
+    * forever otherwise). Time travel to vacuumed versions is gone, by
+    * definition; readers of KEPT snapshots are untouched because
+    * every file they reference survives. Returns (data files deleted,
+    * manifests deleted). */
+  def vacuum(root: String, keepVersions: Int = 1): (Int, Int) = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val current = currentVersion(root)
+    val cutoff = current - keepVersions + 1
+    val keep = (cutoff to current)
+      .filter(v => Files.exists(manifestPath(root, v)))
+      .flatMap(v => snapshot(root, v).files.map(_.path)).toSet
+    val dataDeleted = Files.list(dataDir(root)).iterator.asScala
+      .filter(p => Files.isRegularFile(p) && !keep(p.toString))
+      .map(Files.delete).size
+    val manifestsDeleted = Files.list(manifestDir(root)).iterator.asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        val v = "v(\\d+)\\.(json|lock)".r.findFirstMatchIn(n)
+        v.exists(_.group(1).toInt < cutoff)
+      }.map(Files.delete).size
+    (dataDeleted, manifestsDeleted)
   }
 }

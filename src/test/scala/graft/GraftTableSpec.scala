@@ -164,6 +164,80 @@ class GraftTableSpec extends SparkSpec {
       docs.where(col("doc_id") % 5 === 0).count())
   }
 
+  test("rewrites preserve range clustering; vacuum reclaims old files") {
+    val root = freshRoot()
+    val v1 = GraftTable.create(spark, root, docs, "doc_id", 4)
+    // update-only batch confined to the lowest file
+    val lowFile = v1.files.minBy(_.minKey)
+    val narrow = changeBatch.where(col("doc_id") <= lowFile.maxKey &&
+      !col("is_delete") && col("doc_id") < 10000000L)
+    val (v2, _) = GraftTable.merge(spark, root, narrow)
+    // the rewritten file's key range stays inside the original's —
+    // merges don't blend ranges, so min/max pruning quality survives
+    val rewritten = v2.files.filterNot(f =>
+      v1.files.map(_.path).contains(f.path))
+    assert(rewritten.size === 1)
+    assert(rewritten.head.minKey >= lowFile.minKey &&
+      rewritten.head.maxKey <= lowFile.maxKey,
+      s"rewrite blended ranges: ${rewritten.head} vs $lowFile")
+
+    // vacuum keep=1: v1's superseded file + v1's manifest go away;
+    // every file the latest snapshot references survives
+    val (dataDeleted, manifestsDeleted) = GraftTable.vacuum(root, 1)
+    assert(dataDeleted === 1, s"expected 1 reclaimed file, got $dataDeleted")
+    assert(manifestsDeleted >= 1)
+    assert(!Files.exists(Paths.get(lowFile.path)), "superseded file kept")
+    val after = GraftTable.read(spark, root)
+    assert(after.count() === v2.totalRows, "latest snapshot lost rows")
+    intercept[Exception] { GraftTable.snapshot(root, 1) } // time travel gone
+  }
+
+  test("streaming upsertSink applies micro-batches idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(spark, root, docs, "doc_id", 2)
+    val ids = docs.select("doc_id").as[Long].collect().sorted.take(6)
+
+    val mem = MemoryStream[(Long, Long, String, String)]
+    val sink = GraftTable.upsertSink(root, Seq("chg_seq"))
+    val q = mem.toDS()
+      .toDF("doc_id", "chg_seq", "op", "new_text")
+      .withColumn("new_lang", lit(null).cast("string"))
+      .withColumn("new_source", lit(null).cast("string"))
+      .writeStream.foreachBatch(sink).outputMode("append").start()
+    try {
+      mem.addData((ids(0), 1L, "U", "b1 update"), (ids(1), 1L, "D", null))
+      q.processAllAvailable()
+      mem.addData((ids(1), 2L, "U", "b2 resurrect"), (ids(2), 2L, "D", null))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val state = GraftTable.read(spark, root)
+    assert(state.where(col("doc_id") === ids(0) &&
+      col("text") === "b1 update").count() === 1)
+    // deleted in batch 0, re-inserted in batch 1 — last writer wins
+    // ACROSS micro-batches because each batch merges against the
+    // previous batch's committed snapshot
+    assert(state.where(col("doc_id") === ids(1) &&
+      col("text") === "b2 resurrect").count() === 1)
+    assert(state.where(col("doc_id") === ids(2)).count() === 0)
+
+    // crash-replay idempotence: re-delivering an already-committed
+    // batch id is a no-op (the manifest's batch marker gates it)
+    val vBefore = GraftTable.currentVersion(root)
+    val replay = Seq((ids(0), 9L, "U", "replayed — must not apply"))
+      .toDF("doc_id", "chg_seq", "op", "new_text")
+      .withColumn("new_lang", lit(null).cast("string"))
+      .withColumn("new_source", lit(null).cast("string"))
+    sink(replay, 1L) // batch id 1 already committed
+    assert(GraftTable.currentVersion(root) === vBefore,
+      "replayed batch was re-applied")
+    assert(GraftTable.read(spark, root).where(
+      col("text").startsWith("replayed")).count() === 0)
+  }
+
   test("optimistic concurrency: a raced commit throws, table intact") {
     val root = freshRoot()
     GraftTable.create(spark, root, docs, "doc_id", 2)
