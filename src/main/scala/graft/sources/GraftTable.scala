@@ -67,7 +67,28 @@ object GraftTable {
                         rowsUpdated: Long, rowsDeleted: Long,
                         rowsInserted: Long)
 
+  case class CompactStats(newVersion: Int, filesBefore: Int,
+                          filesAfter: Int, filesCompacted: Int)
+
   class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
+  /** Age after which a `vN.lock` with NO matching `vN.json` is treated
+    * as a crashed writer's leftover and reclaimed (commit retries stop
+    * being wedged forever by a claim whose publish never happened). A
+    * LIVE writer between claim and publish is inside this window —
+    * publish is a rename, so the window is generous. Overridable for
+    * tests via `-Dgraft.table.lockExpiryMs=`. */
+  private def lockExpiryMs: Long =
+    sys.props.getOrElse("graft.table.lockExpiryMs", "600000").toLong
+
+  /** Default minimum data-file age before [[vacuum]] may delete an
+    * unreferenced file (Delta's retention-window idea): a concurrent
+    * merge that has staged its rewritten/insert files but not yet
+    * committed its manifest is protected, because its files are
+    * younger than any sane retention. 7 days by default, like Delta;
+    * overridable via `-Dgraft.table.retentionMs=`. */
+  private def defaultRetentionMs: Long =
+    sys.props.getOrElse("graft.table.retentionMs", "604800000").toLong
 
   private def manifestDir(root: String): Path = Paths.get(root, "manifest")
   private def dataDir(root: String): Path = Paths.get(root, "data")
@@ -130,15 +151,42 @@ object GraftTable {
   private def commit(root: String, s: Snapshot): Unit = {
     Files.createDirectories(manifestDir(root))
     val lock = manifestDir(root).resolve(s"v${s.version}.lock")
-    try Files.createFile(lock)
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
-      throw new ConcurrentWriteException(
-        s"version ${s.version} was claimed concurrently at $root")
+    def claim(): Unit =
+      try Files.createFile(lock)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        // Stale-claim recovery: a lock whose version was never
+        // published (no vN.json) and that is older than the expiry is
+        // a crashed writer — reclaim it, else one hard crash between
+        // claim and publish would wedge version N forever. A lock WITH
+        // a published vN.json stays permanent: it guards the slot
+        // against ATOMIC_MOVE silently replacing a committed manifest.
+        val published = Files.exists(manifestPath(root, s.version))
+        val age = try System.currentTimeMillis -
+          Files.getLastModifiedTime(lock).toMillis
+        catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
+        if (published || age <= lockExpiryMs)
+          throw new ConcurrentWriteException(
+            s"version ${s.version} was claimed concurrently at $root")
+        Files.deleteIfExists(lock)
+        try Files.createFile(lock)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          throw new ConcurrentWriteException(
+            s"version ${s.version} was re-claimed concurrently at $root")
+        }
+      }
+    claim()
+    // Publish failure must RELEASE the claim — otherwise this writer's
+    // own retry (and every future commit of version N) would hit its
+    // leftover lock and throw ConcurrentWriteException forever.
+    try {
+      val tmp = manifestDir(root).resolve(s".v${s.version}.${UUID.randomUUID}.tmp")
+      Files.writeString(tmp, render(s), StandardOpenOption.CREATE_NEW)
+      Files.move(tmp, manifestPath(root, s.version),
+        StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Throwable =>
+      Files.deleteIfExists(lock)
+      throw e
     }
-    val tmp = manifestDir(root).resolve(s".v${s.version}.${UUID.randomUUID}.tmp")
-    Files.writeString(tmp, render(s), StandardOpenOption.CREATE_NEW)
-    Files.move(tmp, manifestPath(root, s.version),
-      StandardCopyOption.ATOMIC_MOVE)
   }
 
   // -- data-file I/O ---------------------------------------------------
@@ -197,6 +245,42 @@ object GraftTable {
 
   def read(spark: SparkSession, root: String): DataFrame =
     read(spark, latest(root))
+
+  /** Time travel: read the table exactly as committed at `version` —
+    * the reproducible-training-set primitive (pin the manifest a run
+    * trained on; re-reads are bit-identical no matter how many merges
+    * landed since). Fails if the version was vacuumed. */
+  def read(spark: SparkSession, root: String, version: Int): DataFrame =
+    read(spark, snapshot(root, version))
+
+  // -- version pins ----------------------------------------------------
+
+  private def pinDir(root: String): Path = Paths.get(root, "pins")
+
+  /** Marks `version` as pinned: [[vacuum]] keeps its manifest and every
+    * data file it references, regardless of the keep-window, until
+    * [[unpin]]. The durable form of "this training run must stay
+    * reproducible". */
+  def pin(root: String, version: Int): Unit = {
+    require(Files.exists(manifestPath(root, version)),
+      s"cannot pin version $version: no committed manifest at $root")
+    Files.createDirectories(pinDir(root))
+    try Files.createFile(pinDir(root).resolve(s"v$version.pin"))
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  def unpin(root: String, version: Int): Unit =
+    Files.deleteIfExists(pinDir(root).resolve(s"v$version.pin"))
+
+  def pinnedVersions(root: String): Set[Int] = {
+    val pd = pinDir(root)
+    if (!Files.isDirectory(pd)) Set.empty
+    else Files.list(pd).iterator.asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d+\\.pin") =>
+        s.stripPrefix("v").stripSuffix(".pin").toInt }
+      .toSet
+  }
 
   /** Copy-on-write MERGE of a change batch into the latest snapshot.
     * `changes` columns: the merge key, `is_delete` boolean, and
@@ -272,8 +356,14 @@ object GraftTable {
       }.select(baseAll.columns.map(col): _*)
     val insertedEntry = writeFile(root, insertDf, key)
 
+    // Batch-marker carry-forward: a batch-mode merge (batchId = −1)
+    // must NOT reset the streaming idempotence marker — otherwise an
+    // interleaved batch write would let a checkpoint-replayed
+    // micro-batch (id ≤ the previously applied max) pass upsertSink's
+    // `batchId > latest.batch` gate and double-apply. The marker is
+    // monotone: max of the previous marker and this commit's id.
     val snap = Snapshot(base.version + 1, key,
-      kept ++ rewritten ++ insertedEntry, batchId)
+      kept ++ rewritten ++ insertedEntry, math.max(base.batch, batchId))
     commit(root, snap)
     (snap, MergeStats(snap.version, touched.size, kept.size,
       rewritten.size + insertedEntry.size,
@@ -330,24 +420,79 @@ object GraftTable {
     * the retention/VACUUM half of copy-on-write (old files accumulate
     * forever otherwise). Time travel to vacuumed versions is gone, by
     * definition; readers of KEPT snapshots are untouched because
-    * every file they reference survives. Returns (data files deleted,
-    * manifests deleted). */
-  def vacuum(root: String, keepVersions: Int = 1): (Int, Int) = {
+    * every file they reference survives. Two additional guards:
+    *
+    * - **File-age retention** (`minFileAgeMs`, default 7 days like
+    *   Delta): an unreferenced file younger than the window is NOT
+    *   deleted — it may belong to a concurrent merge that has staged
+    *   its rewritten/insert files but not yet committed its manifest;
+    *   deleting those would make the merge's eventual snapshot
+    *   unreadable. Pass 0 only on a quiesced table (tests do).
+    * - **Pins**: a [[pin]]ned version's manifest and every data file
+    *   it references survive regardless of the keep-window, so a
+    *   pinned training snapshot stays reproducible.
+    *
+    * Returns (data files deleted, manifests deleted). */
+  def vacuum(root: String, keepVersions: Int = 1,
+             minFileAgeMs: Long = defaultRetentionMs): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val current = currentVersion(root)
     val cutoff = current - keepVersions + 1
-    val keep = (cutoff to current)
+    val pinned = pinnedVersions(root)
+      .filter(v => Files.exists(manifestPath(root, v)))
+    val keptVersions = (cutoff to current).toSet ++ pinned
+    val keep = keptVersions.toSeq
       .filter(v => Files.exists(manifestPath(root, v)))
       .flatMap(v => snapshot(root, v).files.map(_.path)).toSet
+    val now = System.currentTimeMillis
     val dataDeleted = Files.list(dataDir(root)).iterator.asScala
-      .filter(p => Files.isRegularFile(p) && !keep(p.toString))
+      .filter { p =>
+        Files.isRegularFile(p) && !keep(p.toString) &&
+          (now - Files.getLastModifiedTime(p).toMillis) >= minFileAgeMs
+      }
       .map(Files.delete).size
     val manifestsDeleted = Files.list(manifestDir(root)).iterator.asScala
       .filter { p =>
         val n = p.getFileName.toString
         val v = "v(\\d+)\\.(json|lock)".r.findFirstMatchIn(n)
-        v.exists(_.group(1).toInt < cutoff)
+        v.exists(m => m.group(1).toInt < cutoff &&
+          !pinned(m.group(1).toInt))
       }.map(Files.delete).size
     (dataDeleted, manifestsDeleted)
+  }
+
+  /** Bin-packing compaction: repeated merges add one insert file each,
+    * so file count grows O(merges) — compaction bounds it. Files are
+    * taken in key order and consecutive runs are greedily packed until
+    * `targetRows`; runs of ≥ 2 are rewritten (key-sorted) as ONE file,
+    * singletons carry by reference. Packing only ADJACENT ranges keeps
+    * the table's non-overlapping range layout — min/max pruning
+    * quality is preserved, which is the whole point of the clustered
+    * write path. The commit carries the batch marker forward (a
+    * compaction is not a data change) and goes through the same
+    * optimistic-concurrency protocol as merges. */
+  def compact(spark: SparkSession, root: String,
+              targetRows: Long): (Snapshot, CompactStats) = {
+    require(targetRows > 0, "targetRows must be positive")
+    val base = latest(root)
+    val key = base.key
+    val sorted = base.files.sortBy(f => (f.minKey, f.maxKey))
+    val groups = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[FileEntry])
+    sorted.foreach { f =>
+      val cur = groups.last
+      if (cur.isEmpty || cur.map(_.rows).sum + f.rows <= targetRows) cur += f
+      else groups += scala.collection.mutable.ArrayBuffer(f)
+    }
+    val entries = groups.filter(_.nonEmpty).map { g =>
+      if (g.size == 1) g.head
+      else writeFile(root,
+        spark.read.parquet(g.map(_.path).toSeq: _*).sort(col(key)), key)
+        .getOrElse(sys.error("compaction group had rows by manifest but wrote none"))
+    }.toSeq
+    val snap = Snapshot(base.version + 1, key, entries, base.batch)
+    commit(root, snap)
+    (snap, CompactStats(snap.version, base.files.size, entries.size,
+      base.files.size - entries.size))
   }
 }

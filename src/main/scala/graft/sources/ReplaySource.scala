@@ -168,17 +168,31 @@ private class ReplayMicroBatchStream(dir: String, rowsPerBatch: Long,
         val rp = p.asInstanceOf[ReplayPartition]
         new PartitionReader[InternalRow] {
           private var seq = rp.start - 1
+          // Track the Stream behind the current span so it is ALWAYS
+          // closed — when the span drains (advancing the flatMap) and
+          // in close() (a task that stops consuming early, e.g. a
+          // limit, would otherwise leak one OS file handle per
+          // partition per micro-batch for the life of the replay).
+          private var open: java.util.stream.Stream[String] = null
+          private def closeOpen(): Unit =
+            if (open != null) { open.close(); open = null }
           private val lines = rp.spans.iterator.flatMap {
             case (path, skip, take) =>
+              closeOpen()
               val s = Files.lines(Paths.get(path), StandardCharsets.UTF_8)
+              open = s
               s.skip(skip).limit(take).iterator.asScala
           }
-          override def next(): Boolean = lines.hasNext
+          override def next(): Boolean = {
+            val has = lines.hasNext
+            if (!has) closeOpen()
+            has
+          }
           override def get(): InternalRow = {
             seq += 1
             InternalRow(UTF8String.fromString(lines.next()), seq)
           }
-          override def close(): Unit = ()
+          override def close(): Unit = closeOpen()
         }
       }
     }

@@ -181,9 +181,11 @@ class GraftTableSpec extends SparkSpec {
       rewritten.head.maxKey <= lowFile.maxKey,
       s"rewrite blended ranges: ${rewritten.head} vs $lowFile")
 
-    // vacuum keep=1: v1's superseded file + v1's manifest go away;
-    // every file the latest snapshot references survives
-    val (dataDeleted, manifestsDeleted) = GraftTable.vacuum(root, 1)
+    // vacuum keep=1 (age guard 0: quiesced table, no concurrent
+    // writer to protect): v1's superseded file + v1's manifest go
+    // away; every file the latest snapshot references survives
+    val (dataDeleted, manifestsDeleted) =
+      GraftTable.vacuum(root, 1, minFileAgeMs = 0L)
     assert(dataDeleted === 1, s"expected 1 reclaimed file, got $dataDeleted")
     assert(manifestsDeleted >= 1)
     assert(!Files.exists(Paths.get(lowFile.path)), "superseded file kept")
@@ -236,6 +238,124 @@ class GraftTableSpec extends SparkSpec {
       "replayed batch was re-applied")
     assert(GraftTable.read(spark, root).where(
       col("text").startsWith("replayed")).count() === 0)
+  }
+
+  test("stale lock from a crashed writer is reclaimed after expiry") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, docs, "doc_id", 2)
+    // a crashed writer's leftover: v2 claimed, never published, and
+    // old enough that no live writer can still be inside its publish
+    val lock = Paths.get(root, "manifest", "v2.lock")
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis - 3600L * 1000))
+    // 1 h age > the 10 min default expiry → the next commit reclaims
+    // the slot instead of throwing forever (ADVICE r10 #1)
+    val (snap, _) = GraftTable.merge(spark, root, changeBatch)
+    assert(snap.version === 2)
+    assert(GraftTable.currentVersion(root) === 2)
+  }
+
+  test("vacuum retention: young unreferenced files survive the window") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, docs, "doc_id", 4)
+    val v1files = GraftTable.latest(root).files.map(_.path)
+    GraftTable.merge(spark, root, changeBatch)
+    // default retention (7 d): every file just written is inside the
+    // window — vacuum must delete NOTHING, because an unreferenced
+    // young file is indistinguishable from a concurrent merge's
+    // staged-but-uncommitted output (ADVICE r10 #2)
+    val (dataDeleted, _) = GraftTable.vacuum(root, 1)
+    assert(dataDeleted === 0,
+      s"retention window violated: $dataDeleted young files deleted")
+    assert(v1files.forall(p => Files.exists(Paths.get(p))))
+    // quiesced override reclaims them
+    val (reclaimed, _) = GraftTable.vacuum(root, 1, minFileAgeMs = 0L)
+    assert(reclaimed > 0)
+  }
+
+  test("pinned version survives vacuum; time-travel read stays exact") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, docs, "doc_id", 4)
+    GraftTable.pin(root, 1)
+    GraftTable.merge(spark, root, changeBatch)
+    GraftTable.merge(spark, root,
+      changeBatch.where(!col("is_delete") && col("doc_id") < 10000000L))
+    // keep=1 would normally drop v1+v2; the pin must hold v1's
+    // manifest AND every file it references
+    GraftTable.vacuum(root, 1, minFileAgeMs = 0L)
+    val v1 = GraftTable.read(spark, root, 1)
+    assert(v1.exceptAll(docs).isEmpty && docs.exceptAll(v1).isEmpty,
+      "pinned version no longer reads back exactly")
+    assert(GraftTable.pinnedVersions(root) === Set(1))
+    // unpinned, the next vacuum reclaims it
+    GraftTable.unpin(root, 1)
+    GraftTable.vacuum(root, 1, minFileAgeMs = 0L)
+    intercept[Exception] { GraftTable.snapshot(root, 1) }
+  }
+
+  test("compaction bounds file count under repeated merges") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, docs, "doc_id", 4)
+    // K insert-bearing merges add one file each
+    val K = 5
+    (1 to K).foreach { i =>
+      val inserts = docs.limit(20).select(
+        (col("doc_id") + 10000000L * i).as("doc_id"),
+        concat(lit(s"ins$i: "), col("text")).as("new_text"),
+        lit(false).as("is_delete"),
+        col("lang").as("new_lang"), col("source").as("new_source"))
+      GraftTable.merge(spark, root, inserts)
+    }
+    val before = GraftTable.latest(root)
+    assert(before.files.size === 4 + K, "premise: one new file per merge")
+    val want = GraftTable.read(spark, root).cache()
+    val wantRows = want.count()
+
+    val (snap, stats) = GraftTable.compact(spark, root,
+      targetRows = before.totalRows) // everything fits → minimal file set
+    assert(stats.filesAfter < stats.filesBefore)
+    assert(snap.totalRows === wantRows, "compaction changed row count")
+    // data identical
+    val after = GraftTable.read(spark, root)
+    assert(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty,
+      "compaction changed table contents")
+    // range layout preserved: no overlapping key intervals
+    snap.files.sortBy(_.minKey).sliding(2).foreach {
+      case Seq(a, b) => assert(a.maxKey <= b.minKey,
+        s"compaction blended ranges: $a / $b")
+      case _ =>
+    }
+    want.unpersist()
+  }
+
+  test("batch marker survives interleaved batch-mode merges") {
+    val root = freshRoot()
+    GraftTable.create(spark, root, docs, "doc_id", 2)
+    val ids = docs.select("doc_id").orderBy("doc_id")
+      .limit(3).collect().map(_.getLong(0))
+    def cdc(id: Long, seq: Long, text: String) =
+      spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(id, seq, "U", text, null, null)),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, chg_seq BIGINT, op STRING, new_text STRING, " +
+            "new_lang STRING, new_source STRING"))
+    val sink = GraftTable.upsertSink(root, Seq("chg_seq"))
+    sink(cdc(ids(0), 1L, "streamed b5"), 5L)
+    assert(GraftTable.latest(root).batch === 5L)
+    // an interleaved BATCH merge (batchId −1) must not reset the
+    // marker (ADVICE r10 #3) …
+    GraftTable.merge(spark, root, docs.limit(1).select(col("doc_id"),
+      lit(null).cast("string").as("new_text"), lit(false).as("is_delete"),
+      lit(null).cast("string").as("new_lang"),
+      lit(null).cast("string").as("new_source")))
+    assert(GraftTable.latest(root).batch === 5L,
+      "batch-mode merge reset the streaming idempotence marker")
+    // … so a checkpoint-replayed micro-batch id ≤ 5 stays a no-op
+    val vBefore = GraftTable.currentVersion(root)
+    sink(cdc(ids(0), 9L, "replayed — must not apply"), 5L)
+    assert(GraftTable.currentVersion(root) === vBefore,
+      "replayed micro-batch was double-applied after a batch merge")
   }
 
   test("optimistic concurrency: a raced commit throws, table intact") {

@@ -655,7 +655,18 @@ class ShuffleBudgetSpec extends SparkSpec {
     // budgetedQueries accumulates from the q() calls the preceding
     // tests made — a query only counts as covered if its plan was
     // actually fetched for an assertion, not if its name merely
-    // appears somewhere in this file
+    // appears somewhere in this file.
+    //
+    // A FILTERED run (sbt testOnly … -z, or an early abort) executes
+    // only some of those tests, so the accumulator is legitimately
+    // partial — cancel instead of reporting phantom gaps (ADVICE r10
+    // #5). Threshold ½: a subset filter selects a handful of tests
+    // (accumulator ≪ half the surface), while a REAL coverage gap is
+    // a few queries missing from an otherwise full accumulator.
+    if (budgetedQueries.size < SparkEntry.queries.size / 2)
+      cancel(s"partial run: only ${budgetedQueries.size} of " +
+        s"${SparkEntry.queries.size} queries were budget-checked — " +
+        "completeness is only meaningful after the full suite")
     val missing = SparkEntry.queries.keySet -- budgetedQueries
     assert(missing.isEmpty,
       s"queries with no budget assertion: ${missing.toSeq.sorted.mkString(", ")}")
