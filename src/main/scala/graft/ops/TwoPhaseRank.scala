@@ -61,6 +61,40 @@ object TwoPhaseRank {
        | shiftright(abs($v), greatest(length(bin(abs($v))) - 5, 0)))"""
       .stripMargin)
 
+  /** Minimum distinct buckets a corpus-sized key must spread over
+    * before the in-bucket window runs — the STRUCTURAL form of the
+    * degenerate-domain trap `TwoPhaseBucketSpreadSpec` first pinned
+    * for one query (VERDICT r10 #1): a narrow-band sort domain (e.g.
+    * epoch-microsecond timestamps under [[monotoneBucket]]) collapses
+    * a key's whole frame into ONE bucket, silently re-serializing the
+    * sort this class exists to parallelize. Every entry point now
+    * embeds a per-grid-row check in the offsets frame itself — zero
+    * extra jobs, the grid is bounded — that fails the query loudly
+    * with the bucketOverride remedy instead. Keys below
+    * `degenerateRows` are exempt (a small frame sorts fine in one
+    * task; you also cannot demand 32 buckets of 50 rows). */
+  private def minSpread(df: DataFrame): Long =
+    df.sparkSession.conf.get("spark.graft.tpr.minBucketSpread", "32").toLong
+  private def degenerateRows(df: DataFrame): Long =
+    df.sparkSession.conf.get("spark.graft.tpr.degenerateRows", "100000").toLong
+
+  /** Wraps `guarded` so that evaluating it on a grid row whose key
+    * holds ≥ `degenerateRows` rows spread over < `minSpread` buckets
+    * raises the degenerate-domain error. The guard rides a column the
+    * caller keeps, so Catalyst cannot prune it. */
+  private def spreadGuard(df: DataFrame, nRows: Column, spread: Column,
+                          guarded: Column): Column =
+    when(nRows >= lit(degenerateRows(df)) && spread < lit(minSpread(df)),
+      raise_error(concat(
+        lit("TwoPhaseRank degenerate bucket domain: a key with "), nRows,
+        lit(" rows landed in only "), spread,
+        lit(" buckets (< " + minSpread(df) + ") — the sort domain is " +
+          "too narrow for the default monotoneBucket coarsening " +
+          "(epoch-like timestamps are the known case); pass an " +
+          "explicit fixed-granularity bucketOverride, e.g. " +
+          "ts div 3600000000 for hourly"))))
+      .otherwise(guarded)
+
   /** Adds `rankName` = the global per-`keys` rank of each row by
     * (`v` ASC, `ties` ASC) and `nName` = the per-`keys` row count,
     * without ever partitioning a corpus-sized window on `keys` alone.
@@ -94,7 +128,9 @@ object TwoPhaseRank {
     val totW = Window.partitionBy(keys.map(col): _*)
     val offsets = counts.select(
       (keys :+ b).map(col) ++ Seq(
-        coalesce(sum(col("__tpr_bn")).over(offW), lit(0L)).as("__tpr_off"),
+        spreadGuard(df, sum(col("__tpr_bn")).over(totW).cast("long"),
+          count(lit(1)).over(totW),
+          coalesce(sum(col("__tpr_bn")).over(offW), lit(0L))).as("__tpr_off"),
         sum(col("__tpr_bn")).over(totW).cast("long").as(nName)): _*)
     val inW = Window.partitionBy((keys :+ b).map(col): _*)
       .orderBy(order: _*)
@@ -144,13 +180,18 @@ object TwoPhaseRank {
     val sumCols = sums.map { case (src, out) =>
       sum(col(src)).as(s"__tpr_bs_$out") }
     val counts = withB.groupBy((keys :+ b).map(col): _*)
-      .agg(sumCols.head, sumCols.tail: _*)
+      .agg(sumCols.head, sumCols.tail :+ count(lit(1)).as("__tpr_bn"): _*)
     val offW = Window.partitionBy(keys.map(col): _*).orderBy(col(b))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val totW = Window.partitionBy(keys.map(col): _*)
     val offsets = counts.select(
-      (keys :+ b).map(col) ++ sums.map { case (_, out) =>
-        coalesce(sum(col(s"__tpr_bs_$out")).over(offW), lit(0L))
-          .as(s"__tpr_off_$out") }: _*)
+      (keys :+ b).map(col) ++ sums.zipWithIndex.map { case ((_, out), i) =>
+        val off = coalesce(sum(col(s"__tpr_bs_$out")).over(offW), lit(0L))
+        // the guard rides the first offset column (always kept)
+        (if (i == 0)
+          spreadGuard(df, sum(col("__tpr_bn")).over(totW).cast("long"),
+            count(lit(1)).over(totW), off)
+        else off).as(s"__tpr_off_$out") }: _*)
     val joined = withB.join(broadcast(offsets), keys :+ b)
     val withSums = sums.foldLeft(joined) { case (d, (src, out)) =>
       d.withColumn(out,
@@ -192,7 +233,9 @@ object TwoPhaseRank {
       expr(posSql).cast("long").as(s"__tpr_pos_$out") }
     val offsets = counts.select(
       (keys :+ b).map(col) ++ Seq(
-        coalesce(sum(col("__tpr_bn")).over(offW), lit(0L)).as("__tpr_off"),
+        spreadGuard(df, sum(col("__tpr_bn")).over(totW).cast("long"),
+          count(lit(1)).over(totW),
+          coalesce(sum(col("__tpr_bn")).over(offW), lit(0L))).as("__tpr_off"),
         col("__tpr_bn"),
         sum(col("__tpr_bn")).over(totW).cast("long").as("n")): _*)
     val withPos = offsets.select(offsets.columns.map(col) ++ posCols: _*)
