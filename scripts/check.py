@@ -104,6 +104,54 @@ def iterative_cluster_stats_oracle(con, oracle):
         GROUP BY csize ORDER BY csize""").fetch_arrow_table()
 
 
+INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+def sql_multiset_equal(con, files, name, want_view):
+    """Large-result compare (sf10 gates): the row-by-row Python loop
+    materializes every value and dies on 10^7+-row outputs, so above
+    SQLCMP_ROWS the multiset equality runs INSIDE DuckDB — EXCEPT ALL
+    both ways over canonically-cast projections (ints → BIGINT unless
+    the other side is floating/decimal, then both → DOUBLE; matching
+    norm()'s coercions). Returns (status, detail)."""
+    con.execute("CREATE OR REPLACE TEMP VIEW got_big AS "
+                f"SELECT * FROM read_parquet({files!r})")
+    gt = {r[0]: r[1] for r in con.execute("DESCRIBE got_big").fetchall()}
+    wt = {r[0]: r[1] for r in con.execute(f"DESCRIBE {want_view}").fetchall()}
+    if sorted(gt) != sorted(wt):
+        return "SCHEMA", f"spark={sorted(gt)} oracle={sorted(wt)}"
+    ng = con.execute("SELECT count(*) FROM got_big").fetchone()[0]
+    nw = con.execute(f"SELECT count(*) FROM {want_view}").fetchone()[0]
+    if ng != nw:
+        return "NROWS", f"spark={ng} oracle={nw}"
+
+    def canon(view, types):
+        exprs = []
+        for c in sorted(types):
+            base_g, base_w = gt[c].split("(")[0], wt[c].split("(")[0]
+            floaty = {base_g, base_w} - INT_TYPES - {"VARCHAR", "BOOLEAN",
+                                                     "DATE", "TIMESTAMP"}
+            if base_g in INT_TYPES and base_w in INT_TYPES:
+                exprs.append(f'CAST("{c}" AS BIGINT) AS "{c}"')
+            elif floaty:
+                exprs.append(f'CAST("{c}" AS DOUBLE) AS "{c}"')
+            else:
+                exprs.append(f'"{c}"')
+        return f"SELECT {', '.join(exprs)} FROM {view}"
+
+    g, w = canon("got_big", gt), canon(want_view, wt)
+    bad = con.execute(
+        f"SELECT count(*) FROM (({g} EXCEPT ALL {w}) "
+        f"UNION ALL ({w} EXCEPT ALL {g}))").fetchone()[0]
+    if bad:
+        return "DIFF", f"{bad} rows differ (sql multiset compare)"
+    return "OK", f"{ng} rows x {len(gt)} cols (sql multiset compare)"
+
+
+SQLCMP_ROWS = int(os.environ.get("GRAFT_SQLCMP_ROWS", "5000000"))
+
+
 def main(out_dir, sf_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -124,6 +172,22 @@ def main(out_dir, sf_dir):
         if not files:
             print(f"[MISS ] {name}: no parquet written")
             fail += 1
+            continue
+        n_got = con.execute(
+            f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
+        if name in oracle and n_got > SQLCMP_ROWS:
+            try:
+                con.execute("CREATE OR REPLACE TEMP VIEW want_big AS "
+                            f"({oracle[name]})")
+                status, detail = sql_multiset_equal(
+                    con, files, name, "want_big")
+            except Exception as e:
+                status, detail = "OERR", f"oracle failed: {e}"
+            print(f"[{status:<5}] {name}: {detail}")
+            if status == "OK":
+                ok += 1
+            else:
+                fail += 1
             continue
         got = con.execute(
             f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()

@@ -35,24 +35,26 @@ object Soak {
     // once keyed state outgrows executor heap (the HDFS-backed default
     // keeps every version in memory); same pipeline, provider only
     val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    // ttl_lazy: same TTL pipeline with the watermark-advance no-data
-    // micro-batches disabled — the r9 soak measured the TTL variant at
-    // 82k vs the 115k NoTimeout baseline, and the gap is NOT per-key
-    // timer churn (deadlines clear on first advance, so almost no
-    // timers stay armed): it is the trailing no-data batch the engine
-    // schedules per watermark advance (2 progress entries/iteration vs
-    // 1, ~+0.35 s/iteration of pure batch overhead). Disabling them
+    // ttl_lazy is the RECORDED TTL variant (bar-judged) as of r11:
+    // same TTL pipeline with the watermark-advance no-data
+    // micro-batches disabled. The r9/r10 soaks root-caused the eager
+    // variant's sub-bar number to the trailing no-data batch the
+    // engine schedules per watermark advance (2 progress entries per
+    // iteration vs 1, ~+0.35 s/iteration of pure state-store-commit +
+    // planning overhead), NOT per-key timer churn. Disabling them
     // makes timeout OBSERVATION lazy — processed at the key's next
     // data batch — which is exactly the reference's Redis model (a
     // TTL-expired start key is only seen dead at the next read,
-    // DispatcherFunction.cs:74-80). The eager default stays: its
-    // timing is what StreamingCompatTtlSpec pins.
+    // DispatcherFunction.cs:74-80), so lazy is the semantically
+    // faithful row to judge. The eager run stays in the artifact as
+    // the documented cost exhibit (bar_judged=false); its timing is
+    // what StreamingCompatTtlSpec pins.
     val noData = "spark.sql.streaming.noDataMicroBatches.enabled"
-    for ((ttl, provider, lazyTimeout, tag) <- Seq(
-      (None, None, false, "noTimeout"),
-      (Some("86400"), None, false, "ttl"),
-      (Some("86400"), None, true, "ttl_lazy"),
-      (None, Some(rocks), false, "noTimeout_rocksdb"))) {
+    for ((ttl, provider, lazyTimeout, barJudged, tag) <- Seq(
+      (None, None, false, true, "noTimeout"),
+      (Some("86400"), None, true, true, "ttl_lazy"),
+      (Some("86400"), None, false, false, "ttl_eager_exhibit"),
+      (None, Some(rocks), false, true, "noTimeout_rocksdb"))) {
       provider.foreach(p =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
       if (lazyTimeout) spark.conf.set(noData, "false")
@@ -65,15 +67,21 @@ object Soak {
       val rate = batches.toLong * keys * hz / r.totalSec
       val steady = r.steadyEventsPerSec(keys, hz)
       val stateOk = r.stateRows.toSet == Set(keys.toLong)
-      if (tag == "noTimeout") ok = stateOk && steady >= bar
+      // every bar-judged variant must keep up; the eager-TTL exhibit
+      // documents the no-data micro-batch cost without being judged
+      if (barJudged) ok = ok && stateOk && steady >= bar
+      val note = if (barJudged) "" else
+        s""","note":"cost exhibit: eager timeout pays one no-data """ +
+          s"""micro-batch per watermark advance; the bar-judged TTL """ +
+          s"""row is ttl_lazy (the reference's lazy-expiry model)""""
       println(s"""{"soak":"$tag","keys":$keys,"hz":$hz,"batches":$batches,""" +
         s""""events":${batches.toLong * keys * hz},""" +
         f""""total_sec":${r.totalSec}%.2f,"events_per_sec":$rate%.0f,""" +
         f""""steady_events_per_sec":$steady%.0f,""" +
-        s""""bar":$bar,"state_rows_flat":$stateOk,""" +
+        s""""bar":$bar,"bar_judged":$barJudged,"state_rows_flat":$stateOk,""" +
         s""""progress_entries":${r.progressEntries},""" +
         s""""batch_wall_sec":[${r.wallSec.map(w => f"$w%.2f").mkString(",")}],""" +
-        s""""emitted":[${r.emitted.mkString(",")}]}""")
+        s""""emitted":[${r.emitted.mkString(",")}]$note}""")
     }
     spark.stop()
     if (!ok) sys.exit(1)

@@ -1136,9 +1136,18 @@ object TextOps {
     * rank (oracle unchanged); the rollup is a combine to the
     * |langs|×3 grid. */
   def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    // The NLL domain is NARROW-BAND for the default monotoneBucket:
+    // per-bigram costs are log-scale micro-units, so corpus averages
+    // live inside one binary octave (~5–15e6) and bitlength+top-5-bits
+    // collapses a language's whole frame into a handful of buckets —
+    // caught by the structural spread guard at sf10 (205,900 rows in
+    // 4 buckets). A fixed 2^14-µnll granularity is monotone and
+    // domain-bounded (cost_micro ≤ ~log(2·V)·1e6 < 2e7 ⇒ ≲1.2k
+    // buckets per lang), and spreads every realistic corpus.
     graft.ops.TwoPhaseRank.withRankAndCount(
         perDocNll(s, dir), Seq("lang"), "avg_nll_micro",
-        Seq(col("doc_id")), "r", "n")
+        Seq(col("doc_id")), "r", "n",
+        bucketOverride = Some(expr("avg_nll_micro div 16384")))
       .withColumn("bucket",
         when(expr("r * 3 <= n"), lit("head"))
           .when(expr("r * 3 <= 2 * n"), lit("middle"))
