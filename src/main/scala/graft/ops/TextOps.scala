@@ -1141,13 +1141,16 @@ object TextOps {
     // live inside one binary octave (~5–15e6) and bitlength+top-5-bits
     // collapses a language's whole frame into a handful of buckets —
     // caught by the structural spread guard at sf10 (205,900 rows in
-    // 4 buckets). A fixed 2^14-µnll granularity is monotone and
-    // domain-bounded (cost_micro ≤ ~log(2·V)·1e6 < 2e7 ⇒ ≲1.2k
-    // buckets per lang), and spreads every realistic corpus.
+    // 4 buckets). A fixed 2^11-µnll granularity is monotone, and the
+    // OBSERVED per-lang spread — corpus averages concentrate, the
+    // sf10 width is ~4e5 µnll, not the ~2e7 theoretical cost ceiling
+    // — still yields ~190 buckets (2^14 left only 24, re-caught by
+    // the guard); the theoretical ceiling bounds the grid at ≲10k
+    // buckets per lang, so the offsets frame stays tiny either way.
     graft.ops.TwoPhaseRank.withRankAndCount(
         perDocNll(s, dir), Seq("lang"), "avg_nll_micro",
         Seq(col("doc_id")), "r", "n",
-        bucketOverride = Some(expr("avg_nll_micro div 16384")))
+        bucketOverride = Some(expr("avg_nll_micro div 2048")))
       .withColumn("bucket",
         when(expr("r * 3 <= n"), lit("head"))
           .when(expr("r * 3 <= 2 * n"), lit("middle"))
