@@ -141,6 +141,26 @@ def sql_multiset_equal(con, files, name, want_view):
         return f"SELECT {', '.join(exprs)} FROM {view}"
 
     g, w = canon("got_big", gt), canon(want_view, wt)
+    if ng > FINGERPRINT_ROWS:
+        # EXCEPT ALL sorts both multisets (~2x the rows through the
+        # temp dir — 126M-row simhash blew a 25 GiB cap); above this
+        # size compare grouped hash-sum fingerprints instead: a
+        # streaming aggregate, near-zero temp. Per 1024-bucket
+        # (row_hash % p) sums + counts; a multiset difference shifts
+        # some bucket's sum/count with collision probability ~1/p
+        # per differing row pair.
+        def fp(q):
+            cols = ", ".join(f'"{c}"' for c in sorted(gt))
+            return (f"SELECT hash({cols}) % 1024 AS b, count(*) AS n, "
+                    f"CAST(sum(hash({cols}) % 1000000007) AS HUGEINT) "
+                    f"AS s FROM ({q}) GROUP BY 1")
+        bad = con.execute(
+            f"SELECT count(*) FROM (({fp(g)} EXCEPT {fp(w)}) "
+            f"UNION ALL ({fp(w)} EXCEPT {fp(g)}))").fetchone()[0]
+        if bad:
+            return "DIFF", f"{bad} fingerprint buckets differ"
+        return "OK", (f"{ng} rows x {len(gt)} cols "
+                      "(1024-bucket hash-sum fingerprint)")
     bad = con.execute(
         f"SELECT count(*) FROM (({g} EXCEPT ALL {w}) "
         f"UNION ALL ({w} EXCEPT ALL {g}))").fetchone()[0]
@@ -150,10 +170,21 @@ def sql_multiset_equal(con, files, name, want_view):
 
 
 SQLCMP_ROWS = int(os.environ.get("GRAFT_SQLCMP_ROWS", "5000000"))
+FINGERPRINT_ROWS = int(os.environ.get("GRAFT_FINGERPRINT_ROWS",
+                                      "50000000"))
 
 
 def main(out_dir, sf_dir):
     con = duckdb.connect()
+    # Resource caps for sf10-scale oracle runs: an uncapped DuckDB
+    # spill once filled the disk and took a concurrent Spark gate
+    # down with it. Threads also matter when Spark shares the box.
+    for env, pragma in (("GRAFT_DUCKDB_THREADS", "threads"),
+                        ("GRAFT_DUCKDB_MEM", "memory_limit"),
+                        ("GRAFT_DUCKDB_TEMP", "max_temp_directory_size")):
+        val = os.environ.get(env)
+        if val:
+            con.execute(f"SET {pragma} = '{val}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
