@@ -29,6 +29,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v" → runtime session confs, so a
+    // gate can flip production-shape switches (e.g.
+    // spark.graft.dedup.materialize=true) without code edits.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the dump (local iteration);
     // the driver runs without it → full surface.
