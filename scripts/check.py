@@ -108,6 +108,34 @@ INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
 
 
+def materialize_ctes(sql):
+    """Execution-hint rewrite: WITH x AS (...) -> AS MATERIALIZED (...).
+
+    DuckDB inlines CTEs by default; a chain where level K references
+    level K-1 twice (q_kcenter_select's 8 greedy rounds) re-executes
+    exponentially — 2^8 copies of the base scan blew a 26 GiB memory
+    cap at 200 k embeddings, while the MATERIALIZED form runs each
+    level once and finishes in seconds. Semantics are unchanged, so
+    OOM-failed oracles are retried once through this rewrite."""
+    import re
+    return re.sub(r"\bAS \(", "AS MATERIALIZED (", sql)
+
+
+def is_oom(e):
+    s = str(e)
+    return "Out of Memory" in s or "max_temp_directory_size" in s
+
+
+def run_oracle(con, sql):
+    """Oracle exec with the one-shot MATERIALIZED retry on OOM."""
+    try:
+        return con.execute(sql).fetch_arrow_table()
+    except Exception as e:
+        if not is_oom(e):
+            raise
+        return con.execute(materialize_ctes(sql)).fetch_arrow_table()
+
+
 def sql_multiset_equal(con, files, name, want_view):
     """Large-result compare (sf10 gates): the row-by-row Python loop
     materializes every value and dies on 10^7+-row outputs, so above
@@ -210,8 +238,16 @@ def main(out_dir, sf_dir):
             try:
                 con.execute("CREATE OR REPLACE TEMP VIEW want_big AS "
                             f"({oracle[name]})")
-                status, detail = sql_multiset_equal(
-                    con, files, name, "want_big")
+                try:
+                    status, detail = sql_multiset_equal(
+                        con, files, name, "want_big")
+                except Exception as e:
+                    if not is_oom(e):
+                        raise
+                    con.execute("CREATE OR REPLACE TEMP VIEW want_big AS "
+                                f"({materialize_ctes(oracle[name])})")
+                    status, detail = sql_multiset_equal(
+                        con, files, name, "want_big")
             except Exception as e:
                 status, detail = "OERR", f"oracle failed: {e}"
             print(f"[{status:<5}] {name}: {detail}")
@@ -233,7 +269,7 @@ def main(out_dir, sf_dir):
             elif name == "q_cluster_stats" and big:
                 want = iterative_cluster_stats_oracle(con, oracle)
             else:
-                want = con.execute(oracle[name]).fetch_arrow_table()
+                want = run_oracle(con, oracle[name])
         except Exception as e:
             print(f"[OERR ] {name}: oracle failed: {e}")
             fail += 1
