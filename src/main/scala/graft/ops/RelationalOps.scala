@@ -39,7 +39,11 @@ object RelationalOps {
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // total order over the full projection: (l_orderkey, l_linenumber)
+      // is NOT unique in the synthetic corpora (118k dup keys at sf0.1,
+      // 11.8M at sf10), and engines permute ties differently
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount")
 
   // ---------------------------------------------------------------- joins
 
@@ -2998,7 +3002,8 @@ object RelationalOps {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  l_discount""".stripMargin,
     "q_hash_join_inner" ->
       """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
