@@ -32,6 +32,28 @@ def main():
               if qn[k] > 0 and qo[k] / qn[k] > thr]
 
     print(f"# bench diff: {old_path} -> {new_path} (threshold {thr}x)")
+    # Load-fingerprint header (VERDICT r11 #6): a run started on a busy
+    # box produces spurious movers — r11's diff carried 15 >1.3x movers
+    # that were pure box variance and needed manual adjudication. Print
+    # both runs' env fingerprints so every diff records its measurement
+    # conditions, and flag the diff as suspect when the starting loads
+    # are high or not comparable (the bench itself drives load_end up,
+    # so load_start is the honest before-work signal).
+    eo, en = old.get("env", {}), new.get("env", {})
+    for tag, e in (("old", eo), ("new", en)):
+        if e:
+            print(f"# {tag} env: load_start={e.get('load_start')} "
+                  f"load_end={e.get('load_end')} jvms_start="
+                  f"{e.get('jvms_start')} cpus={e.get('cpus')}")
+    lo, ln = eo.get("load_start"), en.get("load_start")
+    if lo is not None and ln is not None:
+        if max(lo, ln) > 2.0 or abs(lo - ln) > 2.0:
+            print(f"# WARNING: load fingerprints not comparable "
+                  f"(old {lo} vs new {ln}) — re-measure on a quiet box "
+                  f"before adjudicating movers")
+    if eo.get("jvms_start") != en.get("jvms_start"):
+        print(f"# WARNING: background JVM count differs "
+              f"(old {eo.get('jvms_start')} vs new {en.get('jvms_start')})")
     for label, rows in (("SLOWER", sorted(slower, key=lambda r: -r[3])),
                         ("FASTER", sorted(faster, key=lambda r: r[3]))):
         print(f"\n## {label} than {thr}x ({len(rows)})")

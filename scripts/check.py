@@ -116,9 +116,17 @@ def materialize_ctes(sql):
     exponentially — 2^8 copies of the base scan blew a 26 GiB memory
     cap at 200 k embeddings, while the MATERIALIZED form runs each
     level once and finishes in seconds. Semantics are unchanged, so
-    OOM-failed oracles are retried once through this rewrite."""
+    OOM-failed oracles are retried once through this rewrite.
+
+    Only CTE heads are rewritten: the body must open with a query
+    keyword (SELECT/WITH/VALUES). A bare `\bAS \(` also matched DuckDB
+    named-window clauses — `WINDOW w AS (PARTITION BY ...)` — turning
+    the OOM retry into a syntax error for every oracle using one
+    (ADVICE r12); window specs open with PARTITION/ORDER/ROWS/RANGE,
+    never a query keyword, so the lookahead separates them exactly."""
     import re
-    return re.sub(r"\bAS \(", "AS MATERIALIZED (", sql)
+    return re.sub(r"\bAS \((\s*)(?=SELECT\b|WITH\b|VALUES\b)",
+                  r"AS MATERIALIZED (\1", sql, flags=re.IGNORECASE)
 
 
 def is_oom(e):

@@ -15,10 +15,14 @@ object Verify {
     // busy, capped at 4096. At 100 TB this is ~3M-partition
     // territory handled by AQE coalescing; the point is the DEFAULT
     // grows with data instead of being pinned to local thread count.
-    val inputBytes = Files.list(Paths.get(sfDir)).toArray
-      .map(p => p.asInstanceOf[java.nio.file.Path])
-      .filter(p => Files.isRegularFile(p))
-      .map(Files.size).sum
+    val inputBytes = {
+      val ls = Files.list(Paths.get(sfDir)) // close: bare streams leak the dir fd
+      try ls.toArray
+        .map(p => p.asInstanceOf[java.nio.file.Path])
+        .filter(p => Files.isRegularFile(p))
+        .map(Files.size).sum
+      finally ls.close()
+    }
     val parts = math.min(4096L,
       math.max(cpus.toLong, inputBytes / (32L << 20) + 1)).toString
     val spark = SparkSession.builder()

@@ -1805,24 +1805,50 @@ object LlmOps {
        |            (CASE WHEN emb THEN 1 ELSE 0 END) AS BIGINT) AS n_signals
        |FROM j ORDER BY doc_a, doc_b""".stripMargin
 
-  /** The q_recursive_reach oracle: the same BFS as a DuckDB
-    * WITH RECURSIVE over the embedded minhash pair query. */
+  /** The q_recursive_reach oracle, reformulated for sf10 (VERDICT r11
+    * #4). The r11 form ran DuckDB's WITH RECURSIVE over the
+    * ENUMERATED candidate-pair graph — 562 M edges at sf10, > 45 GiB
+    * temp, the gate's one oracle-cost skip. But the edge relation IS
+    * "shares ≥ 1 (band, sig) bucket" ([[minhashDedup]] groups the
+    * band self-join), so BFS over the pairs equals BFS over the
+    * doc↔bucket BIPARTITE graph, whose table `m` is 8 rows/doc (4 M
+    * rows at sf10, never 562 M): level k+1 = docs appearing in any
+    * bucket touched by level ≤ k. The depth bound is 3, so the
+    * recursion unrolls to three bucket joins; each level's DISTINCT
+    * is ≤ |docs|. Spurious self-appearances (a frontier doc re-found
+    * via its own buckets) are harmless under the final min(depth) —
+    * a doc's first appearance is its true BFS distance, later
+    * re-appearances lose the min. Equivalence is not argued, it is
+    * hash-checked: the driver gate compares this oracle to the
+    * unchanged Spark recursion at every SF. */
   private[graft] def recursiveReachOracle: String =
-    s"""WITH RECURSIVE lex_q AS (
-       |${minhashOracleSql}),
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM lex_q
-       |  UNION ALL
-       |  SELECT doc_b AS src, doc_a AS dst FROM lex_q),
-       |reach(doc_id, depth) AS (
-       |  SELECT DISTINCT src AS doc_id, 0 AS depth
-       |  FROM edges WHERE src < 20
-       |  UNION ALL
-       |  SELECT DISTINCT e.dst, r.depth + 1
-       |  FROM reach r JOIN edges e ON e.src = r.doc_id
-       |  WHERE r.depth < 3)
+    s"""WITH $minhashBandCtes,
+       |r0 AS (
+       |  SELECT DISTINCT b1.doc_id
+       |  FROM m b1 JOIN m b2 ON b1.band = b2.band AND b1.sig = b2.sig
+       |    AND b2.doc_id <> b1.doc_id
+       |  WHERE b1.doc_id < 20),
+       |n1 AS (
+       |  SELECT DISTINCT b2.doc_id
+       |  FROM r0 JOIN m b1 ON b1.doc_id = r0.doc_id
+       |  JOIN m b2 ON b2.band = b1.band AND b2.sig = b1.sig),
+       |r1 AS (SELECT doc_id FROM r0 UNION SELECT doc_id FROM n1),
+       |n2 AS (
+       |  SELECT DISTINCT b2.doc_id
+       |  FROM r1 JOIN m b1 ON b1.doc_id = r1.doc_id
+       |  JOIN m b2 ON b2.band = b1.band AND b2.sig = b1.sig),
+       |r2 AS (SELECT doc_id FROM r1 UNION SELECT doc_id FROM n2),
+       |n3 AS (
+       |  SELECT DISTINCT b2.doc_id
+       |  FROM r2 JOIN m b1 ON b1.doc_id = r2.doc_id
+       |  JOIN m b2 ON b2.band = b1.band AND b2.sig = b1.sig),
+       |lv AS (
+       |  SELECT doc_id, 0 AS depth FROM r0
+       |  UNION ALL SELECT doc_id, 1 FROM n1
+       |  UNION ALL SELECT doc_id, 2 FROM n2
+       |  UNION ALL SELECT doc_id, 3 FROM n3)
        |SELECT doc_id, CAST(min(depth) AS BIGINT) AS hops
-       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM lv GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Same keep-min rule (arg_min ≡ min_by, doc_id unique), same

