@@ -134,8 +134,19 @@ def is_oom(e):
     return "Out of Memory" in s or "max_temp_directory_size" in s
 
 
+def force_materialize():
+    """GRAFT_MATERIALIZE=1 applies the CTE-materialization rewrite to
+    every oracle UP FRONT (sf10 gate runs: a chained multi-reference
+    CTE like the bucket-BFS reach oracle inlines to ~30 copies of its
+    base CTE — not an OOM, just a pointless 30x recompute the retry
+    path never sees)."""
+    return os.environ.get("GRAFT_MATERIALIZE") == "1"
+
+
 def run_oracle(con, sql):
     """Oracle exec with the one-shot MATERIALIZED retry on OOM."""
+    if force_materialize():
+        sql = materialize_ctes(sql)
     try:
         return con.execute(sql).fetch_arrow_table()
     except Exception as e:
@@ -244,8 +255,10 @@ def main(out_dir, sf_dir):
             f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
         if name in oracle and n_got > SQLCMP_ROWS:
             try:
+                big_sql = (materialize_ctes(oracle[name])
+                           if force_materialize() else oracle[name])
                 con.execute("CREATE OR REPLACE TEMP VIEW want_big AS "
-                            f"({oracle[name]})")
+                            f"({big_sql})")
                 try:
                     status, detail = sql_multiset_equal(
                         con, files, name, "want_big")
