@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.DeltaRead
+
+/** Read-side interop with the open Delta Lake protocol, proven against
+  * HAND-AUTHORED tables (no Delta library exists in the dependency
+  * budget to write fixtures — which is the point: the format is plain
+  * JSON + parquet, and these fixtures follow PROTOCOL.md literally).
+  * Covers: state fold (adds minus removes), time travel, partition
+  * values injected from the log, URL-encoded paths, checkpoint-parquet
+  * bootstrap with vacuumed JSON commits, and the loud refusal of
+  * reader features this implementation does not have. */
+class DeltaReadSpec extends SparkSpec {
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_delta_").toString
+
+  /** Writes `df` as ONE parquet file named `name` under `root`. */
+  private def dataFile(root: String, name: String, df: DataFrame): Unit = {
+    val tmp = Paths.get(root, s".stage_${name.hashCode}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val ls = Files.list(tmp)
+      try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+    }
+    Files.move(part, Paths.get(root, name), StandardCopyOption.REPLACE_EXISTING)
+    val walk = Files.walk(tmp)
+    try walk.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
+  private def writeCommit(root: String, v: Long, lines: Seq[String]): Unit = {
+    val log = Paths.get(root, "_delta_log")
+    Files.createDirectories(log)
+    Files.write(log.resolve(f"$v%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def protoLine(v: Int = 1) =
+    s"""{"protocol":{"minReaderVersion":$v,"minWriterVersion":2}}"""
+
+  private def metaLine(schemaJson: String, partCols: Seq[String] = Nil) =
+    s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jstr(schemaJson)},""" +
+      s""""partitionColumns":[${partCols.map(c => s""""$c"""").mkString(",")}],""" +
+      s""""configuration":{},"createdTime":1700000000000}}"""
+
+  private def addLine(path: String, pv: String = "{}") =
+    s"""{"add":{"path":"$path","partitionValues":$pv,"size":1,""" +
+      s""""modificationTime":1700000000000,"dataChange":true}}"""
+
+  private def removeLine(path: String) =
+    s"""{"remove":{"path":"$path","deletionTimestamp":1700000001000,"dataChange":true}}"""
+
+  test("reads a basic table: adds folded, URL-encoded paths resolved") {
+    import spark.implicits._
+    val root = freshTable()
+    val f1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val f2 = Seq((3L, "c")).toDF("id", "v")
+    dataFile(root, "f one.parquet", f1) // space → %20 in the log
+    dataFile(root, "f2.parquet", f2)
+    writeCommit(root, 0, Seq(protoLine(), metaLine(f1.schema.json),
+      addLine("f%20one.parquet"), addLine("f2.parquet")))
+    val got = DeltaRead.read(spark, root)
+    assert(got.columns.toSeq === Seq("id", "v"))
+    assert(got.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("remove supersedes add; versionAsOf time-travels the fold") {
+    import spark.implicits._
+    val root = freshTable()
+    val f1 = Seq((1L, "a")).toDF("id", "v")
+    val f2 = Seq((2L, "b")).toDF("id", "v")
+    val f3 = Seq((3L, "c")).toDF("id", "v")
+    Seq(("f1.parquet", f1), ("f2.parquet", f2), ("f3.parquet", f3))
+      .foreach { case (n, d) => dataFile(root, n, d) }
+    writeCommit(root, 0, Seq(protoLine(), metaLine(f1.schema.json),
+      addLine("f1.parquet"), addLine("f2.parquet")))
+    writeCommit(root, 1, Seq(removeLine("f2.parquet"), addLine("f3.parquet")))
+
+    val latest = DeltaRead.read(spark, root)
+    assert(latest.select("id").orderBy("id").collect().map(_.getLong(0))
+      .toSeq === Seq(1L, 3L), "remove not applied or add lost")
+    val v0 = DeltaRead.read(spark, root, versionAsOf = 0)
+    assert(v0.select("id").orderBy("id").collect().map(_.getLong(0))
+      .toSeq === Seq(1L, 2L), "time travel leaked post-version actions")
+  }
+
+  test("partition values come from the log, typed, including null") {
+    import spark.implicits._
+    val root = freshTable()
+    // partition column `p` is NOT in the data files — protocol rule
+    val f1 = Seq((1L, "a")).toDF("id", "v")
+    val f2 = Seq((2L, "b")).toDF("id", "v")
+    val f3 = Seq((3L, "c")).toDF("id", "v")
+    Seq(("f1.parquet", f1), ("f2.parquet", f2), ("f3.parquet", f3))
+      .foreach { case (n, d) => dataFile(root, n, d) }
+    val full = Seq((1L, "a", 10)).toDF("id", "v", "p") // p INT to prove cast
+    writeCommit(root, 0, Seq(protoLine(), metaLine(full.schema.json, Seq("p")),
+      addLine("f1.parquet", """{"p":"10"}"""),
+      addLine("f2.parquet", """{"p":"20"}"""),
+      addLine("f3.parquet", """{"p":null}""")))
+    val got = DeltaRead.read(spark, root)
+    assert(got.columns.toSeq === Seq("id", "v", "p"))
+    assert(got.schema("p").dataType.typeName === "integer")
+    assert(got.orderBy("id").collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(2)) -1 else r.getInt(2)))
+      .toSeq === Seq((1L, 10), (2L, 20), (3L, -1)))
+  }
+
+  test("checkpoint parquet bootstraps a vacuumed log") {
+    import spark.implicits._
+    val root = freshTable()
+    val f1 = Seq((1L, "a")).toDF("id", "v")
+    val f3 = Seq((3L, "c")).toDF("id", "v")
+    dataFile(root, "f1.parquet", f1)
+    dataFile(root, "f3.parquet", f3)
+    val schemaJson = f1.schema.json
+
+    // checkpoint at version 1 = the folded state (protocol + metaData
+    // + live adds), one action struct per row — ordinary parquet
+    val proto = spark.sql("SELECT named_struct('minReaderVersion', 1, " +
+      "'minWriterVersion', 2) AS protocol")
+    val meta = spark.sql(
+      s"SELECT named_struct('id', 'fixture', 'schemaString', ${
+        "'" + schemaJson.replace("'", "''") + "'"
+      }, 'partitionColumns', CAST(array() AS ARRAY<STRING>)) AS metaData")
+    val adds = spark.sql("SELECT named_struct('path', 'f1.parquet', " +
+      "'partitionValues', CAST(map() AS MAP<STRING,STRING>)) AS add")
+    val cp = proto.unionByName(meta, allowMissingColumns = true)
+      .unionByName(adds, allowMissingColumns = true)
+    val log = Paths.get(root, "_delta_log")
+    Files.createDirectories(log)
+    dataFile(log.toString, f"${1L}%020d.checkpoint.parquet", cp)
+    // the pre-checkpoint JSON commits were vacuumed — only a LATER
+    // commit exists; a reader that ignores the checkpoint sees no
+    // metaData at all and must fail, so success proves the bootstrap
+    writeCommit(root, 2, Seq(addLine("f3.parquet")))
+    val got = DeltaRead.read(spark, root)
+    assert(got.select("id").orderBy("id").collect().map(_.getLong(0))
+      .toSeq === Seq(1L, 3L))
+  }
+
+  test("refuses reader features beyond protocol 2 instead of mis-reading") {
+    import spark.implicits._
+    val root = freshTable()
+    val f1 = Seq((1L, "a")).toDF("id", "v")
+    dataFile(root, "f1.parquet", f1)
+    writeCommit(root, 0, Seq(protoLine(v = 3), metaLine(f1.schema.json),
+      addLine("f1.parquet")))
+    val e = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
+    assert(e.getMessage.contains("minReaderVersion=3"))
+  }
+
+  test("schemaString with escaped quotes and nested braces parses") {
+    import spark.implicits._
+    val root = freshTable()
+    // a column comment carrying quotes + braces exercises the
+    // tokenizer-based string extraction the regex approach would break on
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields.map(
+      _.withComment("""has "quotes" and {braces}""")))
+    dataFile(root, "f1.parquet", df)
+    writeCommit(root, 0, Seq(protoLine(), metaLine(schema.json),
+      addLine("f1.parquet")))
+    val got = DeltaRead.read(spark, root)
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((1L, "a")))
+  }
+}
