@@ -1,0 +1,203 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.util.Json
+
+/** Minimal read-side interop with the OPEN Apache Iceberg table spec
+  * (iceberg.apache.org/spec) — like [[DeltaRead]], no format library
+  * is involved: table metadata is plain JSON ([[Json]]), manifest
+  * lists and manifests are Avro (read with the avro-core jars Spark
+  * already ships), and data files are parquet read by Spark itself.
+  *
+  * Resolution chain, exactly the spec's:
+  *   metadata/version-hint.text (or highest vN.metadata.json)
+  *     → vN.metadata.json  (format-version, schemas, snapshots)
+  *     → snapshot's manifest-list Avro (one row per manifest)
+  *     → manifest Avro (one entry per data file; status 2 = deleted)
+  *     → parquet data files, read under the converted table schema.
+  *
+  * Scope (asserted, not assumed): format-version ≤ 2, and NO
+  * row-level deletes — a snapshot carrying a delete manifest
+  * (manifest-list `content` = 1) or a delete data file
+  * (`data_file.content` ≠ 0) is REFUSED loudly: position/equality
+  * deletes change row visibility and mis-reading them silently would
+  * fabricate rows. Identity-partition values are present in Iceberg
+  * data files (unlike Delta), so no log-side injection is needed.
+  *
+  * Time travel: `read(spark, root, snapshotId)` resolves any snapshot
+  * still listed in the current metadata.
+  *
+  * 100 TB shape: metadata JSON is kilobytes, manifest Avro is
+  * manifest-scale (one entry per file); the driver folds entries,
+  * executors read parquet. */
+object IcebergRead {
+
+  def read(spark: SparkSession, root: String): DataFrame =
+    readSnapshot(spark, root, None)
+
+  def read(spark: SparkSession, root: String, snapshotId: Long): DataFrame =
+    readSnapshot(spark, root, Some(snapshotId))
+
+  private def readSnapshot(spark: SparkSession, root: String,
+                           wanted: Option[Long]): DataFrame = {
+    val metaDir = Paths.get(root, "metadata")
+    require(Files.isDirectory(metaDir),
+      s"not an Iceberg table: no metadata dir under $root")
+    val metaFile = {
+      val hint = metaDir.resolve("version-hint.text")
+      if (Files.exists(hint))
+        metaDir.resolve(s"v${Files.readString(hint).trim}.metadata.json")
+      else {
+        val ls = Files.list(metaDir)
+        val vs = try ls.iterator.asScala.map(_.getFileName.toString)
+          .collect { case n if n.matches("v(\\d+)\\.metadata\\.json") =>
+            n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
+          .toSeq
+        finally ls.close()
+        require(vs.nonEmpty, s"no vN.metadata.json under $metaDir")
+        metaDir.resolve(s"v${vs.max}.metadata.json")
+      }
+    }
+    val meta = Json.parse(Files.readString(metaFile, StandardCharsets.UTF_8))
+    val fv = Json.long(meta, "format-version").getOrElse(1L)
+    require(fv <= 2L, s"Iceberg format-version $fv unsupported (reader " +
+      "implements v1/v2 without row-level deletes)")
+
+    val snapId = wanted.orElse(Json.long(meta, "current-snapshot-id"))
+      .getOrElse(sys.error(s"no current snapshot in $metaFile"))
+    val snap = Json.list(meta, "snapshots")
+      .find(s => Json.long(s, "snapshot-id").contains(snapId))
+      .getOrElse(sys.error(s"snapshot $snapId not found in $metaFile"))
+
+    val schema = tableSchema(meta, snap)
+
+    val mlPath = Json.str(snap, "manifest-list")
+      .map(resolve(root, _))
+      .getOrElse(sys.error(s"snapshot $snapId has no manifest-list " +
+        "(inline v1 manifests unsupported)"))
+    val manifests = avroRows(mlPath).map { r =>
+      val content = longField(r, "content").getOrElse(0L)
+      require(content == 0L, s"snapshot $snapId carries a DELETE manifest " +
+        "(v2 row-level deletes) — refusing rather than fabricating rows")
+      resolve(root, r.get("manifest_path").toString)
+    }
+
+    val files = manifests.flatMap { mp =>
+      avroRows(mp).flatMap { entry =>
+        val status = longField(entry, "status").getOrElse(0L)
+        if (status == 2L) None // deleted entry
+        else {
+          val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          val content = longField(df, "content").getOrElse(0L)
+          require(content == 0L, s"manifest $mp holds a delete data file " +
+            "(content=" + content + ") — refusing")
+          val fmt = Option(df.get("file_format")).map(_.toString.toUpperCase)
+          require(fmt.forall(_ == "PARQUET"),
+            s"non-parquet Iceberg data file (${fmt.get}) unsupported")
+          Some(resolve(root, df.get("file_path").toString))
+        }
+      }
+    }
+
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    import org.apache.spark.sql.functions.col
+    spark.read.schema(schema).parquet(files: _*)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** The snapshot's schema: its `schema-id` when listed, else the
+    * table's current schema (v2 `schemas` list, v1 inline `schema`). */
+  private def tableSchema(meta: Any, snap: Any): StructType = {
+    val schemas = Json.list(meta, "schemas")
+    val chosen =
+      Json.long(snap, "schema-id").flatMap(id =>
+          schemas.find(s => Json.long(s, "schema-id").contains(id)))
+        .orElse(Json.long(meta, "current-schema-id").flatMap(id =>
+          schemas.find(s => Json.long(s, "schema-id").contains(id))))
+        .orElse(Option(Json.get(meta, "schema")).filter(_ != null))
+        .getOrElse(sys.error("no schema in Iceberg metadata"))
+    toSpark(chosen).asInstanceOf[StructType]
+  }
+
+  /** Iceberg type JSON → Spark type (public spec §Schemas). */
+  private[graft] def toSpark(t: Any): DataType = t match {
+    case s: String => s match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "date" => DateType
+      case "time" => LongType // micros since midnight; no Spark TIME type
+      case "timestamp" => TimestampNTZType
+      case "timestamptz" => TimestampType
+      case "string" => StringType
+      case "uuid" => StringType
+      case "binary" => BinaryType
+      case fx if fx.startsWith("fixed") => BinaryType
+      case dec if dec.startsWith("decimal") =>
+        val m = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r.findFirstMatchIn(dec)
+          .getOrElse(sys.error(s"bad decimal type: $dec"))
+        DecimalType(m.group(1).toInt, m.group(2).toInt)
+      case other => sys.error(s"unsupported Iceberg primitive: $other")
+    }
+    case m: Map[_, _] =>
+      val obj = m.asInstanceOf[Map[String, Any]]
+      obj.getOrElse("type", null) match {
+        case "struct" =>
+          StructType(Json.list(obj, "fields").map { f =>
+            StructField(
+              Json.str(f, "name").getOrElse(sys.error("field without name")),
+              toSpark(Json.get(f, "type")),
+              nullable = !Option(Json.get(f, "required"))
+                .contains(true))
+          })
+        case "list" =>
+          ArrayType(toSpark(Json.get(obj, "element")),
+            containsNull = !Option(Json.get(obj, "element-required"))
+              .contains(true))
+        case "map" =>
+          MapType(toSpark(Json.get(obj, "key")),
+            toSpark(Json.get(obj, "value")),
+            valueContainsNull = !Option(Json.get(obj, "value-required"))
+              .contains(true))
+        case other => sys.error(s"unsupported Iceberg composite: $other")
+      }
+    case other => sys.error(s"unparseable Iceberg type: $other")
+  }
+
+  /** Iceberg stores absolute URIs; local tables use file: or plain
+    * paths, and hand-relocated fixtures may be root-relative. */
+  private def resolve(root: String, p: String): String = {
+    val noScheme = p.stripPrefix("file:")
+    if (Paths.get(noScheme).isAbsolute) noScheme
+    else Paths.get(root).resolve(noScheme).toString
+  }
+
+  private def avroRows(path: String): Seq[GenericRecord] = {
+    val reader = new DataFileReader[GenericRecord](
+      new java.io.File(path), new GenericDatumReader[GenericRecord]())
+    try reader.iterator.asScala.toVector finally reader.close()
+  }
+
+  /** Numeric field access tolerant of absence (v1 manifests have no
+    * `content`) and of int-vs-long writer choices. */
+  private def longField(r: GenericRecord, name: String): Option[Long] =
+    if (r.getSchema.getField(name) == null) None
+    else Option(r.get(name)).map {
+      case i: java.lang.Integer => i.toLong
+      case l: java.lang.Long => l
+      case other => other.toString.toLong
+    }
+}
