@@ -135,13 +135,20 @@ class ReplaySourceSpec extends SparkSpec {
         r.getSeq[String](2).mkString(","))).toSet
 
     // twin: the corpus lines in the SAME rowsPerBatch chunks through
-    // the SAME per-key replay fold the stream runs
-    val lines = Files.lines(Paths.get(dir).resolve(
-        Files.list(Paths.get(dir)).iterator.asScala
-          .map(_.getFileName.toString)
-          .filter(n => !n.startsWith(".") && !n.startsWith("_"))
-          .toSeq.sorted.head), StandardCharsets.UTF_8)
-      .iterator.asScala.toVector
+    // the SAME per-key replay fold the stream runs (streams closed —
+    // the r12 EMFILE lesson applies to test code too)
+    val corpusFile = {
+      val ls = Files.list(Paths.get(dir))
+      try Paths.get(dir).resolve(ls.iterator.asScala
+        .map(_.getFileName.toString)
+        .filter(n => !n.startsWith(".") && !n.startsWith("_"))
+        .toSeq.sorted.head)
+      finally ls.close()
+    }
+    val lines = {
+      val s = Files.lines(corpusFile, StandardCharsets.UTF_8)
+      try s.iterator.asScala.toVector finally s.close()
+    }
     val points = spark.createDataset(lines.zipWithIndex.map {
         case (l, i) => (l, i.toLong) })(
         org.apache.spark.sql.Encoders.product[(String, Long)])
