@@ -360,6 +360,23 @@ object GraftTable {
       .parquet(stage.toString)
   }
 
+  /** Migration entry points (r12): snapshot-convert an existing Delta
+    * or Iceberg table into a GraftTable — the "switch to this engine"
+    * story for users with standing lakehouse tables. The source is
+    * read through the zero-dependency protocol readers ([[DeltaRead]]
+    * / [[IcebergRead]]), re-clustered on `key` into `numFiles`
+    * range-partitioned files (so min/max skipping works from day one),
+    * and committed as version 1. One scan + one clustered write — the
+    * same cost as any engine migration's initial copy; incremental
+    * sync afterwards is [[merge]]/[[applyCdc]]'s job. */
+  def importDelta(spark: SparkSession, deltaRoot: String, root: String,
+                  key: String, numFiles: Int = 4): Snapshot =
+    create(spark, root, DeltaRead.read(spark, deltaRoot), key, numFiles)
+
+  def importIceberg(spark: SparkSession, icebergRoot: String, root: String,
+                    key: String, numFiles: Int = 4): Snapshot =
+    create(spark, root, IcebergRead.read(spark, icebergRoot), key, numFiles)
+
   // -- version pins ----------------------------------------------------
 
   private def pinDir(root: String): Path = Paths.get(root, "pins")

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.sources.DeltaRead
+
+/** Model-based property for [[DeltaRead]]'s state fold: RANDOM Delta
+  * logs (adds / removes / re-adds scattered across versions) must
+  * reconstruct, at EVERY versionAsOf, exactly the live-file set a
+  * trivial in-memory model computes. The fixed DeltaReadSpec fixtures
+  * pin the protocol's named behaviors; this pins the fold itself
+  * against arbitrary interleavings — re-add after remove, remove of a
+  * never-added path, multiple touches of one path in one commit, empty
+  * tables. Data files are the model's row payloads (one distinct row
+  * per path), so reading the folded table IS reading the model.
+  *
+  * Native ScalaCheck `Properties` — same offline-framework note as
+  * CompatWindowProps. */
+object DeltaFoldProps extends Properties("DeltaFold") {
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[2]").appName("DeltaFoldProps")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate() // shared JVM-wide with the ScalaTest suites
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(25) // each case folds a whole table
+
+  private val schemaJson = {
+    import spark.implicits._
+    Seq((0L, "x")).toDF("id", "v").schema.json
+  }
+
+  /** The 8-path data-file pool, written ONCE and referenced by
+    * absolute path from every generated log (identical across cases —
+    * the property varies the LOG, not the bytes). */
+  private lazy val pool: IndexedSeq[String] = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_delta_pool_")
+    (0 to 7).map { i =>
+      val df = Seq((i.toLong, s"p$i")).toDF("id", "v")
+      val tmp = dir.resolve(s".s$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ls = Files.list(tmp)
+      val part = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+      val dest = dir.resolve(s"f$i.parquet")
+      Files.move(part, dest)
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+      dest.toString
+    }
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** op = (path index, isAdd). Paths come from a small pool so
+    * add/remove/re-add collisions actually happen. */
+  private val genCommits: Gen[List[List[(Int, Boolean)]]] =
+    Gen.choose(1, 6).flatMap(nCommits =>
+      Gen.listOfN(nCommits,
+        Gen.choose(1, 5).flatMap(nOps =>
+          Gen.listOfN(nOps, Gen.zip(Gen.choose(0, 7), Gen.oneOf(true, false))))))
+
+  property("random logs fold to the model's live set at every version") =
+    forAll(genCommits) { commits =>
+      val root = Files.createTempDirectory("graft_delta_prop_").toString
+      val log = Paths.get(root, "_delta_log")
+      Files.createDirectories(log)
+
+      // write the log + fold the model in parallel; data files come
+      // from the shared pool by absolute path
+      val model = scala.collection.mutable.Set.empty[Int]
+      val modelAt = scala.collection.mutable.ArrayBuffer.empty[Set[Int]]
+      commits.zipWithIndex.foreach { case (ops, v) =>
+        val head = if (v == 0) List(
+          s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":"prop","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":0}}""")
+        else Nil
+        val lines = head ++ ops.map { case (i, isAdd) =>
+          if (isAdd) {
+            model += i
+            s"""{"add":{"path":"${pool(i)}","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+          } else {
+            model -= i
+            s"""{"remove":{"path":"${pool(i)}","deletionTimestamp":0,"dataChange":true}}"""
+          }
+        }
+        Files.write(log.resolve(f"$v%020d.json"),
+          lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+        modelAt += model.toSet
+      }
+
+      modelAt.zipWithIndex.forall { case (want, v) =>
+        val got = DeltaRead.read(spark, root, versionAsOf = v)
+          .select("id").collect().map(_.getLong(0).toInt).toSet
+        val ok = got == want
+        if (!ok) println(s"v$v: got=$got want=$want commits=$commits")
+        ok
+      }
+    }
+}

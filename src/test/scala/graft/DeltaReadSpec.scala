@@ -166,6 +166,26 @@ class DeltaReadSpec extends SparkSpec {
     assert(e.getMessage.contains("minReaderVersion=3"))
   }
 
+  test("importDelta snapshots into a range-clustered GraftTable") {
+    import spark.implicits._
+    val root = freshTable()
+    val df = (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v")
+    dataFile(root, "f1.parquet", df)
+    writeCommit(root, 0, Seq(protoLine(), metaLine(df.schema.json),
+      addLine("f1.parquet")))
+    val gt = Files.createTempDirectory("graft_import_").toString
+    val snap = graft.sources.GraftTable.importDelta(spark, root, gt, "id", 2)
+    assert(snap.version === 1 && snap.files.size === 2)
+    val back = graft.sources.GraftTable.read(spark, gt)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+      "import changed table contents")
+    // range clustering from day one: non-overlapping key intervals
+    snap.files.sortBy(_.minKey).sliding(2).foreach {
+      case Seq(a, b) => assert(a.maxKey < b.minKey)
+      case _ =>
+    }
+  }
+
   test("schemaString with escaped quotes and nested braces parses") {
     import spark.implicits._
     val root = freshTable()

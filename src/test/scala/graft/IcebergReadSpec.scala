@@ -150,6 +150,16 @@ class IcebergReadSpec extends SparkSpec {
     assert(e.getMessage.contains("DELETE manifest"))
   }
 
+  test("importIceberg snapshots into a GraftTable, contents intact") {
+    val root = buildTable()
+    val gt = Files.createTempDirectory("graft_import_ice_").toString
+    val snap = graft.sources.GraftTable.importIceberg(spark, root, gt, "id", 2)
+    assert(snap.version === 1)
+    val want = graft.sources.IcebergRead.read(spark, root)
+    val back = graft.sources.GraftTable.read(spark, gt)
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+  }
+
   test("type conversion covers the spec's primitives and composites") {
     val t = graft.util.Json.parse(
       """{"type":"struct","schema-id":0,"fields":[
