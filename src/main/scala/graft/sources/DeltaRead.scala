@@ -39,6 +39,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * the same arithmetic as [[GraftTable]]'s manifests); the driver
   * folds actions and plans one parquet scan per partition-value group,
   * while data bytes move only through executor-side parquet readers.
+  * Caveat for EXTREME partition counts: a table with tens of thousands
+  * of distinct partition tuples unions that many scans into one plan —
+  * for those, production Delta tables are hive-laid-out
+  * (`p=x/part-*.parquet`), so `spark.read.option("basePath", root)`
+  * partition discovery over the live-file list is the flat-plan
+  * fallback; snapshot-interop reads here target the common
+  * few-hundred-partition case.
   */
 object DeltaRead {
 
