@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
   */
 class OrderTotalitySpec extends SparkSpec {
 
-  private val sf = "/root/testdata/sf0.001"
+  /** Suite runs at sf0.001 (fast); SPARK_GRAFT_OT_SF overrides for
+    * one-off probes at bigger SFs — duplicate-key ties are
+    * scale-emergent (the r11 q_scan_filter_project tie existed only
+    * from sf0.1 up), so a larger-SF pass is stronger evidence. */
+  private val sf = sys.env.getOrElse("SPARK_GRAFT_OT_SF",
+    "/root/testdata/sf0.001")
 
   /** The final orderBy's expressions, peeling the operators a query
     * legally stacks ABOVE its canonical sort (limits; a projection
@@ -86,7 +91,7 @@ class OrderTotalitySpec extends SparkSpec {
       "full-row duplicates must be accepted — any tie order is identical")
   }
 
-  test("every SparkEntry query's final orderBy is a total order at sf0.001") {
+  test("every SparkEntry query's final orderBy is a total order") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val why = try totalityViolation(fn(spark, sf))
