@@ -66,10 +66,15 @@ class ReplaySourceSpec extends SparkSpec {
     * fired when the stop landed after ≥2 committed batches, and the
     * r11 spec's stop point was a racy sleep window ("somewhere after
     * batch 1") — so the builder saw green and the judge saw red. Both
-    * geometries are now deterministic: the first run uses a long
-    * ProcessingTime trigger interval, so every commit is followed by
-    * a ~10 s quiet gap in which the stop cannot race the next batch,
-    * and the committed-row premise is ASSERTED exactly, not assumed. */
+    * geometries are now deterministic WITHOUT any timing: each
+    * pre-stop batch is its own Trigger.Once run — one micro-batch,
+    * self-terminating — so "exactly K committed batches" is a
+    * property of the trigger, not of a race. (A first attempt used a
+    * long ProcessingTime interval as a quiet gap; ProcessingTime
+    * fires on WALL-CLOCK-ALIGNED boundaries, so a query started just
+    * before a boundary got its second batch milliseconds after its
+    * first — observed ~1-in-10 as a committedRows=2000-vs-1000 flake.)
+    * The committed-row premise is ASSERTED exactly, not assumed. */
   private def restartDeliversExactlyOnce(stopAfterBatchId: Int): Unit = {
     val dir = freshCorpus()
     val ckpt = Files.createTempDirectory("graft_replay_ckpt").toString
@@ -82,15 +87,14 @@ class ReplaySourceSpec extends SparkSpec {
         .outputMode("append").option("checkpointLocation", ckpt)
         .trigger(trigger).start()
 
-    val q1 = start(org.apache.spark.sql.streaming.Trigger
-      .ProcessingTime("10 seconds"))
-    // lastProgress is posted after a batch fully commits (file-sink
-    // manifest + commit log), so batchId ≥ K ⇒ exactly K+1 committed
-    // batches here — the next one is ≥10 s of trigger-quiet away.
-    val deadline = System.currentTimeMillis + 120000
-    while (Option(q1.lastProgress).forall(_.batchId < stopAfterBatchId) &&
-        System.currentTimeMillis < deadline) Thread.sleep(25)
-    q1.stop()
+    // one committed batch per Once-run: the source's admission control
+    // paces rowsPerBatch regardless of the trigger's allAvailable limit
+    (0 to stopAfterBatchId).foreach { _ =>
+      val q = start(org.apache.spark.sql.streaming.Trigger.Once())
+      try assert(q.awaitTermination(120000),
+        "Trigger.Once run did not terminate")
+      finally q.stop()
+    }
     val committedRows = spark.read.parquet(out).count()
     assert(committedRows === (stopAfterBatchId + 1).toLong * RowsPerBatch,
       s"stop geometry broke: wanted exactly ${stopAfterBatchId + 1} " +
