@@ -1,13 +1,15 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.util.Json
 
 /** Minimal read-side interop with the OPEN Delta Lake table protocol
   * (the published PROTOCOL.md at delta.io — no Delta library involved;
@@ -30,26 +32,56 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * partition values live in the log (NOT the data files) and are
   * injected per file, cast to the declared types.
   *
-  * Scope (asserted, not assumed): protocol `minReaderVersion` ≤ 2 —
-  * version-3 reader features (deletion vectors, column mapping, v2
-  * checkpoints) change row-level semantics and are REFUSED loudly
-  * rather than mis-read silently.
+  * Log-line parsing goes through [[graft.util.Json]] — a full
+  * recursive-descent parse per action line (ADVICE r12: the previous
+  * ad-hoc tokenizers keyed off the FIRST occurrence of `"path"` /
+  * the first `}` after `partitionValues`, which a writer that orders
+  * `stats` before `path`, a column literally named "path", or a
+  * partition VALUE containing a brace would silently mis-read; field
+  * order is not mandated by the spec, so only a real parse is sound).
+  *
+  * Scope (asserted, not assumed):
+  *   - protocol `minReaderVersion` ≤ 2, and for version 2 the table
+  *     must NOT enable column mapping (`delta.columnMapping.mode`
+  *     absent or "none" in metaData.configuration): column mapping IS
+  *     the reader-version-2 feature (PROTOCOL.md), and under it the
+  *     physical parquet columns are `col-<uuid>` names — a by-name
+  *     read would return every data column as NULL. Deletion vectors /
+  *     v2 checkpoints (reader version 3) are refused by the version
+  *     gate itself. Refuse loudly, never mis-read silently.
+  *   - the commit sequence after the bootstrap checkpoint must be
+  *     CONTIGUOUS (cpVersion+1, cpVersion+2, …; from 0 when no
+  *     checkpoint survives): a gap means log entries were cleaned past
+  *     a checkpoint this reader cannot use — e.g. a multi-part
+  *     checkpoint (`<v>.checkpoint.<n>.<m>.parquet`), which is
+  *     detected and named in the refusal rather than silently ignored.
   *
   * 100 TB shape: the log is manifest-scale (one action row per file —
   * the same arithmetic as [[GraftTable]]'s manifests); the driver
   * folds actions and plans one parquet scan per partition-value group,
   * while data bytes move only through executor-side parquet readers.
-  * Caveat for EXTREME partition counts: a table with tens of thousands
-  * of distinct partition tuples unions that many scans into one plan —
-  * for those, production Delta tables are hive-laid-out
-  * (`p=x/part-*.parquet`), so `spark.read.option("basePath", root)`
-  * partition discovery over the live-file list is the flat-plan
-  * fallback; snapshot-interop reads here target the common
-  * few-hundred-partition case.
+  * For EXTREME partition counts (a union of tens of thousands of
+  * per-tuple scans would bloat the plan) the reader switches to ONE
+  * flat `basePath` scan over the live-file list when the layout is
+  * provably hive-style — see [[plan]] and
+  * `spark.graft.delta.unionPartitionLimit`.
   */
 object DeltaRead {
 
-  private case class Meta(schema: StructType, partitionCols: Seq[String])
+  private[sources] case class Meta(schema: StructType,
+                                   partitionCols: Seq[String],
+                                   configuration: Map[String, String])
+
+  /** The folded table state at a version: live files with their
+    * log-supplied partition values, under the newest metaData. */
+  private[sources] case class TableState(version: Long, meta: Meta,
+      live: Seq[(String, Map[String, String])])
+
+  /** Distinct partition tuples above which [[plan]] abandons the
+    * union-of-typed-scans shape for one flat hive-discovery scan
+    * (when the layout provably supports it). */
+  private def unionPartitionLimit(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.delta.unionPartitionLimit", "256").toInt
 
   /** Read the latest snapshot of the Delta table at `root`. */
   def read(spark: SparkSession, root: String): DataFrame =
@@ -58,26 +90,53 @@ object DeltaRead {
   /** Time travel: the table exactly as of log version `versionAsOf`
     * (inclusive). Fails if no commits ≤ that version exist. */
   def read(spark: SparkSession, root: String, versionAsOf: Int): DataFrame = {
+    val st = state(spark, root, versionAsOf)
+    plan(spark, root, st.meta, st.live)
+  }
+
+  /** Highest version present in the log (commit or checkpoint). */
+  private[sources] def latestVersion(root: String): Long = {
+    val (commits, checkpoints, _) = logEntries(root, Long.MaxValue)
+    (commits.map(_._1) ++ checkpoints.map(_._1)).foldLeft(-1L)(math.max)
+  }
+
+  /** List the log: (commits, single-part checkpoints, multi-part
+    * checkpoint versions), each capped at `versionAsOf`, sorted. */
+  private def logEntries(root: String, versionAsOf: Long)
+      : (Vector[(Long, String)], Vector[(Long, String)], Vector[Long]) = {
     val log = Paths.get(root, "_delta_log")
     require(Files.isDirectory(log), s"not a Delta table: no _delta_log under $root")
-
     val names = {
       val ls = Files.list(log)
       try ls.iterator.asScala.map(_.getFileName.toString).toVector
       finally ls.close()
     }
     val commits = names
-      .collect { case n if n.matches("\\d{20}\\.json") =>
-        (n.take(20).toLong, n) }
+      .collect { case n if n.matches("\\d{20}\\.json") => (n.take(20).toLong, n) }
       .filter(_._1 <= versionAsOf).sortBy(_._1)
     val checkpoints = names
       .collect { case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
         (n.take(20).toLong, n) }
       .filter(_._1 <= versionAsOf).sortBy(_._1)
+    val multiPart = names
+      .collect { case n if n.matches("\\d{20}\\.checkpoint\\.\\d+\\.\\d+\\.parquet") =>
+        n.take(20).toLong }
+      .filter(_ <= versionAsOf).distinct.sorted
+    (commits, checkpoints, multiPart)
+  }
+
+  /** Fold the log to the table state at `versionAsOf` — checkpoint
+    * bootstrap, then JSON commits in version order; last action per
+    * path wins; newest metaData wins. All protocol refusals live
+    * here so every caller (snapshot read, flat-plan read, CDC sync)
+    * gets the same guarantees. */
+  private[sources] def state(spark: SparkSession, root: String,
+                             versionAsOf: Long): TableState = {
+    val log = Paths.get(root, "_delta_log")
+    val (commits, checkpoints, multiPart) = logEntries(root, versionAsOf)
     require(commits.nonEmpty || checkpoints.nonEmpty,
       s"no Delta commits at or below version $versionAsOf under $root")
 
-    // ---- fold the log: last action per path wins, newest meta wins
     var meta: Option[Meta] = None
     var minReader = 1L
     // path -> (partitionValues, live?)
@@ -98,15 +157,24 @@ object DeltaRead {
       // IS the checkpoint reader
       val cp = spark.read.parquet(log.resolve(cpName).toString)
       val cols = cp.columns.toSet
-      if (cols("metaData"))
+      def sub(struct: String, field: String): Boolean =
+        cp.schema(struct).dataType.asInstanceOf[StructType]
+          .fieldNames.contains(field)
+      if (cols("metaData")) {
+        val hasConf = sub("metaData", "configuration")
         cp.where(col("metaData.schemaString").isNotNull)
           .select(col("metaData.schemaString"),
-            col("metaData.partitionColumns"))
+            col("metaData.partitionColumns"),
+            if (hasConf) col("metaData.configuration")
+            else lit(null).cast("map<string,string>"))
           .collect().lastOption.foreach { r =>
             meta = Some(Meta(
               DataType.fromJson(r.getString(0)).asInstanceOf[StructType],
-              Option(r.getSeq[String](1)).getOrElse(Seq.empty)))
+              Option(r.getSeq[String](1)).getOrElse(Seq.empty),
+              Option(r.getMap[String, String](2)).map(_.toMap)
+                .getOrElse(Map.empty)))
           }
+      }
       if (cols("protocol"))
         cp.where(col("protocol.minReaderVersion").isNotNull)
           .select(col("protocol.minReaderVersion").cast("long"))
@@ -122,55 +190,159 @@ object DeltaRead {
     }
 
     val cpVersion = checkpoints.lastOption.map(_._1).getOrElse(-1L)
-    commits.filter(_._1 > cpVersion).foreach { case (_, name) =>
+    val tail = commits.filter(_._1 > cpVersion)
+    // Contiguity (ADVICE r12): the fold is only sound if every commit
+    // after the bootstrap checkpoint survives. A gap means the log was
+    // cleaned past a checkpoint this reader cannot consume (e.g. a
+    // multi-part one) — starting the fold anyway would return a
+    // silently incomplete file set (and possibly a stale schema).
+    tail.map(_._1).zipWithIndex.foreach { case (v, i) =>
+      val expect = cpVersion + 1 + i
+      require(v == expect,
+        s"Delta log at $root has a gap: expected commit version $expect " +
+          s"after ${if (cpVersion < 0) "no usable checkpoint" else s"checkpoint $cpVersion"}, " +
+          s"found $v" +
+          (if (multiPart.nonEmpty)
+            s"; multi-part checkpoints exist at version(s) ${multiPart.mkString(",")} " +
+              "but this reader only consumes single-part checkpoints — refusing " +
+              "rather than reconstructing an incomplete state"
+          else ""))
+    }
+
+    tail.foreach { case (_, name) =>
       Files.readAllLines(log.resolve(name), StandardCharsets.UTF_8)
         .asScala.filter(_.trim.nonEmpty).foreach { line =>
-          parseAction(line) match {
-            case ("metaData", m) =>
-              meta = Some(Meta(
-                DataType.fromJson(jsonStr(m, "schemaString")
-                  .getOrElse(sys.error(s"metaData without schemaString: $line")))
-                  .asInstanceOf[StructType],
-                jsonStrArray(m, "partitionColumns")))
-            case ("protocol", m) =>
-              minReader = math.max(minReader,
-                jsonNum(m, "minReaderVersion").getOrElse(1L))
-            case ("add", m) =>
-              applyAdd(jsonStr(m, "path").getOrElse(
-                sys.error(s"add without path: $line")), jsonStrMap(m, "partitionValues"))
-            case ("remove", m) =>
-              jsonStr(m, "path").foreach(applyRemove)
-            case _ => () // commitInfo / txn / cdc — irrelevant to reads
+          // one action object per line: {"add": {...}} etc. — parsed
+          // in full, so nesting/escaping/field order can't confuse it
+          val obj = Json.parse(line) match {
+            case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+            case other => sys.error(s"Delta log line is not an object: $other")
           }
+          obj.get("metaData").foreach { m =>
+            meta = Some(Meta(
+              DataType.fromJson(Json.str(m, "schemaString")
+                  .getOrElse(sys.error(s"metaData without schemaString: $line")))
+                .asInstanceOf[StructType],
+              Json.list(m, "partitionColumns").map(_.asInstanceOf[String]),
+              strMap(Json.get(m, "configuration"))))
+          }
+          obj.get("protocol").foreach { p =>
+            minReader = math.max(minReader,
+              Json.long(p, "minReaderVersion").getOrElse(1L))
+          }
+          obj.get("add").foreach { a =>
+            applyAdd(Json.str(a, "path")
+                .getOrElse(sys.error(s"add without path: $line")),
+              strMap(Json.get(a, "partitionValues")))
+          }
+          obj.get("remove").foreach { r =>
+            Json.str(r, "path").foreach(applyRemove)
+          }
+          // commitInfo / txn / cdc — irrelevant to reads
         }
     }
 
     require(minReader <= 2,
       s"Delta table at $root needs minReaderVersion=$minReader; this " +
-        "reader implements protocol <= 2 (no deletion vectors / column " +
-        "mapping / v2 checkpoints) and refuses rather than mis-reads")
+        "reader implements protocol <= 2 (no deletion vectors / " +
+        "v2 checkpoints) and refuses rather than mis-reads")
     val m = meta.getOrElse(sys.error(s"no metaData action found in $root"))
-    val live = files.collect { case (p, (pv, true)) => (p, pv) }.toSeq
+    // Column mapping is THE minReaderVersion=2 feature (PROTOCOL.md):
+    // under mode id/name the parquet files carry col-<uuid> physical
+    // names, so a by-name read silently returns NULL for every data
+    // column — the exact mis-read this module promises to refuse.
+    val cmMode = m.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cmMode == "none",
+      s"Delta table at $root enables column mapping " +
+        s"(delta.columnMapping.mode=$cmMode); physical parquet columns " +
+        "are col-<uuid> names that a by-name reader cannot resolve — " +
+        "refusing rather than returning all-NULL columns")
 
+    val folded = (commits.map(_._1) :+ cpVersion).max
+    TableState(folded, m, files.collect { case (p, (pv, true)) => (p, pv) }.toSeq)
+  }
+
+  /** String→String JSON map (partitionValues / configuration); JSON
+    * nulls preserved as nulls. */
+  private def strMap(v: Any): Map[String, String] = v match {
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].map {
+      case (k, null) => k -> null
+      case (k, s: String) => k -> s
+      case (k, other) => k -> other.toString
+    }
+    case _ => Map.empty
+  }
+
+  private def resolvePath(root: String, p: String): String = {
+    val decoded = java.net.URLDecoder.decode(p, "UTF-8")
+    if (Paths.get(decoded).isAbsolute) decoded
+    else Paths.get(root).resolve(decoded).toString
+  }
+
+  /** Characters hive-style layouts store UNESCAPED in `col=value` dir
+    * names — the flat-plan fallback only trusts a path⇄value match it
+    * can prove without re-implementing the escaping rules. */
+  private val HiveSafe = "[A-Za-z0-9_.+-]+".r
+
+  /** True iff every live file sits at exactly
+    * `<root>/p1=v1/…/pk=vk/<file>` with the log's OWN partition values
+    * spelled verbatim (no escaping needed, no nulls) — the layout
+    * every production Delta writer emits. Only then can Spark's
+    * directory-based partition discovery be substituted for log-value
+    * injection without any chance of divergence. */
+  private def hiveCompatible(live: Seq[(String, Map[String, String])],
+                             partitionCols: Seq[String]): Boolean =
+    live.forall { case (p, pv) =>
+      val decoded = java.net.URLDecoder.decode(p, "UTF-8")
+      !Paths.get(decoded).isAbsolute && {
+        val vals = partitionCols.map(pv.get(_).orNull)
+        vals.forall(v => v != null && HiveSafe.matches(v)) && {
+          val prefix = partitionCols.zip(vals)
+            .map { case (c, v) => s"$c=$v" }.mkString("", "/", "/")
+          decoded.startsWith(prefix) &&
+            !decoded.stripPrefix(prefix).contains('/')
+        }
+      }
+    }
+
+  /** Plan a scan over `live` under `meta`. Two shapes:
+    *
+    *  - DEFAULT: one parquet scan per distinct partition-value tuple,
+    *    the log's values injected as typed literals — value-exact for
+    *    any encoding, right-sized for the common few-hundred-tuple
+    *    case.
+    *  - FLAT (tuple count > `spark.graft.delta.unionPartitionLimit`
+    *    and the layout is provably hive-style): ONE scan with
+    *    `basePath` partition discovery over the live-file list — the
+    *    plan carries one scan node regardless of partition count, and
+    *    partition pruning happens at planning time exactly as for a
+    *    native partitioned read. Falls back to the union shape
+    *    whenever the path⇄value match cannot be proven (escaped or
+    *    null values, absolute paths), trading plan size for certainty.
+    */
+  private[sources] def plan(spark: SparkSession, root: String, m: Meta,
+                            live: Seq[(String, Map[String, String])]): DataFrame = {
     val dataCols = m.schema.fields.filterNot(f => m.partitionCols.contains(f.name))
     val dataSchema = StructType(dataCols)
-    def resolve(p: String): String = {
-      val decoded = java.net.URLDecoder.decode(p, "UTF-8")
-      val dp = Paths.get(decoded)
-      if (dp.isAbsolute) decoded else Paths.get(root).resolve(decoded).toString
-    }
 
     if (live.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
 
-    // one scan per distinct partition-value tuple (files grouped), the
-    // log-supplied values injected as typed literals — how engines
-    // without Delta's own scan node read partitioned tables
     val bySpec = live.groupBy(_._2).toSeq
+    if (m.partitionCols.nonEmpty && bySpec.size > unionPartitionLimit(spark)
+        && hiveCompatible(live, m.partitionCols)) {
+      val rootAbs = Paths.get(root).toAbsolutePath.toString
+      return spark.read
+        .option("basePath", rootAbs)
+        .schema(m.schema)
+        .parquet(live.map(f => resolvePath(rootAbs, f._1)): _*)
+        .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+
     val parts = bySpec.map { case (pv, group) =>
       val base = spark.read.schema(dataSchema)
-        .parquet(group.map(g => resolve(g._1)): _*)
+        .parquet(group.map(g => resolvePath(root, g._1)): _*)
       val withParts = m.partitionCols.foldLeft(base) { (df, pc) =>
         val f = m.schema.fields.find(_.name == pc)
           .getOrElse(sys.error(s"partition column $pc missing from schema"))
@@ -181,77 +353,5 @@ object DeltaRead {
       withParts.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
     }
     parts.reduce(_.unionAll(_))
-  }
-
-  // ---- tiny single-purpose JSON access (the log's action objects are
-  // flat; Spark parses the nested schemaString itself via
-  // DataType.fromJson, so only string/number/string-map/string-array
-  // field extraction is needed here — same budget-free approach as
-  // GraftTable's manifest serde, but tokenizer-based so nested braces
-  // and escaped quotes inside schemaString can't confuse it)
-
-  /** Returns (actionName, bodyJson) for a log line `{"<action>": {...}}`. */
-  private def parseAction(line: String): (String, String) = {
-    val t = line.trim
-    val k = """^\{\s*"([A-Za-z]+)"\s*:""".r.findFirstMatchIn(t)
-      .getOrElse(sys.error(s"unparseable Delta log line: ${t.take(80)}"))
-    (k.group(1), t.substring(k.end))
-  }
-
-  /** Scan for `"key": <string>` at any depth, returning the FIRST hit —
-    * log action bodies never repeat a key. Handles escapes. */
-  private def jsonStr(json: String, key: String): Option[String] = {
-    val needle = s""""$key""""
-    val i = json.indexOf(needle)
-    if (i < 0) return None
-    var j = json.indexOf('"', json.indexOf(':', i + needle.length) + 1)
-    if (j < 0) return None
-    val sb = new StringBuilder
-    j += 1
-    while (j < json.length && json(j) != '"') {
-      if (json(j) == '\\' && j + 1 < json.length) {
-        json(j + 1) match {
-          case '"' => sb += '"'
-          case '\\' => sb += '\\'
-          case '/' => sb += '/'
-          case 'n' => sb += '\n'
-          case 't' => sb += '\t'
-          case 'r' => sb += '\r'
-          case 'u' =>
-            sb += Integer.parseInt(json.substring(j + 2, j + 6), 16).toChar
-            j += 4
-          case other => sb += other
-        }
-        j += 2
-      } else { sb += json(j); j += 1 }
-    }
-    Some(sb.result())
-  }
-
-  private def jsonNum(json: String, key: String): Option[Long] =
-    s""""$key"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong)
-
-  /** `"key": ["a", "b"]` — flat string arrays only (partitionColumns). */
-  private def jsonStrArray(json: String, key: String): Seq[String] = {
-    val m = (s""""$key"\\s*:\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(json)
-    m.map(_.group(1)).toSeq.flatMap(body =>
-      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body).map(_.group(1)))
-  }
-
-  /** `"key": {"a": "x", "b": null}` — flat string→string maps only
-    * (partitionValues). JSON nulls are preserved as nulls. */
-  private def jsonStrMap(json: String, key: String): Map[String, String] = {
-    val start = json.indexOf(s""""$key"""")
-    if (start < 0) return Map.empty
-    val open = json.indexOf('{', start)
-    if (open < 0) return Map.empty
-    val close = json.indexOf('}', open)
-    val body = json.substring(open + 1, if (close < 0) json.length else close)
-    val entry = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|null)".r
-    entry.findAllMatchIn(body).map { mm =>
-      val v = mm.group(2)
-      mm.group(1) -> (if (v == "null") null else v.substring(1, v.length - 1))
-    }.toMap
   }
 }

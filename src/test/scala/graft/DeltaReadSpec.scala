@@ -186,6 +186,166 @@ class DeltaReadSpec extends SparkSpec {
     }
   }
 
+  test("minReaderVersion=2 without column mapping reads fine") {
+    import spark.implicits._
+    val root = freshTable()
+    val f1 = Seq((1L, "a")).toDF("id", "v")
+    dataFile(root, "f1.parquet", f1)
+    writeCommit(root, 0, Seq(protoLine(v = 2), metaLine(f1.schema.json),
+      addLine("f1.parquet")))
+    val got = DeltaRead.read(spark, root)
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((1L, "a")))
+  }
+
+  test("refuses column-mapped tables (the actual minReaderVersion=2 feature)") {
+    import spark.implicits._
+    val root = freshTable()
+    val f1 = Seq((1L, "a")).toDF("id", "v")
+    dataFile(root, "f1.parquet", f1)
+    // a column-mapped table: physical parquet columns are col-<uuid>
+    // names, so a by-name read would return every data column as NULL
+    // — the exact silent mis-read ADVICE r12 flagged. Mode `name` and
+    // `id` must both refuse; `none` must read (previous test).
+    Seq("name", "id").foreach { mode =>
+      val metaCm =
+        s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jstr(f1.schema.json)},"partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"$mode"},"createdTime":0}}"""
+      writeCommit(root, 0, Seq(protoLine(v = 2), metaCm, addLine("f1.parquet")))
+      val e = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
+      assert(e.getMessage.contains("column mapping"), s"mode=$mode: ${e.getMessage}")
+    }
+  }
+
+  test("refuses a log with a version gap, naming multi-part checkpoints") {
+    import spark.implicits._
+    val root = freshTable()
+    val f1 = Seq((1L, "a")).toDF("id", "v")
+    dataFile(root, "f1.parquet", f1)
+    writeCommit(root, 0, Seq(protoLine(), metaLine(f1.schema.json),
+      addLine("f1.parquet")))
+    writeCommit(root, 2, Seq(addLine("f1.parquet"))) // gap: no version 1
+    val e = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
+    assert(e.getMessage.contains("gap") && e.getMessage.contains("expected commit version 1"))
+
+    // a table whose JSON commits were cleaned PAST a multi-part
+    // checkpoint: the surviving commits don't start at 0 and the only
+    // checkpoint is multi-part (which this reader doesn't consume) —
+    // the refusal must say so instead of folding from -1 over the tail
+    val root2 = freshTable()
+    dataFile(root2, "f1.parquet", f1)
+    val log2 = Paths.get(root2, "_delta_log")
+    Files.createDirectories(log2)
+    // two parts of a multi-part checkpoint at version 1 (content
+    // irrelevant — the reader must refuse on the filename alone)
+    dataFile(log2.toString, f"${1L}%020d.checkpoint.${1}%010d.${2}%010d.parquet", f1)
+    dataFile(log2.toString, f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet", f1)
+    writeCommit(root2, 2, Seq(addLine("f1.parquet")))
+    val e2 = intercept[IllegalArgumentException] { DeltaRead.read(spark, root2) }
+    assert(e2.getMessage.contains("multi-part checkpoints exist"),
+      s"refusal should name the multi-part checkpoint: ${e2.getMessage}")
+  }
+
+  test("field order and adversarial values can't confuse the parse") {
+    import spark.implicits._
+    val root = freshTable()
+    // partition VALUE containing braces + an add whose `stats` string
+    // precedes `path` and itself CONTAINS "path": the r12 tokenizers
+    // truncated the partitionValues body at the first `}` and matched
+    // the stats-embedded "path" — a full JSON parse cannot be fooled
+    val f1 = Seq((1L, "a")).toDF("id", "v")
+    val f2 = Seq((2L, "b")).toDF("id", "v")
+    dataFile(root, "f1.parquet", f1)
+    dataFile(root, "f2.parquet", f2)
+    val full = Seq((1L, "a", "x")).toDF("id", "v", "p")
+    val add1 =
+      """{"add":{"stats":"{\"numRecords\":1,\"minValues\":{\"path\":\"zzz\"}}",""" +
+        """"partitionValues":{"p":"{weird}brace"},"path":"f1.parquet",""" +
+        """"size":1,"modificationTime":0,"dataChange":true}}"""
+    val add2 =
+      """{"add":{"partitionValues":{"p":"plain"},"path":"f2.parquet",""" +
+        """"size":1,"modificationTime":0,"dataChange":true}}"""
+    writeCommit(root, 0, Seq(protoLine(), metaLine(full.schema.json, Seq("p")),
+      add1, add2))
+    val got = DeltaRead.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got === Seq((1L, "a", "{weird}brace"), (2L, "b", "plain")))
+  }
+
+  test("flat-plan fallback: many hive-laid partitions plan ONE scan, rows identical") {
+    import spark.implicits._
+    val root = freshTable()
+    val nParts = 8
+    // hive-style layout: p=<v>/f<v>.parquet, partition col NOT in data
+    (0 until nParts).foreach { p =>
+      Files.createDirectories(Paths.get(root, s"p=$p"))
+      dataFile(Paths.get(root, s"p=$p").toString, s"f$p.parquet",
+        Seq((p.toLong, s"v$p")).toDF("id", "v"))
+    }
+    val full = Seq((1L, "a", 7)).toDF("id", "v", "p")
+    writeCommit(root, 0, Seq(protoLine(), metaLine(full.schema.json, Seq("p"))) ++
+      (0 until nParts).map(p =>
+        addLine(s"p=$p/f$p.parquet", s"""{"p":"$p"}""")))
+
+    def readWithLimit(limit: Int) = {
+      spark.conf.set("spark.graft.delta.unionPartitionLimit", limit.toString)
+      try DeltaRead.read(spark, root)
+      finally spark.conf.unset("spark.graft.delta.unionPartitionLimit")
+    }
+    val union = readWithLimit(1000) // default shape
+    val flat = readWithLimit(4)     // tuple count 8 > 4 → flat scan
+
+    // row-identical, schema-identical
+    assert(flat.schema === union.schema)
+    assert(flat.exceptAll(union).isEmpty && union.exceptAll(flat).isEmpty,
+      "flat-plan fallback changed table contents")
+    assert(flat.schema("p").dataType.typeName === "integer")
+
+    // the whole point: ONE scan node instead of nParts unioned scans
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f }.size
+    assert(scanCount(flat) === 1,
+      s"flat plan should carry exactly 1 scan, got ${scanCount(flat)}")
+    assert(scanCount(union) === nParts)
+
+    // and partition pruning still happens at planning time
+    spark.conf.set("spark.graft.delta.unionPartitionLimit", "4")
+    try {
+      val pruned = DeltaRead.read(spark, root).where(col("p") === 3)
+      val scan = pruned.queryExecution.executedPlan.collectFirst {
+        case f: FileSourceScanExec => f }.get
+      val dirs = scan.selectedPartitions.toPartitionArray
+        .map(_.filePath.toString).toSeq
+      assert(dirs.nonEmpty && dirs.forall(_.contains("p=3")),
+        s"scan should touch only p=3, got $dirs")
+      assert(pruned.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    } finally spark.conf.unset("spark.graft.delta.unionPartitionLimit")
+  }
+
+  test("flat-plan fallback declines un-provable layouts (escaped/null values)") {
+    import spark.implicits._
+    val root = freshTable()
+    // values that NEED escaping (colon) or are null: the fallback must
+    // decline and the union path must still read them value-exactly
+    val f1 = Seq((1L, "a")).toDF("id", "v")
+    val f2 = Seq((2L, "b")).toDF("id", "v")
+    dataFile(root, "f1.parquet", f1)
+    dataFile(root, "f2.parquet", f2)
+    val full = Seq((1L, "a", "x")).toDF("id", "v", "p")
+    writeCommit(root, 0, Seq(protoLine(), metaLine(full.schema.json, Seq("p")),
+      addLine("f1.parquet", """{"p":"a:b"}"""),
+      addLine("f2.parquet", """{"p":null}""")))
+    spark.conf.set("spark.graft.delta.unionPartitionLimit", "1")
+    try {
+      val got = DeltaRead.read(spark, root).orderBy("id").collect()
+        .map(r => (r.getLong(0), Option(r.getString(2)).getOrElse("<null>"))).toSeq
+      assert(got === Seq((1L, "a:b"), (2L, "<null>")))
+    } finally spark.conf.unset("spark.graft.delta.unionPartitionLimit")
+  }
+
   test("schemaString with escaped quotes and nested braces parses") {
     import spark.implicits._
     val root = freshTable()
