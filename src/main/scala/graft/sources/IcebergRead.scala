@@ -33,6 +33,18 @@ import graft.util.Json
   * fabricate rows. Identity-partition values are present in Iceberg
   * data files (unlike Delta), so no log-side injection is needed.
   *
+  * Column resolution is BY FIELD ID, as the spec mandates (ADVICE
+  * r12: a by-name read of a table that ever RENAMED a column silently
+  * returns NULL for the pre-rename data files). The Iceberg schema's
+  * per-field `id` is attached as `parquet.field.id` metadata on the
+  * converted Spark schema and the scan runs under Spark's native
+  * field-id matching (`spark.sql.parquet.fieldId.read.enabled`, set
+  * on a derived session the returned frame is bound to), so renames
+  * resolve correctly at any depth. A data file WITHOUT parquet field
+  * ids (pre-Iceberg imports relying on name-mapping, which this
+  * reader does not implement) fails LOUDLY instead of nulling —
+  * Spark's `fieldId.read.ignoreMissing` is pinned false.
+  *
   * Time travel: `read(spark, root, snapshotId)` resolves any snapshot
   * still listed in the current metadata.
   *
@@ -112,8 +124,27 @@ object IcebergRead {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     import org.apache.spark.sql.functions.col
-    spark.read.schema(schema).parquet(files: _*)
+    // Field-id resolution: the scan must run under the fieldId confs,
+    // and those are read from the session the parquet RELATION is
+    // built with (HadoopFsRelation pins its own SparkSession) — a
+    // derived session carries them without mutating the caller's.
+    val rs = readerSession(spark)
+    rs.read.schema(schema).parquet(files: _*)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Derived session carrying the parquet field-id read confs: same
+    * SparkContext / catalog, own SQLConf — the returned DataFrame's
+    * scan resolves columns by `parquet.field.id` regardless of the
+    * caller session's settings, and id-less data files error rather
+    * than silently nulling. */
+  private def readerSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    s.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "false")
+    s.conf.set("spark.sql.session.timeZone",
+      spark.conf.get("spark.sql.session.timeZone"))
+    s
   }
 
   /** The snapshot's schema: its `schema-id` when listed, else the
@@ -157,11 +188,18 @@ object IcebergRead {
       obj.getOrElse("type", null) match {
         case "struct" =>
           StructType(Json.list(obj, "fields").map { f =>
-            StructField(
+            val base = StructField(
               Json.str(f, "name").getOrElse(sys.error("field without name")),
               toSpark(Json.get(f, "type")),
               nullable = !Option(Json.get(f, "required"))
                 .contains(true))
+            // the spec's field id rides along as parquet.field.id —
+            // Spark's native parquet field-id matching keys off it
+            Json.long(f, "id") match {
+              case Some(id) => base.copy(metadata =
+                new MetadataBuilder().putLong("parquet.field.id", id).build())
+              case None => base
+            }
           })
         case "list" =>
           ArrayType(toSpark(Json.get(obj, "element")),

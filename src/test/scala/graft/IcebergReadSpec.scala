@@ -59,6 +59,16 @@ class IcebergReadSpec extends SparkSpec {
     r
   }
 
+  /** Stamps `parquet.field.id` metadata so the parquet writer embeds
+    * field ids — what every real Iceberg writer does, and what the
+    * reader's id-based resolution requires of data files. */
+  private def withIds(df: DataFrame, ids: Map[String, Long]): DataFrame = {
+    val fields = df.schema.fields.map(f => ids.get(f.name).map(id =>
+      f.copy(metadata = new MetadataBuilder()
+        .putLong("parquet.field.id", id).build())).getOrElse(f))
+    df.sparkSession.createDataFrame(df.rdd, StructType(fields))
+  }
+
   private def dataFile(root: String, name: String, df: DataFrame): Unit = {
     val tmp = Paths.get(root, s".stage_${name.hashCode}")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -88,8 +98,10 @@ class IcebergReadSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft_iceberg_").toString
     val md = Paths.get(root, "metadata")
     Files.createDirectories(md)
-    dataFile(root, "f1.parquet", Seq((1L, "a")).toDF("id", "v"))
-    dataFile(root, "f2.parquet", Seq((2L, "b")).toDF("id", "v"))
+    dataFile(root, "f1.parquet",
+      withIds(Seq((1L, "a")).toDF("id", "v"), Map("id" -> 1L, "v" -> 2L)))
+    dataFile(root, "f2.parquet",
+      withIds(Seq((2L, "b")).toDF("id", "v"), Map("id" -> 1L, "v" -> 2L)))
 
     avroWrite(md.resolve("m1.avro").toString, manifestSchema,
       Seq(manifestRow(1, "data/f1.parquet")))
@@ -158,6 +170,61 @@ class IcebergReadSpec extends SparkSpec {
     val want = graft.sources.IcebergRead.read(spark, root)
     val back = graft.sources.GraftTable.read(spark, gt)
     assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+  }
+
+  test("renamed column resolves by field id: pre-rename files keep their values") {
+    val root = buildTable()
+    val md = Paths.get(root, "metadata")
+    // the table renames v -> w (same field id 2): the spec mandates
+    // id-based resolution, so data files written under the OLD name
+    // must still surface their values under the new one — a by-name
+    // read returns NULL here (the ADVICE r12 silent mis-read)
+    val renamed =
+      """{"type":"struct","schema-id":1,"fields":[
+        |{"id":1,"name":"id","required":true,"type":"long"},
+        |{"id":2,"name":"w","required":false,"type":"string"}]}""".stripMargin
+    Files.writeString(md.resolve("v5.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"fixture","location":"$root",
+         |"current-snapshot-id":2,
+         |"schemas":[$schemaJson,$renamed],"current-schema-id":1,
+         |"snapshots":[
+         |{"snapshot-id":1,"schema-id":0,"manifest-list":"metadata/snap-1.avro"},
+         |{"snapshot-id":2,"schema-id":1,"manifest-list":"metadata/snap-2.avro"}
+         |]}""".stripMargin)
+    Files.writeString(md.resolve("version-hint.text"), "5")
+    val got = IcebergRead.read(spark, root)
+    assert(got.columns.toSeq === Seq("id", "w"))
+    assert(got.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((1L, "a"), (2L, "b")),
+      "pre-rename data files must resolve by field id, not return NULL")
+  }
+
+  test("refuses id-less data files loudly instead of nulling") {
+    import spark.implicits._
+    val root = buildTable()
+    val md = Paths.get(root, "metadata")
+    // a data file WITHOUT parquet field ids (a name-mapping table this
+    // reader does not implement) must error, not silently match-by-name
+    dataFile(root, "noids.parquet", Seq((9L, "z")).toDF("id", "v"))
+    avroWrite(md.resolve("m3.avro").toString, manifestSchema,
+      Seq(manifestRow(1, "data/noids.parquet")))
+    avroWrite(md.resolve("snap-9.avro").toString, manifestListSchema,
+      Seq(manifestListRow("metadata/m3.avro")))
+    Files.writeString(md.resolve("v6.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"fixture","location":"$root",
+         |"current-snapshot-id":9,
+         |"schemas":[$schemaJson],"current-schema-id":0,
+         |"snapshots":[
+         |{"snapshot-id":9,"schema-id":0,"manifest-list":"metadata/snap-9.avro"}
+         |]}""".stripMargin)
+    Files.writeString(md.resolve("version-hint.text"), "6")
+    val e = intercept[Throwable] {
+      IcebergRead.read(spark, root).collect()
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.toLowerCase.contains("field id"),
+      s"expected a loud field-id error, got: $chain")
   }
 
   test("type conversion covers the spec's primitives and composites") {
