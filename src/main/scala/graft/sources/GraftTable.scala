@@ -289,8 +289,12 @@ object GraftTable {
   def create(spark: SparkSession, root: String, df: DataFrame,
              key: String, numFiles: Int): Snapshot = {
     require(currentVersion(root) == 0, s"table already exists at $root")
-    val bounds = df.stat.approxQuantile(key,
-      (1 until numFiles).map(_.toDouble / numFiles).toArray, 0.0)
+    // Spark's approxQuantile NPEs on an empty probability array, so a
+    // single-file table skips the ranging entirely
+    val bounds =
+      if (numFiles <= 1) Array.empty[Double]
+      else df.stat.approxQuantile(key,
+        (1 until numFiles).map(_.toDouble / numFiles).toArray, 0.0)
     val entries = (0 until numFiles).flatMap { i =>
       val lo = if (i == 0) None else Some(bounds(i - 1))
       val hi = if (i == numFiles - 1) None else Some(bounds(i))
@@ -367,15 +371,140 @@ object GraftTable {
     * / [[IcebergRead]]), re-clustered on `key` into `numFiles`
     * range-partitioned files (so min/max skipping works from day one),
     * and committed as version 1. One scan + one clustered write — the
-    * same cost as any engine migration's initial copy; incremental
-    * sync afterwards is [[merge]]/[[applyCdc]]'s job. */
+    * same cost as any engine migration's initial copy. For Delta the
+    * imported log version is recorded in a sync marker so
+    * [[syncDelta]] can apply later commits incrementally. */
   def importDelta(spark: SparkSession, deltaRoot: String, root: String,
-                  key: String, numFiles: Int = 4): Snapshot =
-    create(spark, root, DeltaRead.read(spark, deltaRoot), key, numFiles)
+                  key: String, numFiles: Int = 4): Snapshot = {
+    // resolve the version FIRST so the marker matches the copied bytes
+    // even if a Delta commit lands mid-import
+    val v = DeltaRead.latestVersion(deltaRoot)
+    val snap = create(spark, root,
+      DeltaRead.read(spark, deltaRoot, v.toInt), key, numFiles)
+    writeSyncMarker(root, deltaRoot, v)
+    snap
+  }
 
   def importIceberg(spark: SparkSession, icebergRoot: String, root: String,
                     key: String, numFiles: Int = 4): Snapshot =
     create(spark, root, IcebergRead.read(spark, icebergRoot), key, numFiles)
+
+  // -- incremental Delta sync (VERDICT r12 #1) --------------------------
+
+  private def syncMarkerPath(root: String): java.nio.file.Path =
+    Paths.get(root, "delta_sync.json")
+
+  /** Atomically records "this table mirrors `deltaRoot` as of Delta
+    * version `version`". Written AFTER the corresponding merge commit:
+    * a crash between the two re-applies that version on the next
+    * [[syncDelta]], which is harmless — a version's change batch is
+    * idempotent under [[merge]] (upserts re-write identical values,
+    * deletes of absent keys no-op), so at-least-once marker updates
+    * give exactly-once sync effects. */
+  private def writeSyncMarker(root: String, deltaRoot: String,
+                              version: Long): Unit = {
+    val tmp = Paths.get(root, s".delta_sync.${UUID.randomUUID}.tmp")
+    Files.writeString(tmp,
+      s"""{"deltaRoot":"${deltaRoot.replace("\\", "\\\\").replace("\"", "\\\"")}","version":$version}""",
+      StandardOpenOption.CREATE_NEW)
+    Files.move(tmp, syncMarkerPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** (deltaRoot, last synced Delta version) — present iff the table
+    * was created via [[importDelta]]. */
+  def deltaSyncState(root: String): Option[(String, Long)] = {
+    val p = syncMarkerPath(root)
+    if (!Files.exists(p)) None
+    else {
+      val m = graft.util.Json.parse(Files.readString(p))
+      Some((graft.util.Json.str(m, "deltaRoot").get,
+        graft.util.Json.long(m, "version").get))
+    }
+  }
+
+  /** Incremental Delta→GraftTable CDC sync — the second half of the
+    * [[importDelta]] migration path: tail `_delta_log` for commits
+    * after the last synced version and apply each as a ROW-LEVEL
+    * change batch through [[merge]], one Delta version = one
+    * GraftTable version, in order.
+    *
+    * Per Delta commit v the change batch is derived from the
+    * FILE-LEVEL diff of the folded states at v−1 and v (Delta is
+    * copy-on-write, exactly like this table):
+    *   - rows of files ADDED at v   → upserts (inserts and updates
+    *     both; rows rewritten unchanged upsert to identical values —
+    *     harmless);
+    *   - keys present in files REMOVED at v but in NO added file
+    *     → deletes.
+    * Removed files are still readable (Delta removes are logical;
+    * bytes survive until the source's vacuum retention — run sync
+    * within it, the standard CDC constraint). Partition values for
+    * removed files come from the v−1 fold, so partition-column data
+    * survives the diff.
+    *
+    * Refusals (loud, sync stops BEFORE applying the offending
+    * version; the marker keeps the table consistent at v−1):
+    *   - schema or partition-column change mid-stream (GraftTable has
+    *     no schema-evolution story yet — re-import instead);
+    *   - protocol bump / column mapping ([[DeltaRead.state]]'s own
+    *     guards);
+    *   - duplicate merge keys inside one change batch (the merge
+    *     contract requires key-unique tables; duplicates would
+    *     multiply rows silently).
+    *
+    * 100 TB shape: per version, one anti-join of removed-file rows
+    * against added-file rows plus the merge's own pruned rewrite —
+    * work proportional to the COMMIT's size, never the table's; the
+    * log fold is manifest-scale.
+    *
+    * Returns one (deltaVersion, MergeStats) per version applied. */
+  def syncDelta(spark: SparkSession, root: String): Seq[(Long, MergeStats)] = {
+    val (deltaRoot, from) = deltaSyncState(root).getOrElse(
+      sys.error(s"no Delta sync marker at $root — create the table via importDelta first"))
+    val to = DeltaRead.latestVersion(deltaRoot)
+    val key = latest(root).key
+    (from + 1 to to).flatMap { v =>
+      val prev = DeltaRead.state(spark, deltaRoot, v - 1)
+      val cur = DeltaRead.state(spark, deltaRoot, v)
+      require(cur.meta.schema == prev.meta.schema &&
+          cur.meta.partitionCols == prev.meta.partitionCols,
+        s"Delta commit $v at $deltaRoot changes the table schema; " +
+          "incremental sync has no schema-evolution story — re-import " +
+          s"(table stays consistent as of version ${v - 1})")
+      val prevPaths = prev.live.map(_._1).toSet
+      val curPaths = cur.live.map(_._1).toSet
+      val addedFiles = cur.live.filterNot(f => prevPaths(f._1))
+      val removedFiles = prev.live.filterNot(f => curPaths(f._1))
+      if (addedFiles.isEmpty && removedFiles.isEmpty) {
+        // metadata-only commit (commitInfo/txn): nothing to merge —
+        // just advance the marker
+        writeSyncMarker(root, deltaRoot, v)
+        None
+      } else {
+        val added = DeltaRead.plan(spark, deltaRoot, cur.meta, addedFiles)
+        val removed = DeltaRead.plan(spark, deltaRoot, prev.meta, removedFiles)
+        val valueCols = cur.meta.schema.fields.filterNot(_.name == key)
+        val upserts = added.select(
+          (col(key) +: lit(false).as("is_delete") +:
+            valueCols.map(f => col(f.name).as(s"new_${f.name}")).toSeq): _*)
+        val deletes = removed.select(col(key))
+          .join(added.select(col(key)), Seq(key), "left_anti")
+          .select(
+            (col(key) +: lit(true).as("is_delete") +:
+              valueCols.map(f =>
+                lit(null).cast(f.dataType).as(s"new_${f.name}")).toSeq): _*)
+        val changes = upserts.unionByName(deletes)
+        require(changes.groupBy(col(key)).count()
+            .where(col("count") > 1).limit(1).isEmpty,
+          s"Delta commit $v at $deltaRoot carries duplicate merge keys; " +
+            "sync requires a key-unique table (the merge contract)")
+        val (_, stats) = merge(spark, root, changes)
+        writeSyncMarker(root, deltaRoot, v)
+        Some((v, stats))
+      }
+    }
+  }
 
   // -- version pins ----------------------------------------------------
 
