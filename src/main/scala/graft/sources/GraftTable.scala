@@ -665,6 +665,14 @@ object GraftTable {
     (batch: DataFrame, batchId: Long) => {
       if (batchId > latest(root).batch)
         applyCdc(batch.sparkSession, root, batch, orderCols, batchId)
+      else
+        // A checkpoint-replayed batch is a no-op for the TABLE, but
+        // the batch plan must still be consumed in full: upstream
+        // stateful operators commit their state stores during
+        // materialization, and Spark validates that every state
+        // partition committed (STATE_STORE_COMMIT_VALIDATION) — a
+        // skip that never touches the frame fails the replayed batch.
+        batch.foreach(_ => ())
     }
 
   /** Deletes data files referenced ONLY by snapshots older than the
