@@ -386,8 +386,13 @@ object GraftTable {
   }
 
   def importIceberg(spark: SparkSession, icebergRoot: String, root: String,
-                    key: String, numFiles: Int = 4): Snapshot =
-    create(spark, root, IcebergRead.read(spark, icebergRoot), key, numFiles)
+                    key: String, numFiles: Int = 4): Snapshot = {
+    val sid = IcebergRead.currentSnapshotId(icebergRoot)
+    val snap = create(spark, root,
+      IcebergRead.read(spark, icebergRoot, sid), key, numFiles)
+    writeIcebergMarker(root, icebergRoot, sid)
+    snap
+  }
 
   // -- incremental Delta sync (VERDICT r12 #1) --------------------------
 
@@ -420,6 +425,108 @@ object GraftTable {
       val m = graft.util.Json.parse(Files.readString(p))
       Some((graft.util.Json.str(m, "deltaRoot").get,
         graft.util.Json.long(m, "version").get))
+    }
+  }
+
+  private def icebergMarkerPath(root: String): java.nio.file.Path =
+    Paths.get(root, "iceberg_sync.json")
+
+  private def writeIcebergMarker(root: String, icebergRoot: String,
+                                 snapshotId: Long): Unit = {
+    val tmp = Paths.get(root, s".iceberg_sync.${UUID.randomUUID}.tmp")
+    Files.writeString(tmp,
+      s"""{"icebergRoot":"${icebergRoot.replace("\\", "\\\\").replace("\"", "\\\"")}","snapshotId":$snapshotId}""",
+      StandardOpenOption.CREATE_NEW)
+    Files.move(tmp, icebergMarkerPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** (icebergRoot, last synced snapshot id) — present iff the table
+    * was created via [[importIceberg]]. */
+  def icebergSyncState(root: String): Option[(String, Long)] = {
+    val p = icebergMarkerPath(root)
+    if (!Files.exists(p)) None
+    else {
+      val m = graft.util.Json.parse(Files.readString(p))
+      Some((graft.util.Json.str(m, "icebergRoot").get,
+        graft.util.Json.long(m, "snapshotId").get))
+    }
+  }
+
+  /** Incremental Iceberg→GraftTable CDC sync — [[syncDelta]]'s twin
+    * for the other open table format. Iceberg has no contiguous
+    * version numbers, so the commit ladder is recovered from SNAPSHOT
+    * ANCESTRY: walk `parent-snapshot-id` links from the CURRENT
+    * snapshot back to the last synced one, refuse if the marker is
+    * not an ancestor (the table was rolled back or a branch replaced
+    * the lineage — a diff against a non-ancestor would fabricate
+    * changes), then apply each snapshot on the path oldest-first as a
+    * row-level change batch through [[merge]]: rows of files that
+    * ENTERED the live set upsert, keys present only in files that
+    * LEFT it delete. Identity-partition values live inside Iceberg
+    * data files, so the diff needs no metadata-side value injection.
+    * Same refusals as the reader (delete manifests / delete files —
+    * [[IcebergRead.snapState]]) plus schema changes (column renames
+    * included: GraftTable has no rename story) and duplicate merge
+    * keys; same crash-idempotent marker protocol as [[syncDelta]].
+    *
+    * Returns one (snapshotId, MergeStats) per data-changing snapshot
+    * applied. */
+  def syncIceberg(spark: SparkSession, root: String): Seq[(Long, MergeStats)] = {
+    val (iceRoot, from) = icebergSyncState(root).getOrElse(
+      sys.error(s"no Iceberg sync marker at $root — create the table via importIceberg first"))
+    val meta = IcebergRead.currentMeta(iceRoot)
+    val current = IcebergRead.currentSnapshotId(iceRoot)
+    if (current == from) return Seq.empty
+    // ancestry walk: current → … → from (exclusive), then reverse
+    val chain = Iterator.iterate(Option(
+        IcebergRead.snapState(meta, iceRoot, current))) {
+        case Some(st) => st.parentId.map(IcebergRead.snapState(meta, iceRoot, _))
+        case None => None
+      }
+      .takeWhile(st => st.isDefined && st.get.snapshotId != from)
+      .map(_.get).toVector.reverse
+    require(chain.headOption.flatMap(_.parentId).contains(from),
+      s"snapshot $from is not an ancestor of current snapshot $current " +
+        s"at $iceRoot — the lineage was rolled back or replaced; " +
+        "re-import instead of syncing across a rewrite")
+    val key = latest(root).key
+    var prev = IcebergRead.snapState(meta, iceRoot, from)
+    chain.flatMap { cur =>
+      require(cur.schema == prev.schema,
+        s"Iceberg snapshot ${cur.snapshotId} at $iceRoot changes the " +
+          "table schema; incremental sync has no schema-evolution " +
+          s"story — re-import (table stays consistent as of snapshot ${prev.snapshotId})")
+      val prevSet = prev.files.toSet
+      val curSet = cur.files.toSet
+      val addedFiles = cur.files.filterNot(prevSet)
+      val removedFiles = prev.files.filterNot(curSet)
+      prev = cur
+      if (addedFiles.isEmpty && removedFiles.isEmpty) {
+        writeIcebergMarker(root, iceRoot, cur.snapshotId)
+        None
+      } else {
+        val added = IcebergRead.planFiles(spark, cur.schema, addedFiles)
+        val removed = IcebergRead.planFiles(spark, cur.schema, removedFiles)
+        val valueCols = cur.schema.fields.filterNot(_.name == key)
+        val upserts = added.select(
+          (col(key) +: lit(false).as("is_delete") +:
+            valueCols.map(f => col(f.name).as(s"new_${f.name}")).toSeq): _*)
+        val deletes = removed.select(col(key))
+          .join(added.select(col(key)), Seq(key), "left_anti")
+          .select(
+            (col(key) +: lit(true).as("is_delete") +:
+              valueCols.map(f =>
+                lit(null).cast(f.dataType).as(s"new_${f.name}")).toSeq): _*)
+        val changes = upserts.unionByName(deletes)
+        require(changes.groupBy(col(key)).count()
+            .where(col("count") > 1).limit(1).isEmpty,
+          s"Iceberg snapshot ${cur.snapshotId} at $iceRoot carries duplicate " +
+            "merge keys; sync requires a key-unique table (the merge contract)")
+        val (_, stats) = merge(spark, root, changes)
+        writeIcebergMarker(root, iceRoot, cur.snapshotId)
+        Some((cur.snapshotId, stats))
+      }
     }
   }
 

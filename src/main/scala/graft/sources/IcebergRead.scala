@@ -59,8 +59,14 @@ object IcebergRead {
   def read(spark: SparkSession, root: String, snapshotId: Long): DataFrame =
     readSnapshot(spark, root, Some(snapshotId))
 
-  private def readSnapshot(spark: SparkSession, root: String,
-                           wanted: Option[Long]): DataFrame = {
+  /** The folded state of one snapshot: its live data-file paths
+    * (absolute), the snapshot's schema, and its parent id — what the
+    * incremental sync diffs ([[GraftTable.syncIceberg]]). */
+  private[sources] case class SnapState(snapshotId: Long,
+      parentId: Option[Long], schema: StructType, files: Seq[String])
+
+  /** The parsed current metadata document (see [[snapState]]). */
+  private[sources] def currentMeta(root: String): Any = {
     val metaDir = Paths.get(root, "metadata")
     require(Files.isDirectory(metaDir),
       s"not an Iceberg table: no metadata dir under $root")
@@ -83,26 +89,31 @@ object IcebergRead {
     val fv = Json.long(meta, "format-version").getOrElse(1L)
     require(fv <= 2L, s"Iceberg format-version $fv unsupported (reader " +
       "implements v1/v2 without row-level deletes)")
+    meta
+  }
 
-    val snapId = wanted.orElse(Json.long(meta, "current-snapshot-id"))
-      .getOrElse(sys.error(s"no current snapshot in $metaFile"))
+  private[sources] def currentSnapshotId(root: String): Long =
+    Json.long(currentMeta(root), "current-snapshot-id")
+      .getOrElse(sys.error(s"no current snapshot at $root"))
+
+  /** Folds one snapshot of the parsed `meta` to its live-file state,
+    * with the same refusals as a read (delete manifests / delete data
+    * files / non-parquet). */
+  private[sources] def snapState(meta: Any, root: String,
+                                 snapshotId: Long): SnapState = {
     val snap = Json.list(meta, "snapshots")
-      .find(s => Json.long(s, "snapshot-id").contains(snapId))
-      .getOrElse(sys.error(s"snapshot $snapId not found in $metaFile"))
-
-    val schema = tableSchema(meta, snap)
-
+      .find(s => Json.long(s, "snapshot-id").contains(snapshotId))
+      .getOrElse(sys.error(s"snapshot $snapshotId not found at $root"))
     val mlPath = Json.str(snap, "manifest-list")
       .map(resolve(root, _))
-      .getOrElse(sys.error(s"snapshot $snapId has no manifest-list " +
+      .getOrElse(sys.error(s"snapshot $snapshotId has no manifest-list " +
         "(inline v1 manifests unsupported)"))
     val manifests = avroRows(mlPath).map { r =>
       val content = longField(r, "content").getOrElse(0L)
-      require(content == 0L, s"snapshot $snapId carries a DELETE manifest " +
+      require(content == 0L, s"snapshot $snapshotId carries a DELETE manifest " +
         "(v2 row-level deletes) — refusing rather than fabricating rows")
       resolve(root, r.get("manifest_path").toString)
     }
-
     val files = manifests.flatMap { mp =>
       avroRows(mp).flatMap { entry =>
         val status = longField(entry, "status").getOrElse(0L)
@@ -119,18 +130,32 @@ object IcebergRead {
         }
       }
     }
+    SnapState(snapshotId, Json.long(snap, "parent-snapshot-id"),
+      tableSchema(meta, snap), files)
+  }
 
+  /** One scan over an explicit file subset under `schema`, field-id
+    * resolved — the sync's diff reader. */
+  private[sources] def planFiles(spark: SparkSession, schema: StructType,
+                                 files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    import org.apache.spark.sql.functions.col
-    // Field-id resolution: the scan must run under the fieldId confs,
-    // and those are read from the session the parquet RELATION is
-    // built with (HadoopFsRelation pins its own SparkSession) — a
-    // derived session carries them without mutating the caller's.
-    val rs = readerSession(spark)
-    rs.read.schema(schema).parquet(files: _*)
+    readerSession(spark).read.schema(schema).parquet(files: _*)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  private def readSnapshot(spark: SparkSession, root: String,
+                           wanted: Option[Long]): DataFrame = {
+    val meta = currentMeta(root)
+    val snapId = wanted.orElse(Json.long(meta, "current-snapshot-id"))
+      .getOrElse(sys.error(s"no current snapshot at $root"))
+    val st = snapState(meta, root, snapId)
+    // Field-id resolution: the scan runs under the fieldId confs of
+    // the derived session the parquet RELATION is built with
+    // (HadoopFsRelation pins its own SparkSession) — see planFiles.
+    planFiles(spark, st.schema, st.files)
   }
 
   /** Derived session carrying the parquet field-id read confs: same
