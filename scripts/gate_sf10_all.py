@@ -105,6 +105,58 @@ def clean_tmp():
     log(f"# /tmp cleaned; {free_gb():.0f} GiB free")
 
 
+def prepare_corpora():
+    """Build the gate's inputs if absent (target/ is wiped between
+    rounds, and the r11 derivation of the deduped corpora was never
+    recorded — it is now THIS function).
+
+    sf10        : scripts/make_sfN.py 100 (100 shifted replicas of
+                  /root/testdata/sf0.1 — payloads identical, keys
+                  offset, per the probe-corpus design).
+    sf10dd/ddoc : the dedup-cascade SECOND-stage inputs — the exact-
+                  dedup survivor frame of sf10 (one row per distinct
+                  payload, min key wins; on the replica construction
+                  that is copy 0, so survivor counts are 20 k vectors /
+                  50 k docs). sf10dd dedups embeddings, sf10ddoc dedups
+                  documents; every other table is symlinked from sf10
+                  so Verify resolves the full schema either way.
+    """
+    import duckdb
+    if not os.path.exists(os.path.join(SF10, "embeddings.parquet")):
+        log("# sf10 corpus absent — building via make_sfN.py 100")
+        rc, _ = run("python3 scripts/make_sfN.py 100 target/testdata/sf10")
+        if rc != 0:
+            log("FATAL: sf10 generation failed")
+            sys.exit(1)
+    con = duckdb.connect()
+    dedup = {
+        SF10DD: ("embeddings",
+                 "SELECT min(vec_id) AS vec_id, embedding, label "
+                 "FROM read_parquet('{src}') GROUP BY embedding, label "
+                 "ORDER BY 1"),
+        SF10DDOC: ("documents",
+                   "SELECT min(doc_id) AS doc_id, text, lang, source, "
+                   "n_chars FROM read_parquet('{src}') "
+                   "GROUP BY text, lang, source, n_chars ORDER BY 1"),
+    }
+    for out_dir, (table, sql) in dedup.items():
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        if os.path.exists(dst):
+            continue
+        os.makedirs(out_dir, exist_ok=True)
+        src = os.path.join(SF10, f"{table}.parquet")
+        con.execute(f"COPY ({sql.format(src=src)}) TO '{dst}' "
+                    "(FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
+        log(f"# {out_dir}: {table} exact-dedup survivors = {n} rows")
+        for f in os.listdir(SF10):
+            if f != f"{table}.parquet" and \
+                    not os.path.exists(os.path.join(out_dir, f)):
+                os.symlink(os.path.join(SF10, f), os.path.join(out_dir, f))
+    con.close()
+
+
 def verify(keys, sf_dir, dump):
     # resume-friendly: a dump that already holds every requested query
     # (a prior invocation's Spark side succeeded but its CHECK failed)
@@ -152,6 +204,7 @@ def main():
     else:
         log(f"\n# RESUME from stage '{start}' "
             f"({time.strftime('%Y-%m-%d %H:%M')}) — earlier pillars stand")
+    prepare_corpora()
     duck = {"GRAFT_DUCKDB_THREADS": "8", "GRAFT_DUCKDB_MEM": "24GB",
             "GRAFT_DUCKDB_TEMP": "20GiB"}
     # the 10^8-row fingerprint-tier oracles need the streaming path —
