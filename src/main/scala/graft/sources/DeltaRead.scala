@@ -73,9 +73,11 @@ object DeltaRead {
                                    configuration: Map[String, String])
 
   /** The folded table state at a version: live files with their
-    * log-supplied partition values, under the newest metaData. */
+    * log-supplied partition values, under the newest metaData.
+    * `minWriter` rides along for [[DeltaWrite]]'s protocol refusals
+    * (reads never consult it). */
   private[sources] case class TableState(version: Long, meta: Meta,
-      live: Seq[(String, Map[String, String])])
+      live: Seq[(String, Map[String, String])], minWriter: Long = 2L)
 
   /** Distinct partition tuples above which [[plan]] abandons the
     * union-of-typed-scans shape for one flat hive-discovery scan
@@ -139,6 +141,7 @@ object DeltaRead {
 
     var meta: Option[Meta] = None
     var minReader = 1L
+    var minWriter = 1L
     // path -> (partitionValues, live?)
     val files = scala.collection.mutable.LinkedHashMap
       .empty[String, (Map[String, String], Boolean)]
@@ -175,10 +178,17 @@ object DeltaRead {
                 .getOrElse(Map.empty)))
           }
       }
-      if (cols("protocol"))
+      if (cols("protocol")) {
+        val hasW = sub("protocol", "minWriterVersion")
         cp.where(col("protocol.minReaderVersion").isNotNull)
-          .select(col("protocol.minReaderVersion").cast("long"))
-          .collect().foreach(r => minReader = math.max(minReader, r.getLong(0)))
+          .select(col("protocol.minReaderVersion").cast("long"),
+            if (hasW) col("protocol.minWriterVersion").cast("long")
+            else lit(1L))
+          .collect().foreach { r =>
+            minReader = math.max(minReader, r.getLong(0))
+            minWriter = math.max(minWriter, r.getLong(1))
+          }
+      }
       if (cols("add"))
         cp.where(col("add.path").isNotNull)
           .select(col("add.path"), col("add.partitionValues"))
@@ -229,6 +239,8 @@ object DeltaRead {
           obj.get("protocol").foreach { p =>
             minReader = math.max(minReader,
               Json.long(p, "minReaderVersion").getOrElse(1L))
+            minWriter = math.max(minWriter,
+              Json.long(p, "minWriterVersion").getOrElse(1L))
           }
           obj.get("add").foreach { a =>
             applyAdd(Json.str(a, "path")
@@ -259,7 +271,8 @@ object DeltaRead {
         "refusing rather than returning all-NULL columns")
 
     val folded = (commits.map(_._1) :+ cpVersion).max
-    TableState(folded, m, files.collect { case (p, (pv, true)) => (p, pv) }.toSeq)
+    TableState(folded, m, files.collect { case (p, (pv, true)) => (p, pv) }.toSeq,
+      minWriter)
   }
 
   /** String→String JSON map (partitionValues / configuration); JSON

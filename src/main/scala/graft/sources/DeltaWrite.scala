@@ -1,0 +1,460 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.util.UUID
+
+import scala.collection.immutable.ListMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.util.Json
+
+/** Write-side interop with the OPEN Delta Lake table protocol — the
+  * counterpart of [[DeltaRead]], closing the declared storage-interop
+  * ceiling from "Delta tables are read-only here" to "the engine can
+  * create, append to, overwrite, and checkpoint Delta tables any
+  * protocol-conformant reader can consume". Like the reader it is
+  * implemented from PROTOCOL.md alone: a commit is one atomically
+  * published newline-delimited-JSON file of actions, data files are
+  * ordinary parquet that Spark's own writer produces, and the
+  * checkpoint is ordinary parquet — no Delta library is involved.
+  *
+  * Commit protocol (optimistic concurrency, as the spec prescribes):
+  * actions are staged to a hidden temp file and PUBLISHED by hard-link
+  * to `_delta_log/<v>.json` — link(2) fails with EEXIST atomically, so
+  * a version slot is won exactly once ever (the same first-wins
+  * publish [[GraftTable]] proved under an 8-thread race; rename(2)
+  * would silently replace a concurrent winner's commit). A losing
+  * `append` re-folds the log and retries at the next version (blind
+  * appends commute unless the re-fold shows the table changed shape);
+  * a losing `overwrite`/`create` throws
+  * [[GraftTable.ConcurrentWriteException]] — its remove-set was
+  * computed against a state that no longer exists, and only the caller
+  * can decide whether to re-derive it.
+  *
+  * Spec conformance the writer enforces rather than assumes:
+  *   - protocol (1, 2) is declared on create; tables demanding
+  *     `minWriterVersion` > 2 (or column mapping, whose physical
+  *     col-<uuid> names a by-name writer cannot produce) are REFUSED —
+  *     never written with silently missing feature behavior;
+  *   - minWriterVersion=2 means invariants must be honored: a schema
+  *     carrying `delta.invariants` metadata is refused (this writer
+  *     does not evaluate invariant expressions), and
+  *     `delta.appendOnly=true` refuses [[overwrite]];
+  *   - partition values are serialized per the spec's rules, which
+  *     restricts partitioning here to the types whose serialization is
+  *     byte-identical to the hive directory form Spark emits (string /
+  *     byte / short / int / long / date / boolean) — others are
+  *     refused loudly. Values that hive layout cannot represent
+  *     faithfully (null-vs-literal `__HIVE_DEFAULT_PARTITION__`, empty
+  *     string) are detected and refused rather than round-tripped
+  *     wrong;
+  *   - `add.path` is percent-encoded (RFC 2396) relative to the table
+  *     root; `stats` carries `numRecords` read from each parquet
+  *     footer so downstream readers get file-skipping row counts.
+  *
+  * 100 TB shape: the DATA moves through one distributed
+  * `df.write.partitionBy(...).parquet` job (executor-side parquet
+  * writers, partition columns dropped from the files exactly as the
+  * protocol expects); the driver touches only file-level metadata —
+  * the same manifest-scale arithmetic as [[GraftTable]]. Staging lives
+  * under the table root so publishing a data file is a same-filesystem
+  * rename. Like GraftTable this targets a shared POSIX filesystem; an
+  * object-store commit service is out of scope.
+  *
+  * Validation note: no independent Delta implementation exists in the
+  * offline dependency budget (DuckDB's delta extension needs egress),
+  * so conformance is proven three-way instead — golden assertions on
+  * the raw JSON the writer emits (DeltaWriteSpec parses every action
+  * line and checks the spec's required fields), round-trip through
+  * [[DeltaRead]] (which was itself pinned against hand-authored
+  * fixtures and the DeltaFoldProps model BEFORE this writer existed),
+  * and a writer-driven model property (DeltaWriteProps) where random
+  * create/append/overwrite sequences must reconstruct an in-memory
+  * model at every version.
+  */
+object DeltaWrite {
+
+  import GraftTable.ConcurrentWriteException
+
+  /** Create a new Delta table at `root` from `df`, optionally
+    * hive-partitioned by `partitionBy`. Refuses if any Delta log
+    * already exists there. Returns the created version (always 0). */
+  def create(spark: SparkSession, df: DataFrame, root: String,
+             partitionBy: Seq[String] = Nil,
+             configuration: Map[String, String] = Map.empty): Long = {
+    val log = Paths.get(root, "_delta_log")
+    require(!Files.isDirectory(log) || {
+      val ls = Files.list(log)
+      try !ls.iterator().asScala.exists(_.getFileName.toString.matches("\\d{20}\\.json"))
+      finally ls.close()
+    }, s"Delta table already exists at $root — use append/overwrite")
+    checkPartitionable(df.schema, partitionBy)
+    refuseInvariants(df.schema, root)
+    val adds = stage(spark, df, root, partitionBy)
+    val actions = Vector(
+      commitInfo("CREATE TABLE AS SELECT"),
+      ListMap("protocol" -> ListMap(
+        "minReaderVersion" -> 1L, "minWriterVersion" -> 2L)),
+      metaData(df.schema, partitionBy, configuration)) ++ adds
+    commit(root, 0L, actions) match {
+      case Some(v) => v
+      case None =>
+        cleanup(root, adds)
+        throw new ConcurrentWriteException(
+          s"version 0 was created concurrently at $root")
+    }
+  }
+
+  /** Append `df` to the Delta table at `root`. The schema must match
+    * the table's (by name, order-free; a nullable column cannot land
+    * in a required slot). Loses races by retrying at the next version
+    * — blind appends commute — unless the re-folded table changed
+    * schema or protocol underneath. Returns the committed version. */
+  def append(spark: SparkSession, df: DataFrame, root: String): Long = {
+    val st = writableState(spark, root)
+    val aligned = align(df, st.meta)
+    val adds = stage(spark, aligned, root, st.meta.partitionCols)
+    val actions = commitInfo("WRITE", "Append") +: adds
+    var v = st.version + 1
+    var attempts = 0
+    while (attempts < 64) {
+      commit(root, v, actions) match {
+        case Some(done) => return done
+        case None =>
+          attempts += 1
+          val now = writableState(spark, root) // re-validate: schema or
+          if (now.meta.schema != st.meta.schema ||  // protocol moved —
+              now.meta.partitionCols != st.meta.partitionCols) { // adds
+            cleanup(root, adds) // may no longer be well-formed
+            throw new ConcurrentWriteException(
+              s"table at $root changed schema during append — re-read and retry")
+          }
+          v = now.version + 1
+      }
+    }
+    cleanup(root, adds)
+    throw new ConcurrentWriteException(
+      s"append to $root lost $attempts commit races — giving up")
+  }
+
+  /** Replace the table's entire contents with `df` (same schema rules
+    * as [[append]]). Emits `remove` tombstones for every live file
+    * plus the new adds in ONE commit; a lost race is NOT retried —
+    * the remove-set was computed against a state that no longer
+    * exists. Refused on `delta.appendOnly` tables. */
+  def overwrite(spark: SparkSession, df: DataFrame, root: String): Long = {
+    val st = writableState(spark, root)
+    require(st.meta.configuration.getOrElse("delta.appendOnly", "false") != "true",
+      s"Delta table at $root sets delta.appendOnly=true — refusing overwrite")
+    val aligned = align(df, st.meta)
+    val adds = stage(spark, aligned, root, st.meta.partitionCols)
+    val ts = System.currentTimeMillis()
+    val removes = st.live.map { case (p, _) =>
+      ListMap("remove" -> ListMap(
+        "path" -> p, "deletionTimestamp" -> ts, "dataChange" -> true))
+    }
+    val actions = (commitInfo("WRITE", "Overwrite") +: removes) ++ adds
+    commit(root, st.version + 1, actions) match {
+      case Some(v) => v
+      case None =>
+        cleanup(root, adds)
+        throw new ConcurrentWriteException(
+          s"version ${st.version + 1} of $root was committed concurrently " +
+            "during overwrite — re-read and retry")
+    }
+  }
+
+  /** Write a single-part checkpoint of the CURRENT version and point
+    * `_last_checkpoint` at it, so readers bootstrap without replaying
+    * the JSON tail and old commits become vacuumable. The checkpoint
+    * carries the folded state (protocol, metaData, live adds); expired
+    * remove tombstones are not retained (this writer's tables carry
+    * no vacuum bookkeeping). Returns the checkpointed version. */
+  def checkpoint(spark: SparkSession, root: String): Long = {
+    import org.apache.spark.sql.Row
+    val st = DeltaRead.state(spark, root, Long.MaxValue)
+    val protoT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val metaT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType,
+        valueContainsNull = true)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val cpT = StructType(Seq(
+      StructField("protocol", protoT), StructField("metaData", metaT),
+      StructField("add", addT)))
+    val rows =
+      Row(Row(1, 2), null, null) +:
+      Row(null, Row(s"graft-${UUID.randomUUID()}",
+        Row("parquet", Map.empty[String, String]), st.meta.schema.json,
+        st.meta.partitionCols, st.meta.configuration, 0L), null) +:
+      st.live.map { case (p, pv) =>
+        val f = Paths.get(resolve(root, p))
+        Row(null, null, Row(p, pv, Files.size(f),
+          Files.getLastModifiedTime(f).toMillis, true))
+      }
+    val cp = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), cpT)
+    val log = Paths.get(root, "_delta_log")
+    val tmp = log.resolve(s".cp_${UUID.randomUUID()}")
+    cp.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val ls = Files.list(tmp)
+      try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+    }
+    Files.move(part, log.resolve(f"${st.version}%020d.checkpoint.parquet"))
+    deleteTree(tmp)
+    Files.write(log.resolve("_last_checkpoint"),
+      Json.render(ListMap("version" -> st.version, "size" -> rows.size.toLong))
+        .getBytes(StandardCharsets.UTF_8))
+    st.version
+  }
+
+  // ---------------------------------------------------------------- internals
+
+  /** Fold the current state and refuse everything this writer cannot
+    * honor (PROTOCOL.md: "a writer must refuse to write to a table
+    * whose protocol it does not fully implement"). */
+  private def writableState(spark: SparkSession, root: String)
+      : DeltaRead.TableState = {
+    val st = DeltaRead.state(spark, root, Long.MaxValue)
+    require(st.minWriter <= 2,
+      s"Delta table at $root needs minWriterVersion=${st.minWriter}; this " +
+        "writer implements protocol (1,2) — refusing rather than writing " +
+        "a table whose feature contracts it would silently break")
+    refuseInvariants(st.meta.schema, root)
+    // an EXTERNAL table may be partitioned by a type whose spec
+    // serialization diverges from the hive dir form stage() emits —
+    // the same refusal as at create-time applies to every write
+    checkPartitionable(st.meta.schema, st.meta.partitionCols)
+    st
+  }
+
+  /** minWriterVersion=2's one feature is column invariants: a writer
+    * that does not EVALUATE them must not write. */
+  private def refuseInvariants(schema: StructType, root: String): Unit = {
+    def walk(t: DataType): Boolean = t match {
+      case s: StructType => s.fields.exists(f =>
+        f.metadata.contains("delta.invariants") || walk(f.dataType))
+      case a: ArrayType => walk(a.elementType)
+      case m: MapType => walk(m.keyType) || walk(m.valueType)
+      case _ => false
+    }
+    require(!walk(schema),
+      s"Delta table at $root declares delta.invariants; this writer does " +
+        "not evaluate invariant expressions and refuses rather than " +
+        "committing rows it cannot validate")
+  }
+
+  /** Partition column types whose spec serialization is byte-identical
+    * to the hive directory name Spark's writer emits — the only ones
+    * this writer accepts (PROTOCOL.md "Partition Value Serialization";
+    * timestamps/decimals/binary serialize differently from their hive
+    * path form and are refused rather than written divergent). */
+  private def checkPartitionable(schema: StructType, partitionBy: Seq[String]): Unit =
+    partitionBy.foreach { c =>
+      val f = schema.fields.find(_.name == c)
+        .getOrElse(sys.error(s"partition column $c not in schema"))
+      require(Seq(StringType, ByteType, ShortType, IntegerType, LongType,
+        DateType, BooleanType).contains(f.dataType),
+        s"partition column $c: ${f.dataType.simpleString} serialization " +
+          "differs between the Delta spec and hive directory layout — " +
+          "refusing (supported: string, byte, short, int, long, date, boolean)")
+    }
+
+  /** Project `df` into the table's schema by NAME: every table column
+    * present exactly once, no extras, types equal up to nullability —
+    * with nullable-into-required refused (this writer will not be the
+    * reason a required column holds null). */
+  private def align(df: DataFrame, meta: DeltaRead.Meta): DataFrame = {
+    val have = df.schema.fields.map(f => f.name -> f).toMap
+    require(df.schema.fields.length == meta.schema.fields.length &&
+        meta.schema.fields.forall(f => have.contains(f.name)),
+      s"schema mismatch: table has ${meta.schema.fieldNames.mkString(",")}, " +
+        s"data has ${df.schema.fieldNames.mkString(",")}")
+    meta.schema.fields.foreach { tf =>
+      val dfF = have(tf.name)
+      require(dfF.dataType == tf.dataType,
+        s"column ${tf.name}: table type ${tf.dataType.simpleString} != " +
+          s"data type ${dfF.dataType.simpleString}")
+      require(tf.nullable || !dfF.nullable,
+        s"column ${tf.name} is required in the table but nullable in the data")
+    }
+    df.select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Distributed write of `df` under `root` in hive layout, returning
+    * the `add` actions. One `partitionBy` parquet job stages into a
+    * hidden dir inside the root (same filesystem ⇒ publishing each
+    * file is a rename); the driver then recovers each file's partition
+    * values from its directory path (unescaping hive's %xx form) and
+    * reads `numRecords` from its parquet footer for `stats`. */
+  private def stage(spark: SparkSession, df: DataFrame, root: String,
+                    partitionBy: Seq[String]): Vector[Map[String, Any]] = {
+    Files.createDirectories(Paths.get(root))
+    val stg = Paths.get(root, s".graft-stage-${UUID.randomUUID()}")
+    val writer = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(stg.toString)
+
+    val staged = {
+      val walk = Files.walk(stg)
+      try walk.iterator().asScala.filter(p =>
+        p.getFileName.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .toVector
+      finally walk.close()
+    }
+    // hive dirs cannot tell null / "" / the literal default-partition
+    // marker apart — detect the two forgeable sources and refuse
+    if (partitionBy.nonEmpty &&
+        staged.exists(p => stg.relativize(p).toString
+          .contains("__HIVE_DEFAULT_PARTITION__"))) {
+      val forged = df
+        .where(partitionBy.map(c => col(c) === "__HIVE_DEFAULT_PARTITION__" ||
+          col(c) === "").reduce(_ || _))
+      if (!forged.isEmpty) {
+        deleteTree(stg)
+        sys.error("partition values \"\" or the literal " +
+          "\"__HIVE_DEFAULT_PARTITION__\" are not representable in hive " +
+          "layout (both collapse into the null marker) — refusing")
+      }
+    }
+
+    val adds = staged.map { p =>
+      val rel = stg.relativize(p)
+      val segs = rel.asScala.map(_.toString).toVector
+      val pv: ListMap[String, Any] = ListMap(segs.dropRight(1).map { seg =>
+        val eq = seg.indexOf('=')
+        require(eq > 0, s"staged path segment without col=value shape: $seg")
+        val raw = unescapeHive(seg.substring(eq + 1))
+        seg.substring(0, eq) ->
+          (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw)
+      }: _*)
+      val dest = Paths.get(root).resolve(rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(p, dest) // unique part-<uuid> names: collision = bug
+      ListMap[String, Any]("add" -> ListMap(
+        "path" -> encodePath(segs.mkString("/")),
+        "partitionValues" -> pv,
+        "size" -> Files.size(dest),
+        "modificationTime" -> Files.getLastModifiedTime(dest).toMillis,
+        "dataChange" -> true,
+        "stats" -> Json.render(ListMap("numRecords" -> numRecords(dest)))))
+    }
+    deleteTree(stg)
+    adds
+  }
+
+  /** Row count from the parquet footer — driver-side, metadata-only
+    * (no row group bytes touched). */
+  private def numRecords(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toString),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  private def metaData(schema: StructType, partitionBy: Seq[String],
+                       configuration: Map[String, String]): Map[String, Any] =
+    ListMap("metaData" -> ListMap(
+      "id" -> UUID.randomUUID().toString,
+      "format" -> ListMap("provider" -> "parquet", "options" -> ListMap.empty),
+      "schemaString" -> schema.json,
+      "partitionColumns" -> partitionBy,
+      "configuration" -> configuration,
+      "createdTime" -> System.currentTimeMillis()))
+
+  private def commitInfo(operation: String, mode: String = ""): Map[String, Any] =
+    ListMap("commitInfo" -> (ListMap(
+      "timestamp" -> System.currentTimeMillis(),
+      "operation" -> operation,
+      "engineInfo" -> "graft") ++
+      (if (mode.nonEmpty)
+        ListMap("operationParameters" -> ListMap("mode" -> mode))
+      else ListMap.empty)))
+
+  /** Atomically publish `actions` as `_delta_log/<v>.json`. Some(v) on
+    * the win; None when the slot was taken first (optimistic-
+    * concurrency loss — callers decide whether a retry is sound). */
+  private def commit(root: String, v: Long,
+                     actions: Seq[Map[String, Any]]): Option[Long] = {
+    val log = Paths.get(root, "_delta_log")
+    Files.createDirectories(log)
+    val body = actions.map(Json.render).mkString("", "\n", "\n")
+    val tmp = log.resolve(s".c$v.${UUID.randomUUID()}.tmp")
+    Files.writeString(tmp, body, StandardOpenOption.CREATE_NEW)
+    try {
+      Files.createLink(log.resolve(f"$v%020d.json"), tmp)
+      Some(v)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => None
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** A lost commit's staged data files are unreachable (no add action
+    * ever published) — delete them rather than leak. */
+  private def cleanup(root: String, adds: Seq[Map[String, Any]]): Unit =
+    adds.foreach { a =>
+      Json.str(a, "add", "path").foreach { p =>
+        Files.deleteIfExists(Paths.get(resolve(root, p)))
+      }
+    }
+
+  private def resolve(root: String, p: String): String = {
+    val decoded = java.net.URLDecoder.decode(p, "UTF-8")
+    if (Paths.get(decoded).isAbsolute) decoded
+    else Paths.get(root).resolve(decoded).toString
+  }
+
+  /** Percent-encode a relative path for `add.path` (RFC 2396). The
+    * multi-argument URI constructor quotes exactly the illegal path
+    * characters — space, control chars, and crucially '%' itself
+    * (present in hive-escaped dir names; under-encoding it would
+    * corrupt every reader's decode) — while leaving legal ones like
+    * '=' readable, matching what production Delta writers emit. */
+  private def encodePath(rel: String): String =
+    new java.net.URI(null, null, rel, null).getRawPath
+
+  /** Inverse of hive's escapePathName: %xx (two hex digits) decodes to
+    * the char; hive escapes '%' itself, so the scan is unambiguous. */
+  private def unescapeHive(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '%' && i + 2 < s.length && isHex(s(i + 1)) && isHex(s(i + 2))) {
+        sb += Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar
+        i += 3
+      } else { sb += s(i); i += 1 }
+    }
+    sb.result()
+  }
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+
+  private def deleteTree(p: Path): Unit = {
+    val walk = Files.walk(p)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+}

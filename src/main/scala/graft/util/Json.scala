@@ -43,6 +43,41 @@ object Json {
     Option(get(v, path: _*)).collect { case l: List[_] => l }
       .getOrElse(Nil).asInstanceOf[List[Any]]
 
+  /** Render the same value shapes [[parse]] produces back to compact
+    * JSON (objects keep insertion order — callers pass ListMap/Vector
+    * when field order matters for readability; the spec never does).
+    * Strings are escaped per RFC 8259 (the two mandatory classes:
+    * quote/backslash and control characters). */
+  def render(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => b.toString
+    case l: Long => l.toString
+    case i: Int => i.toString
+    case d: Double =>
+      require(!d.isNaN && !d.isInfinite, "JSON has no NaN/Infinity")
+      d.toString
+    case s: String => renderString(s)
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => renderString(k.toString) + ":" + render(x) }
+        .mkString("{", ",", "}")
+    case xs: Iterable[_] => xs.map(render).mkString("[", ",", "]")
+    case other => sys.error(s"unrenderable JSON value: ${other.getClass}")
+  }
+
+  private def renderString(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case c if c < 0x20 => sb ++= f"\\u${c.toInt}%04x"
+      case c => sb += c
+    }
+    sb.append('"').result()
+  }
+
   private final class P(s: String) {
     var pos = 0
     def eof: Boolean = pos >= s.length

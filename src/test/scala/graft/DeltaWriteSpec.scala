@@ -1,0 +1,285 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+
+import graft.sources.{DeltaRead, DeltaWrite, GraftTable}
+import graft.util.Json
+
+/** Write-side Delta interop. No independent Delta implementation fits
+  * the offline dependency budget, so conformance is proven three-way:
+  * (1) GOLDEN assertions on the raw `_delta_log` JSON the writer emits
+  * — every action line parsed and checked against PROTOCOL.md's
+  * required fields and partition-value serialization; (2) round-trip
+  * through [[DeltaRead]], which was pinned against hand-authored
+  * fixtures and the DeltaFoldProps model BEFORE the writer existed (a
+  * writer bug and a reader bug would have to cancel exactly); (3) the
+  * refusal surface — everything the writer promises to reject loudly,
+  * rejected loudly. DeltaWriteProps adds the model-based random-
+  * sequence property on top. */
+class DeltaWriteSpec extends SparkSpec {
+
+  private def fresh(): String =
+    Files.createTempDirectory("graft_deltaw_").toString
+
+  private def df3: DataFrame = {
+    import spark.implicits._
+    Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")).toDF("id", "v", "p")
+  }
+
+  private def logLines(root: String, v: Long): Seq[Map[String, Any]] =
+    Files.readAllLines(
+      Paths.get(root, "_delta_log", f"$v%020d.json"), StandardCharsets.UTF_8)
+      .asScala.filter(_.trim.nonEmpty)
+      .map(Json.parse(_).asInstanceOf[Map[String, Any]]).toSeq
+
+  test("create writes a spec-shaped v0 log: protocol, metaData, adds") {
+    val root = fresh()
+    assert(DeltaWrite.create(spark, df3, root, partitionBy = Seq("p")) == 0L)
+    val lines = logLines(root, 0)
+
+    val proto = lines.flatMap(l => Option(Json.get(l, "protocol")))
+    assert(proto.size == 1)
+    assert(Json.long(proto.head, "minReaderVersion").contains(1L))
+    assert(Json.long(proto.head, "minWriterVersion").contains(2L))
+
+    val meta = lines.flatMap(l => Option(Json.get(l, "metaData")))
+    assert(meta.size == 1)
+    assert(Json.str(meta.head, "id").exists(_.nonEmpty))
+    assert(Json.str(meta.head, "format", "provider").contains("parquet"))
+    assert(Json.list(meta.head, "partitionColumns") == List("p"))
+    // schemaString must be Spark-schema JSON for the DATA+PARTITION cols
+    val ss = Json.str(meta.head, "schemaString").get
+    assert(org.apache.spark.sql.types.DataType.fromJson(ss)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("id", "v", "p"))
+
+    val adds = lines.flatMap(l => Option(Json.get(l, "add")))
+    assert(adds.nonEmpty)
+    adds.foreach { a =>
+      val path = Json.str(a, "path").get
+      assert(!path.startsWith("/"), "add.path must be table-root-relative")
+      assert(path.matches("p=[xy]/.*\\.parquet"))
+      assert(Json.get(a, "partitionValues").asInstanceOf[Map[String, Any]]
+        .keySet == Set("p"))
+      assert(Json.long(a, "size").exists(_ > 0))
+      assert(Json.long(a, "modificationTime").exists(_ > 0))
+      assert(Json.get(a, "dataChange") == true)
+      // stats is a JSON STRING carrying numRecords
+      val stats = Json.parse(Json.str(a, "stats").get)
+      assert(Json.long(stats, "numRecords").exists(_ > 0))
+    }
+    val n = adds.map(a => Json.long(Json.parse(Json.str(a, "stats").get),
+      "numRecords").get).sum
+    assert(n == 3L, "add.stats numRecords must sum to the row count")
+  }
+
+  test("create/append/overwrite round-trip through DeltaRead at every version") {
+    import spark.implicits._
+    val root = fresh()
+    DeltaWrite.create(spark, df3, root, partitionBy = Seq("p"))
+    DeltaWrite.append(spark, Seq((4L, "d", "y")).toDF("id", "v", "p"), root)
+    DeltaWrite.overwrite(spark, Seq((9L, "z", "w")).toDF("id", "v", "p"), root)
+
+    def ids(v: Int) = DeltaRead.read(spark, root, v)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(0) == Set(1L, 2L, 3L))
+    assert(ids(1) == Set(1L, 2L, 3L, 4L))
+    assert(ids(2) == Set(9L))
+    // partition values come back typed from the log
+    assert(DeltaRead.read(spark, root, 1).where($"p" === "y")
+      .select("id").collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // data files must NOT contain the partition column (protocol layout)
+    val aFile = Files.walk(Paths.get(root)).iterator().asScala
+      .find(p => p.toString.contains("p=x") && p.toString.endsWith(".parquet"))
+      .get
+    assert(spark.read.parquet(aFile.toString).columns.toSeq == Seq("id", "v"))
+  }
+
+  test("append aligns columns by name and refuses real mismatches") {
+    import spark.implicits._
+    val root = fresh()
+    DeltaWrite.create(spark, df3, root)
+    // reordered columns are fine — alignment is by name
+    DeltaWrite.append(spark,
+      Seq(("e", 5L, "z")).toDF("v", "id", "p"), root)
+    assert(DeltaRead.read(spark, root).count() == 4)
+    // missing column
+    val e1 = intercept[Exception] {
+      DeltaWrite.append(spark, Seq((6L, "f")).toDF("id", "v"), root)
+    }
+    assert(e1.getMessage.contains("schema mismatch"))
+    // type mismatch
+    val e2 = intercept[Exception] {
+      DeltaWrite.append(spark, Seq((7, "g", "z")).toDF("id", "v", "p"), root)
+    }
+    assert(e2.getMessage.contains("table type"))
+  }
+
+  test("partition values with hive-escaped characters round-trip exactly") {
+    import spark.implicits._
+    val root = fresh()
+    // ':' '=' '%' and a space — ':'/'='/'%' get hive-%xx-escaped in the
+    // dir name, the space gets percent-encoded in add.path; the LOG
+    // must carry the raw value and the read must return it verbatim
+    val tricky = Seq((1L, "a:b"), (2L, "c=d"), (3L, "e%f"), (4L, "g h"))
+      .toDF("id", "p")
+    DeltaWrite.create(spark, tricky, root, partitionBy = Seq("p"))
+    val got = DeltaRead.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a:b", 2L -> "c=d", 3L -> "e%f", 4L -> "g h"))
+    val adds = logLines(root, 0).flatMap(l => Option(Json.get(l, "add")))
+    val pvs = adds.map(a => Json.str(a, "partitionValues", "p").get).toSet
+    assert(pvs == Set("a:b", "c=d", "e%f", "g h"),
+      "the log carries RAW values, not their path escapes")
+  }
+
+  test("null partition values are legal; ambiguous hive forgeries refuse") {
+    import spark.implicits._
+    val root = fresh()
+    val withNull = Seq((1L, Some("x")), (2L, None))
+      .toDF("id", "p")
+    DeltaWrite.create(spark, withNull, root, partitionBy = Seq("p"))
+    val adds = logLines(root, 0).flatMap(l => Option(Json.get(l, "add")))
+    assert(adds.exists(a =>
+      Json.get(a, "partitionValues").asInstanceOf[Map[String, Any]]("p") == null),
+      "null partition value must serialize as JSON null")
+    val back = DeltaRead.read(spark, root).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(back == Map(1L -> Some("x"), 2L -> None))
+
+    // the two values hive layout cannot distinguish from null: refuse
+    val r2 = fresh()
+    val e = intercept[Exception] {
+      DeltaWrite.create(spark, Seq((1L, "")).toDF("id", "p"), r2, Seq("p"))
+    }
+    assert(e.getMessage.contains("not representable"))
+    val r3 = fresh()
+    val e2 = intercept[Exception] {
+      DeltaWrite.create(spark,
+        Seq((1L, "__HIVE_DEFAULT_PARTITION__")).toDF("id", "p"), r3, Seq("p"))
+    }
+    assert(e2.getMessage.contains("not representable"))
+  }
+
+  test("refusals: existing table, absent table, writer protocol, appendOnly, " +
+      "invariants, unsupported partition type") {
+    import spark.implicits._
+    val root = fresh()
+    DeltaWrite.create(spark, df3, root)
+    assert(intercept[Exception] {
+      DeltaWrite.create(spark, df3, root)
+    }.getMessage.contains("already exists"))
+    assert(intercept[Exception] {
+      DeltaWrite.append(spark, df3, fresh())
+    }.getMessage.contains("not a Delta table"))
+
+    // minWriterVersion=3 table (hand-authored) — writes refused
+    val v3 = fresh()
+    val log = Paths.get(v3, "_delta_log")
+    Files.createDirectories(log)
+    val schema = Seq((1L, "a", "x")).toDF("id", "v", "p").schema.json
+    def jstr(s: String) =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    Files.write(log.resolve(f"${0L}%020d.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""" + "\n" +
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":[],"configuration":{},"createdTime":0}}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    assert(intercept[Exception] {
+      DeltaWrite.append(spark, df3, v3)
+    }.getMessage.contains("minWriterVersion=3"))
+
+    // delta.appendOnly=true refuses overwrite, allows append
+    val ao = fresh()
+    DeltaWrite.create(spark, df3, ao,
+      configuration = Map("delta.appendOnly" -> "true"))
+    DeltaWrite.append(spark, df3, ao)
+    assert(intercept[Exception] {
+      DeltaWrite.overwrite(spark, df3, ao)
+    }.getMessage.contains("appendOnly"))
+
+    // a schema declaring delta.invariants refuses (we don't evaluate them)
+    val inv = fresh()
+    val invSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.invariants", """{"expression":{"expression":"id > 0"}}""")
+          .build())))
+    val invDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L)), 1),
+      invSchema)
+    assert(intercept[Exception] {
+      DeltaWrite.create(spark, invDf, inv)
+    }.getMessage.contains("delta.invariants"))
+
+    // timestamp partition columns: spec serialization != hive dir form
+    assert(intercept[Exception] {
+      DeltaWrite.create(spark,
+        Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+          .toDF("id", "ts"), fresh(), Seq("ts"))
+    }.getMessage.contains("serialization"))
+  }
+
+  test("concurrent appends: both commits land at distinct versions, " +
+      "no rows lost") {
+    import spark.implicits._
+    val root = fresh()
+    DeltaWrite.create(spark, Seq((0L, "seed", "s")).toDF("id", "v", "p"), root)
+    val pool = Executors.newFixedThreadPool(4)
+    val gate = new CountDownLatch(1)
+    try {
+      val futures = (1 to 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await()
+            DeltaWrite.append(spark,
+              Seq((i.toLong, s"w$i", "c")).toDF("id", "v", "p"), root)
+          }
+        })
+      }
+      gate.countDown()
+      val versions = futures.map(_.get(120, TimeUnit.SECONDS))
+      assert(versions.toSet.size == 4, s"versions must be distinct: $versions")
+      assert(versions.toSet == Set(1L, 2L, 3L, 4L))
+    } finally pool.shutdownNow()
+    assert(DeltaRead.read(spark, root).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("checkpoint bootstraps the reader after the JSON tail is vacuumed") {
+    import spark.implicits._
+    val root = fresh()
+    DeltaWrite.create(spark, df3, root, partitionBy = Seq("p"))
+    DeltaWrite.append(spark, Seq((4L, "d", "y")).toDF("id", "v", "p"), root)
+    DeltaWrite.overwrite(spark, Seq((9L, "z", "w"), (10L, "q", "w"))
+      .toDF("id", "v", "p"), root)
+    assert(DeltaWrite.checkpoint(spark, root) == 2L)
+    // vacuum every JSON commit the checkpoint supersedes
+    (0L to 2L).foreach { v =>
+      Files.delete(Paths.get(root, "_delta_log", f"$v%020d.json"))
+    }
+    assert(DeltaRead.read(spark, root).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(9L, 10L))
+    // and the log keeps working past the checkpoint
+    DeltaWrite.append(spark, Seq((11L, "r", "w")).toDF("id", "v", "p"), root)
+    assert(DeltaRead.read(spark, root).count() == 3)
+  }
+
+  test("GraftTable round-trip: import of an engine-written Delta table " +
+      "is snapshot-equal") {
+    val root = fresh()
+    val gt = fresh() + "/gt"
+    DeltaWrite.create(spark, df3, root, partitionBy = Seq("p"))
+    GraftTable.importDelta(spark, root, gt, key = "id")
+    val a = GraftTable.read(spark, gt).select("id", "v", "p")
+      .collect().map(_.toSeq).toSet
+    val b = df3.collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}
