@@ -374,8 +374,8 @@ object DeltaWrite {
     try r.getRecordCount finally r.close()
   }
 
-  private def metaData(schema: StructType, partitionBy: Seq[String],
-                       configuration: Map[String, String]): Map[String, Any] =
+  private[sources] def metaData(schema: StructType, partitionBy: Seq[String],
+                                configuration: Map[String, String]): Map[String, Any] =
     ListMap("metaData" -> ListMap(
       "id" -> UUID.randomUUID().toString,
       "format" -> ListMap("provider" -> "parquet", "options" -> ListMap.empty),
@@ -396,8 +396,8 @@ object DeltaWrite {
   /** Atomically publish `actions` as `_delta_log/<v>.json`. Some(v) on
     * the win; None when the slot was taken first (optimistic-
     * concurrency loss — callers decide whether a retry is sound). */
-  private def commit(root: String, v: Long,
-                     actions: Seq[Map[String, Any]]): Option[Long] = {
+  private[sources] def commit(root: String, v: Long,
+                              actions: Seq[Map[String, Any]]): Option[Long] = {
     val log = Paths.get(root, "_delta_log")
     Files.createDirectories(log)
     val body = actions.map(Json.render).mkString("", "\n", "\n")
@@ -432,7 +432,7 @@ object DeltaWrite {
     * (present in hive-escaped dir names; under-encoding it would
     * corrupt every reader's decode) — while leaving legal ones like
     * '=' readable, matching what production Delta writers emit. */
-  private def encodePath(rel: String): String =
+  private[sources] def encodePath(rel: String): String =
     new java.net.URI(null, null, rel, null).getRawPath
 
   /** Inverse of hive's escapePathName: %xx (two hex digits) decodes to

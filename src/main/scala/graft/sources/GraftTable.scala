@@ -613,6 +613,202 @@ object GraftTable {
     }
   }
 
+  // -- Delta export (the outbound half of the interop story) -----------
+
+  private def exportMarkerPath(root: String): Path =
+    Paths.get(root, "delta_export.json")
+
+  /** Atomically records "Delta version `deltaVersion` at `deltaRoot`
+    * mirrors this table's version `graftVersion`". Written AFTER the
+    * Delta commit — a crash between the two is detected and adopted by
+    * [[syncToDelta]] via the commit's own graft-version tag, so
+    * at-least-once marker updates still give an exactly-once mirror. */
+  private def writeExportMarker(root: String, deltaRoot: String,
+                                graftVersion: Int, deltaVersion: Long): Unit = {
+    val tmp = Paths.get(root, s".delta_export.${UUID.randomUUID}.tmp")
+    Files.writeString(tmp, graft.util.Json.render(
+      scala.collection.immutable.ListMap(
+        "deltaRoot" -> deltaRoot, "graftVersion" -> graftVersion.toLong,
+        "deltaVersion" -> deltaVersion)),
+      StandardOpenOption.CREATE_NEW)
+    Files.move(tmp, exportMarkerPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** (deltaRoot, graft version mirrored, Delta version holding it) —
+    * present iff [[exportDelta]] ran. */
+  def deltaExportState(root: String): Option[(String, Int, Long)] = {
+    val p = exportMarkerPath(root)
+    if (!Files.exists(p)) None
+    else {
+      val m = graft.util.Json.parse(Files.readString(p))
+      Some((graft.util.Json.str(m, "deltaRoot").get,
+        graft.util.Json.long(m, "graftVersion").get.toInt,
+        graft.util.Json.long(m, "deltaVersion").get))
+    }
+  }
+
+  /** Hard-link `src` as `dest` (same-filesystem zero-copy; immutable
+    * files make sharing the inode safe), falling back to a real copy
+    * across filesystems. Idempotent: an existing dest is the same
+    * bytes from a previous attempt. */
+  private def linkOrCopy(src: Path, dest: Path): Unit =
+    if (!Files.exists(dest)) {
+      try Files.createLink(dest, src)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          try Files.copy(src, dest)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+    }
+
+  /** The Delta `add` action mirroring one manifest entry: the data
+    * file is hard-linked under the Delta root (basenames are
+    * `part-<uuid>.parquet` — collision-free), row count comes from
+    * the manifest (no footer read), key min/max ride along as Delta
+    * file-skipping stats. */
+  private def mirrorAdd(deltaRoot: String, key: String,
+                        f: FileEntry): Map[String, Any] = {
+    import scala.collection.immutable.ListMap
+    val src = Paths.get(f.path)
+    val name = src.getFileName.toString
+    val dest = Paths.get(deltaRoot).resolve(name)
+    linkOrCopy(src, dest)
+    ListMap("add" -> ListMap(
+      "path" -> DeltaWrite.encodePath(name),
+      "partitionValues" -> ListMap.empty,
+      "size" -> Files.size(dest),
+      "modificationTime" -> Files.getLastModifiedTime(dest).toMillis,
+      "dataChange" -> true,
+      "stats" -> graft.util.Json.render(ListMap(
+        "numRecords" -> f.rows,
+        "minValues" -> ListMap(key -> f.minKey),
+        "maxValues" -> ListMap(key -> f.maxKey)))))
+  }
+
+  private def mirrorRemove(f: FileEntry): Map[String, Any] = {
+    import scala.collection.immutable.ListMap
+    ListMap("remove" -> ListMap(
+      "path" -> DeltaWrite.encodePath(Paths.get(f.path).getFileName.toString),
+      "deletionTimestamp" -> System.currentTimeMillis(),
+      "dataChange" -> true))
+  }
+
+  private def mirrorCommitInfo(graftVersion: Int): Map[String, Any] = {
+    import scala.collection.immutable.ListMap
+    ListMap("commitInfo" -> ListMap(
+      "timestamp" -> System.currentTimeMillis(),
+      "operation" -> "GRAFT SYNC",
+      "operationParameters" -> ListMap("graftVersion" -> graftVersion.toLong),
+      "engineInfo" -> "graft"))
+  }
+
+  /** One-shot export: publish this table's LATEST snapshot as a brand
+    * new Delta table at `deltaRoot`, then keep it mirrored with
+    * [[syncToDelta]] — [[importDelta]]/[[syncDelta]]'s outbound twin,
+    * closing the "engine output is locked in" half of the interop
+    * ceiling.
+    *
+    * Because both layouts share the immutable-data-file + manifest
+    * skeleton, export is PURE METADATA TRANSLATION: every manifest
+    * entry becomes a Delta `add` (row count and key min/max copied
+    * straight from the manifest as file-skipping stats) and the bytes
+    * are HARD-LINKED, not copied — a 100 TB table exports in seconds,
+    * no Spark job runs at all. The links also make the mirror immune
+    * to [[vacuum]] on this side: unlinking a name leaves the Delta
+    * table's inode alive.
+    *
+    * Returns the Delta version written (always 0). */
+  def exportDelta(spark: SparkSession, root: String, deltaRoot: String): Long = {
+    import scala.collection.immutable.ListMap
+    val snap = latest(root)
+    require(snap.version >= 1, s"nothing to export: no snapshot at $root")
+    require(snap.files.nonEmpty,
+      s"nothing to export: snapshot v${snap.version} at $root lists no files")
+    Files.createDirectories(Paths.get(deltaRoot))
+    val schema = spark.read.parquet(snap.files.head.path).schema
+    val actions = Vector(
+      mirrorCommitInfo(snap.version),
+      ListMap("protocol" -> ListMap(
+        "minReaderVersion" -> 1L, "minWriterVersion" -> 2L)),
+      DeltaWrite.metaData(schema, Nil, Map.empty)) ++
+      snap.files.map(mirrorAdd(deltaRoot, snap.key, _))
+    DeltaWrite.commit(deltaRoot, 0L, actions).getOrElse(
+      throw new ConcurrentWriteException(
+        s"a Delta table already exists at $deltaRoot"))
+    writeExportMarker(root, deltaRoot, snap.version, 0L)
+    0L
+  }
+
+  /** Incremental mirror: translate every GraftTable version since the
+    * export marker into one Delta commit of remove/add actions (the
+    * manifest file-set diff — work proportional to the COMMIT, never
+    * the table; new files hard-linked like [[exportDelta]]). The
+    * mirror OWNS the Delta table: if the Delta head is not where the
+    * marker left it, the extra commits must each carry this table's
+    * own `GRAFT SYNC` graft-version tag (a crash between commit and
+    * marker — adopted, marker advanced) — anything else is a foreign
+    * writer and the sync refuses rather than diverging it.
+    *
+    * Returns one (graftVersion, deltaVersion) per commit written. */
+  def syncToDelta(spark: SparkSession, root: String): Seq[(Int, Long)] = {
+    val (deltaRoot, fromGraft, lastDelta) = deltaExportState(root).getOrElse(
+      sys.error(s"no Delta export marker at $root — run exportDelta first"))
+    var expectedFrom = fromGraft
+    var dv = lastDelta
+    val head = DeltaRead.latestVersion(deltaRoot)
+    (lastDelta + 1 to head).foreach { v =>
+      val tagged = commitGraftVersion(deltaRoot, v)
+      require(tagged.contains(expectedFrom + 1),
+        s"Delta table at $deltaRoot advanced to version $v without this " +
+          s"mirror (expected a GRAFT SYNC commit for graft version " +
+          s"${expectedFrom + 1}, found ${tagged.fold("a foreign commit")(g =>
+            s"graft version $g")}) — refusing to diverge a foreign writer")
+      expectedFrom += 1
+      dv = v
+      writeExportMarker(root, deltaRoot, expectedFrom, dv)
+    }
+    val cur = currentVersion(root)
+    val out = Seq.newBuilder[(Int, Long)]
+    (expectedFrom + 1 to cur).foreach { g =>
+      val prev = snapshot(root, g - 1)
+      val curS = snapshot(root, g)
+      val prevPaths = prev.files.map(_.path).toSet
+      val curPaths = curS.files.map(_.path).toSet
+      val adds = curS.files.filterNot(f => prevPaths(f.path))
+      val removes = prev.files.filterNot(f => curPaths(f.path))
+      if (adds.isEmpty && removes.isEmpty) {
+        writeExportMarker(root, deltaRoot, g, dv) // marker-only commit
+      } else {
+        val actions = (mirrorCommitInfo(g) +: removes.map(mirrorRemove)) ++
+          adds.map(mirrorAdd(deltaRoot, curS.key, _))
+        dv += 1
+        DeltaWrite.commit(deltaRoot, dv, actions).getOrElse(
+          throw new ConcurrentWriteException(
+            s"Delta version $dv at $deltaRoot was committed concurrently " +
+              "during sync — a foreign writer owns the table now"))
+        writeExportMarker(root, deltaRoot, g, dv)
+        out += ((g, dv))
+      }
+    }
+    out.result()
+  }
+
+  /** The graftVersion tag of Delta commit `v`, iff it is one of OUR
+    * mirror commits (operation = GRAFT SYNC). */
+  private def commitGraftVersion(deltaRoot: String, v: Long): Option[Int] = {
+    val p = Paths.get(deltaRoot, "_delta_log", f"$v%020d.json")
+    if (!Files.exists(p)) None
+    else Files.readAllLines(p).asScala.filter(_.trim.nonEmpty)
+      .map(graft.util.Json.parse).collectFirst {
+        case m if graft.util.Json.str(m, "commitInfo", "operation")
+            .contains("GRAFT SYNC") =>
+          graft.util.Json.long(m, "commitInfo", "operationParameters",
+            "graftVersion").map(_.toInt)
+      }.flatten
+  }
+
   // -- version pins ----------------------------------------------------
 
   private def pinDir(root: String): Path = Paths.get(root, "pins")
