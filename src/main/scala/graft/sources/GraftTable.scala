@@ -795,6 +795,18 @@ object GraftTable {
     out.result()
   }
 
+  /** One-shot export of the LATEST snapshot as a new Iceberg table —
+    * the outbound twin of [[importIceberg]]. Unlike [[exportDelta]]
+    * this is a DATA COPY, not a hard-link mirror, by necessity:
+    * Iceberg resolves columns by field id and GraftTable's parquet
+    * files carry none, so [[IcebergWrite.create]] rewrites the rows
+    * under an id-stamped schema (one distributed job — the cost of
+    * any engine's CTAS). For a continuously-mirrored zero-copy
+    * export, use the Delta side. Returns the created snapshot id. */
+  def exportIceberg(spark: SparkSession, root: String,
+                    icebergRoot: String): Long =
+    IcebergWrite.create(spark, read(spark, root), icebergRoot)
+
   /** The graftVersion tag of Delta commit `v`, iff it is one of OUR
     * mirror commits (operation = GRAFT SYNC). */
   private def commitGraftVersion(deltaRoot: String, v: Long): Option[Int] = {

@@ -242,13 +242,13 @@ object IcebergRead {
 
   /** Iceberg stores absolute URIs; local tables use file: or plain
     * paths, and hand-relocated fixtures may be root-relative. */
-  private def resolve(root: String, p: String): String = {
+  private[sources] def resolve(root: String, p: String): String = {
     val noScheme = p.stripPrefix("file:")
     if (Paths.get(noScheme).isAbsolute) noScheme
     else Paths.get(root).resolve(noScheme).toString
   }
 
-  private def avroRows(path: String): Seq[GenericRecord] = {
+  private[sources] def avroRows(path: String): Seq[GenericRecord] = {
     val reader = new DataFileReader[GenericRecord](
       new java.io.File(path), new GenericDatumReader[GenericRecord]())
     try reader.iterator.asScala.toVector finally reader.close()

@@ -1,0 +1,552 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.util.UUID
+
+import scala.collection.immutable.ListMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.util.Json
+
+/** Write-side interop with the OPEN Apache Iceberg table spec
+  * (iceberg.apache.org/spec, format version 2) — [[IcebergRead]]'s
+  * counterpart and [[DeltaWrite]]'s sibling for the other open format.
+  * Like the reader, no Iceberg library is involved: table metadata is
+  * JSON ([[graft.util.Json]] both ways), manifest lists and manifests
+  * are Avro written with the avro-core jars Spark already ships, and
+  * data files are parquet from Spark's own writer.
+  *
+  * What a commit writes (the spec's resolution chain, produced in
+  * reverse):
+  *   data/part-*.parquet            one distributed Spark job
+  *   metadata/m-<uuid>.avro         manifest: one entry per new file
+  *   metadata/snap-<id>-*.avro      manifest list: carried manifests
+  *                                  (append) or just the new one
+  *                                  (create/overwrite) + the new one
+  *   metadata/v<N>.metadata.json    new current snapshot + schema
+  *   metadata/version-hint.text     pointer (post-commit convenience)
+  *
+  * Commit protocol: `v<N>.metadata.json` is claimed by hard-link
+  * first-wins (the [[GraftTable]]/[[DeltaWrite]] idiom — EEXIST is
+  * atomic, a lost race can never replace a winner's commit). The next
+  * version is derived from the DIRECTORY LISTING, not the hint file:
+  * the hint is a read-side pointer updated after the claim, so a
+  * crash between the two leaves readers one consistent snapshot
+  * behind, healed by the next commit — never torn.
+  *
+  * Field ids, the part Delta does not have: Iceberg resolves columns
+  * BY ID, so the writer assigns ids (depth-first, the spec's
+  * assignment rule) on create, records them in the schema JSON, AND
+  * attaches them as `parquet.field.id` metadata so Spark's parquet
+  * writer stamps the ids into every data file's footer. [[IcebergRead]]
+  * refuses id-less data files, so a round-trip through the reader
+  * proves the stamping end to end. On append to an EXISTING table the
+  * TABLE's ids are attached to the aligned frame — whatever ids a
+  * foreign writer assigned are preserved, never re-derived.
+  *
+  * Scope (refused loudly, mirroring the reader):
+  *   - format-version ≤ 2, no row-level deletes (the reader's gates);
+  *   - PARTITIONED tables are not written (the current default spec
+  *     must be unpartitioned): identity-partition transforms would be
+  *     expressible, but hidden-partitioning transforms (bucket,
+  *     truncate, days…) are a whole evaluation engine — all-or-nothing
+  *     per the spec's "writers must produce partition values for the
+  *     default spec";
+  *   - appends preserve but do not evolve schemas: a frame not
+  *     matching the current schema (by name, types equal, nullable
+  *     never landing in a required slot) is refused.
+  *
+  * 100 TB shape: identical to [[DeltaWrite]] — data moves through one
+  * distributed parquet job, the driver writes manifest-scale metadata
+  * (one avro row per file). Appends carry prior manifests by
+  * REFERENCE in the new manifest list (work per commit ∝ the commit,
+  * never the table).
+  *
+  * Validation mirrors DeltaWrite's three-way story: golden assertions
+  * on the metadata JSON + manifest avro fields (IcebergWriteSpec),
+  * round-trip through the independently-pinned [[IcebergRead]]
+  * (field-id resolution included), and the IcebergWriteProps model
+  * property over random create/append/overwrite sequences at every
+  * snapshot.
+  */
+object IcebergWrite {
+
+  import GraftTable.ConcurrentWriteException
+
+  /** Create a new (unpartitioned, format-version 2) Iceberg table at
+    * `root` from `df`. Returns the snapshot id. */
+  def create(spark: SparkSession, df: DataFrame, root: String): Long = {
+    val metaDir = Paths.get(root, "metadata")
+    require(!Files.isDirectory(metaDir) || {
+      val ls = Files.list(metaDir)
+      try !ls.iterator().asScala.exists(
+        _.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
+      finally ls.close()
+    }, s"Iceberg table already exists at $root — use append/overwrite")
+    val (idSchema, lastColumnId) = assignIds(df.schema)
+    val files = stage(spark, df, root, idSchema)
+    val snapId = 1L
+    val manifest = writeManifest(root, files, snapId, sequenceNumber = 1L)
+    val mlPath = writeManifestList(root, snapId, Seq(manifest))
+    val meta = ListMap(
+      "format-version" -> 2L,
+      "table-uuid" -> UUID.randomUUID().toString,
+      "location" -> Paths.get(root).toAbsolutePath.toString,
+      "last-sequence-number" -> 1L,
+      "last-updated-ms" -> System.currentTimeMillis(),
+      "last-column-id" -> lastColumnId.toLong,
+      "current-schema-id" -> 0L,
+      "schemas" -> List(icebergSchema(idSchema, schemaId = 0)),
+      "default-spec-id" -> 0L,
+      "partition-specs" -> List(ListMap(
+        "spec-id" -> 0L, "fields" -> Nil)),
+      "last-partition-id" -> 999L,
+      "default-sort-order-id" -> 0L,
+      "sort-orders" -> List(ListMap(
+        "order-id" -> 0L, "fields" -> Nil)),
+      "properties" -> ListMap.empty,
+      "current-snapshot-id" -> snapId,
+      "snapshots" -> List(snapshotEntry(root, snapId, parent = None,
+        seq = 1L, mlPath, "append")))
+    commitMetadata(root, 1, meta).getOrElse(
+      throw new ConcurrentWriteException(
+        s"Iceberg table at $root was created concurrently"))
+    snapId
+  }
+
+  /** Append `df` as a new snapshot: prior manifests carried by
+    * reference, one new manifest for the new files. Schema must match
+    * the table's; the TABLE's field ids are stamped into the new
+    * parquet files. Returns the new snapshot id. */
+  def append(spark: SparkSession, df: DataFrame, root: String): Long =
+    commitData(spark, df, root, carryPrior = true, op = "append")
+
+  /** Replace the table's contents: the new snapshot's manifest list
+    * holds ONLY the new manifest — prior files leave the live set by
+    * omission, exactly how engines rewrite snapshots. */
+  def overwrite(spark: SparkSession, df: DataFrame, root: String): Long =
+    commitData(spark, df, root, carryPrior = false, op = "overwrite")
+
+  // ---------------------------------------------------------------- internals
+
+  private def commitData(spark: SparkSession, df: DataFrame, root: String,
+                         carryPrior: Boolean, op: String): Long = {
+    var attempts = 0
+    while (true) {
+      // optimistic concurrency: fold the HIGHEST listed metadata
+      // version (never the hint — it may lag a concurrent winner) and
+      // claim EXACTLY baseV+1; claiming any later slot would publish a
+      // snapshot list that silently drops commits this fold never saw
+      val baseV = highestMetaVersion(root)
+      require(baseV >= 1, s"not an Iceberg table: no vN.metadata.json at $root")
+      val meta = writableMeta(root, baseV)
+      val schema = currentIdSchema(meta)
+      val aligned = align(df, schema)
+      val files = stage(spark, aligned, root, schema)
+      val lastSeq = Json.long(meta, "last-sequence-number").getOrElse(0L)
+      val seq = lastSeq + 1
+      val snaps = Json.list(meta, "snapshots")
+      val snapId = snaps.flatMap(s => Json.long(s, "snapshot-id"))
+        .foldLeft(0L)(math.max) + 1
+      val parent = Json.long(meta, "current-snapshot-id")
+      val manifest = writeManifest(root, files, snapId, seq)
+      val carried: Seq[Map[String, Any]] =
+        if (!carryPrior) Nil
+        else parent.toSeq.flatMap { pid =>
+          val psnap = snaps.find(s => Json.long(s, "snapshot-id").contains(pid))
+            .getOrElse(sys.error(s"current snapshot $pid not listed at $root"))
+          val ml = IcebergRead.resolve(root, Json.str(psnap, "manifest-list")
+            .getOrElse(sys.error("snapshot without manifest-list")))
+          IcebergRead.avroRows(ml).map(manifestFileAsMap(root, _))
+        }
+      val mlPath = writeManifestList(root, snapId,
+        carried :+ manifest)
+      val newSnap = snapshotEntry(root, snapId, parent, seq, mlPath, op)
+      val m = meta.asInstanceOf[Map[String, Any]]
+      val updated = m ++ ListMap(
+        "last-sequence-number" -> seq,
+        "last-updated-ms" -> System.currentTimeMillis(),
+        "current-snapshot-id" -> snapId,
+        "snapshots" -> (snaps :+ newSnap))
+      commitMetadata(root, baseV + 1, updated) match {
+        case Some(_) => return snapId
+        case None =>
+          attempts += 1
+          require(attempts < 64,
+            s"$op at $root lost $attempts commit races — giving up")
+          files.foreach(f => Files.deleteIfExists(
+            Paths.get(f.path))) // unreachable: their manifest is unpublished
+          // loop: re-fold and retry (append commutes; overwrite
+          // recomputes its replacement against the NEW state)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Parse + gate metadata version `v` for writing: format ≤ 2 (the
+    * reader's gate) and an UNPARTITIONED current spec. Reads the
+    * explicit version file, not the hint ([[commitData]]'s fold). */
+  private def writableMeta(root: String, v: Int): Any = {
+    val meta = Json.parse(Files.readString(
+      Paths.get(root, "metadata", s"v$v.metadata.json"),
+      StandardCharsets.UTF_8))
+    val fv = Json.long(meta, "format-version").getOrElse(1L)
+    require(fv <= 2L, s"Iceberg format-version $fv unsupported (writer " +
+      "implements v1/v2 without row-level deletes)")
+    val specId = Json.long(meta, "default-spec-id").getOrElse(0L)
+    val specs = Json.list(meta, "partition-specs")
+    val fields = specs.find(s => Json.long(s, "spec-id").contains(specId))
+      .map(s => Json.list(s, "fields"))
+      .getOrElse(Option(Json.get(meta, "partition-spec"))
+        .collect { case l: List[_] => l.asInstanceOf[List[Any]] }
+        .getOrElse(Nil))
+    require(fields.isEmpty,
+      s"Iceberg table at $root is partitioned (spec $specId has " +
+        s"${fields.size} field(s)); this writer only writes unpartitioned " +
+        "tables — producing wrong partition values silently is worse " +
+        "than refusing")
+    meta
+  }
+
+  /** The table's current schema WITH its field ids attached as
+    * `parquet.field.id` (the form [[stage]] needs). */
+  private def currentIdSchema(meta: Any): StructType = {
+    val schemas = Json.list(meta, "schemas")
+    val chosen = Json.long(meta, "current-schema-id")
+      .flatMap(id => schemas.find(s => Json.long(s, "schema-id").contains(id)))
+      .orElse(Option(Json.get(meta, "schema")).filter(_ != null))
+      .getOrElse(sys.error("no schema in Iceberg metadata"))
+    IcebergRead.toSpark(chosen).asInstanceOf[StructType]
+  }
+
+  /** Assign field ids depth-first in field order (the spec's fresh-id
+    * rule) and attach each as `parquet.field.id` metadata. Returns the
+    * id-stamped schema and the last id assigned. Nested list/map
+    * element ids are consumed from the same counter (they appear in
+    * the schema JSON, though parquet footers only stamp struct
+    * fields). */
+  private[sources] def assignIds(schema: StructType): (StructType, Int) = {
+    var next = 0
+    def field(f: StructField): StructField = {
+      next += 1
+      val id = next
+      val dt = walk(f.dataType)
+      f.copy(dataType = dt, metadata = new MetadataBuilder()
+        .withMetadata(f.metadata).putLong("parquet.field.id", id).build())
+    }
+    def walk(t: DataType): DataType = t match {
+      case s: StructType => StructType(s.fields.map(field))
+      case a: ArrayType => next += 1; a.copy(elementType = walk(a.elementType))
+      case m: MapType =>
+        next += 2
+        m.copy(keyType = walk(m.keyType), valueType = walk(m.valueType))
+      case other => other
+    }
+    (walk(schema).asInstanceOf[StructType], next)
+  }
+
+  private def fieldId(f: StructField): Long =
+    if (f.metadata.contains("parquet.field.id"))
+      f.metadata.getLong("parquet.field.id")
+    else sys.error(s"field ${f.name} has no id — schema not id-stamped")
+
+  /** Spark schema (id-stamped) → Iceberg schema JSON structure. */
+  private[sources] def icebergSchema(schema: StructType,
+                                     schemaId: Int): Map[String, Any] = {
+    var anon = 10000 // ids for nested list/map slots of FOREIGN schemas
+    def typ(t: DataType): Any = t match {
+      case s: StructType => ListMap(
+        "type" -> "struct",
+        "fields" -> s.fields.toList.map { f =>
+          ListMap("id" -> fieldId(f), "name" -> f.name,
+            "required" -> !f.nullable, "type" -> typ(f.dataType))
+        })
+      case a: ArrayType =>
+        anon += 1
+        ListMap("type" -> "list", "element-id" -> anon.toLong,
+          "element-required" -> !a.containsNull,
+          "element" -> typ(a.elementType))
+      case m: MapType =>
+        anon += 2
+        ListMap("type" -> "map", "key-id" -> (anon - 1).toLong,
+          "value-id" -> anon.toLong, "key" -> typ(m.keyType),
+          "value-required" -> !m.valueContainsNull,
+          "value" -> typ(m.valueType))
+      case BooleanType => "boolean"
+      case IntegerType | ShortType | ByteType => "int"
+      case LongType => "long"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case DateType => "date"
+      case TimestampNTZType => "timestamp"
+      case TimestampType => "timestamptz"
+      case StringType => "string"
+      case BinaryType => "binary"
+      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+      case other => sys.error(s"no Iceberg type for ${other.simpleString}")
+    }
+    typ(schema).asInstanceOf[ListMap[String, Any]] ++
+      ListMap("schema-id" -> schemaId.toLong)
+  }
+
+  private case class StagedFile(path: String, size: Long, rows: Long)
+
+  /** One distributed parquet job under the id-stamped schema — Spark
+    * stamps `parquet.field.id` into every footer (fieldId.write is on
+    * by default; the reader REFUSES id-less files, so a round-trip
+    * cannot pass if this silently stops working). */
+  private def stage(spark: SparkSession, df: DataFrame, root: String,
+                    idSchema: StructType): Seq[StagedFile] = {
+    val dataDir = Paths.get(root, "data")
+    Files.createDirectories(dataDir)
+    val stg = Paths.get(root, s".iceberg-stage-${UUID.randomUUID()}")
+    spark.createDataFrame(df.toDF(idSchema.fieldNames.toIndexedSeq: _*).rdd,
+      idSchema).write.parquet(stg.toString)
+    val staged = {
+      val walk = Files.walk(stg)
+      try walk.iterator().asScala.filter(p =>
+        p.getFileName.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .toVector
+      finally walk.close()
+    }
+    val out = staged.map { p =>
+      val dest = dataDir.resolve(p.getFileName)
+      Files.move(p, dest)
+      StagedFile(dest.toAbsolutePath.toString, Files.size(dest),
+        parquetRows(dest))
+    }
+    val walk = Files.walk(stg)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+    out
+  }
+
+  private def parquetRows(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toString),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Project `df` into the table's schema by NAME (same contract as
+    * [[DeltaWrite.align]]); types are compared id-stripped. */
+  private def align(df: DataFrame, table: StructType): DataFrame = {
+    def bare(t: DataType): DataType = t match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, bare(f.dataType), f.nullable)))
+      case a: ArrayType => a.copy(elementType = bare(a.elementType))
+      case m: MapType => m.copy(keyType = bare(m.keyType),
+        valueType = bare(m.valueType))
+      case other => other
+    }
+    val have = df.schema.fields.map(f => f.name -> f).toMap
+    require(df.schema.fields.length == table.fields.length &&
+        table.fields.forall(f => have.contains(f.name)),
+      s"schema mismatch: table has ${table.fieldNames.mkString(",")}, " +
+        s"data has ${df.schema.fieldNames.mkString(",")}")
+    table.fields.foreach { tf =>
+      val dfF = have(tf.name)
+      require(bare(dfF.dataType) == bare(tf.dataType),
+        s"column ${tf.name}: table type ${tf.dataType.simpleString} != " +
+          s"data type ${dfF.dataType.simpleString}")
+      require(tf.nullable || !dfF.nullable,
+        s"column ${tf.name} is required in the table but nullable in the data")
+    }
+    df.select(table.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  // -- avro ------------------------------------------------------------
+
+  /** v2 manifest entry schema, field ids per the spec (§Manifests). */
+  private val manifestSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      | {"name":"content","type":"int","field-id":134},
+      | {"name":"file_path","type":"string","field-id":100},
+      | {"name":"file_format","type":"string","field-id":101},
+      | {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      | {"name":"record_count","type":"long","field-id":103},
+      | {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |]}}]}""".stripMargin)
+
+  /** v2 manifest-list schema (§Manifest Lists). */
+  private val manifestListSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin)
+
+  private def writeAvro(dest: Path, schema: Schema,
+                        rows: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, dest.toFile)
+    try rows.foreach(w.append) finally w.close()
+  }
+
+  /** One manifest: every `files` entry status=1 (ADDED by `snapId` at
+    * `sequenceNumber`). Returns the manifest-list row describing it. */
+  private def writeManifest(root: String, files: Seq[StagedFile],
+                            snapId: Long, sequenceNumber: Long)
+      : Map[String, Any] = {
+    val metaDir = Paths.get(root, "metadata")
+    Files.createDirectories(metaDir)
+    val dest = metaDir.resolve(s"m-${UUID.randomUUID()}.avro")
+    val dfSchema = manifestSchema.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+    val rows = files.map { f =>
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", 0)
+      df.put("file_path", f.path)
+      df.put("file_format", "PARQUET")
+      df.put("partition", new GenericData.Record(partSchema))
+      df.put("record_count", f.rows)
+      df.put("file_size_in_bytes", f.size)
+      val e = new GenericData.Record(manifestSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapId)
+      e.put("sequence_number", sequenceNumber)
+      e.put("file_sequence_number", sequenceNumber)
+      e.put("data_file", df)
+      e
+    }
+    writeAvro(dest, manifestSchema, rows)
+    ListMap(
+      "manifest_path" -> dest.toAbsolutePath.toString,
+      "manifest_length" -> Files.size(dest),
+      "partition_spec_id" -> 0L,
+      "content" -> 0L,
+      "sequence_number" -> sequenceNumber,
+      "min_sequence_number" -> sequenceNumber,
+      "added_snapshot_id" -> snapId,
+      "added_files_count" -> files.size.toLong,
+      "existing_files_count" -> 0L,
+      "deleted_files_count" -> 0L,
+      "added_rows_count" -> files.map(_.rows).sum,
+      "existing_rows_count" -> 0L,
+      "deleted_rows_count" -> 0L)
+  }
+
+  /** A carried (prior) manifest-list row, re-expressed in OUR list
+    * schema; the manifest avro file itself is untouched. Data-content
+    * only — the reader refuses delete manifests before any write. */
+  private def manifestFileAsMap(root: String, r: GenericRecord)
+      : Map[String, Any] = {
+    def l(name: String, dflt: Long): Long =
+      if (r.getSchema.getField(name) == null) dflt
+      else Option(r.get(name)).map(_.toString.toLong).getOrElse(dflt)
+    ListMap(
+      "manifest_path" -> IcebergRead.resolve(root,
+        r.get("manifest_path").toString),
+      "manifest_length" -> l("manifest_length", 0L),
+      "partition_spec_id" -> l("partition_spec_id", 0L),
+      "content" -> l("content", 0L),
+      "sequence_number" -> l("sequence_number", 0L),
+      "min_sequence_number" -> l("min_sequence_number", 0L),
+      "added_snapshot_id" -> l("added_snapshot_id", 0L),
+      "added_files_count" -> l("added_files_count", 0L),
+      "existing_files_count" -> l("existing_files_count", 0L),
+      "deleted_files_count" -> l("deleted_files_count", 0L),
+      "added_rows_count" -> l("added_rows_count", 0L),
+      "existing_rows_count" -> l("existing_rows_count", 0L),
+      "deleted_rows_count" -> l("deleted_rows_count", 0L))
+  }
+
+  private def writeManifestList(root: String, snapId: Long,
+                                manifests: Seq[Map[String, Any]]): String = {
+    val metaDir = Paths.get(root, "metadata")
+    Files.createDirectories(metaDir)
+    val dest = metaDir.resolve(s"snap-$snapId-${UUID.randomUUID()}.avro")
+    val rows = manifests.map { m =>
+      val r = new GenericData.Record(manifestListSchema)
+      m.foreach { case (k, v) =>
+        val f = manifestListSchema.getField(k)
+        val isInt = f.schema().getType == Schema.Type.INT
+        r.put(k, v match {
+          case l: Long if isInt => l.toInt
+          case l: Long => l
+          case s: String => s
+          case other => other
+        })
+      }
+      r
+    }
+    writeAvro(dest, manifestListSchema, rows)
+    dest.toAbsolutePath.toString
+  }
+
+  private def snapshotEntry(root: String, snapId: Long, parent: Option[Long],
+                            seq: Long, mlPath: String,
+                            op: String): Map[String, Any] =
+    ListMap(
+      "snapshot-id" -> snapId,
+      "sequence-number" -> seq,
+      "timestamp-ms" -> System.currentTimeMillis(),
+      "manifest-list" -> mlPath,
+      "schema-id" -> 0L,
+      "summary" -> ListMap("operation" -> op)) ++
+      parent.map(p => ListMap("parent-snapshot-id" -> p)).getOrElse(ListMap.empty)
+
+  private def highestMetaVersion(root: String): Int = {
+    val metaDir = Paths.get(root, "metadata")
+    if (!Files.isDirectory(metaDir)) 0
+    else {
+      val ls = Files.list(metaDir)
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+          n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
+        .foldLeft(0)(math.max)
+      finally ls.close()
+    }
+  }
+
+  /** Claim `v<N>.metadata.json` atomically (link first-wins); update
+    * the hint only after winning. None = slot taken (caller re-folds
+    * or refuses). */
+  private def commitMetadata(root: String, v: Int,
+                             meta: Map[String, Any]): Option[Int] = {
+    val metaDir = Paths.get(root, "metadata")
+    Files.createDirectories(metaDir)
+    val tmp = metaDir.resolve(s".v$v.${UUID.randomUUID()}.tmp")
+    Files.writeString(tmp, Json.render(meta), StandardOpenOption.CREATE_NEW)
+    val won =
+      try {
+        Files.createLink(metaDir.resolve(s"v$v.metadata.json"), tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally Files.deleteIfExists(tmp)
+    if (!won) None
+    else {
+      val hintTmp = metaDir.resolve(s".hint.${UUID.randomUUID()}.tmp")
+      Files.writeString(hintTmp, v.toString, StandardOpenOption.CREATE_NEW)
+      Files.move(hintTmp, metaDir.resolve("version-hint.text"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      Some(v)
+    }
+  }
+}

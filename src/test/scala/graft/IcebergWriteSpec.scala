@@ -1,0 +1,218 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.DataFrame
+
+import graft.sources.{GraftTable, IcebergRead, IcebergWrite}
+import graft.util.Json
+
+/** Write-side Iceberg interop — the same three-way validation story as
+  * DeltaWriteSpec: golden assertions on the metadata JSON and manifest
+  * avro the writer emits (field ids, spec-mandated counts), round-trip
+  * through the independently-pinned [[IcebergRead]] — which resolves
+  * columns BY FIELD ID and refuses id-less parquet, so a passing read
+  * also proves the writer stamped ids into every data file footer —
+  * and the refusal surface. IcebergWriteProps adds the random-sequence
+  * model property. */
+class IcebergWriteSpec extends SparkSpec {
+
+  private def fresh(): String =
+    Files.createTempDirectory("graft_icew_").toString
+
+  private def df3: DataFrame = {
+    import spark.implicits._
+    Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "v", "n")
+  }
+
+  private def metaJson(root: String, v: Int): Any =
+    Json.parse(Files.readString(
+      Paths.get(root, "metadata", s"v$v.metadata.json")))
+
+  private def avro(path: String): Seq[GenericRecord] = {
+    val r = new DataFileReader[GenericRecord](
+      new java.io.File(path), new GenericDatumReader[GenericRecord]())
+    try r.iterator.asScala.toVector finally r.close()
+  }
+
+  test("create writes spec-shaped v2 metadata: schema ids, spec, snapshot") {
+    val root = fresh()
+    val snapId = IcebergWrite.create(spark, df3, root)
+    val meta = metaJson(root, 1)
+    assert(Json.long(meta, "format-version").contains(2L))
+    assert(Json.str(meta, "table-uuid").exists(_.nonEmpty))
+    assert(Json.long(meta, "last-column-id").contains(3L))
+    assert(Json.long(meta, "current-snapshot-id").contains(snapId))
+    assert(Json.long(meta, "last-sequence-number").contains(1L))
+
+    val schema = Json.list(meta, "schemas").head
+    val fields = Json.list(schema, "fields")
+    assert(fields.map(f => (Json.long(f, "id").get,
+      Json.str(f, "name").get)) == List((1L, "id"), (2L, "v"), (3L, "n")))
+
+    val spec = Json.list(meta, "partition-specs").head
+    assert(Json.list(spec, "fields").isEmpty, "unpartitioned spec")
+
+    val snap = Json.list(meta, "snapshots").head
+    assert(Json.long(snap, "snapshot-id").contains(snapId))
+    assert(Json.str(snap, "summary", "operation").contains("append"))
+
+    // manifest list → manifest → data files, all fields spec-shaped
+    val ml = avro(Json.str(snap, "manifest-list").get)
+    assert(ml.size == 1)
+    val row = ml.head
+    assert(row.get("content").toString.toLong == 0L)
+    assert(row.get("added_files_count").toString.toLong >= 1L)
+    assert(row.get("added_rows_count").toString.toLong == 3L)
+    val entries = avro(row.get("manifest_path").toString)
+    assert(entries.forall(_.get("status").toString.toInt == 1))
+    val dataFiles = entries.map(_.get("data_file").asInstanceOf[GenericRecord])
+    assert(dataFiles.map(_.get("record_count").toString.toLong).sum == 3L)
+    assert(dataFiles.forall(_.get("file_format").toString == "PARQUET"))
+    assert(Files.exists(Paths.get(root, "metadata", "version-hint.text")))
+  }
+
+  test("round-trip through the field-id-resolving reader at every snapshot") {
+    import spark.implicits._
+    val root = fresh()
+    IcebergWrite.create(spark, df3, root)
+    val s2 = IcebergWrite.append(spark,
+      Seq((4L, "d", 40)).toDF("id", "v", "n"), root)
+    val s3 = IcebergWrite.overwrite(spark,
+      Seq((9L, "z", 90)).toDF("id", "v", "n"), root)
+
+    def ids(snapId: Long) = IcebergRead.read(spark, root, snapId)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(1L) == Set(1L, 2L, 3L))
+    assert(ids(s2) == Set(1L, 2L, 3L, 4L))
+    assert(ids(s3) == Set(9L))
+    assert(IcebergRead.read(spark, root).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(9L))
+    // parent ancestry recorded (what syncIceberg walks)
+    val meta = metaJson(root, 3)
+    val bySnap = Json.list(meta, "snapshots")
+      .map(s => Json.long(s, "snapshot-id").get ->
+        Json.long(s, "parent-snapshot-id")).toMap
+    assert(bySnap(s2) == Some(1L) && bySnap(s3) == Some(s2))
+  }
+
+  test("append carries prior manifests by reference — work per commit " +
+      "proportional to the commit") {
+    import spark.implicits._
+    val root = fresh()
+    IcebergWrite.create(spark, df3, root)
+    val firstMl = {
+      val meta = metaJson(root, 1)
+      avro(Json.str(Json.list(meta, "snapshots").head, "manifest-list").get)
+        .map(_.get("manifest_path").toString)
+    }
+    IcebergWrite.append(spark, Seq((4L, "d", 40)).toDF("id", "v", "n"), root)
+    val meta2 = metaJson(root, 2)
+    val snap2 = Json.list(meta2, "snapshots")
+      .find(s => Json.long(s, "sequence-number").contains(2L)).get
+    val ml2 = avro(Json.str(snap2, "manifest-list").get)
+    assert(ml2.size == 2, "carried + new")
+    // the prior manifest file itself is REUSED, not rewritten
+    assert(ml2.map(_.get("manifest_path").toString).contains(firstMl.head))
+    // carried row keeps its original sequence number
+    val carried = ml2.find(_.get("manifest_path").toString == firstMl.head).get
+    assert(carried.get("sequence_number").toString.toLong == 1L)
+  }
+
+  test("schema alignment and refusals: mismatch, partitioned table, " +
+      "existing table") {
+    import spark.implicits._
+    val root = fresh()
+    IcebergWrite.create(spark, df3, root)
+    // by-name reorder is fine
+    IcebergWrite.append(spark, Seq((10, "e", 5L)).toDF("n", "v", "id"), root)
+    assert(IcebergRead.read(spark, root).count() == 4)
+    assert(intercept[Exception] {
+      IcebergWrite.append(spark, Seq((6L, "f")).toDF("id", "v"), root)
+    }.getMessage.contains("schema mismatch"))
+    assert(intercept[Exception] {
+      IcebergWrite.create(spark, df3, root)
+    }.getMessage.contains("already exists"))
+
+    // a hand-authored PARTITIONED table refuses writes
+    val part = fresh()
+    val metaDir = Paths.get(part, "metadata")
+    Files.createDirectories(metaDir)
+    Files.writeString(metaDir.resolve("v1.metadata.json"), Json.render(
+      scala.collection.immutable.ListMap(
+        "format-version" -> 2L, "table-uuid" -> "u", "location" -> part,
+        "last-sequence-number" -> 0L, "last-updated-ms" -> 0L,
+        "last-column-id" -> 1L, "current-schema-id" -> 0L,
+        "schemas" -> List(scala.collection.immutable.ListMap(
+          "type" -> "struct", "schema-id" -> 0L,
+          "fields" -> List(scala.collection.immutable.ListMap(
+            "id" -> 1L, "name" -> "id", "required" -> false,
+            "type" -> "long")))),
+        "default-spec-id" -> 0L,
+        "partition-specs" -> List(scala.collection.immutable.ListMap(
+          "spec-id" -> 0L,
+          "fields" -> List(scala.collection.immutable.ListMap(
+            "source-id" -> 1L, "field-id" -> 1000L,
+            "transform" -> "identity", "name" -> "id")))),
+        "last-partition-id" -> 1000L, "default-sort-order-id" -> 0L,
+        "sort-orders" -> List(scala.collection.immutable.ListMap(
+          "order-id" -> 0L, "fields" -> Nil)),
+        "snapshots" -> Nil)))
+    assert(intercept[Exception] {
+      IcebergWrite.append(spark, Seq(1L).toDF("id"), part)
+    }.getMessage.contains("partitioned"))
+  }
+
+  test("importIceberg round-trips an engine-written table into GraftTable") {
+    val root = fresh()
+    val gt = fresh() + "/gt"
+    IcebergWrite.create(spark, df3, root)
+    GraftTable.importIceberg(spark, root, gt, key = "id")
+    assert(GraftTable.read(spark, gt).select("id", "v", "n")
+      .collect().map(_.toSeq).toSet == df3.collect().map(_.toSeq).toSet)
+  }
+
+  test("exportIceberg: GraftTable → Iceberg → re-import, snapshot-equal") {
+    val gt = fresh() + "/gt"
+    val ice = fresh() + "/ice"
+    val gt2 = fresh() + "/gt2"
+    GraftTable.create(spark, gt, df3, "id", 2)
+    GraftTable.exportIceberg(spark, gt, ice)
+    assert(IcebergRead.read(spark, ice).select("id", "v", "n")
+      .collect().map(_.toSeq).toSet == df3.collect().map(_.toSeq).toSet)
+    GraftTable.importIceberg(spark, ice, gt2, key = "id")
+    assert(GraftTable.read(spark, gt2).select("id", "v", "n")
+      .collect().map(_.toSeq).toSet ==
+      GraftTable.read(spark, gt).select("id", "v", "n")
+        .collect().map(_.toSeq).toSet)
+  }
+
+  test("concurrent appends land at distinct snapshots, no rows lost") {
+    import spark.implicits._
+    val root = fresh()
+    IcebergWrite.create(spark, df3, root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    try {
+      val fs = (1 to 3).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await()
+            IcebergWrite.append(spark,
+              Seq((100L + i, s"w$i", i)).toDF("id", "v", "n"), root)
+          }
+        })
+      }
+      gate.countDown()
+      val snaps = fs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(snaps.toSet.size == 3)
+    } finally pool.shutdownNow()
+    assert(IcebergRead.read(spark, root).select("id")
+      .collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 101L, 102L, 103L))
+  }
+}
