@@ -97,7 +97,7 @@ object DeltaRead {
   }
 
   /** Highest version present in the log (commit or checkpoint). */
-  private[sources] def latestVersion(root: String): Long = {
+  def latestVersion(root: String): Long = {
     val (commits, checkpoints, _) = logEntries(root, Long.MaxValue)
     (commits.map(_._1) ++ checkpoints.map(_._1)).foldLeft(-1L)(math.max)
   }

@@ -169,6 +169,57 @@ object DeltaWrite {
     }
   }
 
+  /** DELETE FROM: rewrite ONLY the files holding rows where
+    * `predicate` is TRUE (SQL semantics — NULL keeps the row), remove
+    * them and add their kept-row rewrites in one commit. Affected
+    * files are found by one predicate scan attributed with
+    * `input_file_name` — partition-only predicates prune untouched
+    * partitions at planning time, so both the scan and the rewrite are
+    * proportional to the MATCHING data, never the table. A no-match
+    * delete commits nothing and returns the current version; a lost
+    * commit race refuses like [[overwrite]] (the remove-set went
+    * stale). Refused on `delta.appendOnly` tables. */
+  def delete(spark: SparkSession, root: String,
+             predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.input_file_name
+    val st = writableState(spark, root)
+    require(st.meta.configuration.getOrElse("delta.appendOnly", "false") != "true",
+      s"Delta table at $root sets delta.appendOnly=true — refusing delete")
+    val matchTrue = predicate <=> org.apache.spark.sql.functions.lit(true)
+
+    // file attribution: canonical filesystem path → live entry
+    def canon(p: String): String =
+      Paths.get(java.net.URLDecoder.decode(p.stripPrefix("file:"), "UTF-8"))
+        .toAbsolutePath.normalize.toString
+    val liveByPath = st.live.map(f => canon(resolve(root, f._1)) -> f).toMap
+
+    val affected = DeltaRead.plan(spark, root, st.meta, st.live)
+      .where(matchTrue)
+      .select(input_file_name()).distinct()
+      .collect().map(r => liveByPath.getOrElse(canon(r.getString(0)),
+        sys.error(s"matched file ${r.getString(0)} not in the live set — " +
+          "the table changed under the delete")))
+    if (affected.isEmpty) return st.version
+
+    val kept = DeltaRead.plan(spark, root, st.meta, affected.toSeq)
+      .where(!matchTrue)
+    val adds = stage(spark, kept, root, st.meta.partitionCols)
+    val ts = System.currentTimeMillis()
+    val removes = affected.toSeq.map { case (p, _) =>
+      ListMap("remove" -> ListMap(
+        "path" -> p, "deletionTimestamp" -> ts, "dataChange" -> true))
+    }
+    val actions = (commitInfo("DELETE") +: removes) ++ adds
+    commit(root, st.version + 1, actions) match {
+      case Some(v) => v
+      case None =>
+        cleanup(root, adds)
+        throw new ConcurrentWriteException(
+          s"version ${st.version + 1} of $root was committed concurrently " +
+            "during delete — re-read and retry")
+    }
+  }
+
   /** Write a single-part checkpoint of the CURRENT version and point
     * `_last_checkpoint` at it, so readers bootstrap without replaying
     * the JSON tail and old commits become vacuumable. The checkpoint

@@ -252,6 +252,45 @@ class DeltaWriteSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("delete rewrites ONLY the files holding matching rows; " +
+      "NULL predicate keeps the row") {
+    import spark.implicits._
+    val root = fresh()
+    // two partitions → two data files; matches live only in p=x
+    DeltaWrite.create(spark,
+      Seq((1L, Some("a"), "x"), (2L, Some("b"), "x"), (3L, None, "y"))
+        .toDF("id", "v", "p"), root, partitionBy = Seq("p"))
+    val before = logLines(root, 0)
+      .flatMap(l => Json.str(Json.get(l, "add"), "path")).toSet
+
+    val v = DeltaWrite.delete(spark, root,
+      org.apache.spark.sql.functions.col("v") === "a")
+    assert(v == 1L)
+    val lines = logLines(root, 1)
+    val removed = lines.flatMap(l => Json.str(Json.get(l, "remove"), "path"))
+    // only the p=x file(s) rewritten; p=y untouched
+    assert(removed.nonEmpty && removed.forall(_.startsWith("p=x")))
+    assert(removed.toSet.subsetOf(before))
+    // row 3 has v = NULL: predicate NULL → row KEPT (SQL delete semantics)
+    val back = DeltaRead.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(back == Set(2L, 3L))
+
+    // no-match delete: no new version committed
+    assert(DeltaWrite.delete(spark, root,
+      org.apache.spark.sql.functions.col("v") === "zzz") == 1L)
+    assert(!Files.exists(Paths.get(root, "_delta_log", f"${2L}%020d.json")))
+
+    // appendOnly refuses
+    val ao = fresh()
+    DeltaWrite.create(spark, df3, ao,
+      configuration = Map("delta.appendOnly" -> "true"))
+    assert(intercept[Exception] {
+      DeltaWrite.delete(spark, ao,
+        org.apache.spark.sql.functions.col("id") === 1L)
+    }.getMessage.contains("appendOnly"))
+  }
+
   test("checkpoint bootstraps the reader after the JSON tail is vacuumed") {
     import spark.implicits._
     val root = fresh()
