@@ -53,7 +53,10 @@ import graft.util.Json
   * foreign writer assigned are preserved, never re-derived.
   *
   * Scope (refused loudly, mirroring the reader):
-  *   - format-version ≤ 2, no row-level deletes (the reader's gates);
+  *   - appends/overwrites require format-version = 2 exactly (this
+  *     writer emits v2 constructs — mixing them into a v1 table's
+  *     metadata would be nonconformant both ways), and no row-level
+  *     deletes exist (the reader's gate);
   *   - PARTITIONED tables are not written (the current default spec
   *     must be unpartitioned): identity-partition transforms would be
   *     expressible, but hidden-partitioning transforms (bucket,
@@ -169,7 +172,11 @@ object IcebergWrite {
         }
       val mlPath = writeManifestList(root, snapId,
         carried :+ manifest)
-      val newSnap = snapshotEntry(root, snapId, parent, seq, mlPath, op)
+      // the snapshot records the TABLE's current schema id — a foreign
+      // table that evolved its schema is not pinned back to 0
+      val schemaId = Json.long(meta, "current-schema-id").getOrElse(0L)
+      val newSnap = snapshotEntry(root, snapId, parent, seq, mlPath, op,
+        schemaId)
       val m = meta.asInstanceOf[Map[String, Any]]
       val updated = m ++ ListMap(
         "last-sequence-number" -> seq,
@@ -199,8 +206,9 @@ object IcebergWrite {
       Paths.get(root, "metadata", s"v$v.metadata.json"),
       StandardCharsets.UTF_8))
     val fv = Json.long(meta, "format-version").getOrElse(1L)
-    require(fv <= 2L, s"Iceberg format-version $fv unsupported (writer " +
-      "implements v1/v2 without row-level deletes)")
+    require(fv == 2L, s"Iceberg format-version $fv: this writer emits v2 " +
+      "constructs (sequence numbers, v2 manifest lists) and will not mix " +
+      "them into a v1 table — upgrade or re-create the table first")
     val specId = Json.long(meta, "default-spec-id").getOrElse(0L)
     val specs = Json.list(meta, "partition-specs")
     val fields = specs.find(s => Json.long(s, "spec-id").contains(specId))
@@ -500,14 +508,14 @@ object IcebergWrite {
   }
 
   private def snapshotEntry(root: String, snapId: Long, parent: Option[Long],
-                            seq: Long, mlPath: String,
-                            op: String): Map[String, Any] =
+                            seq: Long, mlPath: String, op: String,
+                            schemaId: Long = 0L): Map[String, Any] =
     ListMap(
       "snapshot-id" -> snapId,
       "sequence-number" -> seq,
       "timestamp-ms" -> System.currentTimeMillis(),
       "manifest-list" -> mlPath,
-      "schema-id" -> 0L,
+      "schema-id" -> schemaId,
       "summary" -> ListMap("operation" -> op)) ++
       parent.map(p => ListMap("parent-snapshot-id" -> p)).getOrElse(ListMap.empty)
 
