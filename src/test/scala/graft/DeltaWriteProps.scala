@@ -2,13 +2,14 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.forAll
 
 import graft.sources.{DeltaRead, DeltaWrite}
 
 /** Model-based property for [[DeltaWrite]]: RANDOM operation sequences
-  * (append / overwrite / checkpoint, partitioned and not) executed
+  * (append / overwrite / delete / checkpoint, partitioned and not) executed
   * through the WRITER must reconstruct, at EVERY versionAsOf, exactly
   * the multiset a trivial in-memory model computes. DeltaFoldProps
   * pins the reader's fold against hand-written logs; this pins the
@@ -31,11 +32,15 @@ object DeltaWriteProps extends Properties("DeltaWrite") {
       : org.scalacheck.Test.Parameters =
     p.withMinSuccessfulTests(25)
 
-  /** An op writes a batch of (id, p) rows: Left = append, Right =
-    * overwrite; `cp` marks a checkpoint BEFORE the op. Batches draw
-    * ids from a small pool so duplicates across versions happen. */
-  private case class Op(rows: List[(Long, String)], overwrite: Boolean,
-                        cp: Boolean)
+  /** An op is an append / overwrite of (id, p) rows or a DELETE of
+    * one id; `cp` marks a checkpoint BEFORE the op. Ids draw from a
+    * small pool so duplicates across versions (and delete hits /
+    * misses) actually happen. */
+  private case class Op(rows: List[(Long, String)], kind: Int,
+                        delId: Long, cp: Boolean) {
+    def isOverwrite: Boolean = kind == 1
+    def isDelete: Boolean = kind == 2
+  }
 
   private val genOps: Gen[(Boolean, List[Op])] = for {
     partitioned <- Gen.oneOf(true, false)
@@ -44,9 +49,10 @@ object DeltaWriteProps extends Properties("DeltaWrite") {
       k <- Gen.choose(1, 4)
       rows <- Gen.listOfN(k, Gen.zip(
         Gen.choose(0L, 9L), Gen.oneOf("x", "y", "z")))
-      ow <- Gen.oneOf(true, false)
+      kind <- Gen.frequency(3 -> 0, 2 -> 1, 2 -> 2)
+      delId <- Gen.choose(0L, 9L)
       cp <- Gen.frequency(3 -> false, 1 -> true)
-    } yield Op(rows, ow, cp))
+    } yield Op(rows, kind, delId, cp))
   } yield (partitioned, ops)
 
   property("random write sequences fold to the model at every version") =
@@ -56,20 +62,29 @@ object DeltaWriteProps extends Properties("DeltaWrite") {
       val partBy = if (partitioned) Seq("p") else Nil
 
       var model = Vector.empty[(Long, String)] // multiset of live rows
-      val modelAt = scala.collection.mutable.ArrayBuffer.empty[Vector[(Long, String)]]
+      // (delta version, expected rows) — a no-match delete commits NO
+      // version, so versions are tracked from the writer's returns
+      val modelAt = scala.collection.mutable.ArrayBuffer.empty[(Long, Vector[(Long, String)])]
       ops.zipWithIndex.foreach { case (op, i) =>
         if (op.cp && i > 0) DeltaWrite.checkpoint(spark, root)
         val df = op.rows.toDF("id", "p")
-        if (i == 0) DeltaWrite.create(spark, df, root, partBy)
-        else if (op.overwrite) DeltaWrite.overwrite(spark, df, root)
-        else DeltaWrite.append(spark, df, root)
-        model = if (i > 0 && op.overwrite) op.rows.toVector
-                else model ++ op.rows
-        modelAt += model
+        val v =
+          if (i == 0) DeltaWrite.create(spark, df, root, partBy)
+          else if (op.isDelete)
+            DeltaWrite.delete(spark, root, col("id") === op.delId)
+          else if (op.isOverwrite) DeltaWrite.overwrite(spark, df, root)
+          else DeltaWrite.append(spark, df, root)
+        model =
+          if (i == 0) op.rows.toVector
+          else if (op.isDelete) model.filterNot(_._1 == op.delId)
+          else if (op.isOverwrite) op.rows.toVector
+          else model ++ op.rows
+        modelAt += ((v, model))
       }
 
-      modelAt.zipWithIndex.forall { case (want, v) =>
-        val got = DeltaRead.read(spark, root, v)
+      modelAt.groupBy(_._1).map { case (v, states) => (v, states.last._2) }
+        .forall { case (v, want) =>
+        val got = DeltaRead.read(spark, root, v.toInt)
           .collect().map(r => (r.getLong(0), r.getString(1)))
           .toVector.sorted
         val ok = got == want.sorted
