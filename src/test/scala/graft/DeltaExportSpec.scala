@@ -139,6 +139,34 @@ class DeltaExportSpec extends SparkSpec {
     assert(e.getMessage.contains("foreign"))
   }
 
+  test("the two halves compose: DeltaWrite-driven table syncs INTO a " +
+      "GraftTable version-for-version") {
+    import spark.implicits._
+    val delta = fresh() + "/dl"
+    val gt = fresh() + "/gt"
+    def rows3(df: DataFrame): Set[(Long, String, String)] =
+      df.select("doc_id", "text", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    // a live writer (ours) produces versions; the CDC sync tails them
+    DeltaWrite.create(spark, docs.limit(50), delta)
+    GraftTable.importDelta(spark, delta, gt, key = "doc_id")
+    DeltaWrite.append(spark,
+      Seq((1000L, "late", "l9")).toDF("doc_id", "text", "lang"), delta)
+    DeltaWrite.delete(spark, delta, col("doc_id") < 10L)
+    val synced = GraftTable.syncDelta(spark, gt)
+    assert(synced.map(_._1) == Seq(1L, 2L))
+    assert(rows3(GraftTable.read(spark, gt)) ==
+      rows3(DeltaRead.read(spark, delta)))
+    // and a checkpoint on the writer side doesn't confuse the sync
+    DeltaWrite.checkpoint(spark, delta)
+    DeltaWrite.append(spark,
+      Seq((1001L, "later", "l9")).toDF("doc_id", "text", "lang"), delta)
+    GraftTable.syncDelta(spark, gt)
+    assert(rows3(GraftTable.read(spark, gt)) ==
+      rows3(DeltaRead.read(spark, delta)))
+  }
+
   test("exported table is a first-class Delta table: checkpoint + " +
       "re-import round-trip") {
     val root = fresh() + "/gt"
