@@ -83,9 +83,24 @@ class AqeSkewJoinSpec extends SparkSpec {
     * fired at sf1 bytes; thresholds here are lowered only because
     * shuffle compression puts the hot partition near ~3 MB. */
   test("sf1: AQE skew split vs manual salt on a planted hot key") {
+    // target/ is wiped between rounds, so the corpus REBUILDS itself
+    // (VERDICT r13 item 8 — the gate_sf10_all.py prepare_corpora()
+    // discipline applied to the one sf1-gated spec): only the events
+    // table is derived (~45 s in DuckDB), and a cancel remains only
+    // for the genuinely-unbuildable case (no python3/duckdb), with
+    // the manual command in the message.
     val sf1 = "target/testdata/sf1"
-    assume(new java.io.File(s"$sf1/events.parquet").exists(),
-      s"sf1 probe data absent — python3 scripts/make_sfN.py 10 $sf1")
+    if (!new java.io.File(s"$sf1/events.parquet").exists()) {
+      import scala.sys.process._
+      val cmd = Seq("python3", "scripts/make_sfN.py", "10", sf1, "events")
+      val log = new StringBuilder
+      val rc = try cmd ! ProcessLogger(l => log.append(l).append('\n'))
+        catch { case e: java.io.IOException => log.append(e.getMessage); 127 }
+      assume(rc == 0 && new java.io.File(s"$sf1/events.parquet").exists(),
+        s"sf1 corpus rebuild failed (rc=$rc) — run manually: " +
+          s"${cmd.mkString(" ")}\n$log")
+      info(s"rebuilt $sf1/events.parquet (target/ wiped since last round)")
+    }
     import spark.implicits._
     // the payload must be REAL per-row columns — a constant pad gets
     // projected past the join by Catalyst and the shuffle would carry

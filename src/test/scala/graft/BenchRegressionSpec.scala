@@ -18,7 +18,25 @@ import org.scalatest.funsuite.AnyFunSuite
   * flap is noise, a 2 → 5 s move is a plan change). Deliberate
   * scale trades go in [[allowlist]] WITH the reason — the gate's
   * point is that a regression is either explained in a committed
-  * note or fails CI, never silent. */
+  * note or fails CI, never silent.
+  *
+  * Artifact-comparability contract (VERDICT r13 item 1):
+  * `BENCH_full_latest.json` is gitignored and DRIVER-OWNED — after a
+  * round closes the driver (or judge) may rewrite it as a loaded-box
+  * full run or a targeted few-query re-bench, neither of which is a
+  * statement about this code state. Comparing against such an
+  * artifact produced the r13 false alarm (q_props_schema "45.3 s" on
+  * a load-4 box; 1.07 s quiet). So the comparison only RUNS when the
+  * latest artifact is actually comparable: full coverage (> 200
+  * queries — a subset file is a targeted probe, not a suite record)
+  * and both artifacts recorded a quiet box at run start
+  * (`env.load_start` ≤ [[maxComparableLoad]] — bench numbers taken
+  * while other JVMs saturate the 32 cores measure the box, not the
+  * plan). An incomparable artifact CANCELS with the exact
+  * regeneration command; a missing one likewise (fresh clone). The
+  * committed `BENCH_full_r<N>.json` chain remains the durable
+  * regression record either way — each round regenerates `latest` on
+  * a quiet box and adjudicates movers in `BENCH_DIFF_r<N>.txt`. */
 class BenchRegressionSpec extends AnyFunSuite {
 
   /** query -> committed reason for an accepted >2× local cost.
@@ -27,8 +45,23 @@ class BenchRegressionSpec extends AnyFunSuite {
     * moves.) */
   private val allowlist: Map[String, String] = Map.empty
 
+  /** 1-min loadavg at bench start above which numbers measure the
+    * shared box, not the plan (r13's false alarm recorded 4.03; clean
+    * runs on this box record 0.3–1.7 with two resident JVMs). */
+  private val maxComparableLoad = 2.5
+
   private val QueriesRe = """"queries":\{([^}]*)\}""".r
   private val EntryRe = """"(q_[a-z0-9_]+)":([0-9.]+)""".r
+  private val LoadRe = """"load_start":(-?[0-9.]+)""".r
+
+  private def loadStart(path: String): Double =
+    LoadRe.findFirstMatchIn(Files.readString(Paths.get(path)))
+      .map(_.group(1).toDouble).getOrElse(-1.0)
+
+  private val regenCmd =
+    "SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch " +
+      "\"runMain graft.Bench\" | tail -1 > BENCH_full_latest.json " +
+      "(quiet box: 1-min load < 2.5)"
 
   private def medians(path: String): Map[String, Double] = {
     val body = Files.readString(Paths.get(path))
@@ -50,9 +83,21 @@ class BenchRegressionSpec extends AnyFunSuite {
   test("no unexplained >2x per-query regression vs the previous round") {
     val prevPath = previousArtifact
     val prev = medians(prevPath)
-    val cur = medians("BENCH_full_latest.json")
-    assert(prev.size > 200 && cur.size > 200,
-      s"artifact parse too small: ${prev.size} / ${cur.size}")
+    assert(prev.size > 200, s"$prevPath parse too small: ${prev.size}")
+
+    val latestPath = "BENCH_full_latest.json"
+    assume(Files.exists(Paths.get(latestPath)),
+      s"$latestPath absent (gitignored, driver-owned) — regenerate: $regenCmd")
+    val cur = medians(latestPath)
+    assume(cur.size > 200,
+      s"$latestPath covers only ${cur.size} queries — a targeted re-bench, " +
+        s"not a full-suite record; regenerate: $regenCmd")
+    val (prevLoad, curLoad) = (loadStart(prevPath), loadStart(latestPath))
+    assume(curLoad <= maxComparableLoad && prevLoad <= maxComparableLoad,
+      f"artifacts not load-comparable (env.load_start: $prevPath " +
+        f"$prevLoad%.2f, $latestPath $curLoad%.2f, bar $maxComparableLoad) — " +
+        s"a loaded-box artifact measures the box, not the plan; " +
+        s"regenerate: $regenCmd")
 
     val regressed = prev.keySet.intersect(cur.keySet).toSeq.sorted.flatMap {
       k =>
