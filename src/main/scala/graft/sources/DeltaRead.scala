@@ -41,14 +41,18 @@ import graft.util.Json
   * order is not mandated by the spec, so only a real parse is sound).
   *
   * Scope (asserted, not assumed):
-  *   - protocol `minReaderVersion` ≤ 2, and for version 2 the table
-  *     must NOT enable column mapping (`delta.columnMapping.mode`
-  *     absent or "none" in metaData.configuration): column mapping IS
-  *     the reader-version-2 feature (PROTOCOL.md), and under it the
-  *     physical parquet columns are `col-<uuid>` names — a by-name
-  *     read would return every data column as NULL. Deletion vectors /
-  *     v2 checkpoints (reader version 3) are refused by the version
-  *     gate itself. Refuse loudly, never mis-read silently.
+  *   - protocol `minReaderVersion` ≤ 2. Column mapping — THE
+  *     reader-version-2 feature (PROTOCOL.md) — is supported in
+  *     `name` mode (the mode every table that ever RENAMED or DROPPED
+  *     a column carries): the physical parquet column names live in
+  *     each schema field's `delta.columnMapping.physicalName`
+  *     metadata, so [[plan]] scans under physical names and projects
+  *     back to logical ones, and partition values are looked up under
+  *     the physical key the spec mandates for the log. `id` mode
+  *     (footer field-id resolution) is refused — a by-name read of an
+  *     id-mapped table would silently mis-bind columns. Deletion
+  *     vectors / v2 checkpoints (reader version 3) are refused by the
+  *     version gate itself. Refuse loudly, never mis-read silently.
   *   - the commit sequence after the bootstrap checkpoint must be
   *     CONTIGUOUS (cpVersion+1, cpVersion+2, …; from 0 when no
   *     checkpoint survives): a gap means log entries were cleaned past
@@ -68,16 +72,28 @@ import graft.util.Json
   */
 object DeltaRead {
 
+  /** `id`/`createdTime` are carried verbatim so [[DeltaWrite.checkpoint]]
+    * can PRESERVE them (ADVICE r13: the spec's metaData id is immutable
+    * for the table's lifetime — foreign streaming readers use it to
+    * detect table replacement, so fabricating a fresh one per
+    * checkpoint breaks them). */
   private[sources] case class Meta(schema: StructType,
                                    partitionCols: Seq[String],
-                                   configuration: Map[String, String])
+                                   configuration: Map[String, String],
+                                   id: String = "",
+                                   createdTime: Option[Long] = None)
 
   /** The folded table state at a version: live files with their
     * log-supplied partition values, under the newest metaData.
-    * `minWriter` rides along for [[DeltaWrite]]'s protocol refusals
-    * (reads never consult it). */
+    * `minReader`/`minWriter` ride along for [[DeltaWrite]]'s protocol
+    * refusals and checkpoint preservation; `txns` is the folded
+    * SetTransaction state (latest version per appId — the streaming
+    * idempotence ledger); `stats` maps live paths to their add.stats
+    * JSON for file skipping. */
   private[sources] case class TableState(version: Long, meta: Meta,
-      live: Seq[(String, Map[String, String])], minWriter: Long = 2L)
+      live: Seq[(String, Map[String, String])], minWriter: Long = 2L,
+      minReader: Long = 1L, txns: Map[String, Long] = Map.empty,
+      stats: Map[String, String] = Map.empty)
 
   /** Distinct partition tuples above which [[plan]] abandons the
     * union-of-typed-scans shape for one flat hive-discovery scan
@@ -94,6 +110,68 @@ object DeltaRead {
   def read(spark: SparkSession, root: String, versionAsOf: Int): DataFrame = {
     val st = state(spark, root, versionAsOf)
     plan(spark, root, st.meta, st.live)
+  }
+
+  /** Latest-snapshot read with FILE SKIPPING on a closed interval —
+    * the protocol's reason `add.stats` exists: live files whose
+    * minValues/maxValues PROVE no row can satisfy
+    * `lo <= column <= hi` are dropped before any scan is planned, so
+    * a point/range lookup on a clustered table touches only the
+    * overlapping files' footers, never the table. Missing or partial
+    * stats keep the file (skipping must be sound, not complete), and
+    * the predicate is still applied to the surviving rows — stats can
+    * only reduce I/O, never change the answer. Pass null for an open
+    * bound. */
+  def readBetween(spark: SparkSession, root: String, column: String,
+                  lo: Any, hi: Any): DataFrame = {
+    val st = state(spark, root, Long.MaxValue)
+    val kept = pruneLive(st, column, lo, hi)
+    val df = plan(spark, root, st.meta, kept)
+    val c = col(s"`$column`")
+    df.where(
+      (if (lo == null) lit(true) else c >= lit(lo)) &&
+        (if (hi == null) lit(true) else c <= lit(hi)))
+  }
+
+  /** The live files a stats-aware reader must scan for
+    * `lo <= column <= hi`: drops a file iff its stats PROVE
+    * max < lo or min > hi. Numbers compare numerically (parse emits
+    * Long or Double), strings lexically — matching the unsigned-UTF-8
+    * order [[DeltaWrite]] writes (exact for the code-point range
+    * these engines exchange). */
+  private[sources] def pruneLive(st: TableState, column: String,
+                                 lo: Any, hi: Any)
+      : Seq[(String, Map[String, String])] = {
+    def num(v: Any): Option[Double] = v match {
+      case l: Long => Some(l.toDouble)
+      case i: Int => Some(i.toDouble)
+      case d: Double => Some(d)
+      case _ => None
+    }
+    // provable only when both sides share a comparison domain
+    def lt(a: Any, b: Any): Option[Boolean] = (num(a), num(b)) match {
+      case (Some(x), Some(y)) => Some(x < y)
+      case _ => (a, b) match {
+        case (s1: String, s2: String) => Some(s1 < s2)
+        case _ => None
+      }
+    }
+    st.live.filter { case (p, _) =>
+      st.stats.get(p) match {
+        case None => true
+        case Some(json) =>
+          val s = Json.parse(json)
+          val mn = Option(Json.get(s, "minValues", column))
+          val mx = Option(Json.get(s, "maxValues", column))
+          val belowLo = // max < lo → no row can reach the interval
+            (for (m <- mx; l <- Option(lo); r <- lt(m, l)) yield r)
+              .getOrElse(false)
+          val aboveHi = // min > hi
+            (for (m <- mn; h <- Option(hi); r <- lt(h, m)) yield r)
+              .getOrElse(false)
+          !belowLo && !aboveHi
+      }
+    }
   }
 
   /** Highest version present in the log (commit or checkpoint). */
@@ -145,9 +223,17 @@ object DeltaRead {
     // path -> (partitionValues, live?)
     val files = scala.collection.mutable.LinkedHashMap
       .empty[String, (Map[String, String], Boolean)]
+    val stats = scala.collection.mutable.HashMap.empty[String, String]
+    val txns = scala.collection.mutable.HashMap.empty[String, Long]
 
-    def applyAdd(path: String, pv: Map[String, String]): Unit =
+    def applyAdd(path: String, pv: Map[String, String],
+                 st: Option[String]): Unit = {
       files.update(path, (pv, true))
+      st match {
+        case Some(s) => stats.update(path, s)
+        case None => stats.remove(path) // re-add without stats supersedes
+      }
+    }
     def applyRemove(path: String): Unit =
       files.updateWith(path) {
         case Some((pv, _)) => Some((pv, false))
@@ -169,13 +255,19 @@ object DeltaRead {
           .select(col("metaData.schemaString"),
             col("metaData.partitionColumns"),
             if (hasConf) col("metaData.configuration")
-            else lit(null).cast("map<string,string>"))
+            else lit(null).cast("map<string,string>"),
+            if (sub("metaData", "id")) col("metaData.id")
+            else lit(null).cast("string"),
+            if (sub("metaData", "createdTime")) col("metaData.createdTime")
+            else lit(null).cast("long"))
           .collect().lastOption.foreach { r =>
             meta = Some(Meta(
               DataType.fromJson(r.getString(0)).asInstanceOf[StructType],
               Option(r.getSeq[String](1)).getOrElse(Seq.empty),
               Option(r.getMap[String, String](2)).map(_.toMap)
-                .getOrElse(Map.empty)))
+                .getOrElse(Map.empty),
+              Option(r.getString(3)).getOrElse(""),
+              if (r.isNullAt(4)) None else Some(r.getLong(4))))
           }
       }
       if (cols("protocol")) {
@@ -191,12 +283,19 @@ object DeltaRead {
       }
       if (cols("add"))
         cp.where(col("add.path").isNotNull)
-          .select(col("add.path"), col("add.partitionValues"))
+          .select(col("add.path"), col("add.partitionValues"),
+            if (sub("add", "stats")) col("add.stats")
+            else lit(null).cast("string"))
           .collect().foreach { r =>
             applyAdd(r.getString(0),
               Option(r.getMap[String, String](1)).map(_.toMap)
-                .getOrElse(Map.empty))
+                .getOrElse(Map.empty),
+              Option(r.getString(2)))
           }
+      if (cols("txn"))
+        cp.where(col("txn.appId").isNotNull)
+          .select(col("txn.appId"), col("txn.version").cast("long"))
+          .collect().foreach(r => txns.update(r.getString(0), r.getLong(1)))
     }
 
     val cpVersion = checkpoints.lastOption.map(_._1).getOrElse(-1L)
@@ -234,7 +333,9 @@ object DeltaRead {
                   .getOrElse(sys.error(s"metaData without schemaString: $line")))
                 .asInstanceOf[StructType],
               Json.list(m, "partitionColumns").map(_.asInstanceOf[String]),
-              strMap(Json.get(m, "configuration"))))
+              strMap(Json.get(m, "configuration")),
+              Json.str(m, "id").getOrElse(""),
+              Json.long(m, "createdTime")))
           }
           obj.get("protocol").foreach { p =>
             minReader = math.max(minReader,
@@ -245,12 +346,19 @@ object DeltaRead {
           obj.get("add").foreach { a =>
             applyAdd(Json.str(a, "path")
                 .getOrElse(sys.error(s"add without path: $line")),
-              strMap(Json.get(a, "partitionValues")))
+              strMap(Json.get(a, "partitionValues")),
+              Json.str(a, "stats"))
           }
           obj.get("remove").foreach { r =>
             Json.str(r, "path").foreach(applyRemove)
           }
-          // commitInfo / txn / cdc — irrelevant to reads
+          obj.get("txn").foreach { t =>
+            // SetTransaction: latest entry per appId wins (the spec's
+            // fold rule) — the streaming writer's idempotence ledger
+            for (app <- Json.str(t, "appId"); v <- Json.long(t, "version"))
+              txns.update(app, v)
+          }
+          // commitInfo / cdc — irrelevant to reads
         }
     }
 
@@ -259,20 +367,29 @@ object DeltaRead {
         "reader implements protocol <= 2 (no deletion vectors / " +
         "v2 checkpoints) and refuses rather than mis-reads")
     val m = meta.getOrElse(sys.error(s"no metaData action found in $root"))
-    // Column mapping is THE minReaderVersion=2 feature (PROTOCOL.md):
-    // under mode id/name the parquet files carry col-<uuid> physical
-    // names, so a by-name read silently returns NULL for every data
-    // column — the exact mis-read this module promises to refuse.
+    // Column mapping is THE minReaderVersion=2 feature (PROTOCOL.md).
+    // `name` mode is READ here: physical names come from the schema
+    // metadata this fold already parsed, and [[plan]] scans under them.
+    // `id` mode (parquet footer field-id resolution) stays refused —
+    // reading it by name would silently mis-bind columns.
     val cmMode = m.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cmMode == "none",
-      s"Delta table at $root enables column mapping " +
-        s"(delta.columnMapping.mode=$cmMode); physical parquet columns " +
-        "are col-<uuid> names that a by-name reader cannot resolve — " +
-        "refusing rather than returning all-NULL columns")
+    require(cmMode == "none" || cmMode == "name",
+      s"Delta table at $root uses delta.columnMapping.mode=$cmMode; this " +
+        "reader implements modes none and name — id mode resolves columns " +
+        "by parquet footer field ids, and reading it by name would " +
+        "silently mis-bind columns, so it is refused")
+    if (cmMode == "name")
+      m.schema.fields.foreach { f =>
+        require(f.metadata.contains(PhysicalNameKey),
+          s"column-mapped Delta table at $root: field ${f.name} carries no " +
+            s"$PhysicalNameKey metadata — the physical column cannot be " +
+            "resolved; refusing rather than returning NULLs")
+      }
 
     val folded = (commits.map(_._1) :+ cpVersion).max
-    TableState(folded, m, files.collect { case (p, (pv, true)) => (p, pv) }.toSeq,
-      minWriter)
+    val liveSeq = files.collect { case (p, (pv, true)) => (p, pv) }.toSeq
+    TableState(folded, m, liveSeq, minWriter, minReader, txns.toMap,
+      stats.toMap.view.filterKeys(files(_)._2).toMap)
   }
 
   /** String→String JSON map (partitionValues / configuration); JSON
@@ -286,8 +403,37 @@ object DeltaRead {
     case _ => Map.empty
   }
 
-  private def resolvePath(root: String, p: String): String = {
-    val decoded = java.net.URLDecoder.decode(p, "UTF-8")
+  /** Pure RFC-3986 percent-decoder for `add.path`: %XX byte runs
+    * decode as UTF-8, every other char — crucially '+' — stays
+    * LITERAL. `URLDecoder` is FORM decoding ('+'→space): an add.path
+    * containing a literal '+' (legal, and exactly what
+    * [[DeltaWrite.encodePath]]'s URI encoder emits for a '+' in a
+    * partition value) would resolve to a nonexistent path, making the
+    * table unreadable (ADVICE r13). */
+  private[sources] def percentDecode(s: String): String = {
+    if (!s.contains('%')) return s
+    def hex(c: Char) = (c >= '0' && c <= '9') ||
+      (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+    val sb = new StringBuilder
+    val bytes = new java.io.ByteArrayOutputStream
+    def flush(): Unit = if (bytes.size > 0) {
+      sb.append(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+      bytes.reset()
+    }
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length &&
+          hex(s.charAt(i + 1)) && hex(s.charAt(i + 2))) {
+        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else { flush(); sb.append(s.charAt(i)); i += 1 }
+    }
+    flush()
+    sb.result()
+  }
+
+  private[sources] def resolvePath(root: String, p: String): String = {
+    val decoded = percentDecode(p)
     if (Paths.get(decoded).isAbsolute) decoded
     else Paths.get(root).resolve(decoded).toString
   }
@@ -306,7 +452,7 @@ object DeltaRead {
   private def hiveCompatible(live: Seq[(String, Map[String, String])],
                              partitionCols: Seq[String]): Boolean =
     live.forall { case (p, pv) =>
-      val decoded = java.net.URLDecoder.decode(p, "UTF-8")
+      val decoded = percentDecode(p)
       !Paths.get(decoded).isAbsolute && {
         val vals = partitionCols.map(pv.get(_).orNull)
         vals.forall(v => v != null && HiveSafe.matches(v)) && {
@@ -317,6 +463,26 @@ object DeltaRead {
         }
       }
     }
+
+  private val PhysicalNameKey = "delta.columnMapping.physicalName"
+
+  private def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  /** Rename every struct field to its physical name, recursively —
+    * the shape of the parquet files under column mapping. */
+  private def toPhysical(t: DataType): DataType = t match {
+    case s: StructType => StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        physicalName(f), toPhysical(f.dataType), f.nullable)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = toPhysical(a.elementType))
+    case mp: org.apache.spark.sql.types.MapType =>
+      mp.copy(keyType = toPhysical(mp.keyType),
+        valueType = toPhysical(mp.valueType))
+    case other => other
+  }
 
   /** Plan a scan over `live` under `meta`. Two shapes:
     *
@@ -332,18 +498,40 @@ object DeltaRead {
     *    native partitioned read. Falls back to the union shape
     *    whenever the path⇄value match cannot be proven (escaped or
     *    null values, absolute paths), trading plan size for certainty.
-    */
+    *
+    * Under column mapping (`name` mode) the files carry PHYSICAL
+    * column names: each scan reads the physical schema and a cast
+    * projects back to the logical one (struct casts rename by
+    * position, so nested renames come along); partition values are
+    * looked up under the physical key the spec mandates (falling back
+    * to the logical key for lenient writers), and the flat shape is
+    * never taken — its directory names are physical and its
+    * discovery-based schema would mis-bind. Because renamed/dropped
+    * columns keep their physical identity, files written BEFORE a
+    * rename read correctly at every version, and files missing a
+    * later-added physical column return NULL for it (parquet
+    * missing-column semantics), exactly as the protocol specifies. */
   private[sources] def plan(spark: SparkSession, root: String, m: Meta,
                             live: Seq[(String, Map[String, String])]): DataFrame = {
+    val mapped =
+      m.configuration.getOrElse("delta.columnMapping.mode", "none") == "name"
     val dataCols = m.schema.fields.filterNot(f => m.partitionCols.contains(f.name))
-    val dataSchema = StructType(dataCols)
+    val dataSchema =
+      if (!mapped) StructType(dataCols)
+      else StructType(dataCols.map(f => org.apache.spark.sql.types.StructField(
+        physicalName(f), toPhysical(f.dataType), f.nullable)))
+    val physByLogical = m.schema.fields.map(f => f.name -> physicalName(f)).toMap
+    def pvOf(pv: Map[String, String], pc: String): String =
+      if (!mapped) pv.get(pc).orNull
+      else pv.get(physByLogical(pc)).orElse(pv.get(pc)).orNull
 
     if (live.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
 
     val bySpec = live.groupBy(_._2).toSeq
-    if (m.partitionCols.nonEmpty && bySpec.size > unionPartitionLimit(spark)
+    if (!mapped && m.partitionCols.nonEmpty &&
+        bySpec.size > unionPartitionLimit(spark)
         && hiveCompatible(live, m.partitionCols)) {
       val rootAbs = Paths.get(root).toAbsolutePath.toString
       return spark.read
@@ -356,10 +544,14 @@ object DeltaRead {
     val parts = bySpec.map { case (pv, group) =>
       val base = spark.read.schema(dataSchema)
         .parquet(group.map(g => resolvePath(root, g._1)): _*)
-      val withParts = m.partitionCols.foldLeft(base) { (df, pc) =>
+      val logical =
+        if (!mapped) base
+        else base.select(dataCols.map(f =>
+          col(s"`${physicalName(f)}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      val withParts = m.partitionCols.foldLeft(logical) { (df, pc) =>
         val f = m.schema.fields.find(_.name == pc)
           .getOrElse(sys.error(s"partition column $pc missing from schema"))
-        val raw = pv.get(pc).orNull
+        val raw = pvOf(pv, pc)
         df.withColumn(pc,
           (if (raw == null) lit(null) else lit(raw)).cast(f.dataType))
       }

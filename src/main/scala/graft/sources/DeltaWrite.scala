@@ -114,12 +114,31 @@ object DeltaWrite {
     * the table's (by name, order-free; a nullable column cannot land
     * in a required slot). Loses races by retrying at the next version
     * — blind appends commute — unless the re-folded table changed
-    * schema or protocol underneath. Returns the committed version. */
-  def append(spark: SparkSession, df: DataFrame, root: String): Long = {
+    * schema or protocol underneath. Returns the committed version.
+    *
+    * `txn = Some((appId, version))` makes the append IDEMPOTENT via
+    * the protocol's SetTransaction action — the exactly-once handshake
+    * streaming writers use: the commit carries
+    * `{"txn":{"appId":…,"version":…}}`, and an append whose version is
+    * already ≤ the table's folded ledger entry for that appId is
+    * SKIPPED (nothing staged, nothing committed — the spec's replay
+    * rule). The ledger is also re-checked after every lost commit
+    * race, so two replays of the same micro-batch racing each other
+    * commit exactly one. */
+  def append(spark: SparkSession, df: DataFrame, root: String,
+             txn: Option[(String, Long)] = None): Long = {
     val st = writableState(spark, root)
+    def alreadyApplied(s: DeltaRead.TableState): Boolean =
+      txn.exists { case (app, v) => s.txns.get(app).exists(_ >= v) }
+    if (alreadyApplied(st)) return st.version
     val aligned = align(df, st.meta)
     val adds = stage(spark, aligned, root, st.meta.partitionCols)
-    val actions = commitInfo("WRITE", "Append") +: adds
+    val txnActions = txn.toVector.map { case (app, v) =>
+      ListMap[String, Any]("txn" -> ListMap(
+        "appId" -> app, "version" -> v,
+        "lastUpdated" -> System.currentTimeMillis()))
+    }
+    val actions = (commitInfo("WRITE", "Append") +: txnActions) ++ adds
     var v = st.version + 1
     var attempts = 0
     while (attempts < 64) {
@@ -127,8 +146,12 @@ object DeltaWrite {
         case Some(done) => return done
         case None =>
           attempts += 1
-          val now = writableState(spark, root) // re-validate: schema or
-          if (now.meta.schema != st.meta.schema ||  // protocol moved —
+          val now = writableState(spark, root) // re-validate: the race
+          if (alreadyApplied(now)) { // winner may BE this txn's replay
+            cleanup(root, adds)
+            return now.version
+          }
+          if (now.meta.schema != st.meta.schema ||  // schema moved —
               now.meta.partitionCols != st.meta.partitionCols) { // adds
             cleanup(root, adds) // may no longer be well-formed
             throw new ConcurrentWriteException(
@@ -141,6 +164,32 @@ object DeltaWrite {
     throw new ConcurrentWriteException(
       s"append to $root lost $attempts commit races — giving up")
   }
+
+  /** `foreachBatch` sink appending each streaming micro-batch to the
+    * Delta table at `root` EXACTLY ONCE across crash/replay, via the
+    * protocol's SetTransaction ledger (the handshake every conformant
+    * engine understands — unlike [[GraftTable.upsertSink]]'s manifest
+    * marker, the dedup state here lives in the Delta log itself, so
+    * foreign readers of the same table observe each batch once too).
+    * A replayed micro-batch (batchId ≤ the folded ledger's version
+    * for `appId`) is skipped by [[append]]'s txn gate; the frame is
+    * still materialized because upstream stateful operators commit
+    * their state stores during it (Spark's
+    * STATE_STORE_COMMIT_VALIDATION — the bug ReplayLifecycleSpec
+    * caught in r13).
+    *
+    *   stream.writeStream.foreachBatch(DeltaWrite.appendSink(root,
+    *     "my-app")).option("checkpointLocation", …).start()
+    */
+  def appendSink(root: String, appId: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val st = DeltaRead.state(spark, root, Long.MaxValue)
+      if (st.txns.get(appId).exists(_ >= batchId))
+        batch.foreach(_ => ()) // replayed: table no-op, state stores commit
+      else
+        append(spark, batch.toDF(), root, txn = Some((appId, batchId)))
+    }
 
   /** Replace the table's entire contents with `df` (same schema rules
     * as [[append]]). Emits `remove` tombstones for every live file
@@ -187,16 +236,22 @@ object DeltaWrite {
       s"Delta table at $root sets delta.appendOnly=true — refusing delete")
     val matchTrue = predicate <=> org.apache.spark.sql.functions.lit(true)
 
-    // file attribution: canonical filesystem path → live entry
+    // file attribution: canonical filesystem path → live entry.
+    // resolve() already percent-decoded add.path exactly once, so the
+    // live-set key is a plain normalize — a second decode would turn a
+    // hive-escaped partition value ('c=a%3Ab' on disk) into a path
+    // that never exists and abort every matching delete (ADVICE r13).
+    // Only input_file_name's URI form needs (one) percent-decoding.
     def canon(p: String): String =
-      Paths.get(java.net.URLDecoder.decode(p.stripPrefix("file:"), "UTF-8"))
-        .toAbsolutePath.normalize.toString
+      Paths.get(p).toAbsolutePath.normalize.toString
+    def canonUri(p: String): String =
+      canon(DeltaRead.percentDecode(p.stripPrefix("file:")))
     val liveByPath = st.live.map(f => canon(resolve(root, f._1)) -> f).toMap
 
     val affected = DeltaRead.plan(spark, root, st.meta, st.live)
       .where(matchTrue)
       .select(input_file_name()).distinct()
-      .collect().map(r => liveByPath.getOrElse(canon(r.getString(0)),
+      .collect().map(r => liveByPath.getOrElse(canonUri(r.getString(0)),
         sys.error(s"matched file ${r.getString(0)} not in the live set — " +
           "the table changed under the delete")))
     if (affected.isEmpty) return st.version
@@ -223,12 +278,25 @@ object DeltaWrite {
   /** Write a single-part checkpoint of the CURRENT version and point
     * `_last_checkpoint` at it, so readers bootstrap without replaying
     * the JSON tail and old commits become vacuumable. The checkpoint
-    * carries the folded state (protocol, metaData, live adds); expired
-    * remove tombstones are not retained (this writer's tables carry
-    * no vacuum bookkeeping). Returns the checkpointed version. */
+    * carries the folded state — the table's OWN protocol and metaData
+    * (id/createdTime preserved verbatim: the spec makes metaData.id
+    * immutable for the table's lifetime, and foreign streaming readers
+    * use it to detect table replacement — ADVICE r13), live adds with
+    * their stats, and the folded SetTransaction ledger (dropping txn
+    * rows would break every idempotent streaming writer's replay
+    * detection after the next log clean). Expired remove tombstones
+    * are not retained (this writer's tables carry no vacuum
+    * bookkeeping). Tables demanding minWriterVersion > 2 are refused:
+    * their feature actions (e.g. domainMetadata) are not folded here,
+    * so checkpointing would silently discard them. Returns the
+    * checkpointed version. */
   def checkpoint(spark: SparkSession, root: String): Long = {
     import org.apache.spark.sql.Row
     val st = DeltaRead.state(spark, root, Long.MaxValue)
+    require(st.minWriter <= 2,
+      s"Delta table at $root needs minWriterVersion=${st.minWriter}; its " +
+        "feature actions are not reconstructed by this fold, so a " +
+        "checkpoint would silently discard table state — refusing")
     val protoT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
       StructField("minWriterVersion", IntegerType)))
@@ -247,20 +315,30 @@ object DeltaWrite {
         valueContainsNull = true)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
+    val txnT = StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType)))
     val cpT = StructType(Seq(
       StructField("protocol", protoT), StructField("metaData", metaT),
-      StructField("add", addT)))
+      StructField("add", addT), StructField("txn", txnT)))
     val rows =
-      Row(Row(1, 2), null, null) +:
-      Row(null, Row(s"graft-${UUID.randomUUID()}",
+      Row(Row(st.minReader.toInt, st.minWriter.toInt), null, null, null) +:
+      Row(null, Row(
+        if (st.meta.id.nonEmpty) st.meta.id else s"graft-${UUID.randomUUID()}",
         Row("parquet", Map.empty[String, String]), st.meta.schema.json,
-        st.meta.partitionCols, st.meta.configuration, 0L), null) +:
+        st.meta.partitionCols, st.meta.configuration,
+        st.meta.createdTime.map(Long.box).orNull), null, null) +:
+      (st.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+        Row(null, null, null, Row(app, v))
+      } ++
       st.live.map { case (p, pv) =>
         val f = Paths.get(resolve(root, p))
         Row(null, null, Row(p, pv, Files.size(f),
-          Files.getLastModifiedTime(f).toMillis, true))
-      }
+          Files.getLastModifiedTime(f).toMillis, true,
+          st.stats.get(p).orNull), null)
+      })
     val cp = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), cpT)
     val log = Paths.get(root, "_delta_log")
@@ -292,6 +370,13 @@ object DeltaWrite {
       s"Delta table at $root needs minWriterVersion=${st.minWriter}; this " +
         "writer implements protocol (1,2) — refusing rather than writing " +
         "a table whose feature contracts it would silently break")
+    // the READER handles name-mode mapping; the writer does not emit
+    // physical col-<uuid> columns, so any mapped table is write-refused
+    // (conformant ones carry minWriter=5 and are caught above anyway)
+    val cm = st.meta.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cm == "none",
+      s"Delta table at $root uses delta.columnMapping.mode=$cm; this writer " +
+        "does not produce physical column names — refusing to write")
     refuseInvariants(st.meta.schema, root)
     // an EXTERNAL table may be partitioned by a type whose spec
     // serialization diverges from the hive dir form stage() emits —
@@ -409,20 +494,96 @@ object DeltaWrite {
         "size" -> Files.size(dest),
         "modificationTime" -> Files.getLastModifiedTime(dest).toMillis,
         "dataChange" -> true,
-        "stats" -> Json.render(ListMap("numRecords" -> numRecords(dest)))))
+        "stats" -> Json.render(fileStats(dest,
+          StructType(df.schema.fields.filterNot(f =>
+            partitionBy.contains(f.name)))))))
     }
     deleteTree(stg)
     adds
   }
 
-  /** Row count from the parquet footer — driver-side, metadata-only
-    * (no row group bytes touched). */
-  private def numRecords(p: Path): Long = {
+  /** File-skipping stats from one parquet footer — driver-side,
+    * metadata-only (no row group bytes touched): `numRecords` always;
+    * `minValues`/`maxValues`/`nullCount` for every top-level data
+    * column whose chunk statistics are complete and whose Delta JSON
+    * form is unambiguous (integers, doubles, strings, booleans,
+    * dates). A column with any stats-less or NaN chunk is OMITTED —
+    * partial stats are legal under the protocol, wrong ones break
+    * every skipping reader. String order follows parquet's unsigned
+    * UTF-8 byte comparison, the order the stats were written under. */
+  private def fileStats(p: Path, dataSchema: StructType): Map[String, Any] = {
+    import org.apache.parquet.column.statistics._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toString),
       new org.apache.hadoop.conf.Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val rows = r.getRecordCount
+      val chunksByCol = blocks.flatMap(_.getColumns.asScala)
+        .filter(_.getPath.size == 1) // top-level primitives only
+        .groupBy(_.getPath.toDotString)
+      val mins = ListMap.newBuilder[String, Any]
+      val maxs = ListMap.newBuilder[String, Any]
+      val nulls = ListMap.newBuilder[String, Any]
+      dataSchema.fields.foreach { f =>
+        val chunks = chunksByCol.getOrElse(f.name, Nil)
+        val stats = chunks.map(_.getStatistics)
+        if (stats.nonEmpty && stats.forall(s => s != null && !s.isEmpty)) {
+          if (stats.forall(_.getNumNulls >= 0))
+            nulls += f.name -> stats.map(_.getNumNulls).sum
+          // all-null chunks contribute no values; min/max over the
+          // chunks that have them is still exact
+          val withVals = stats.filter(_.hasNonNullValue)
+          val mm: Option[(Any, Any)] = f.dataType match {
+            case LongType if withVals.forall(_.isInstanceOf[LongStatistics]) =>
+              val ss = withVals.map(_.asInstanceOf[LongStatistics])
+              if (ss.isEmpty) None
+              else Some((ss.map(_.getMin).min, ss.map(_.getMax).max))
+            case IntegerType | ShortType | ByteType
+                if withVals.forall(_.isInstanceOf[IntStatistics]) =>
+              val ss = withVals.map(_.asInstanceOf[IntStatistics])
+              if (ss.isEmpty) None
+              else Some((ss.map(_.getMin).min, ss.map(_.getMax).max))
+            case DoubleType if withVals.forall(_.isInstanceOf[DoubleStatistics]) =>
+              val ss = withVals.map(_.asInstanceOf[DoubleStatistics])
+              if (ss.isEmpty || ss.exists(s => s.getMin.isNaN || s.getMax.isNaN))
+                None
+              else Some((ss.map(_.getMin).min, ss.map(_.getMax).max))
+            case BooleanType if withVals.forall(_.isInstanceOf[BooleanStatistics]) =>
+              val ss = withVals.map(_.asInstanceOf[BooleanStatistics])
+              if (ss.isEmpty) None
+              else Some((ss.map(_.getMin).min, ss.map(_.getMax).max))
+            case StringType if withVals.forall(_.isInstanceOf[BinaryStatistics]) =>
+              val ss = withVals.map(_.asInstanceOf[BinaryStatistics])
+              if (ss.isEmpty) None
+              else {
+                val ord: Ordering[org.apache.parquet.io.api.Binary] =
+                  (a, b) => org.apache.parquet.io.api.Binary
+                    .lexicographicCompare(a, b)
+                Some((ss.map(_.genericGetMin).min(ord).toStringUsingUTF8,
+                  ss.map(_.genericGetMax).max(ord).toStringUsingUTF8))
+              }
+            case DateType if withVals.forall(_.isInstanceOf[IntStatistics]) =>
+              val ss = withVals.map(_.asInstanceOf[IntStatistics])
+              if (ss.isEmpty) None
+              else Some((
+                java.time.LocalDate.ofEpochDay(ss.map(_.getMin).min.toLong).toString,
+                java.time.LocalDate.ofEpochDay(ss.map(_.getMax).max.toLong).toString))
+            case _ => None // timestamps/decimals/binary/nested: omitted
+          }
+          mm.foreach { case (lo, hi) =>
+            mins += f.name -> lo
+            maxs += f.name -> hi
+          }
+        }
+      }
+      val (mn, mx, nc) = (mins.result(), maxs.result(), nulls.result())
+      ListMap[String, Any]("numRecords" -> rows) ++
+        (if (mn.nonEmpty) ListMap("minValues" -> mn, "maxValues" -> mx)
+        else ListMap.empty) ++
+        (if (nc.nonEmpty) ListMap("nullCount" -> nc) else ListMap.empty)
+    } finally r.close()
   }
 
   private[sources] def metaData(schema: StructType, partitionBy: Seq[String],
@@ -471,11 +632,12 @@ object DeltaWrite {
       }
     }
 
-  private def resolve(root: String, p: String): String = {
-    val decoded = java.net.URLDecoder.decode(p, "UTF-8")
-    if (Paths.get(decoded).isAbsolute) decoded
-    else Paths.get(root).resolve(decoded).toString
-  }
+  /** add.path → filesystem path, via the same pure percent-decoder as
+    * the reader (NOT URLDecoder's form decoding — ADVICE r13: '+' must
+    * stay literal or tables with '+' in a partition value become
+    * unreadable). */
+  private def resolve(root: String, p: String): String =
+    DeltaRead.resolvePath(root, p)
 
   /** Percent-encode a relative path for `add.path` (RFC 2396). The
     * multi-argument URI constructor quotes exactly the illegal path

@@ -506,8 +506,9 @@ object GraftTable {
         writeIcebergMarker(root, iceRoot, cur.snapshotId)
         None
       } else {
-        val added = IcebergRead.planFiles(spark, cur.schema, addedFiles)
-        val removed = IcebergRead.planFiles(spark, cur.schema, removedFiles)
+        val mapping = IcebergRead.nameMappingOf(meta)
+        val added = IcebergRead.planFiles(spark, cur.schema, addedFiles, mapping)
+        val removed = IcebergRead.planFiles(spark, cur.schema, removedFiles, mapping)
         val valueCols = cur.schema.fields.filterNot(_.name == key)
         val upserts = added.select(
           (col(key) +: lit(false).as("is_delete") +:
@@ -795,17 +796,129 @@ object GraftTable {
     out.result()
   }
 
-  /** One-shot export of the LATEST snapshot as a new Iceberg table —
-    * the outbound twin of [[importIceberg]]. Unlike [[exportDelta]]
-    * this is a DATA COPY, not a hard-link mirror, by necessity:
-    * Iceberg resolves columns by field id and GraftTable's parquet
-    * files carry none, so [[IcebergWrite.create]] rewrites the rows
-    * under an id-stamped schema (one distributed job — the cost of
-    * any engine's CTAS). For a continuously-mirrored zero-copy
-    * export, use the Delta side. Returns the created snapshot id. */
+  // -- Iceberg export (the outbound half, other format) -----------------
+
+  private def icebergExportMarkerPath(root: String): Path =
+    Paths.get(root, "iceberg_export.json")
+
+  private def writeIcebergExportMarker(root: String, icebergRoot: String,
+                                       graftVersion: Int, snapshotId: Long): Unit = {
+    val tmp = Paths.get(root, s".iceberg_export.${UUID.randomUUID}.tmp")
+    Files.writeString(tmp, graft.util.Json.render(
+      scala.collection.immutable.ListMap(
+        "icebergRoot" -> icebergRoot, "graftVersion" -> graftVersion.toLong,
+        "snapshotId" -> snapshotId)),
+      StandardOpenOption.CREATE_NEW)
+    Files.move(tmp, icebergExportMarkerPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** (icebergRoot, graft version mirrored, snapshot id holding it) —
+    * present iff [[exportIceberg]] ran. */
+  def icebergExportState(root: String): Option[(String, Int, Long)] = {
+    val p = icebergExportMarkerPath(root)
+    if (!Files.exists(p)) None
+    else {
+      val m = graft.util.Json.parse(Files.readString(p))
+      Some((graft.util.Json.str(m, "icebergRoot").get,
+        graft.util.Json.long(m, "graftVersion").get.toInt,
+        graft.util.Json.long(m, "snapshotId").get))
+    }
+  }
+
+  /** Adopt `f` under `icebergRoot/data/` (hard-link; idempotent) and
+    * describe it for the mirror manifest — rows from the GraftTable
+    * manifest, no parquet footer read. */
+  private def mirrorIcebergFile(icebergRoot: String, f: FileEntry)
+      : IcebergWrite.StagedFile = {
+    val dataDir = Paths.get(icebergRoot, "data")
+    Files.createDirectories(dataDir)
+    val dest = dataDir.resolve(Paths.get(f.path).getFileName)
+    linkOrCopy(Paths.get(f.path), dest)
+    IcebergWrite.StagedFile(dest.toAbsolutePath.toString,
+      Files.size(dest), f.rows)
+  }
+
+  /** One-shot export: publish this table's LATEST snapshot as a brand
+    * new Iceberg table at `icebergRoot`, then keep it mirrored with
+    * [[syncToIceberg]] — [[exportDelta]]/[[syncToDelta]]'s twin for
+    * the other open format. ZERO-COPY like the Delta side (re-worked
+    * from the r13 CTAS copy): GraftTable parquet carries no field
+    * ids, so the mirror uses the Iceberg spec's own migration path —
+    * data files are HARD-LINKED and the table carries
+    * `schema.name-mapping.default`, the property conformant readers
+    * (Iceberg Java, PyIceberg — their `add_files` procedure emits
+    * exactly this shape) use to resolve id-less files by mapped
+    * name. A 100 TB table exports in seconds; no Spark job touches
+    * the rows. Returns the created snapshot id. */
   def exportIceberg(spark: SparkSession, root: String,
-                    icebergRoot: String): Long =
-    IcebergWrite.create(spark, read(spark, root), icebergRoot)
+                    icebergRoot: String): Long = {
+    val snap = latest(root)
+    require(snap.version >= 1, s"nothing to export: no snapshot at $root")
+    require(snap.files.nonEmpty,
+      s"nothing to export: snapshot v${snap.version} at $root lists no files")
+    val schema = spark.read.parquet(snap.files.head.path).schema
+    val files = snap.files.map(mirrorIcebergFile(icebergRoot, _))
+    val snapId = IcebergWrite.createMirror(icebergRoot, schema, files)
+    writeIcebergExportMarker(root, icebergRoot, snap.version, snapId)
+    snapId
+  }
+
+  /** Incremental Iceberg mirror — [[syncToDelta]]'s twin: one Iceberg
+    * snapshot per GraftTable version since the export marker. Each
+    * sync commit hard-links the version's NEW files and publishes the
+    * version's complete live set as one full-listing manifest — the
+    * same manifest-scale arithmetic as this table's own snapshots, so
+    * zero data bytes move regardless of table size. The mirror OWNS
+    * the Iceberg table: snapshots beyond the marker must each carry
+    * this table's own `graft-version` summary tag (a crash between
+    * commit and marker — adopted, marker advanced); anything else is
+    * a foreign writer and the sync refuses rather than diverging it.
+    *
+    * Returns one (graftVersion, snapshotId) per snapshot written. */
+  def syncToIceberg(spark: SparkSession, root: String): Seq[(Int, Long)] = {
+    val (iceRoot, fromGraft, lastSnap) = icebergExportState(root).getOrElse(
+      sys.error(s"no Iceberg export marker at $root — run exportIceberg first"))
+    var expectedFrom = fromGraft
+    var sv = lastSnap
+    // crash adoption / foreign-writer refusal over the snapshot list
+    val meta = IcebergRead.currentMeta(iceRoot)
+    val beyond = graft.util.Json.list(meta, "snapshots")
+      .filter(s => graft.util.Json.long(s, "snapshot-id").exists(_ > lastSnap))
+      .sortBy(s => graft.util.Json.long(s, "sequence-number").getOrElse(0L))
+    beyond.foreach { s =>
+      val sid = graft.util.Json.long(s, "snapshot-id").get
+      val tagged = graft.util.Json.str(s, "summary", "graft-version")
+        .flatMap(_.toIntOption)
+      require(tagged.contains(expectedFrom + 1),
+        s"Iceberg table at $iceRoot advanced to snapshot $sid without this " +
+          s"mirror (expected a graft-version tag ${expectedFrom + 1}, found " +
+          s"${tagged.fold("a foreign commit")(g => s"graft version $g")}) — " +
+          "refusing to diverge a foreign writer")
+      expectedFrom += 1
+      sv = sid
+      writeIcebergExportMarker(root, iceRoot, expectedFrom, sv)
+    }
+    val cur = currentVersion(root)
+    val out = Seq.newBuilder[(Int, Long)]
+    (expectedFrom + 1 to cur).foreach { g =>
+      val prevS = snapshot(root, g - 1)
+      val curS = snapshot(root, g)
+      val prevPaths = prevS.files.map(_.path).toSet
+      val curPaths = curS.files.map(_.path).toSet
+      if (prevPaths == curPaths) {
+        writeIcebergExportMarker(root, iceRoot, g, sv) // marker-only
+      } else {
+        val op = if (prevPaths.subsetOf(curPaths)) "append" else "overwrite"
+        val files = curS.files.map(mirrorIcebergFile(iceRoot, _))
+        sv = IcebergWrite.commitMirror(iceRoot, files, op,
+          summaryExtra = Map("graft-version" -> g.toString))
+        writeIcebergExportMarker(root, iceRoot, g, sv)
+        out += ((g, sv))
+      }
+    }
+    out.result()
+  }
 
   /** The graftVersion tag of Delta commit `v`, iff it is one of OUR
     * mirror commits (operation = GRAFT SYNC). */

@@ -40,10 +40,12 @@ import graft.util.Json
   * converted Spark schema and the scan runs under Spark's native
   * field-id matching (`spark.sql.parquet.fieldId.read.enabled`, set
   * on a derived session the returned frame is bound to), so renames
-  * resolve correctly at any depth. A data file WITHOUT parquet field
-  * ids (pre-Iceberg imports relying on name-mapping, which this
-  * reader does not implement) fails LOUDLY instead of nulling —
-  * Spark's `fieldId.read.ignoreMissing` is pinned false.
+  * resolve correctly at any depth. Data files WITHOUT parquet field
+  * ids read through the table's `schema.name-mapping.default`
+  * property when present (the spec's migration fallback —
+  * [[GraftTable.exportIceberg]]'s zero-copy mirror relies on it, r14);
+  * absent a mapping they fail LOUDLY instead of nulling — Spark's
+  * `fieldId.read.ignoreMissing` is pinned false.
   *
   * Time travel: `read(spark, root, snapshotId)` resolves any snapshot
   * still listed in the current metadata.
@@ -134,16 +136,60 @@ object IcebergRead {
       tableSchema(meta, snap), files)
   }
 
-  /** One scan over an explicit file subset under `schema`, field-id
-    * resolved — the sync's diff reader. */
+  /** One scan over an explicit file subset under `schema` — the
+    * sync's diff reader. Resolution is field-id based unless a
+    * `mapping` (the parsed `schema.name-mapping.default` property) is
+    * given, in which case files are read under the MAPPED names and
+    * projected back to the schema's — the spec's fallback for data
+    * files carrying no parquet field ids (migrated/zero-copy-mirrored
+    * tables). Scope: a mapping table is resolved via the mapping for
+    * ALL its files — exact while the table holds no id-stamped files
+    * written AFTER a rename, which a mirror-owned table never does. */
   private[sources] def planFiles(spark: SparkSession, schema: StructType,
-                                 files: Seq[String]): DataFrame = {
+                                 files: Seq[String],
+                                 mapping: Option[List[Any]] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    readerSession(spark).read.schema(schema).parquet(files: _*)
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    mapping match {
+      case None =>
+        readerSession(spark).read.schema(schema).parquet(files: _*)
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      case Some(mp) =>
+        val readSchema = toMapped(schema, mp)
+        spark.read.schema(readSchema).parquet(files: _*)
+          .select(schema.fields.zip(readSchema.fields).map { case (lf, pf) =>
+            col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+          }.toIndexedSeq: _*)
+    }
+  }
+
+  /** The parsed `schema.name-mapping.default` property, if any. */
+  private[sources] def nameMappingOf(meta: Any): Option[List[Any]] =
+    Json.str(meta, "properties", "schema.name-mapping.default")
+      .map(Json.parse).collect { case l: List[_] => l.asInstanceOf[List[Any]] }
+
+  /** `schema` with every field renamed to its mapping name (first of
+    * `names`) for its field id, recursing into structs; fields absent
+    * from the mapping keep their schema name. */
+  private def toMapped(schema: StructType, mapping: List[Any]): StructType = {
+    val byId = mapping.flatMap(m =>
+      Json.long(m, "field-id").map(_ -> m)).toMap
+    StructType(schema.fields.map { f =>
+      val entry =
+        if (f.metadata.contains("parquet.field.id"))
+          byId.get(f.metadata.getLong("parquet.field.id"))
+        else None
+      val name = entry.flatMap(e => Json.list(e, "names").headOption)
+        .map(_.toString).getOrElse(f.name)
+      val dt = f.dataType match {
+        case s: StructType =>
+          entry.map(e => toMapped(s, Json.list(e, "fields"))).getOrElse(s)
+        case other => other // arrays/maps read structurally by name
+      }
+      StructField(name, dt, f.nullable)
+    })
   }
 
   private def readSnapshot(spark: SparkSession, root: String,
@@ -155,7 +201,8 @@ object IcebergRead {
     // Field-id resolution: the scan runs under the fieldId confs of
     // the derived session the parquet RELATION is built with
     // (HadoopFsRelation pins its own SparkSession) — see planFiles.
-    planFiles(spark, st.schema, st.files)
+    // Tables carrying a name mapping resolve through it instead.
+    planFiles(spark, st.schema, st.files, nameMappingOf(meta))
   }
 
   /** Derived session carrying the parquet field-id read confs: same

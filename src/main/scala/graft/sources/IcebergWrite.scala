@@ -94,11 +94,14 @@ object IcebergWrite {
         _.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
       finally ls.close()
     }, s"Iceberg table already exists at $root — use append/overwrite")
-    val (idSchema, lastColumnId) = assignIds(df.schema)
+    val (idSchema, lastColumnId, schemaJson) = assignIds(df.schema)
+    val schemaObj = schemaJson ++ ListMap("schema-id" -> 0L)
     val files = stage(spark, df, root, idSchema)
     val snapId = 1L
-    val manifest = writeManifest(root, files, snapId, sequenceNumber = 1L)
-    val mlPath = writeManifestList(root, snapId, Seq(manifest))
+    val manifest = writeManifest(root, files, snapId, sequenceNumber = 1L,
+      Json.render(schemaObj), schemaId = 0L)
+    val mlPath = writeManifestList(root, snapId, parent = None, seq = 1L,
+      Seq(manifest))
     val meta = ListMap(
       "format-version" -> 2L,
       "table-uuid" -> UUID.randomUUID().toString,
@@ -107,7 +110,7 @@ object IcebergWrite {
       "last-updated-ms" -> System.currentTimeMillis(),
       "last-column-id" -> lastColumnId.toLong,
       "current-schema-id" -> 0L,
-      "schemas" -> List(icebergSchema(idSchema, schemaId = 0)),
+      "schemas" -> List(schemaObj),
       "default-spec-id" -> 0L,
       "partition-specs" -> List(ListMap(
         "spec-id" -> 0L, "fields" -> Nil)),
@@ -151,7 +154,8 @@ object IcebergWrite {
       val baseV = highestMetaVersion(root)
       require(baseV >= 1, s"not an Iceberg table: no vN.metadata.json at $root")
       val meta = writableMeta(root, baseV)
-      val schema = currentIdSchema(meta)
+      val schemaObj = currentSchemaObj(meta)
+      val schema = IcebergRead.toSpark(schemaObj).asInstanceOf[StructType]
       val aligned = align(df, schema)
       val files = stage(spark, aligned, root, schema)
       val lastSeq = Json.long(meta, "last-sequence-number").getOrElse(0L)
@@ -160,7 +164,11 @@ object IcebergWrite {
       val snapId = snaps.flatMap(s => Json.long(s, "snapshot-id"))
         .foldLeft(0L)(math.max) + 1
       val parent = Json.long(meta, "current-snapshot-id")
-      val manifest = writeManifest(root, files, snapId, seq)
+      // the snapshot and its manifests record the TABLE's current
+      // schema id — a foreign table that evolved is not pinned back to 0
+      val schemaId = Json.long(meta, "current-schema-id").getOrElse(0L)
+      val manifest = writeManifest(root, files, snapId, seq,
+        Json.render(schemaObj), schemaId)
       val carried: Seq[Map[String, Any]] =
         if (!carryPrior) Nil
         else parent.toSeq.flatMap { pid =>
@@ -170,11 +178,8 @@ object IcebergWrite {
             .getOrElse(sys.error("snapshot without manifest-list")))
           IcebergRead.avroRows(ml).map(manifestFileAsMap(root, _))
         }
-      val mlPath = writeManifestList(root, snapId,
+      val mlPath = writeManifestList(root, snapId, parent, seq,
         carried :+ manifest)
-      // the snapshot records the TABLE's current schema id — a foreign
-      // table that evolved its schema is not pinned back to 0
-      val schemaId = Json.long(meta, "current-schema-id").getOrElse(0L)
       val newSnap = snapshotEntry(root, snapId, parent, seq, mlPath, op,
         schemaId)
       val m = meta.asInstanceOf[Map[String, Any]]
@@ -224,88 +229,224 @@ object IcebergWrite {
     meta
   }
 
-  /** The table's current schema WITH its field ids attached as
-    * `parquet.field.id` (the form [[stage]] needs). */
-  private def currentIdSchema(meta: Any): StructType = {
+  /** The table's current schema as its raw JSON structure (rendered
+    * verbatim into each manifest's key-value metadata; converted via
+    * [[IcebergRead.toSpark]] for staging — field ids attached as
+    * `parquet.field.id`). */
+  private def currentSchemaObj(meta: Any): Any = {
     val schemas = Json.list(meta, "schemas")
-    val chosen = Json.long(meta, "current-schema-id")
+    Json.long(meta, "current-schema-id")
       .flatMap(id => schemas.find(s => Json.long(s, "schema-id").contains(id)))
       .orElse(Option(Json.get(meta, "schema")).filter(_ != null))
       .getOrElse(sys.error("no schema in Iceberg metadata"))
-    IcebergRead.toSpark(chosen).asInstanceOf[StructType]
   }
 
   /** Assign field ids depth-first in field order (the spec's fresh-id
-    * rule) and attach each as `parquet.field.id` metadata. Returns the
-    * id-stamped schema and the last id assigned. Nested list/map
-    * element ids are consumed from the same counter (they appear in
-    * the schema JSON, though parquet footers only stamp struct
-    * fields). */
-  private[sources] def assignIds(schema: StructType): (StructType, Int) = {
+    * rule), attach each struct-field id as `parquet.field.id`
+    * metadata, and emit the Iceberg schema JSON structure in the SAME
+    * walk — so the nested list element-id / map key-id/value-id slots
+    * carry the ids this counter actually consumed, and
+    * `last-column-id` genuinely bounds every id in the schema JSON
+    * (ADVICE r13: the previous anon-10000 fallback emitted
+    * element-id=10001 with last-column-id=3, violating the spec rule
+    * that last-column-id is the highest assigned field id). Returns
+    * (id-stamped Spark schema, last id assigned, schema JSON structure
+    * sans schema-id). */
+  private[sources] def assignIds(schema: StructType)
+      : (StructType, Int, Map[String, Any]) = {
     var next = 0
-    def field(f: StructField): StructField = {
+    def field(f: StructField): (StructField, Map[String, Any]) = {
       next += 1
       val id = next
-      val dt = walk(f.dataType)
-      f.copy(dataType = dt, metadata = new MetadataBuilder()
-        .withMetadata(f.metadata).putLong("parquet.field.id", id).build())
+      val (dt, json) = walk(f.dataType)
+      (f.copy(dataType = dt, metadata = new MetadataBuilder()
+        .withMetadata(f.metadata).putLong("parquet.field.id", id).build()),
+        ListMap("id" -> id.toLong, "name" -> f.name,
+          "required" -> !f.nullable, "type" -> json))
     }
-    def walk(t: DataType): DataType = t match {
-      case s: StructType => StructType(s.fields.map(field))
-      case a: ArrayType => next += 1; a.copy(elementType = walk(a.elementType))
+    def walk(t: DataType): (DataType, Any) = t match {
+      case s: StructType =>
+        val done = s.fields.map(field)
+        (StructType(done.map(_._1)),
+          ListMap("type" -> "struct", "fields" -> done.map(_._2).toList))
+      case a: ArrayType =>
+        next += 1
+        val elemId = next
+        val (et, ej) = walk(a.elementType)
+        (a.copy(elementType = et),
+          ListMap("type" -> "list", "element-id" -> elemId.toLong,
+            "element-required" -> !a.containsNull, "element" -> ej))
       case m: MapType =>
         next += 2
-        m.copy(keyType = walk(m.keyType), valueType = walk(m.valueType))
-      case other => other
+        val (keyId, valId) = (next - 1, next)
+        val (kt, kj) = walk(m.keyType)
+        val (vt, vj) = walk(m.valueType)
+        (m.copy(keyType = kt, valueType = vt),
+          ListMap("type" -> "map", "key-id" -> keyId.toLong,
+            "value-id" -> valId.toLong, "key" -> kj,
+            "value-required" -> !m.valueContainsNull, "value" -> vj))
+      case other => (other, scalarName(other))
     }
-    (walk(schema).asInstanceOf[StructType], next)
+    val (st, json) = walk(schema)
+    (st.asInstanceOf[StructType], next,
+      json.asInstanceOf[ListMap[String, Any]])
   }
 
-  private def fieldId(f: StructField): Long =
-    if (f.metadata.contains("parquet.field.id"))
-      f.metadata.getLong("parquet.field.id")
-    else sys.error(s"field ${f.name} has no id — schema not id-stamped")
+  private def scalarName(t: DataType): String = t match {
+    case BooleanType => "boolean"
+    case IntegerType | ShortType | ByteType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case DateType => "date"
+    case TimestampNTZType => "timestamp"
+    case TimestampType => "timestamptz"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case other => sys.error(s"no Iceberg type for ${other.simpleString}")
+  }
 
-  /** Spark schema (id-stamped) → Iceberg schema JSON structure. */
-  private[sources] def icebergSchema(schema: StructType,
-                                     schemaId: Int): Map[String, Any] = {
-    var anon = 10000 // ids for nested list/map slots of FOREIGN schemas
-    def typ(t: DataType): Any = t match {
-      case s: StructType => ListMap(
-        "type" -> "struct",
-        "fields" -> s.fields.toList.map { f =>
-          ListMap("id" -> fieldId(f), "name" -> f.name,
-            "required" -> !f.nullable, "type" -> typ(f.dataType))
+  /** One data file of a commit: absolute path, size, rows. Staged
+    * files come from a Spark write job; MIRROR files ([[createMirror]]
+    * / [[commitMirror]]) are adopted as-is from GraftTable manifests —
+    * same manifest-scale facts either way. */
+  private[sources] case class StagedFile(path: String, size: Long, rows: Long)
+
+  /** The spec's name-mapping JSON (§Name Mapping Serialization) for an
+    * id-stamped schema obj: `[{"field-id":N,"names":["col"],…}]`,
+    * recursing into structs and emitting the standard element/key/value
+    * names for lists/maps. Stored as the `schema.name-mapping.default`
+    * table property, it is how conformant readers (Iceberg Java,
+    * PyIceberg — their `add_files`/migrate path) resolve data files
+    * that carry NO parquet field ids, which is exactly what a
+    * zero-copy mirror of GraftTable parquet adopts. */
+  private[sources] def nameMapping(schemaObj: Any): List[Map[String, Any]] = {
+    def ofType(t: Any): List[Map[String, Any]] = Json.str(t, "type") match {
+      case Some("struct") => Json.list(t, "fields").map { f =>
+        val base = ListMap[String, Any](
+          "field-id" -> Json.long(f, "id").get,
+          "names" -> List(Json.str(f, "name").get))
+        val nested = ofType(Json.get(f, "type"))
+        if (nested.isEmpty) base else base ++ ListMap("fields" -> nested)
+      }
+      case Some("list") =>
+        List(ListMap[String, Any](
+          "field-id" -> Json.long(t, "element-id").get,
+          "names" -> List("element")) ++ {
+          val nested = ofType(Json.get(t, "element"))
+          if (nested.isEmpty) ListMap.empty else ListMap("fields" -> nested)
         })
-      case a: ArrayType =>
-        anon += 1
-        ListMap("type" -> "list", "element-id" -> anon.toLong,
-          "element-required" -> !a.containsNull,
-          "element" -> typ(a.elementType))
-      case m: MapType =>
-        anon += 2
-        ListMap("type" -> "map", "key-id" -> (anon - 1).toLong,
-          "value-id" -> anon.toLong, "key" -> typ(m.keyType),
-          "value-required" -> !m.valueContainsNull,
-          "value" -> typ(m.valueType))
-      case BooleanType => "boolean"
-      case IntegerType | ShortType | ByteType => "int"
-      case LongType => "long"
-      case FloatType => "float"
-      case DoubleType => "double"
-      case DateType => "date"
-      case TimestampNTZType => "timestamp"
-      case TimestampType => "timestamptz"
-      case StringType => "string"
-      case BinaryType => "binary"
-      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
-      case other => sys.error(s"no Iceberg type for ${other.simpleString}")
+      case Some("map") =>
+        List(
+          ListMap[String, Any]("field-id" -> Json.long(t, "key-id").get,
+            "names" -> List("key")),
+          ListMap[String, Any]("field-id" -> Json.long(t, "value-id").get,
+            "names" -> List("value")) ++ {
+            val nested = ofType(Json.get(t, "value"))
+            if (nested.isEmpty) ListMap.empty else ListMap("fields" -> nested)
+          })
+      case _ => Nil // scalar leaf (the type is its name string)
     }
-    typ(schema).asInstanceOf[ListMap[String, Any]] ++
-      ListMap("schema-id" -> schemaId.toLong)
+    ofType(schemaObj)
   }
 
-  private case class StagedFile(path: String, size: Long, rows: Long)
+  /** Create a new Iceberg table at `root` whose data files are
+    * `files` ADOPTED AS-IS (hard-linked by the caller, never
+    * rewritten): the spec's migration path — the table carries
+    * `schema.name-mapping.default` so conformant readers resolve the
+    * id-less parquet by mapped name. The zero-copy twin of [[create]]
+    * for [[GraftTable.exportIceberg]]. Returns the snapshot id (1). */
+  private[sources] def createMirror(root: String, schema: StructType,
+                                    files: Seq[StagedFile]): Long = {
+    val metaDir = Paths.get(root, "metadata")
+    require(!Files.isDirectory(metaDir) || {
+      val ls = Files.list(metaDir)
+      try !ls.iterator().asScala.exists(
+        _.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
+      finally ls.close()
+    }, s"Iceberg table already exists at $root")
+    val (_, lastColumnId, schemaJson) = assignIds(schema)
+    val schemaObj = schemaJson ++ ListMap("schema-id" -> 0L)
+    val snapId = 1L
+    val manifest = writeManifest(root, files, snapId, sequenceNumber = 1L,
+      Json.render(schemaObj), schemaId = 0L)
+    val mlPath = writeManifestList(root, snapId, parent = None, seq = 1L,
+      Seq(manifest))
+    val meta = ListMap(
+      "format-version" -> 2L,
+      "table-uuid" -> UUID.randomUUID().toString,
+      "location" -> Paths.get(root).toAbsolutePath.toString,
+      "last-sequence-number" -> 1L,
+      "last-updated-ms" -> System.currentTimeMillis(),
+      "last-column-id" -> lastColumnId.toLong,
+      "current-schema-id" -> 0L,
+      "schemas" -> List(schemaObj),
+      "default-spec-id" -> 0L,
+      "partition-specs" -> List(ListMap(
+        "spec-id" -> 0L, "fields" -> Nil)),
+      "last-partition-id" -> 999L,
+      "default-sort-order-id" -> 0L,
+      "sort-orders" -> List(ListMap(
+        "order-id" -> 0L, "fields" -> Nil)),
+      "properties" -> ListMap(
+        "schema.name-mapping.default" -> Json.render(nameMapping(schemaObj))),
+      "current-snapshot-id" -> snapId,
+      "snapshots" -> List(snapshotEntry(root, snapId, parent = None,
+        seq = 1L, mlPath, "append")))
+    commitMetadata(root, 1, meta).getOrElse(
+      throw new ConcurrentWriteException(
+        s"Iceberg table at $root was created concurrently"))
+    snapId
+  }
+
+  /** Publish `files` as the COMPLETE live set of the next snapshot —
+    * one full-listing manifest, the same manifest-scale arithmetic as
+    * GraftTable's own snapshots (zero data bytes move; the caller
+    * hard-links new files first). `summaryExtra` rides in the
+    * snapshot summary (the mirror's graft-version crash-adoption
+    * tag). Optimistic concurrency like [[commitData]]. */
+  private[sources] def commitMirror(root: String, files: Seq[StagedFile],
+                                    op: String,
+                                    summaryExtra: Map[String, String] = Map.empty)
+      : Long = {
+    var attempts = 0
+    while (true) {
+      val baseV = highestMetaVersion(root)
+      require(baseV >= 1, s"not an Iceberg table: no vN.metadata.json at $root")
+      val meta = writableMeta(root, baseV)
+      val schemaObj = currentSchemaObj(meta)
+      val lastSeq = Json.long(meta, "last-sequence-number").getOrElse(0L)
+      val seq = lastSeq + 1
+      val snaps = Json.list(meta, "snapshots")
+      val snapId = snaps.flatMap(s => Json.long(s, "snapshot-id"))
+        .foldLeft(0L)(math.max) + 1
+      val parent = Json.long(meta, "current-snapshot-id")
+      val schemaId = Json.long(meta, "current-schema-id").getOrElse(0L)
+      val manifest = writeManifest(root, files, snapId, seq,
+        Json.render(schemaObj), schemaId)
+      val mlPath = writeManifestList(root, snapId, parent, seq, Seq(manifest))
+      val newSnap = snapshotEntry(root, snapId, parent, seq, mlPath, op,
+        schemaId, summaryExtra)
+      val m = meta.asInstanceOf[Map[String, Any]]
+      val updated = m ++ ListMap(
+        "last-sequence-number" -> seq,
+        "last-updated-ms" -> System.currentTimeMillis(),
+        "current-snapshot-id" -> snapId,
+        "snapshots" -> (snaps :+ newSnap))
+      commitMetadata(root, baseV + 1, updated) match {
+        case Some(_) => return snapId
+        case None =>
+          attempts += 1
+          require(attempts < 64,
+            s"mirror commit at $root lost $attempts races — giving up")
+        // data files are the mirror's hard links — never deleted on a
+        // lost race (idempotent linkOrCopy re-adopts them); only the
+        // unpublished manifest avro leaks, vacuum-scale noise
+      }
+    }
+    sys.error("unreachable")
+  }
 
   /** One distributed parquet job under the id-stamped schema — Spark
     * stamps `parquet.field.id` into every footer (fieldId.write is on
@@ -409,17 +550,27 @@ object IcebergWrite {
       |]}""".stripMargin)
 
   private def writeAvro(dest: Path, schema: Schema,
-                        rows: Seq[GenericRecord]): Unit = {
+                        rows: Seq[GenericRecord],
+                        meta: Map[String, String]): Unit = {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
     w.create(schema, dest.toFile)
     try rows.foreach(w.append) finally w.close()
   }
 
   /** One manifest: every `files` entry status=1 (ADDED by `snapId` at
-    * `sequenceNumber`). Returns the manifest-list row describing it. */
+    * `sequenceNumber`). The Avro file carries the key-value metadata
+    * the spec REQUIRES on manifests — `schema`, `schema-id`,
+    * `partition-spec` (the spec's fields array, always empty here),
+    * `partition-spec-id`, `format-version`, `content` — which is
+    * where conformant readers (Iceberg Java, PyIceberg) get the
+    * partition spec and format version from (ADVICE r13: without it
+    * they cannot open the table at all). Returns the manifest-list
+    * row describing it. */
   private def writeManifest(root: String, files: Seq[StagedFile],
-                            snapId: Long, sequenceNumber: Long)
+                            snapId: Long, sequenceNumber: Long,
+                            schemaJson: String, schemaId: Long)
       : Map[String, Any] = {
     val metaDir = Paths.get(root, "metadata")
     Files.createDirectories(metaDir)
@@ -442,7 +593,13 @@ object IcebergWrite {
       e.put("data_file", df)
       e
     }
-    writeAvro(dest, manifestSchema, rows)
+    writeAvro(dest, manifestSchema, rows, ListMap(
+      "schema" -> schemaJson,
+      "schema-id" -> schemaId.toString,
+      "partition-spec" -> "[]",
+      "partition-spec-id" -> "0",
+      "format-version" -> "2",
+      "content" -> "data"))
     ListMap(
       "manifest_path" -> dest.toAbsolutePath.toString,
       "manifest_length" -> Files.size(dest),
@@ -485,6 +642,7 @@ object IcebergWrite {
   }
 
   private def writeManifestList(root: String, snapId: Long,
+                                parent: Option[Long], seq: Long,
                                 manifests: Seq[Map[String, Any]]): String = {
     val metaDir = Paths.get(root, "metadata")
     Files.createDirectories(metaDir)
@@ -503,20 +661,28 @@ object IcebergWrite {
       }
       r
     }
-    writeAvro(dest, manifestListSchema, rows)
+    // manifest lists carry the commit identity in their key-value
+    // metadata (spec + what Iceberg Java / PyIceberg emit)
+    writeAvro(dest, manifestListSchema, rows, ListMap(
+      "snapshot-id" -> snapId.toString,
+      "parent-snapshot-id" -> parent.map(_.toString).getOrElse("null"),
+      "sequence-number" -> seq.toString,
+      "format-version" -> "2"))
     dest.toAbsolutePath.toString
   }
 
   private def snapshotEntry(root: String, snapId: Long, parent: Option[Long],
                             seq: Long, mlPath: String, op: String,
-                            schemaId: Long = 0L): Map[String, Any] =
+                            schemaId: Long = 0L,
+                            summaryExtra: Map[String, String] = Map.empty)
+      : Map[String, Any] =
     ListMap(
       "snapshot-id" -> snapId,
       "sequence-number" -> seq,
       "timestamp-ms" -> System.currentTimeMillis(),
       "manifest-list" -> mlPath,
       "schema-id" -> schemaId,
-      "summary" -> ListMap("operation" -> op)) ++
+      "summary" -> (ListMap[String, Any]("operation" -> op) ++ summaryExtra)) ++
       parent.map(p => ListMap("parent-snapshot-id" -> p)).getOrElse(ListMap.empty)
 
   private def highestMetaVersion(root: String): Int = {

@@ -73,7 +73,8 @@ object DeltaFoldProps extends Properties("DeltaFold") {
         Gen.choose(1, 5).flatMap(nOps =>
           Gen.listOfN(nOps, Gen.zip(Gen.choose(0, 7), Gen.oneOf(true, false))))))
 
-  property("random logs fold to the model's live set at every version") =
+  private def foldProp(filePool: IndexedSeq[String], protoLine: String,
+                       metaLine: String) =
     forAll(genCommits) { commits =>
       val root = Files.createTempDirectory("graft_delta_prop_").toString
       val log = Paths.get(root, "_delta_log")
@@ -84,17 +85,14 @@ object DeltaFoldProps extends Properties("DeltaFold") {
       val model = scala.collection.mutable.Set.empty[Int]
       val modelAt = scala.collection.mutable.ArrayBuffer.empty[Set[Int]]
       commits.zipWithIndex.foreach { case (ops, v) =>
-        val head = if (v == 0) List(
-          s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-          s"""{"metaData":{"id":"prop","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":0}}""")
-        else Nil
+        val head = if (v == 0) List(protoLine, metaLine) else Nil
         val lines = head ++ ops.map { case (i, isAdd) =>
           if (isAdd) {
             model += i
-            s"""{"add":{"path":"${pool(i)}","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+            s"""{"add":{"path":"${filePool(i)}","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
           } else {
             model -= i
-            s"""{"remove":{"path":"${pool(i)}","deletionTimestamp":0,"dataChange":true}}"""
+            s"""{"remove":{"path":"${filePool(i)}","deletionTimestamp":0,"dataChange":true}}"""
           }
         }
         Files.write(log.resolve(f"$v%020d.json"),
@@ -110,4 +108,50 @@ object DeltaFoldProps extends Properties("DeltaFold") {
         ok
       }
     }
+
+  property("random logs fold to the model's live set at every version") =
+    foldProp(pool,
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"prop","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":0}}""")
+
+  // ---- column mapping (name mode): same fold, physical-named files ----
+
+  /** Pool twin whose parquet files carry PHYSICAL column names; the
+    * mapped schema renames them back to id/v through
+    * delta.columnMapping.physicalName metadata. */
+  private lazy val mappedPool: IndexedSeq[String] = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_delta_mpool_")
+    (0 to 7).map { i =>
+      val df = Seq((i.toLong, s"p$i")).toDF("col-aaa", "col-bbb")
+      val tmp = dir.resolve(s".s$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ls = Files.list(tmp)
+      val part = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+      val dest = dir.resolve(s"f$i.parquet")
+      Files.move(part, dest)
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+      dest.toString
+    }
+  }
+
+  private val mappedSchemaJson = {
+    import org.apache.spark.sql.types._
+    def mf(name: String, dt: DataType, phys: String, id: Long) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    StructType(Seq(mf("id", LongType, "col-aaa", 1),
+      mf("v", StringType, "col-bbb", 2))).json
+  }
+
+  property("name-mode mapped logs fold and read identically") =
+    foldProp(mappedPool,
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"prop-cm","format":{"provider":"parquet","options":{}},"schemaString":${jstr(mappedSchemaJson)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}""")
 }

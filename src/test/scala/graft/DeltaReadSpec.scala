@@ -198,24 +198,88 @@ class DeltaReadSpec extends SparkSpec {
       .toSeq === Seq((1L, "a")))
   }
 
-  test("refuses column-mapped tables (the actual minReaderVersion=2 feature)") {
+  test("column mapping: id mode refuses; name mode without physicalName " +
+      "metadata refuses") {
     import spark.implicits._
     val root = freshTable()
     val f1 = Seq((1L, "a")).toDF("id", "v")
     dataFile(root, "f1.parquet", f1)
-    // a column-mapped table: physical parquet columns are col-<uuid>
-    // names, so a by-name read would return every data column as NULL
-    // — the exact silent mis-read ADVICE r12 flagged. Mode `name` and
-    // `id` must both refuse; `none` must read (previous test).
-    Seq("name", "id").foreach { mode =>
-      val metaCm =
-        s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
-          s""""schemaString":${jstr(f1.schema.json)},"partitionColumns":[],""" +
-          s""""configuration":{"delta.columnMapping.mode":"$mode"},"createdTime":0}}"""
-      writeCommit(root, 0, Seq(protoLine(v = 2), metaCm, addLine("f1.parquet")))
-      val e = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
-      assert(e.getMessage.contains("column mapping"), s"mode=$mode: ${e.getMessage}")
-    }
+    // id mode resolves columns by parquet footer field ids — a by-name
+    // read would silently mis-bind, so it refuses outright. name mode
+    // is READ (next test), but only when every field actually carries
+    // its physicalName — a mapped schema without it cannot resolve.
+    def metaCm(mode: String) =
+      s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jstr(f1.schema.json)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"$mode"},"createdTime":0}}"""
+    writeCommit(root, 0, Seq(protoLine(v = 2), metaCm("id"), addLine("f1.parquet")))
+    val e1 = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
+    assert(e1.getMessage.contains("id mode"))
+    writeCommit(root, 0, Seq(protoLine(v = 2), metaCm("name"), addLine("f1.parquet")))
+    val e2 = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
+    assert(e2.getMessage.contains("physicalName"))
+  }
+
+  test("column mapping name mode: renamed and dropped columns read " +
+      "correctly at every version") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = freshTable()
+    def mf(name: String, dt: DataType, phys: String, id: Long) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    def cmMeta(fields: Seq[StructField]) =
+      s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jstr(StructType(fields).json)},""" +
+        s""""partitionColumns":["p"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}"""
+    val idF = mf("id", LongType, "col-aaa", 1)
+    val pF = mf("p", StringType, "col-ppp", 3)
+
+    // data files carry PHYSICAL names; partitionValues use PHYSICAL keys
+    dataFile(root, "f1.parquet", Seq((1L, "a")).toDF("col-aaa", "col-bbb"))
+    writeCommit(root, 0, Seq(protoLine(v = 2),
+      cmMeta(Seq(idF, mf("v", StringType, "col-bbb", 2), pF)),
+      addLine("f1.parquet", """{"col-ppp":"x"}""")))
+    // v1: RENAME v -> w (same physical col-bbb), new file in p=y
+    dataFile(root, "f2.parquet", Seq((2L, "b")).toDF("col-aaa", "col-bbb"))
+    writeCommit(root, 1, Seq(
+      cmMeta(Seq(idF, mf("w", StringType, "col-bbb", 2), pF)),
+      addLine("f2.parquet", """{"col-ppp":"y"}""")))
+    // v2: DROP w, ADD n (fresh physical col-ccc)
+    dataFile(root, "f3.parquet", Seq((3L, 9L)).toDF("col-aaa", "col-ccc"))
+    writeCommit(root, 2, Seq(
+      cmMeta(Seq(idF, mf("n", LongType, "col-ccc", 4), pF)),
+      addLine("f3.parquet", """{"col-ppp":"z"}""")))
+
+    val v0 = DeltaRead.read(spark, root, 0)
+    assert(v0.columns.toSeq == Seq("id", "v", "p"))
+    assert(v0.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet == Set((1L, "a", "x")))
+
+    // pre-rename files read under the NEW logical name (same physical)
+    val v1 = DeltaRead.read(spark, root, 1)
+    assert(v1.columns.toSeq == Seq("id", "w", "p"))
+    assert(v1.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet == Set((1L, "a", "x"), (2L, "b", "y")))
+    // partition filtering works on the logical name
+    assert(v1.where($"p" === "y").select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+
+    // dropped column gone; files predating col-ccc return NULL for n
+    val v2 = DeltaRead.read(spark, root, 2)
+    assert(v2.columns.toSeq == Seq("id", "n", "p"))
+    assert(v2.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2)))
+      .toSet == Set((1L, None, "x"), (2L, None, "y"), (3L, Some(9L), "z")))
+
+    // writes to mapped tables stay refused — the writer cannot emit
+    // physical names
+    assert(intercept[Exception] {
+      graft.sources.DeltaWrite.append(spark,
+        Seq((4L, 1L, "q")).toDF("id", "n", "p"), root)
+    }.getMessage.contains("columnMapping"))
   }
 
   test("refuses a log with a version gap, naming multi-part checkpoints") {

@@ -35,9 +35,13 @@ object DeltaWriteProps extends Properties("DeltaWrite") {
   /** An op is an append / overwrite of (id, p) rows or a DELETE of
     * one id; `cp` marks a checkpoint BEFORE the op. Ids draw from a
     * small pool so duplicates across versions (and delete hits /
-    * misses) actually happen. */
+    * misses) actually happen. Appends may carry a SetTransaction
+    * version from a 0..3 pool, so replays (txn version ≤ the folded
+    * ledger — which the MODEL tracks too) genuinely occur, including
+    * across interleaved checkpoints (the ledger must survive
+    * checkpoint bootstrap). */
   private case class Op(rows: List[(Long, String)], kind: Int,
-                        delId: Long, cp: Boolean) {
+                        delId: Long, cp: Boolean, txnV: Option[Long]) {
     def isOverwrite: Boolean = kind == 1
     def isDelete: Boolean = kind == 2
   }
@@ -52,7 +56,9 @@ object DeltaWriteProps extends Properties("DeltaWrite") {
       kind <- Gen.frequency(3 -> 0, 2 -> 1, 2 -> 2)
       delId <- Gen.choose(0L, 9L)
       cp <- Gen.frequency(3 -> false, 1 -> true)
-    } yield Op(rows, kind, delId, cp))
+      txnV <- Gen.frequency(2 -> Gen.const(None),
+        1 -> Gen.choose(0L, 3L).map(Some(_)))
+    } yield Op(rows, kind, delId, cp, txnV))
   } yield (partitioned, ops)
 
   property("random write sequences fold to the model at every version") =
@@ -62,8 +68,10 @@ object DeltaWriteProps extends Properties("DeltaWrite") {
       val partBy = if (partitioned) Seq("p") else Nil
 
       var model = Vector.empty[(Long, String)] // multiset of live rows
+      var ledger = -1L // the model's SetTransaction fold for the one appId
       // (delta version, expected rows) — a no-match delete commits NO
-      // version, so versions are tracked from the writer's returns
+      // version (nor does a txn-skipped replay append), so versions are
+      // tracked from the writer's returns
       val modelAt = scala.collection.mutable.ArrayBuffer.empty[(Long, Vector[(Long, String)])]
       ops.zipWithIndex.foreach { case (op, i) =>
         if (op.cp && i > 0) DeltaWrite.checkpoint(spark, root)
@@ -73,12 +81,18 @@ object DeltaWriteProps extends Properties("DeltaWrite") {
           else if (op.isDelete)
             DeltaWrite.delete(spark, root, col("id") === op.delId)
           else if (op.isOverwrite) DeltaWrite.overwrite(spark, df, root)
-          else DeltaWrite.append(spark, df, root)
+          else DeltaWrite.append(spark, df, root,
+            txn = op.txnV.map(("props-app", _)))
+        val txnSkipped = !op.isDelete && !op.isOverwrite && i > 0 &&
+          op.txnV.exists(_ <= ledger)
         model =
           if (i == 0) op.rows.toVector
           else if (op.isDelete) model.filterNot(_._1 == op.delId)
           else if (op.isOverwrite) op.rows.toVector
+          else if (txnSkipped) model
           else model ++ op.rows
+        if (!op.isDelete && !op.isOverwrite && i > 0 && !txnSkipped)
+          op.txnV.foreach(t => ledger = math.max(ledger, t))
         modelAt += ((v, model))
       }
 

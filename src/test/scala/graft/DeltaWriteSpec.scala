@@ -310,6 +310,176 @@ class DeltaWriteSpec extends SparkSpec {
     assert(DeltaRead.read(spark, root).count() == 3)
   }
 
+  test("'+' and hive-escaped partition values stay readable and deletable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = fresh()
+    // '+' is a LEGAL uri path char: encodePath leaves it literal in
+    // add.path, so a form-decoding reader ('+'→space) resolves every
+    // file of that partition to a nonexistent path (ADVICE r13 —
+    // the table was unreadable). ':' is hive-%xx-escaped on disk, so a
+    // double-decoding delete() turned the live-set key into a path
+    // that never exists and aborted every matching delete.
+    DeltaWrite.create(spark,
+      Seq((1L, "a+b"), (2L, "c:d"), (3L, "plain")).toDF("id", "p"),
+      root, partitionBy = Seq("p"))
+    assert(DeltaRead.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a+b", 2L -> "c:d", 3L -> "plain"))
+    assert(DeltaWrite.delete(spark, root, col("p") === "c:d") == 1L)
+    assert(DeltaRead.read(spark, root).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(DeltaWrite.delete(spark, root, col("p") === "a+b") == 2L)
+    assert(DeltaRead.read(spark, root).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("txn appends are exactly-once: replays skip, racing replays commit once") {
+    import spark.implicits._
+    val root = fresh()
+    DeltaWrite.create(spark, df3, root)
+    val one = Seq((4L, "d", "y")).toDF("id", "v", "p")
+    val v1 = DeltaWrite.append(spark, one, root, txn = Some(("job", 1L)))
+    assert(v1 == 1L)
+    assert(DeltaRead.read(spark, root).count() == 4)
+    // exact replay and an OLDER version both skip without committing
+    assert(DeltaWrite.append(spark, one, root, txn = Some(("job", 1L))) == 1L)
+    assert(DeltaWrite.append(spark, one, root, txn = Some(("job", 0L))) == 1L)
+    assert(DeltaRead.read(spark, root).count() == 4)
+    assert(!Files.exists(Paths.get(root, "_delta_log", f"${2L}%020d.json")))
+    // the committed txn action is spec-shaped
+    val txns = logLines(root, 1).flatMap(l => Option(Json.get(l, "txn")))
+    assert(txns.size == 1)
+    assert(Json.str(txns.head, "appId").contains("job"))
+    assert(Json.long(txns.head, "version").contains(1L))
+    // a NEWER version commits
+    assert(DeltaWrite.append(spark, one, root, txn = Some(("job", 2L))) == 2L)
+    assert(DeltaRead.read(spark, root).count() == 5)
+
+    // racing replays of the SAME (appId, version): exactly one commits
+    val pool = Executors.newFixedThreadPool(4)
+    val gate = new CountDownLatch(1)
+    try {
+      val futures = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await()
+            DeltaWrite.append(spark, one, root, txn = Some(("race", 9L)))
+          }
+        })
+      }
+      gate.countDown()
+      futures.foreach(_.get(120, TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(DeltaRead.read(spark, root).count() == 6,
+      "exactly one of the racing replays may append its batch")
+  }
+
+  test("checkpoint preserves protocol, metaData identity, txn ledger, and stats") {
+    import spark.implicits._
+    val root = fresh()
+    DeltaWrite.create(spark, df3, root, partitionBy = Seq("p"))
+    val meta0 = logLines(root, 0).flatMap(l => Option(Json.get(l, "metaData"))).head
+    val id0 = Json.str(meta0, "id").get
+    val ct0 = Json.long(meta0, "createdTime").get
+    // a foreign writer bumps the protocol to (2,2) — checkpointing must
+    // not downgrade it (ADVICE r13: a fabricated (1,2) makes later
+    // writers ignore the table's feature contracts)
+    Files.write(Paths.get(root, "_delta_log", f"${1L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":2,"minWriterVersion":2}}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    DeltaWrite.append(spark, Seq((4L, "d", "y")).toDF("id", "v", "p"), root,
+      txn = Some(("app-1", 7L)))
+    assert(DeltaWrite.checkpoint(spark, root) == 2L)
+    (0L to 2L).foreach(v =>
+      Files.delete(Paths.get(root, "_delta_log", f"$v%020d.json")))
+
+    val cp = spark.read.parquet(
+      Paths.get(root, "_delta_log", f"${2L}%020d.checkpoint.parquet").toString)
+    val proto = cp.where("protocol.minReaderVersion is not null")
+      .selectExpr("protocol.minReaderVersion", "protocol.minWriterVersion")
+      .collect()
+    assert(proto.length == 1 && proto.head.getInt(0) == 2 &&
+      proto.head.getInt(1) == 2, "checkpoint must carry the TABLE's protocol")
+    val m = cp.where("metaData.id is not null")
+      .selectExpr("metaData.id", "metaData.createdTime").collect()
+    assert(m.length == 1 && m.head.getString(0) == id0 &&
+      m.head.getLong(1) == ct0,
+      "metaData.id is immutable for the table's lifetime")
+    val addStats = cp.where("add.path is not null")
+      .selectExpr("add.stats").collect().map(_.getString(0))
+    assert(addStats.nonEmpty && addStats.forall(s =>
+      s != null && Json.long(Json.parse(s), "numRecords").exists(_ > 0)),
+      "checkpoint adds must retain their stats")
+
+    // the ledger survives the vacuum: a replay folded from the
+    // checkpoint alone is still skipped
+    assert(DeltaWrite.append(spark,
+      Seq((5L, "e", "y")).toDF("id", "v", "p"), root,
+      txn = Some(("app-1", 7L))) == 2L)
+    assert(DeltaRead.read(spark, root).count() == 4)
+
+    // minWriterVersion > 2: unknown feature actions are not folded, so
+    // a checkpoint would silently discard table state — refuse
+    val v3 = fresh()
+    DeltaWrite.create(spark, df3, v3)
+    Files.write(Paths.get(v3, "_delta_log", f"${1L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    assert(intercept[Exception] {
+      DeltaWrite.checkpoint(spark, v3)
+    }.getMessage.contains("minWriterVersion=3"))
+  }
+
+  test("add.stats carry column min/max/nullCount; readBetween skips " +
+      "files by them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = fresh()
+    val df = spark.range(0, 100).select(
+      $"id",
+      concat(lit("s"), lpad($"id".cast("string"), 3, "0")).as("s"),
+      ($"id" % 2 === 0).as("even"),
+      when($"id" % 10 === 0, lit(null).cast("double"))
+        .otherwise($"id".cast("double") / 4).as("d"))
+    // range-clustered → disjoint id intervals per file, the layout
+    // stats-skipping exists for
+    DeltaWrite.create(spark, df.repartitionByRange(4, $"id"), root)
+    val adds = logLines(root, 0).flatMap(l => Option(Json.get(l, "add")))
+    assert(adds.size == 4)
+    val stats = adds.map(a => Json.parse(Json.str(a, "stats").get))
+    stats.foreach { st =>
+      assert(Json.long(st, "numRecords").exists(_ > 0))
+      assert(Json.long(st, "minValues", "id").isDefined)
+      assert(Json.long(st, "maxValues", "id").get >=
+        Json.long(st, "minValues", "id").get)
+      assert(Json.str(st, "minValues", "s").exists(_.startsWith("s")))
+      assert(Json.long(st, "nullCount", "id").contains(0L))
+      assert(Json.long(st, "nullCount", "d").exists(_ > 0L),
+        "every 25-row range holds nulls in d")
+    }
+    assert(stats.map(s => Json.long(s, "minValues", "id").get).min == 0L)
+    assert(stats.map(s => Json.long(s, "maxValues", "id").get).max == 99L)
+    assert(stats.map(s => Json.str(s, "minValues", "s").get).min == "s000")
+    assert(stats.map(s => Json.str(s, "maxValues", "s").get).max == "s099")
+    assert(stats.map(s => Json.long(s, "nullCount", "d").get).sum == 10L)
+
+    // the skipping consumer: a closed-interval read plans ONLY the
+    // overlapping files and returns the same rows as a full predicate
+    val full = DeltaRead.read(spark, root)
+    val pruned = DeltaRead.readBetween(spark, root, "id", 10L, 20L)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"expected fewer than ${full.inputFiles.length} files planned")
+    assert(pruned.select("id").collect().map(_.getLong(0)).toSet ==
+      (10L to 20L).toSet)
+    // string-stats skipping, and open bounds
+    val prunedS = DeltaRead.readBetween(spark, root, "s", "s090", null)
+    assert(prunedS.inputFiles.length < full.inputFiles.length)
+    assert(prunedS.count() == 10L)
+    assert(DeltaRead.readBetween(spark, root, "id", null, 3L)
+      .count() == 4L)
+  }
+
   test("GraftTable round-trip: import of an engine-written Delta table " +
       "is snapshot-equal") {
     val root = fresh()

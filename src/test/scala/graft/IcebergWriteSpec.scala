@@ -191,6 +191,77 @@ class IcebergWriteSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("manifest + manifest-list avro carry the spec's key-value metadata") {
+    import spark.implicits._
+    val root = fresh()
+    val s1 = IcebergWrite.create(spark, df3, root)
+    val s2 = IcebergWrite.append(spark,
+      Seq((4L, "d", 40)).toDF("id", "v", "n"), root)
+
+    def avroMeta(path: String): Map[String, String] = {
+      val r = new DataFileReader[GenericRecord](
+        new java.io.File(path), new GenericDatumReader[GenericRecord]())
+      try r.getMetaKeys.asScala.filterNot(_.startsWith("avro."))
+        .map(k => k -> r.getMetaString(k)).toMap
+      finally r.close()
+    }
+    // conformant readers (Iceberg Java, PyIceberg) take the partition
+    // spec + format version from this metadata — without it they
+    // cannot open the table at all (ADVICE r13)
+    Seq(s1, s2).foreach { sid =>
+      val snap = Json.list(metaJson(root, sid.toInt), "snapshots")
+        .find(s => Json.long(s, "snapshot-id").contains(sid)).get
+      val mlPath = Json.str(snap, "manifest-list").get
+      val mlMeta = avroMeta(mlPath)
+      assert(mlMeta.get("format-version").contains("2"))
+      assert(mlMeta.get("snapshot-id").contains(sid.toString))
+      avro(mlPath).foreach { row =>
+        val mMeta = avroMeta(row.get("manifest_path").toString)
+        assert(mMeta.get("format-version").contains("2"))
+        assert(mMeta.get("content").contains("data"))
+        assert(mMeta.get("partition-spec").contains("[]"))
+        assert(mMeta.get("partition-spec-id").contains("0"))
+        assert(mMeta.get("schema-id").contains("0"))
+        // schema metadata is the table's ACTUAL schema JSON
+        val sch = Json.parse(mMeta("schema"))
+        assert(Json.str(sch, "type").contains("struct"))
+        assert(Json.list(sch, "fields").flatMap(Json.str(_, "name")) ==
+          List("id", "v", "n"))
+      }
+    }
+  }
+
+  test("nested list/map field ids come from the main counter and " +
+      "last-column-id bounds every id in the schema JSON") {
+    import spark.implicits._
+    val root = fresh()
+    // id=1, tags(list)=2 element=3, attrs(map)=4 key=5 value=6 → last=6
+    val df = Seq((1L, Seq("a", "b"), Map("k" -> 2L)))
+      .toDF("id", "tags", "attrs")
+    IcebergWrite.create(spark, df, root)
+    val meta = metaJson(root, 1)
+    val last = Json.long(meta, "last-column-id").get
+    val schema = Json.list(meta, "schemas").head
+
+    def allIds(t: Any): Seq[Long] = Json.str(t, "type") match {
+      case Some("struct") => Json.list(t, "fields").flatMap { f =>
+        Json.long(f, "id").get +: allIds(Json.get(f, "type")) }
+      case Some("list") =>
+        Json.long(t, "element-id").get +: allIds(Json.get(t, "element"))
+      case Some("map") =>
+        Seq(Json.long(t, "key-id").get, Json.long(t, "value-id").get) ++
+          allIds(Json.get(t, "key")) ++ allIds(Json.get(t, "value"))
+      case _ => Nil // scalar (type is the name string, not an object)
+    }
+    val ids = allIds(schema)
+    assert(ids.sorted == (1L to last), // ADVICE r13: no anon-10000 ids,
+      s"ids $ids must be exactly 1..$last") // no consumed-but-unseen ids
+    assert(last == 6L)
+    // and the table still round-trips through the field-id reader
+    assert(IcebergRead.read(spark, root).select("id", "tags", "attrs")
+      .collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
+
   test("concurrent appends land at distinct snapshots, no rows lost") {
     import spark.implicits._
     val root = fresh()
