@@ -99,15 +99,32 @@ class BenchRegressionSpec extends AnyFunSuite {
         s"a loaded-box artifact measures the box, not the plan; " +
         s"regenerate: $regenCmd")
 
-    val regressed = prev.keySet.intersect(cur.keySet).toSeq.sorted.flatMap {
-      k =>
-        val (o, n) = (prev(k), cur(k))
-        if (o > 0 && n / o > 2.0 && n - o > 0.5 && !allowlist.contains(k))
-          Some(f"$k: $o%.3fs -> $n%.3fs (${n / o}%.2fx)")
-        else None
+    // Board-drift normalization (r14): the shared box's speed moves
+    // between rounds as a whole — r14 measured a uniform 1.43× median
+    // slowdown across all 251 queries on a provably byte-identical
+    // query path (git diff of ops/functions/plans/SparkEntry/Bench
+    // empty since the r13 artifact). A per-query canary must detect a
+    // query moving AGAINST the board (a plan change), not the board
+    // itself, so ratios are normalized by the run-pair's MEDIAN ratio
+    // before the 2× band. The median needs enough mass to be the
+    // board and not the movers — below 50 common queries no
+    // normalization is applied.
+    val common = prev.keySet.intersect(cur.keySet).toSeq.sorted
+    val ratios = common.collect { case k if prev(k) > 0 => cur(k) / prev(k) }
+    val drift =
+      if (ratios.size < 50) 1.0
+      else ratios.sorted.apply(ratios.size / 2)
+    val regressed = common.flatMap { k =>
+      val (o, n) = (prev(k), cur(k))
+      if (o > 0 && (n / o) / drift > 2.0 && n - o > 0.5 &&
+          !allowlist.contains(k))
+        Some(f"$k: $o%.3fs -> $n%.3fs (${n / o}%.2fx raw, " +
+          f"${(n / o) / drift}%.2fx vs board drift $drift%.2fx)")
+      else None
     }
     assert(regressed.isEmpty,
-      s"unexplained regressions vs $prevPath (add to allowlist WITH a " +
+      s"unexplained regressions vs $prevPath (board drift " +
+        f"$drift%.2fx already normalized out; add to allowlist WITH a " +
         s"reason, or fix):\n${regressed.mkString("\n")}")
 
     // coverage must not silently shrink: every previously-benched
