@@ -83,6 +83,25 @@ object Soak {
         s""""batch_wall_sec":[${r.wallSec.map(w => f"$w%.2f").mkString(",")}],""" +
         s""""emitted":[${r.emitted.mkString(",")}]$note}""")
     }
+    // fifth variant (r14, VERDICT #7): the same pipeline fed through
+    // the graft-replay DSv2 CONNECTOR — offset admission, partition
+    // planning, and file replay in the measured path, so the soak
+    // covers the source seam, not just the compute
+    {
+      val r = SoakHarness.runReplay(spark, keys, hz, batches, "soak_replay")
+      val rate = batches.toLong * keys * hz / r.totalSec
+      val steady = r.steadyEventsPerSec(keys, hz)
+      val stateOk = r.stateRows.toSet == Set(keys.toLong)
+      ok = ok && stateOk && steady >= bar
+      println(s"""{"soak":"replay_dsv2","keys":$keys,"hz":$hz,"batches":$batches,""" +
+        s""""events":${batches.toLong * keys * hz},""" +
+        f""""total_sec":${r.totalSec}%.2f,"events_per_sec":$rate%.0f,""" +
+        f""""steady_events_per_sec":$steady%.0f,""" +
+        s""""bar":$bar,"bar_judged":true,"state_rows_flat":$stateOk,""" +
+        s""""progress_entries":${r.progressEntries},""" +
+        s""""batch_wall_sec":[${r.wallSec.map(w => f"$w%.2f").mkString(",")}],""" +
+        s""""emitted":[${r.emitted.mkString(",")}]}""")
+    }
     spark.stop()
     if (!ok) sys.exit(1)
   }

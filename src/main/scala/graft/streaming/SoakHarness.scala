@@ -37,6 +37,79 @@ object SoakHarness {
 
   private val streamIds = new java.util.concurrent.atomic.AtomicInteger(7000)
 
+  /** Same pipeline fed through the `graft-replay` DSv2 CONNECTOR
+    * instead of MemoryStream — the soak variant that exercises the
+    * source seam (offset admission at `rowsPerBatch`, partition
+    * planning, file-order replay) under the throughput bar. The
+    * corpus is written once (spark.range → the same envelope
+    * expression, text files in range order so event time is monotone
+    * like the MemoryStream feed), then ONE processAllAvailable drains
+    * it; the admission control paces the same one-second-of-event-time
+    * micro-batches as the paced loop, and per-batch walls come from
+    * the engine's own progress entries. NoTimeout only (the TTL
+    * variants are state-store experiments, not source ones). */
+  def runReplay(spark: SparkSession, keys: Int, hz: Int, batches: Int,
+                queryName: String): Report = {
+    import spark.implicits._
+    val stepUs = 1000000L / hz
+    def envelope(idCol: org.apache.spark.sql.Column) = to_json(struct(
+      timestamp_micros(lit(BaseUs) + (idCol / keys).cast("long") * stepUs)
+        .as("Timestamp"),
+      concat(lit("dev-"), pmod(idCol, lit(3))).as("DeviceId"),
+      concat(lit("sess-"), pmod(idCol, lit(keys))).as("SessionId"),
+      lit("soak").as("SensorType"),
+      array(lit("speed"), lit("player")).as("Names"),
+      array(pmod(idCol, lit(100)).cast("string"),
+        pmod(idCol, lit(keys)).cast("string")).as("Values")))
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft_soak_replay_").toString
+    val perBatch = keys.toLong * hz
+    spark.range(perBatch * batches)
+      .select(envelope(col("id")).as("value"))
+      .write.mode("overwrite").text(corpus)
+    val progressCap = math.max(100, 2 * batches + 16)
+    val prevCap =
+      spark.conf.getOption("spark.sql.streaming.numRecentProgressUpdates")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      progressCap.toString)
+    try {
+      val raw = StreamSource.raw(spark, "graft-replay", Map(
+        "path" -> corpus,
+        "rowsPerBatch" -> perBatch.toString,
+        "numPartitions" -> spark.conf.get("spark.sql.shuffle.partitions")))
+      val rows = StreamingCompat.windowsConfigured(
+        spark, StreamSource.compatPoints(spark, raw))
+      val q = rows.writeStream.format("noop").queryName(queryName)
+        .outputMode("append").start()
+      val t0 = System.nanoTime()
+      try {
+        q.processAllAvailable()
+        val totalSec = (System.nanoTime() - t0) / 1e9
+        val progresses = q.recentProgress
+        require(progresses.length < progressCap,
+          s"recentProgress wrapped (${progresses.length} >= cap " +
+            s"$progressCap) — per-batch numbers would be wrong")
+        val data = progresses.filter(_.numInputRows > 0)
+        require(data.length == batches,
+          s"expected $batches data micro-batches from admission control, " +
+            s"saw ${data.length} — the connector seam is not pacing")
+        Report(
+          data.map(_.stateOperators.head.numRowsTotal).toSeq,
+          data.map(_.batchDuration / 1e3).toSeq,
+          data.map(p => math.max(0L, p.sink.numOutputRows)).toSeq,
+          totalSec,
+          progresses.length)
+      } finally q.stop()
+    } finally {
+      prevCap match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
+      }
+    }
+  }
+
   /** `ttl` = Some(seconds) exercises the reference-faithful start-key
     * TTL variant (spark.graft.compat.ttl); None = the NoTimeout
     * defect-compat default. `queryName` must be unique per run in a
