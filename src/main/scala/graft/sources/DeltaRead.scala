@@ -42,17 +42,21 @@ import graft.util.Json
   *
   * Scope (asserted, not assumed):
   *   - protocol `minReaderVersion` ≤ 2. Column mapping — THE
-  *     reader-version-2 feature (PROTOCOL.md) — is supported in
-  *     `name` mode (the mode every table that ever RENAMED or DROPPED
-  *     a column carries): the physical parquet column names live in
-  *     each schema field's `delta.columnMapping.physicalName`
-  *     metadata, so [[plan]] scans under physical names and projects
-  *     back to logical ones, and partition values are looked up under
-  *     the physical key the spec mandates for the log. `id` mode
-  *     (footer field-id resolution) is refused — a by-name read of an
-  *     id-mapped table would silently mis-bind columns. Deletion
-  *     vectors / v2 checkpoints (reader version 3) are refused by the
-  *     version gate itself. Refuse loudly, never mis-read silently.
+  *     reader-version-2 feature (PROTOCOL.md) — is supported in BOTH
+  *     modes: `name` (the mode every table that ever RENAMED or
+  *     DROPPED a column carries) scans under the physical parquet
+  *     names from each field's `delta.columnMapping.physicalName`
+  *     metadata and projects back to logical ones; `id` (r14) scans
+  *     under parquet footer FIELD-ID resolution — each field's
+  *     `delta.columnMapping.id` rides the read schema as
+  *     `parquet.field.id` on a derived session with Spark's native
+  *     field-id matching pinned on, the machinery proven on
+  *     [[IcebergRead]]. Partition values are looked up under the
+  *     physical key the spec mandates for the log in both modes.
+  *     Mapped schemas missing their physicalName/id metadata refuse.
+  *     Deletion vectors / v2 checkpoints (reader version 3) are
+  *     refused by the version gate itself. Refuse loudly, never
+  *     mis-read silently.
   *   - the commit sequence after the bootstrap checkpoint must be
   *     CONTIGUOUS (cpVersion+1, cpVersion+2, …; from 0 when no
   *     checkpoint survives): a gap means log entries were cleaned past
@@ -368,22 +372,27 @@ object DeltaRead {
         "v2 checkpoints) and refuses rather than mis-reads")
     val m = meta.getOrElse(sys.error(s"no metaData action found in $root"))
     // Column mapping is THE minReaderVersion=2 feature (PROTOCOL.md).
-    // `name` mode is READ here: physical names come from the schema
-    // metadata this fold already parsed, and [[plan]] scans under them.
-    // `id` mode (parquet footer field-id resolution) stays refused —
-    // reading it by name would silently mis-bind columns.
+    // `name` mode is READ via the physical names in the schema
+    // metadata this fold already parsed; `id` mode is READ via parquet
+    // footer field-id resolution (the machinery proven on Iceberg —
+    // r14): each field's delta.columnMapping.id rides the read schema
+    // as parquet.field.id and the scan runs under Spark's native
+    // field-id matching. Unknown modes refuse.
     val cmMode = m.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cmMode == "none" || cmMode == "name",
+    require(cmMode == "none" || cmMode == "name" || cmMode == "id",
       s"Delta table at $root uses delta.columnMapping.mode=$cmMode; this " +
-        "reader implements modes none and name — id mode resolves columns " +
-        "by parquet footer field ids, and reading it by name would " +
-        "silently mis-bind columns, so it is refused")
-    if (cmMode == "name")
+        "reader implements modes none, name, and id — refusing an unknown " +
+        "mode rather than guessing its resolution rule")
+    if (cmMode != "none")
       m.schema.fields.foreach { f =>
         require(f.metadata.contains(PhysicalNameKey),
           s"column-mapped Delta table at $root: field ${f.name} carries no " +
-            s"$PhysicalNameKey metadata — the physical column cannot be " +
-            "resolved; refusing rather than returning NULLs")
+            s"$PhysicalNameKey metadata — partition values and physical " +
+            "columns cannot be resolved; refusing rather than returning NULLs")
+        require(cmMode == "name" || f.metadata.contains(FieldIdKey),
+          s"id-mapped Delta table at $root: field ${f.name} carries no " +
+            s"$FieldIdKey metadata — footer field-id resolution is " +
+            "impossible; refusing rather than returning NULLs")
       }
 
     val folded = (commits.map(_._1) :+ cpVersion).max
@@ -465,23 +474,46 @@ object DeltaRead {
     }
 
   private val PhysicalNameKey = "delta.columnMapping.physicalName"
+  private val FieldIdKey = "delta.columnMapping.id"
 
   private def physicalName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
     else f.name
 
   /** Rename every struct field to its physical name, recursively —
-    * the shape of the parquet files under column mapping. */
-  private def toPhysical(t: DataType): DataType = t match {
-    case s: StructType => StructType(s.fields.map(f =>
+    * the shape of the parquet files under column mapping. Under `id`
+    * mode (`withIds`), the field's delta.columnMapping.id also rides
+    * along as `parquet.field.id`, the key Spark's native footer
+    * field-id matching resolves by. */
+  private def toPhysical(t: DataType, withIds: Boolean): DataType = t match {
+    case s: StructType => StructType(s.fields.map { f =>
+      val md =
+        if (withIds && f.metadata.contains(FieldIdKey))
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", f.metadata.getLong(FieldIdKey))
+            .build()
+        else org.apache.spark.sql.types.Metadata.empty
       org.apache.spark.sql.types.StructField(
-        physicalName(f), toPhysical(f.dataType), f.nullable)))
+        physicalName(f), toPhysical(f.dataType, withIds), f.nullable, md)
+    })
     case a: org.apache.spark.sql.types.ArrayType =>
-      a.copy(elementType = toPhysical(a.elementType))
+      a.copy(elementType = toPhysical(a.elementType, withIds))
     case mp: org.apache.spark.sql.types.MapType =>
-      mp.copy(keyType = toPhysical(mp.keyType),
-        valueType = toPhysical(mp.valueType))
+      mp.copy(keyType = toPhysical(mp.keyType, withIds),
+        valueType = toPhysical(mp.valueType, withIds))
     case other => other
+  }
+
+  /** Derived session for `id`-mode scans — same SparkContext, own
+    * SQLConf pinning parquet field-id resolution on (and id-less data
+    * files to LOUD errors), exactly the [[IcebergRead]] pattern. */
+  private def fieldIdSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    s.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "false")
+    s.conf.set("spark.sql.session.timeZone",
+      spark.conf.get("spark.sql.session.timeZone"))
+    s
   }
 
   /** Plan a scan over `live` under `meta`. Two shapes:
@@ -513,13 +545,22 @@ object DeltaRead {
     * missing-column semantics), exactly as the protocol specifies. */
   private[sources] def plan(spark: SparkSession, root: String, m: Meta,
                             live: Seq[(String, Map[String, String])]): DataFrame = {
-    val mapped =
-      m.configuration.getOrElse("delta.columnMapping.mode", "none") == "name"
+    val cmMode = m.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val mapped = cmMode == "name" || cmMode == "id"
+    val byId = cmMode == "id"
     val dataCols = m.schema.fields.filterNot(f => m.partitionCols.contains(f.name))
     val dataSchema =
       if (!mapped) StructType(dataCols)
-      else StructType(dataCols.map(f => org.apache.spark.sql.types.StructField(
-        physicalName(f), toPhysical(f.dataType), f.nullable)))
+      else StructType(dataCols.map { f =>
+        val md =
+          if (byId)
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", f.metadata.getLong(FieldIdKey))
+              .build()
+          else org.apache.spark.sql.types.Metadata.empty
+        org.apache.spark.sql.types.StructField(
+          physicalName(f), toPhysical(f.dataType, byId), f.nullable, md)
+      })
     val physByLogical = m.schema.fields.map(f => f.name -> physicalName(f)).toMap
     def pvOf(pv: Map[String, String], pc: String): String =
       if (!mapped) pv.get(pc).orNull
@@ -542,8 +583,9 @@ object DeltaRead {
     }
 
     val parts = bySpec.map { case (pv, group) =>
-      val base = spark.read.schema(dataSchema)
-        .parquet(group.map(g => resolvePath(root, g._1)): _*)
+      val reader = (if (byId) fieldIdSession(spark) else spark)
+        .read.schema(dataSchema)
+      val base = reader.parquet(group.map(g => resolvePath(root, g._1)): _*)
       val logical =
         if (!mapped) base
         else base.select(dataCols.map(f =>

@@ -198,26 +198,105 @@ class DeltaReadSpec extends SparkSpec {
       .toSeq === Seq((1L, "a")))
   }
 
-  test("column mapping: id mode refuses; name mode without physicalName " +
-      "metadata refuses") {
+  test("column mapping: unknown modes refuse; mapped schemas missing " +
+      "physicalName/id metadata refuse") {
     import spark.implicits._
     val root = freshTable()
     val f1 = Seq((1L, "a")).toDF("id", "v")
     dataFile(root, "f1.parquet", f1)
-    // id mode resolves columns by parquet footer field ids — a by-name
-    // read would silently mis-bind, so it refuses outright. name mode
-    // is READ (next test), but only when every field actually carries
-    // its physicalName — a mapped schema without it cannot resolve.
-    def metaCm(mode: String) =
+    // both mapped modes are READ (next tests) — but only when every
+    // field actually carries the metadata its resolution rule needs;
+    // a mapped schema without it cannot resolve and must not NULL.
+    def metaCm(mode: String, schemaJson: String = f1.schema.json) =
       s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":${jstr(f1.schema.json)},"partitionColumns":[],""" +
+        s""""schemaString":${jstr(schemaJson)},"partitionColumns":[],""" +
         s""""configuration":{"delta.columnMapping.mode":"$mode"},"createdTime":0}}"""
-    writeCommit(root, 0, Seq(protoLine(v = 2), metaCm("id"), addLine("f1.parquet")))
-    val e1 = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
-    assert(e1.getMessage.contains("id mode"))
+    writeCommit(root, 0, Seq(protoLine(v = 2), metaCm("zzz"), addLine("f1.parquet")))
+    val e0 = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
+    assert(e0.getMessage.contains("unknown"))
     writeCommit(root, 0, Seq(protoLine(v = 2), metaCm("name"), addLine("f1.parquet")))
     val e2 = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
     assert(e2.getMessage.contains("physicalName"))
+    writeCommit(root, 0, Seq(protoLine(v = 2), metaCm("id"), addLine("f1.parquet")))
+    val e1 = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
+    assert(e1.getMessage.contains("physicalName"))
+    // physicalName present but no columnMapping.id: id mode still refuses
+    val schemaPhysOnly = {
+      import org.apache.spark.sql.types._
+      StructType(Seq(
+        StructField("id", LongType, nullable = true, new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", "col-aaa").build()),
+        StructField("v", StringType, nullable = true, new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", "col-bbb").build())))
+        .json
+    }
+    writeCommit(root, 0, Seq(protoLine(v = 2), metaCm("id", schemaPhysOnly),
+      addLine("f1.parquet")))
+    val e3 = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
+    assert(e3.getMessage.contains("columnMapping.id"))
+  }
+
+  test("column mapping id mode: footer field ids resolve renames, " +
+      "ignore physical-name drift and column order") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = freshTable()
+    def idF(name: String, dt: DataType, phys: String, id: Long) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    def cmMeta(fields: Seq[StructField]) =
+      s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jstr(StructType(fields).json)},""" +
+        s""""partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}"""
+    // data files carry parquet FOOTER field ids (stamped by Spark's
+    // writer from parquet.field.id metadata)
+    def withFooterIds(names: Seq[(String, Long)], rows: Seq[(Long, String)]) = {
+      val sch = StructType(Seq(
+        StructField(names(0)._1, LongType, nullable = true, new MetadataBuilder()
+          .putLong("parquet.field.id", names(0)._2).build()),
+        StructField(names(1)._1, StringType, nullable = true, new MetadataBuilder()
+          .putLong("parquet.field.id", names(1)._2).build())))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map(r => org.apache.spark.sql.Row(r._1, r._2)), 1), sch)
+    }
+
+    dataFile(root, "f1.parquet",
+      withFooterIds(Seq("col-aaa" -> 1L, "col-bbb" -> 2L), Seq((1L, "a"))))
+    writeCommit(root, 0, Seq(protoLine(v = 2),
+      cmMeta(Seq(idF("id", LongType, "col-aaa", 1),
+        idF("v", StringType, "col-bbb", 2))),
+      addLine("f1.parquet")))
+    // v1: rename v -> w (id 2 unchanged) AND a new file whose physical
+    // NAMES drifted (a foreign writer may re-derive them) — id
+    // resolution must bind by footer id, not name
+    dataFile(root, "f2.parquet",
+      withFooterIds(Seq("col-aaa" -> 1L, "totally-else" -> 2L),
+        Seq((2L, "b"))))
+    writeCommit(root, 1, Seq(
+      cmMeta(Seq(idF("id", LongType, "col-aaa", 1),
+        idF("w", StringType, "col-bbb", 2))),
+      addLine("f2.parquet")))
+
+    val v0 = DeltaRead.read(spark, root, 0)
+    assert(v0.columns.toSeq == Seq("id", "v"))
+    assert(v0.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a")))
+    val v1 = DeltaRead.read(spark, root, 1)
+    assert(v1.columns.toSeq == Seq("id", "w"))
+    assert(v1.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+
+    // an id-less data file in an id-mapped table errors LOUDLY
+    dataFile(root, "noids.parquet", Seq((9L, "z")).toDF("col-aaa", "col-bbb"))
+    writeCommit(root, 2, Seq(addLine("noids.parquet")))
+    val e = intercept[Exception] {
+      DeltaRead.read(spark, root, 2).collect()
+    }
+    assert(e.getMessage.contains("field Id") ||
+      Option(e.getCause).exists(_.getMessage.contains("field Id")))
   }
 
   test("column mapping name mode: renamed and dropped columns read " +
