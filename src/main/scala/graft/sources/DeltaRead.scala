@@ -41,7 +41,7 @@ import graft.util.Json
   * order is not mandated by the spec, so only a real parse is sound).
   *
   * Scope (asserted, not assumed):
-  *   - protocol `minReaderVersion` ≤ 2. Column mapping — THE
+  *   - protocol `minReaderVersion` ≤ 3. Column mapping — THE
   *     reader-version-2 feature (PROTOCOL.md) — is supported in BOTH
   *     modes: `name` (the mode every table that ever RENAMED or
   *     DROPPED a column carries) scans under the physical parquet
@@ -54,8 +54,13 @@ import graft.util.Json
   *     [[IcebergRead]]. Partition values are looked up under the
   *     physical key the spec mandates for the log in both modes.
   *     Mapped schemas missing their physicalName/id metadata refuse.
-  *     Deletion vectors / v2 checkpoints (reader version 3) are
-  *     refused by the version gate itself. Refuse loudly, never
+  *   - reader version 3 = TABLE FEATURES: the fold collects
+  *     `readerFeatures` and proceeds only when every listed feature is
+  *     implemented here — columnMapping, deletionVectors (file actions
+  *     reconciled by the spec's (path, dv-uniqueId) logical-file key;
+  *     deleted row positions dropped at scan time via [[DeltaDv]]),
+  *     timestampNtz, vacuumProtocolCheck. UNKNOWN features refuse by
+  *     name — the table-features safety model. Refuse loudly, never
   *     mis-read silently.
   *   - the commit sequence after the bootstrap checkpoint must be
   *     CONTIGUOUS (cpVersion+1, cpVersion+2, …; from 0 when no
@@ -93,11 +98,13 @@ object DeltaRead {
     * refusals and checkpoint preservation; `txns` is the folded
     * SetTransaction state (latest version per appId — the streaming
     * idempotence ledger); `stats` maps live paths to their add.stats
-    * JSON for file skipping. */
+    * JSON for file skipping; `dvs` maps live paths to their deletion
+    * vectors (at most one per path — the fold enforces it). */
   private[sources] case class TableState(version: Long, meta: Meta,
       live: Seq[(String, Map[String, String])], minWriter: Long = 2L,
       minReader: Long = 1L, txns: Map[String, Long] = Map.empty,
-      stats: Map[String, String] = Map.empty)
+      stats: Map[String, String] = Map.empty,
+      dvs: Map[String, DeltaDv.DvDescriptor] = Map.empty)
 
   /** Distinct partition tuples above which [[plan]] abandons the
     * union-of-typed-scans shape for one flat hive-discovery scan
@@ -113,7 +120,7 @@ object DeltaRead {
     * (inclusive). Fails if no commits ≤ that version exist. */
   def read(spark: SparkSession, root: String, versionAsOf: Int): DataFrame = {
     val st = state(spark, root, versionAsOf)
-    plan(spark, root, st.meta, st.live)
+    plan(spark, root, st.meta, st.live, st.dvs)
   }
 
   /** Latest-snapshot read with FILE SKIPPING on a closed interval —
@@ -130,7 +137,7 @@ object DeltaRead {
                   lo: Any, hi: Any): DataFrame = {
     val st = state(spark, root, Long.MaxValue)
     val kept = pruneLive(st, column, lo, hi)
-    val df = plan(spark, root, st.meta, kept)
+    val df = plan(spark, root, st.meta, kept, st.dvs)
     val c = col(s"`$column`")
     df.where(
       (if (lo == null) lit(true) else c >= lit(lo)) &&
@@ -224,35 +231,47 @@ object DeltaRead {
     var meta: Option[Meta] = None
     var minReader = 1L
     var minWriter = 1L
-    // path -> (partitionValues, live?)
+    var readerFeatures = Set.empty[String]
+    // LOGICAL file = (path, deletionVector uniqueId) — the spec's
+    // reconciliation key since reader version 3: updating a file's DV
+    // is remove(path, oldDv) + add(path, newDv) in one commit, and the
+    // two must not collide in the fold. DV-less actions key as "".
+    // value = (partitionValues, live?, deletionVector)
     val files = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Map[String, String], Boolean)]
+      .empty[(String, String), (Map[String, String], Boolean, Option[DeltaDv.DvDescriptor])]
     val stats = scala.collection.mutable.HashMap.empty[String, String]
     val txns = scala.collection.mutable.HashMap.empty[String, Long]
 
     def applyAdd(path: String, pv: Map[String, String],
-                 st: Option[String]): Unit = {
-      files.update(path, (pv, true))
+                 st: Option[String], dv: Option[DeltaDv.DvDescriptor]): Unit = {
+      files.update((path, dv.map(_.uniqueId).getOrElse("")), (pv, true, dv))
       st match {
         case Some(s) => stats.update(path, s)
         case None => stats.remove(path) // re-add without stats supersedes
       }
     }
-    def applyRemove(path: String): Unit =
-      files.updateWith(path) {
-        case Some((pv, _)) => Some((pv, false))
-        case None => Some((Map.empty, false))
+    def applyRemove(path: String, dvId: String): Unit =
+      files.updateWith((path, dvId)) {
+        case Some((pv, _, dv)) => Some((pv, false, dv))
+        case None => Some((Map.empty, false, None))
       }
 
-    checkpoints.lastOption.foreach { case (_, cpName) =>
-      // checkpoint = the folded state at that version, as parquet rows
-      // with one non-null action struct each — Spark's parquet reader
-      // IS the checkpoint reader
-      val cp = spark.read.parquet(log.resolve(cpName).toString)
+    // checkpoint = the folded state at that version, as parquet rows
+    // with one non-null action struct each — Spark's parquet reader IS
+    // the checkpoint reader. Also applied to v2-checkpoint SIDECAR
+    // files, which carry the same add/remove schema.
+    def foldCheckpoint(cp: DataFrame): Unit = {
       val cols = cp.columns.toSet
       def sub(struct: String, field: String): Boolean =
         cp.schema(struct).dataType.asInstanceOf[StructType]
           .fieldNames.contains(field)
+      def dvField(field: String, t: String) = {
+        val has = sub("add", "deletionVector") && cp.schema("add").dataType
+          .asInstanceOf[StructType]("deletionVector").dataType
+          .asInstanceOf[StructType].fieldNames.contains(field)
+        if (has) col(s"add.deletionVector.$field").cast(t)
+        else lit(null).cast(t)
+      }
       if (cols("metaData")) {
         val hasConf = sub("metaData", "configuration")
         cp.where(col("metaData.schemaString").isNotNull)
@@ -279,27 +298,44 @@ object DeltaRead {
         cp.where(col("protocol.minReaderVersion").isNotNull)
           .select(col("protocol.minReaderVersion").cast("long"),
             if (hasW) col("protocol.minWriterVersion").cast("long")
-            else lit(1L))
+            else lit(1L),
+            if (sub("protocol", "readerFeatures")) col("protocol.readerFeatures")
+            else lit(null).cast("array<string>"))
           .collect().foreach { r =>
             minReader = math.max(minReader, r.getLong(0))
             minWriter = math.max(minWriter, r.getLong(1))
+            if (!r.isNullAt(2)) readerFeatures ++= r.getSeq[String](2)
           }
       }
       if (cols("add"))
         cp.where(col("add.path").isNotNull)
           .select(col("add.path"), col("add.partitionValues"),
             if (sub("add", "stats")) col("add.stats")
-            else lit(null).cast("string"))
+            else lit(null).cast("string"),
+            dvField("storageType", "string"),
+            dvField("pathOrInlineDv", "string"),
+            dvField("offset", "long"),
+            dvField("sizeInBytes", "long"),
+            dvField("cardinality", "long"))
           .collect().foreach { r =>
+            val dv =
+              if (r.isNullAt(3)) None
+              else Some(DeltaDv.DvDescriptor(r.getString(3), r.getString(4),
+                if (r.isNullAt(5)) None else Some(r.getLong(5)),
+                r.getLong(6).toInt, r.getLong(7)))
             applyAdd(r.getString(0),
               Option(r.getMap[String, String](1)).map(_.toMap)
                 .getOrElse(Map.empty),
-              Option(r.getString(2)))
+              Option(r.getString(2)), dv)
           }
       if (cols("txn"))
         cp.where(col("txn.appId").isNotNull)
           .select(col("txn.appId"), col("txn.version").cast("long"))
           .collect().foreach(r => txns.update(r.getString(0), r.getLong(1)))
+    }
+
+    checkpoints.lastOption.foreach { case (_, cpName) =>
+      foldCheckpoint(spark.read.parquet(log.resolve(cpName).toString))
     }
 
     val cpVersion = checkpoints.lastOption.map(_._1).getOrElse(-1L)
@@ -346,15 +382,21 @@ object DeltaRead {
               Json.long(p, "minReaderVersion").getOrElse(1L))
             minWriter = math.max(minWriter,
               Json.long(p, "minWriterVersion").getOrElse(1L))
+            readerFeatures ++=
+              Json.list(p, "readerFeatures").map(_.asInstanceOf[String])
           }
           obj.get("add").foreach { a =>
             applyAdd(Json.str(a, "path")
                 .getOrElse(sys.error(s"add without path: $line")),
               strMap(Json.get(a, "partitionValues")),
-              Json.str(a, "stats"))
+              Json.str(a, "stats"),
+              DeltaDv.descriptor(Json.get(a, "deletionVector")))
           }
           obj.get("remove").foreach { r =>
-            Json.str(r, "path").foreach(applyRemove)
+            Json.str(r, "path").foreach { p =>
+              applyRemove(p, DeltaDv.descriptor(Json.get(r, "deletionVector"))
+                .map(_.uniqueId).getOrElse(""))
+            }
           }
           obj.get("txn").foreach { t =>
             // SetTransaction: latest entry per appId wins (the spec's
@@ -366,10 +408,26 @@ object DeltaRead {
         }
     }
 
-    require(minReader <= 2,
+    require(minReader <= 3,
       s"Delta table at $root needs minReaderVersion=$minReader; this " +
-        "reader implements protocol <= 2 (no deletion vectors / " +
-        "v2 checkpoints) and refuses rather than mis-reads")
+        "reader implements protocol <= 3 and refuses rather than mis-reads")
+    // Reader version 3 = table features: the protocol action MUST list
+    // readerFeatures and a reader may proceed only if it implements
+    // every listed one (PROTOCOL.md "Table Features"). Refusing an
+    // UNKNOWN feature is the whole safety model — e.g. a reader that
+    // ignored deletionVectors would resurrect deleted rows.
+    if (minReader >= 3) {
+      require(readerFeatures.nonEmpty,
+        s"Delta table at $root declares minReaderVersion=$minReader but " +
+          "lists no readerFeatures — the spec requires every version-3 " +
+          "protocol action to carry them; refusing a non-conformant table")
+      val unsupported = readerFeatures -- SupportedReaderFeatures
+      require(unsupported.isEmpty,
+        s"Delta table at $root requires reader feature(s) " +
+          s"${unsupported.toSeq.sorted.mkString(", ")} this reader does not " +
+          s"implement (supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")}) " +
+          "— refusing rather than mis-reading")
+    }
     val m = meta.getOrElse(sys.error(s"no metaData action found in $root"))
     // Column mapping is THE minReaderVersion=2 feature (PROTOCOL.md).
     // `name` mode is READ via the physical names in the schema
@@ -396,9 +454,26 @@ object DeltaRead {
       }
 
     val folded = (commits.map(_._1) :+ cpVersion).max
-    val liveSeq = files.collect { case (p, (pv, true)) => (p, pv) }.toSeq
+    val liveFull = files.collect {
+      case ((p, _), (pv, true, dv)) => (p, pv, dv)
+    }.toSeq
+    // Reconciliation sanity: a conformant writer that re-adds a path
+    // with a new DV removes the old (path, dv) in the SAME commit, so
+    // at most one live entry per path can survive the fold. Two would
+    // mean the same physical rows are scanned twice — refuse.
+    val dup = liveFull.groupBy(_._1).collectFirst {
+      case (p, es) if es.size > 1 => p
+    }
+    require(dup.isEmpty,
+      s"Delta log at $root reconciles to multiple live entries for " +
+        s"path ${dup.getOrElse("")} (deletion-vector update without the " +
+        "matching remove) — a non-conformant writer; refusing rather than " +
+        "double-reading the file")
+    val liveSeq = liveFull.map { case (p, pv, _) => (p, pv) }
+    val livePaths = liveFull.map(_._1).toSet
+    val dvMap = liveFull.collect { case (p, _, Some(dv)) => p -> dv }.toMap
     TableState(folded, m, liveSeq, minWriter, minReader, txns.toMap,
-      stats.toMap.view.filterKeys(files(_)._2).toMap)
+      stats.toMap.view.filterKeys(livePaths).toMap, dvMap)
   }
 
   /** String→String JSON map (partitionValues / configuration); JSON
@@ -476,6 +551,17 @@ object DeltaRead {
   private val PhysicalNameKey = "delta.columnMapping.physicalName"
   private val FieldIdKey = "delta.columnMapping.id"
 
+  /** Reader features (protocol version 3) this implementation honors:
+    * column mapping (both modes, r13/r14), deletion vectors
+    * ([[DeltaDv]]), TIMESTAMP_NTZ columns (native to Spark's parquet
+    * reader and schema JSON), and vacuumProtocolCheck (a vacuum-side
+    * contract with no read-path obligation per the spec). Anything
+    * else — typeWidening, variantType-as-feature, … — refuses by
+    * name. */
+  private val SupportedReaderFeatures: Set[String] =
+    Set("columnMapping", "deletionVectors", "timestampNtz",
+      "vacuumProtocolCheck")
+
   private def physicalName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
     else f.name
@@ -544,7 +630,27 @@ object DeltaRead {
     * later-added physical column return NULL for it (parquet
     * missing-column semantics), exactly as the protocol specifies. */
   private[sources] def plan(spark: SparkSession, root: String, m: Meta,
-                            live: Seq[(String, Map[String, String])]): DataFrame = {
+                            live: Seq[(String, Map[String, String])],
+                            dvs: Map[String, DeltaDv.DvDescriptor] = Map.empty)
+      : DataFrame = {
+    // Deletion vectors: scans over DV-carrying files keep Spark's
+    // parquet metadata columns in scope and drop deleted row positions
+    // via the codegen'd DvDeleted filter — applied BEFORE any
+    // projection, on physical row order, exactly as the spec defines
+    // row indexes. Groups without a DV'd file skip the filter
+    // entirely, so a table that never deleted rows plans byte-
+    // identically to before.
+    val livePathSet = live.map(_._1).toSet
+    lazy val dvLookup =
+      DvLookup(root, dvs.view.filterKeys(livePathSet).toMap)
+    def dvFilter(df: DataFrame, paths: Seq[String]): DataFrame =
+      if (!paths.exists(dvs.contains)) df
+      else {
+        import org.apache.spark.sql.graft.Bridge
+        df.where(!Bridge.column(DvDeleted(dvLookup,
+          Bridge.expression(col("_metadata.file_path")),
+          Bridge.expression(col("_metadata.row_index")))))
+      }
     val cmMode = m.configuration.getOrElse("delta.columnMapping.mode", "none")
     val mapped = cmMode == "name" || cmMode == "id"
     val byId = cmMode == "id"
@@ -575,17 +681,20 @@ object DeltaRead {
         bySpec.size > unionPartitionLimit(spark)
         && hiveCompatible(live, m.partitionCols)) {
       val rootAbs = Paths.get(root).toAbsolutePath.toString
-      return spark.read
+      return dvFilter(spark.read
         .option("basePath", rootAbs)
         .schema(m.schema)
-        .parquet(live.map(f => resolvePath(rootAbs, f._1)): _*)
+        .parquet(live.map(f => resolvePath(rootAbs, f._1)): _*),
+        live.map(_._1))
         .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
     }
 
     val parts = bySpec.map { case (pv, group) =>
       val reader = (if (byId) fieldIdSession(spark) else spark)
         .read.schema(dataSchema)
-      val base = reader.parquet(group.map(g => resolvePath(root, g._1)): _*)
+      val base = dvFilter(
+        reader.parquet(group.map(g => resolvePath(root, g._1)): _*),
+        group.map(_._1))
       val logical =
         if (!mapped) base
         else base.select(dataCols.map(f =>

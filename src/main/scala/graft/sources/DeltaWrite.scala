@@ -297,6 +297,11 @@ object DeltaWrite {
       s"Delta table at $root needs minWriterVersion=${st.minWriter}; its " +
         "feature actions are not reconstructed by this fold, so a " +
         "checkpoint would silently discard table state — refusing")
+    require(st.dvs.isEmpty,
+      s"Delta table at $root has live deletion vectors; this checkpoint " +
+        "schema carries no deletionVector column, so writing one would " +
+        "RESURRECT every deleted row for checkpoint-bootstrapped readers " +
+        "— refusing")
     val protoT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
       StructField("minWriterVersion", IntegerType)))
@@ -377,6 +382,12 @@ object DeltaWrite {
     require(cm == "none",
       s"Delta table at $root uses delta.columnMapping.mode=$cm; this writer " +
         "does not produce physical column names — refusing to write")
+    // conformant DV tables carry minWriter=7 and are refused above;
+    // this belt covers hand-authored logs: a writer that does not
+    // reconcile by (path, dv) must not touch live deletion vectors
+    require(st.dvs.isEmpty,
+      s"Delta table at $root has live deletion vectors; this writer's " +
+        "remove/rewrite logic is path-keyed — refusing to write")
     refuseInvariants(st.meta.schema, root)
     // an EXTERNAL table may be partitioned by a type whose spec
     // serialization diverges from the hive dir form stage() emits —

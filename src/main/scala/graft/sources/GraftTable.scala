@@ -580,18 +580,29 @@ object GraftTable {
         s"Delta commit $v at $deltaRoot changes the table schema; " +
           "incremental sync has no schema-evolution story — re-import " +
           s"(table stays consistent as of version ${v - 1})")
-      val prevPaths = prev.live.map(_._1).toSet
-      val curPaths = cur.live.map(_._1).toSet
-      val addedFiles = cur.live.filterNot(f => prevPaths(f._1))
-      val removedFiles = prev.live.filterNot(f => curPaths(f._1))
+      // Diff by the spec's LOGICAL file key (path, dv uniqueId), not
+      // path alone: a deletion-vector-only commit keeps every path but
+      // swaps the DV, and a path diff would silently miss its deleted
+      // rows. With the key, the file shows up in both sides and the
+      // plans below (each fed its side's DVs) materialize exactly the
+      // before/after row sets — the merge then upserts survivors and
+      // deletes the newly-vectored keys.
+      def fileKey(st: graft.sources.DeltaRead.TableState)(f: (String, Map[String, String])) =
+        (f._1, st.dvs.get(f._1).map(_.uniqueId).getOrElse(""))
+      val prevKeys = prev.live.map(fileKey(prev)).toSet
+      val curKeys = cur.live.map(fileKey(cur)).toSet
+      val addedFiles = cur.live.filterNot(f => prevKeys(fileKey(cur)(f)))
+      val removedFiles = prev.live.filterNot(f => curKeys(fileKey(prev)(f)))
       if (addedFiles.isEmpty && removedFiles.isEmpty) {
         // metadata-only commit (commitInfo/txn): nothing to merge —
         // just advance the marker
         writeSyncMarker(root, deltaRoot, v)
         None
       } else {
-        val added = DeltaRead.plan(spark, deltaRoot, cur.meta, addedFiles)
-        val removed = DeltaRead.plan(spark, deltaRoot, prev.meta, removedFiles)
+        val added = DeltaRead.plan(spark, deltaRoot, cur.meta, addedFiles,
+          cur.dvs)
+        val removed = DeltaRead.plan(spark, deltaRoot, prev.meta, removedFiles,
+          prev.dvs)
         val valueCols = cur.meta.schema.fields.filterNot(_.name == key)
         val upserts = added.select(
           (col(key) +: lit(false).as("is_delete") +:

@@ -154,4 +154,120 @@ object DeltaFoldProps extends Properties("DeltaFold") {
     foldProp(mappedPool,
       s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       s"""{"metaData":{"id":"prop-cm","format":{"provider":"parquet","options":{}},"schemaString":${jstr(mappedSchemaJson)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}""")
+
+  // ---- deletion vectors: (path, dvId)-keyed fold + row filtering ----
+
+  /** Pool twin with FOUR rows per file (ids i*10 … i*10+3, written in
+    * that physical order) so a deletion vector has row positions to
+    * bite on. */
+  private lazy val dvPool: IndexedSeq[String] = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_delta_dvpool_")
+    (0 to 7).map { i =>
+      val df = (0 to 3).map(r => (i * 10L + r, s"p$i-$r")).toDF("id", "v")
+      val tmp = dir.resolve(s".s$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ls = Files.list(tmp)
+      val part = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+      val dest = dir.resolve(s"f$i.parquet")
+      Files.move(part, dest)
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+      dest.toString
+    }
+  }
+
+  private sealed trait DvOp
+  private case class OpAdd(i: Int) extends DvOp
+  private case class OpRm(i: Int) extends DvOp
+  private case class OpAddDv(i: Int, mask: Set[Int]) extends DvOp
+
+  private val genDvCommits: Gen[List[List[DvOp]]] = {
+    val genOp: Gen[DvOp] = Gen.frequency(
+      3 -> Gen.choose(0, 7).map(OpAdd.apply),
+      2 -> Gen.choose(0, 7).map(OpRm.apply),
+      4 -> Gen.zip(Gen.choose(0, 7),
+        Gen.nonEmptyListOf(Gen.choose(0, 3)).map(_.toSet))
+        .map { case (i, m) => OpAddDv(i, m) })
+    Gen.choose(1, 6).flatMap(nCommits =>
+      Gen.listOfN(nCommits,
+        Gen.choose(1, 5).flatMap(nOps => Gen.listOfN(nOps, genOp))))
+  }
+
+  /** Random add / remove / attach-or-swap-inline-DV sequences. The
+    * intents are translated STATEFULLY into conformant action lines
+    * (swapping a file's vector emits the spec's remove(path, oldDv) +
+    * add(path, newDv) pair), and at every version the read must equal
+    * the model's surviving rows — pinning the (path, dvId)
+    * reconciliation AND the scan-side row filtering at once. */
+  property("DV'd logs fold and filter to the model's surviving rows") =
+    forAll(genDvCommits) { commits =>
+      import graft.sources.{DeltaDv, RoaringBitmapArray}
+      val root = Files.createTempDirectory("graft_delta_dvprop_").toString
+      val log = Paths.get(root, "_delta_log")
+      Files.createDirectories(log)
+
+      def dvJson(d: DeltaDv.DvDescriptor): String =
+        s""","deletionVector":{"storageType":"${d.storageType}",""" +
+          s""""pathOrInlineDv":"${d.pathOrInlineDv}"""" +
+          d.offset.map(o => s""","offset":$o""").getOrElse("") +
+          s""","sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+      def addLine(p: String, dv: Option[DeltaDv.DvDescriptor]) =
+        s"""{"add":{"path":"$p","partitionValues":{},"size":1,""" +
+          s""""modificationTime":0,"dataChange":true""" +
+          dv.map(dvJson).getOrElse("") + "}}"
+      def rmLine(p: String, dv: Option[DeltaDv.DvDescriptor]) =
+        s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":true""" +
+          dv.map(dvJson).getOrElse("") + "}}"
+      def descr(mask: Set[Int]): DeltaDv.DvDescriptor =
+        DeltaDv.inlineDescriptor(RoaringBitmapArray(mask.toSeq.sorted.map(_.toLong): _*))
+
+      // live state: path index -> (descriptor, deleted row positions)
+      val live = scala.collection.mutable
+        .Map.empty[Int, (Option[DeltaDv.DvDescriptor], Set[Int])]
+      val modelAt = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      commits.zipWithIndex.foreach { case (ops, v) =>
+        val head =
+          if (v > 0) Nil
+          else List(
+            """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+            s"""{"metaData":{"id":"prop-dv","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":0}}""")
+        val lines = head ++ ops.flatMap {
+          case OpAdd(i) =>
+            val pre = live.get(i).toList.collect {
+              case (dv @ Some(_), _) => rmLine(dvPool(i), dv)
+            }
+            live.update(i, (None, Set.empty))
+            pre :+ addLine(dvPool(i), None)
+          case OpRm(i) =>
+            val cur = live.remove(i)
+            List(rmLine(dvPool(i), cur.flatMap(_._1)))
+          case OpAddDv(i, mask) =>
+            val d = descr(mask)
+            val pre = live.get(i).toList.collect {
+              case (old, _) if old.map(_.uniqueId) != Some(d.uniqueId) =>
+                rmLine(dvPool(i), old)
+            }
+            live.update(i, (Some(d), mask))
+            pre :+ addLine(dvPool(i), Some(d))
+        }
+        Files.write(log.resolve(f"$v%020d.json"),
+          lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+        modelAt += live.iterator.flatMap { case (i, (_, deleted)) =>
+          (0 to 3).filterNot(deleted).map(r => i * 10L + r)
+        }.toSet
+      }
+
+      modelAt.zipWithIndex.forall { case (want, v) =>
+        val got = DeltaRead.read(spark, root, versionAsOf = v)
+          .select("id").collect().map(_.getLong(0)).toSet
+        val ok = got == want
+        if (!ok) println(s"v$v: got=$got want=$want commits=$commits")
+        ok
+      }
+    }
 }
