@@ -24,6 +24,12 @@ import graft.util.Json
   *   <root>/_delta_log/00000000000000000000.json   versioned action
   *   <root>/_delta_log/<v>.checkpoint.parquet      log (add / remove /
   *   <root>/_delta_log/_last_checkpoint            metaData / protocol)
+  * plus BOTH other checkpoint forms the protocol defines: classic
+  * multi-part (`<v>.checkpoint.<i>.<n>.parquet` — all parts read as
+  * one, incomplete sets refused by name) and V2
+  * (`<v>.checkpoint.<uuid>.parquet|json` manifests whose file actions
+  * live inline or in `_delta_log/_sidecars/<name>.parquet`;
+  * checkpointMetadata must claim the manifest's own version).
   *
   * Reconstruction follows the spec: start from the newest checkpoint
   * at or below the requested version (if any), apply the JSON commits
@@ -185,16 +191,29 @@ object DeltaRead {
     }
   }
 
+  /** The three checkpoint forms the protocol defines — all readable
+    * here: classic single-part (`<v>.checkpoint.parquet`), classic
+    * multi-part (`<v>.checkpoint.<i>.<n>.parquet`, usable only when
+    * all `n` parts survive), and V2 (`<v>.checkpoint.<uuid>.parquet`
+    * or `.json` — a manifest whose file actions may live in sidecar
+    * parquet files under `_delta_log/_sidecars/`). */
+  private sealed trait Checkpoint { def version: Long }
+  private case class CpSingle(version: Long, name: String) extends Checkpoint
+  private case class CpMulti(version: Long, parts: Seq[String]) extends Checkpoint
+  private case class CpV2(version: Long, name: String) extends Checkpoint
+
   /** Highest version present in the log (commit or checkpoint). */
   def latestVersion(root: String): Long = {
     val (commits, checkpoints, _) = logEntries(root, Long.MaxValue)
-    (commits.map(_._1) ++ checkpoints.map(_._1)).foldLeft(-1L)(math.max)
+    (commits.map(_._1) ++ checkpoints.map(_.version)).foldLeft(-1L)(math.max)
   }
 
-  /** List the log: (commits, single-part checkpoints, multi-part
-    * checkpoint versions), each capped at `versionAsOf`, sorted. */
+  /** List the log: (commits, USABLE checkpoints ascending — at one
+    * version the cheapest form sorts last, so `.lastOption` picks
+    * single > v2 > multi — and unusable checkpoint versions with the
+    * reason, for refusal messages), each capped at `versionAsOf`. */
   private def logEntries(root: String, versionAsOf: Long)
-      : (Vector[(Long, String)], Vector[(Long, String)], Vector[Long]) = {
+      : (Vector[(Long, String)], Vector[Checkpoint], Vector[(Long, String)]) = {
     val log = Paths.get(root, "_delta_log")
     require(Files.isDirectory(log), s"not a Delta table: no _delta_log under $root")
     val names = {
@@ -205,15 +224,38 @@ object DeltaRead {
     val commits = names
       .collect { case n if n.matches("\\d{20}\\.json") => (n.take(20).toLong, n) }
       .filter(_._1 <= versionAsOf).sortBy(_._1)
-    val checkpoints = names
+    val singles = names
       .collect { case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
-        (n.take(20).toLong, n) }
-      .filter(_._1 <= versionAsOf).sortBy(_._1)
-    val multiPart = names
-      .collect { case n if n.matches("\\d{20}\\.checkpoint\\.\\d+\\.\\d+\\.parquet") =>
-        n.take(20).toLong }
-      .filter(_ <= versionAsOf).distinct.sorted
-    (commits, checkpoints, multiPart)
+        CpSingle(n.take(20).toLong, n) }
+    val MultiRe = """(\d{20})\.checkpoint\.(\d+)\.(\d+)\.parquet""".r
+    val multiParts = names.collect {
+      case n @ MultiRe(v, i, total) => (v.toLong, i.toLong, total.toLong, n)
+    }
+    val (multis, broken) = multiParts.groupBy(_._1).toVector.map {
+      case (v, parts) =>
+        val totals = parts.map(_._3).distinct
+        val have = parts.map(_._2).toSet
+        if (totals.size == 1 && have == (1L to totals.head).toSet)
+          Left(CpMulti(v, parts.sortBy(_._2).map(_._4)))
+        else
+          Right((v, s"multi-part checkpoint at version $v is incomplete " +
+            s"(${have.size} of ${totals.max} parts survive)"))
+    }.partitionMap(identity)
+    val v2s = names
+      .collect {
+        case n if n.matches(
+            "\\d{20}\\.checkpoint\\.[0-9a-fA-F-]{36}\\.(parquet|json)") =>
+          CpV2(n.take(20).toLong, n)
+      }
+    val rank: Checkpoint => Int = {
+      case _: CpMulti => 0
+      case _: CpV2 => 1
+      case _: CpSingle => 2
+    }
+    val usable = (singles ++ multis ++ v2s)
+      .filter(_.version <= versionAsOf)
+      .sortBy(cp => (cp.version, rank(cp)))
+    (commits, usable, broken.filter(_._1 <= versionAsOf).sortBy(_._1))
   }
 
   /** Fold the log to the table state at `versionAsOf` — checkpoint
@@ -224,7 +266,7 @@ object DeltaRead {
   private[sources] def state(spark: SparkSession, root: String,
                              versionAsOf: Long): TableState = {
     val log = Paths.get(root, "_delta_log")
-    val (commits, checkpoints, multiPart) = logEntries(root, versionAsOf)
+    val (commits, checkpoints, brokenCps) = logEntries(root, versionAsOf)
     require(commits.nonEmpty || checkpoints.nonEmpty,
       s"no Delta commits at or below version $versionAsOf under $root")
 
@@ -334,27 +376,125 @@ object DeltaRead {
           .collect().foreach(r => txns.update(r.getString(0), r.getLong(1)))
     }
 
-    checkpoints.lastOption.foreach { case (_, cpName) =>
-      foldCheckpoint(spark.read.parquet(log.resolve(cpName).toString))
+    // V2-checkpoint manifests in JSON form carry the same actions as
+    // commit lines (plus checkpointMetadata/sidecar); in a CHECKPOINT
+    // context remove actions are expired tombstones, never state.
+    // Returns the sidecar paths the manifest references.
+    def foldJsonManifest(name: String): (Seq[String], Option[Long]) = {
+      val sidecars = Vector.newBuilder[String]
+      var cpMeta: Option[Long] = None
+      Files.readAllLines(log.resolve(name), StandardCharsets.UTF_8)
+        .asScala.filter(_.trim.nonEmpty).foreach { line =>
+          val obj = Json.parse(line) match {
+            case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+            case other => sys.error(s"checkpoint manifest line is not an object: $other")
+          }
+          obj.get("metaData").foreach { m =>
+            meta = Some(Meta(
+              DataType.fromJson(Json.str(m, "schemaString")
+                  .getOrElse(sys.error(s"metaData without schemaString: $line")))
+                .asInstanceOf[StructType],
+              Json.list(m, "partitionColumns").map(_.asInstanceOf[String]),
+              strMap(Json.get(m, "configuration")),
+              Json.str(m, "id").getOrElse(""),
+              Json.long(m, "createdTime")))
+          }
+          obj.get("protocol").foreach { p =>
+            minReader = math.max(minReader,
+              Json.long(p, "minReaderVersion").getOrElse(1L))
+            minWriter = math.max(minWriter,
+              Json.long(p, "minWriterVersion").getOrElse(1L))
+            readerFeatures ++=
+              Json.list(p, "readerFeatures").map(_.asInstanceOf[String])
+          }
+          obj.get("add").foreach { a =>
+            applyAdd(Json.str(a, "path")
+                .getOrElse(sys.error(s"add without path: $line")),
+              strMap(Json.get(a, "partitionValues")),
+              Json.str(a, "stats"),
+              DeltaDv.descriptor(Json.get(a, "deletionVector")))
+          }
+          obj.get("txn").foreach { t =>
+            for (app <- Json.str(t, "appId"); v <- Json.long(t, "version"))
+              txns.update(app, v)
+          }
+          obj.get("sidecar").foreach { s =>
+            sidecars += Json.str(s, "path")
+              .getOrElse(sys.error(s"sidecar without path: $line"))
+          }
+          obj.get("checkpointMetadata").foreach { cm =>
+            cpMeta = Json.long(cm, "version")
+          }
+          // remove: expired tombstone in a checkpoint — not state
+        }
+      (sidecars.result(), cpMeta)
     }
 
-    val cpVersion = checkpoints.lastOption.map(_._1).getOrElse(-1L)
+    /** `sidecar.path` resolves under `_delta_log/_sidecars/` unless
+      * absolute (URI-encoded like add.path). */
+    def sidecarPath(p: String): String = {
+      val decoded = percentDecode(p)
+      if (Paths.get(decoded).isAbsolute) decoded
+      else log.resolve("_sidecars").resolve(decoded).toString
+    }
+
+    checkpoints.lastOption.foreach {
+      case CpSingle(_, name) =>
+        foldCheckpoint(spark.read.parquet(log.resolve(name).toString))
+      case CpMulti(_, parts) =>
+        // the parts partition one logical checkpoint's rows — reading
+        // them together IS the single-part fold
+        foldCheckpoint(spark.read.parquet(
+          parts.map(p => log.resolve(p).toString): _*))
+      case CpV2(v, name) =>
+        // manifest first (protocol/metaData/txn + any inline file
+        // actions + the sidecar list), then each sidecar's file actions
+        val (sidecars, cpMeta) =
+          if (name.endsWith(".json")) foldJsonManifest(name)
+          else {
+            val mf = spark.read.parquet(log.resolve(name).toString)
+            foldCheckpoint(mf)
+            val cols = mf.columns.toSet
+            val sc =
+              if (!cols("sidecar")) Seq.empty[String]
+              else mf.where(col("sidecar.path").isNotNull)
+                .select(col("sidecar.path"))
+                .collect().map(_.getString(0)).toSeq
+            val cm =
+              if (!cols("checkpointMetadata")) None
+              else mf.where(col("checkpointMetadata.version").isNotNull)
+                .select(col("checkpointMetadata.version").cast("long"))
+                .collect().headOption.map(_.getLong(0))
+            (sc, cm)
+          }
+        // the spec makes checkpointMetadata MANDATORY in a v2
+        // checkpoint, and its version must be the file's own — a
+        // mismatch means a mis-renamed or forged manifest
+        require(cpMeta.contains(v),
+          s"v2 checkpoint $name at $root carries checkpointMetadata " +
+            s"version ${cpMeta.fold("<none>")(_.toString)}, expected $v — " +
+            "refusing a manifest that does not claim its own version")
+        sidecars.foreach { sp =>
+          foldCheckpoint(spark.read.parquet(sidecarPath(sp)))
+        }
+    }
+
+    val cpVersion = checkpoints.lastOption.map(_.version).getOrElse(-1L)
     val tail = commits.filter(_._1 > cpVersion)
     // Contiguity (ADVICE r12): the fold is only sound if every commit
     // after the bootstrap checkpoint survives. A gap means the log was
-    // cleaned past a checkpoint this reader cannot consume (e.g. a
-    // multi-part one) — starting the fold anyway would return a
-    // silently incomplete file set (and possibly a stale schema).
+    // cleaned past a checkpoint this reader cannot use — with every
+    // checkpoint FORM readable now, that is an INCOMPLETE multi-part
+    // checkpoint (named below) or genuine log corruption.
     tail.map(_._1).zipWithIndex.foreach { case (v, i) =>
       val expect = cpVersion + 1 + i
       require(v == expect,
         s"Delta log at $root has a gap: expected commit version $expect " +
           s"after ${if (cpVersion < 0) "no usable checkpoint" else s"checkpoint $cpVersion"}, " +
           s"found $v" +
-          (if (multiPart.nonEmpty)
-            s"; multi-part checkpoints exist at version(s) ${multiPart.mkString(",")} " +
-              "but this reader only consumes single-part checkpoints — refusing " +
-              "rather than reconstructing an incomplete state"
+          (if (brokenCps.nonEmpty)
+            s"; unusable checkpoint(s): ${brokenCps.map(_._2).mkString("; ")} " +
+              "— refusing rather than reconstructing an incomplete state"
           else ""))
     }
 
@@ -553,13 +693,14 @@ object DeltaRead {
 
   /** Reader features (protocol version 3) this implementation honors:
     * column mapping (both modes, r13/r14), deletion vectors
-    * ([[DeltaDv]]), TIMESTAMP_NTZ columns (native to Spark's parquet
+    * ([[DeltaDv]]), v2 checkpoints (manifest + sidecar bootstrap in
+    * [[state]]), TIMESTAMP_NTZ columns (native to Spark's parquet
     * reader and schema JSON), and vacuumProtocolCheck (a vacuum-side
     * contract with no read-path obligation per the spec). Anything
     * else — typeWidening, variantType-as-feature, … — refuses by
     * name. */
   private val SupportedReaderFeatures: Set[String] =
-    Set("columnMapping", "deletionVectors", "timestampNtz",
+    Set("columnMapping", "deletionVectors", "v2Checkpoint", "timestampNtz",
       "vacuumProtocolCheck")
 
   private def physicalName(f: org.apache.spark.sql.types.StructField): String =

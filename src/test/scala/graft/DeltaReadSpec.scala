@@ -361,7 +361,7 @@ class DeltaReadSpec extends SparkSpec {
     }.getMessage.contains("columnMapping"))
   }
 
-  test("refuses a log with a version gap, naming multi-part checkpoints") {
+  test("refuses a log with a version gap, naming unusable checkpoints") {
     import spark.implicits._
     val root = freshTable()
     val f1 = Seq((1L, "a")).toDF("id", "v")
@@ -372,22 +372,22 @@ class DeltaReadSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { DeltaRead.read(spark, root) }
     assert(e.getMessage.contains("gap") && e.getMessage.contains("expected commit version 1"))
 
-    // a table whose JSON commits were cleaned PAST a multi-part
-    // checkpoint: the surviving commits don't start at 0 and the only
-    // checkpoint is multi-part (which this reader doesn't consume) —
+    // a table whose JSON commits were cleaned past an INCOMPLETE
+    // multi-part checkpoint (complete ones read since the r14
+    // checkpoint-forms work — DeltaCheckpointSpec): the surviving
+    // commits don't start at 0 and the only checkpoint is unusable —
     // the refusal must say so instead of folding from -1 over the tail
     val root2 = freshTable()
     dataFile(root2, "f1.parquet", f1)
     val log2 = Paths.get(root2, "_delta_log")
     Files.createDirectories(log2)
-    // two parts of a multi-part checkpoint at version 1 (content
-    // irrelevant — the reader must refuse on the filename alone)
+    // one surviving part of a two-part checkpoint at version 1
     dataFile(log2.toString, f"${1L}%020d.checkpoint.${1}%010d.${2}%010d.parquet", f1)
-    dataFile(log2.toString, f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet", f1)
     writeCommit(root2, 2, Seq(addLine("f1.parquet")))
     val e2 = intercept[IllegalArgumentException] { DeltaRead.read(spark, root2) }
-    assert(e2.getMessage.contains("multi-part checkpoints exist"),
-      s"refusal should name the multi-part checkpoint: ${e2.getMessage}")
+    assert(e2.getMessage.contains("incomplete") &&
+      e2.getMessage.contains("1 of 2 parts"),
+      s"refusal should name the incomplete multi-part checkpoint: ${e2.getMessage}")
   }
 
   test("field order and adversarial values can't confuse the parse") {
