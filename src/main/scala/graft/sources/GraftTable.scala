@@ -465,10 +465,12 @@ object GraftTable {
     * ENTERED the live set upsert, keys present only in files that
     * LEFT it delete. Identity-partition values live inside Iceberg
     * data files, so the diff needs no metadata-side value injection.
-    * Same refusals as the reader (delete manifests / delete files —
-    * [[IcebergRead.snapState]]) plus schema changes (column renames
-    * included: GraftTable has no rename story) and duplicate merge
-    * keys; same crash-idempotent marker protocol as [[syncDelta]].
+    * Refusals: v2 row-level DELETE files anywhere on the walked chain
+    * (the reader applies them — r14 — but this FILE-level diff would
+    * miss their row-visibility changes; re-import instead), schema
+    * changes (column renames included: GraftTable has no rename
+    * story), and duplicate merge keys; same crash-idempotent marker
+    * protocol as [[syncDelta]].
     *
     * Returns one (snapshotId, MergeStats) per data-changing snapshot
     * applied. */
@@ -497,6 +499,11 @@ object GraftTable {
         s"Iceberg snapshot ${cur.snapshotId} at $iceRoot changes the " +
           "table schema; incremental sync has no schema-evolution " +
           s"story — re-import (table stays consistent as of snapshot ${prev.snapshotId})")
+      require(cur.deletes.isEmpty && prev.deletes.isEmpty,
+        s"Iceberg snapshot ${cur.snapshotId} at $iceRoot carries v2 " +
+          "row-level delete files; this FILE-level diff would miss their " +
+          "row-visibility changes — re-import instead (the reader applies " +
+          s"them; table stays consistent as of snapshot ${prev.snapshotId})")
       val prevSet = prev.files.toSet
       val curSet = cur.files.toSet
       val addedFiles = cur.files.filterNot(prevSet)

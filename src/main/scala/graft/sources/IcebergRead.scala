@@ -25,13 +25,23 @@ import graft.util.Json
   *     → manifest Avro (one entry per data file; status 2 = deleted)
   *     → parquet data files, read under the converted table schema.
   *
-  * Scope (asserted, not assumed): format-version ≤ 2, and NO
-  * row-level deletes — a snapshot carrying a delete manifest
-  * (manifest-list `content` = 1) or a delete data file
-  * (`data_file.content` ≠ 0) is REFUSED loudly: position/equality
-  * deletes change row visibility and mis-reading them silently would
-  * fabricate rows. Identity-partition values are present in Iceberg
-  * data files (unlike Delta), so no log-side injection is needed.
+  * Scope (asserted, not assumed): format-version ≤ 2, WITH v2
+  * row-level deletes (r14): delete manifests (manifest-list
+  * `content` = 1) contribute POSITION delete files
+  * (`data_file.content` = 1 — (file_path, pos) parquet rows dropping
+  * physical row positions) and EQUALITY delete files (`content` = 2 —
+  * rows matching the `equality_ids` columns null-safely are dropped),
+  * both gated by the spec's sequence-number rule (position deletes
+  * apply to data files with data sequence number ≤ theirs, equality
+  * deletes STRICTLY older — the write's own rows stay visible).
+  * Sequence numbers inherit from the manifest-list entry when an
+  * entry's own is null, v1 manifests default to 0. Equality deletes
+  * on a PARTITIONED table are refused (their scope is the partition;
+  * this reader implements the unpartitioned case), as are
+  * non-parquet delete files and equality ids that resolve to no
+  * top-level schema field. Identity-partition values are present in
+  * Iceberg data files (unlike Delta), so no log-side injection is
+  * needed.
   *
   * Column resolution is BY FIELD ID, as the spec mandates (ADVICE
   * r12: a by-name read of a table that ever RENAMED a column silently
@@ -61,11 +71,21 @@ object IcebergRead {
   def read(spark: SparkSession, root: String, snapshotId: Long): DataFrame =
     readSnapshot(spark, root, Some(snapshotId))
 
+  /** One v2 row-level delete file: `content` 1 = position deletes,
+    * 2 = equality deletes over the top-level fields in
+    * `equalityIds`; `seq` is its data sequence number (inherited from
+    * the manifest-list entry when the manifest entry's is null). */
+  private[sources] case class DeleteFile(path: String, seq: Long,
+      content: Long, equalityIds: Seq[Long])
+
   /** The folded state of one snapshot: its live data-file paths
-    * (absolute), the snapshot's schema, and its parent id — what the
-    * incremental sync diffs ([[GraftTable.syncIceberg]]). */
+    * (absolute) with their data sequence numbers, its delete files,
+    * the snapshot's schema, and its parent id — what the incremental
+    * sync diffs ([[GraftTable.syncIceberg]]). */
   private[sources] case class SnapState(snapshotId: Long,
-      parentId: Option[Long], schema: StructType, files: Seq[String])
+      parentId: Option[Long], schema: StructType, files: Seq[String],
+      dataSeq: Map[String, Long] = Map.empty,
+      deletes: Seq[DeleteFile] = Nil)
 
   /** The parsed current metadata document (see [[snapState]]). */
   private[sources] def currentMeta(root: String): Any = {
@@ -90,7 +110,7 @@ object IcebergRead {
     val meta = Json.parse(Files.readString(metaFile, StandardCharsets.UTF_8))
     val fv = Json.long(meta, "format-version").getOrElse(1L)
     require(fv <= 2L, s"Iceberg format-version $fv unsupported (reader " +
-      "implements v1/v2 without row-level deletes)")
+      "implements v1/v2, including v2 row-level deletes)")
     meta
   }
 
@@ -98,9 +118,10 @@ object IcebergRead {
     Json.long(currentMeta(root), "current-snapshot-id")
       .getOrElse(sys.error(s"no current snapshot at $root"))
 
-  /** Folds one snapshot of the parsed `meta` to its live-file state,
-    * with the same refusals as a read (delete manifests / delete data
-    * files / non-parquet). */
+  /** Folds one snapshot of the parsed `meta` to its live-file state —
+    * data files (with data sequence numbers) AND v2 row-level delete
+    * files, with the read path's refusals (non-parquet, unknown
+    * content codes). */
   private[sources] def snapState(meta: Any, root: String,
                                  snapshotId: Long): SnapState = {
     val snap = Json.list(meta, "snapshots")
@@ -110,30 +131,47 @@ object IcebergRead {
       .map(resolve(root, _))
       .getOrElse(sys.error(s"snapshot $snapshotId has no manifest-list " +
         "(inline v1 manifests unsupported)"))
+    // (path, manifest-list sequence number) per manifest; `content`
+    // only marks which KIND of files a manifest lists — the entries'
+    // own content codes are authoritative per file
     val manifests = avroRows(mlPath).map { r =>
-      val content = longField(r, "content").getOrElse(0L)
-      require(content == 0L, s"snapshot $snapshotId carries a DELETE manifest " +
-        "(v2 row-level deletes) — refusing rather than fabricating rows")
-      resolve(root, r.get("manifest_path").toString)
+      (resolve(root, r.get("manifest_path").toString),
+        longField(r, "sequence_number").getOrElse(0L))
     }
-    val files = manifests.flatMap { mp =>
-      avroRows(mp).flatMap { entry =>
+    val files = Vector.newBuilder[String]
+    val seqs = Map.newBuilder[String, Long]
+    val dels = Vector.newBuilder[DeleteFile]
+    manifests.foreach { case (mp, mSeq) =>
+      avroRows(mp).foreach { entry =>
         val status = longField(entry, "status").getOrElse(0L)
-        if (status == 2L) None // deleted entry
-        else {
+        if (status != 2L) { // 2 = deleted entry
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          val content = longField(df, "content").getOrElse(0L)
-          require(content == 0L, s"manifest $mp holds a delete data file " +
-            "(content=" + content + ") — refusing")
           val fmt = Option(df.get("file_format")).map(_.toString.toUpperCase)
           require(fmt.forall(_ == "PARQUET"),
-            s"non-parquet Iceberg data file (${fmt.get}) unsupported")
-          Some(resolve(root, df.get("file_path").toString))
+            s"non-parquet Iceberg file (${fmt.get}) unsupported")
+          val p = resolve(root, df.get("file_path").toString)
+          val seq = longField(entry, "sequence_number").getOrElse(mSeq)
+          longField(df, "content").getOrElse(0L) match {
+            case 0L =>
+              files += p
+              seqs += p -> seq
+            case 1L => dels += DeleteFile(p, seq, 1L, Nil)
+            case 2L =>
+              val ids = Option(df.get("equality_ids"))
+                .map(_.asInstanceOf[java.util.Collection[_]].asScala
+                  .map(_.toString.toLong).toSeq)
+                .getOrElse(Nil)
+              require(ids.nonEmpty, s"equality delete file $p lists no " +
+                "equality_ids — refusing an unidentifiable delete")
+              dels += DeleteFile(p, seq, 2L, ids)
+            case other => sys.error(
+              s"manifest $mp holds a file with unknown content=$other — refusing")
+          }
         }
       }
     }
     SnapState(snapshotId, Json.long(snap, "parent-snapshot-id"),
-      tableSchema(meta, snap), files)
+      tableSchema(meta, snap), files.result(), seqs.result(), dels.result())
   }
 
   /** One scan over an explicit file subset under `schema` — the
@@ -202,7 +240,113 @@ object IcebergRead {
     // the derived session the parquet RELATION is built with
     // (HadoopFsRelation pins its own SparkSession) — see planFiles.
     // Tables carrying a name mapping resolve through it instead.
-    planFiles(spark, st.schema, st.files, nameMappingOf(meta))
+    if (st.deletes.isEmpty) planFiles(spark, st.schema, st.files, nameMappingOf(meta))
+    else planWithDeletes(spark, meta, st)
+  }
+
+  /** True iff any partition spec in `meta` carries fields — the gate
+    * for equality-delete scope (v2 `partition-specs`, v1
+    * `partition-spec`). */
+  private def partitioned(meta: Any): Boolean = {
+    val specs = Json.list(meta, "partition-specs")
+    if (specs.nonEmpty) specs.exists(s => Json.list(s, "fields").nonEmpty)
+    else Json.list(meta, "partition-spec").nonEmpty
+  }
+
+  /** Scan canonicalization shared by both sides of the delete joins:
+    * `_metadata.file_path` URIs and the spec's absolute `file_path`
+    * strings both reduce to one slash-rooted form. */
+  private def canonCol(c: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions.regexp_replace
+    regexp_replace(regexp_replace(c, "^file:", ""), "^/+", "/")
+  }
+  private def canonStr(p: String): String =
+    p.stripPrefix("file:").replaceAll("^/+", "/")
+
+  /** The delete-aware snapshot plan. Shape (one declarative DAG, no
+    * driver-side row work):
+    *
+    *   data scan (+ `_metadata` path/row_index)
+    *     ⋈ broadcast (file → data sequence number)   [manifest-scale]
+    *     anti⋈ position-delete rows on (file, pos), residual
+    *           deleteSeq ≥ dataSeq                    [equi-keyed]
+    *     anti⋈ equality-delete rows per id-set, null-safe equality on
+    *           the id columns, residual dataSeq < deleteSeq
+    *     → project the table schema
+    *
+    * 100 TB shape: the only broadcast is the file→seq dim (one tuple
+    * per data file); delete ROWS flow through ordinary equi-joins that
+    * AQE broadcasts when small and shuffles when not — never a
+    * cartesian, and data bytes are touched once. */
+  private def planWithDeletes(spark: SparkSession, meta: Any,
+                              st: SnapState): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    require(!st.deletes.exists(_.content == 2L) || !partitioned(meta),
+      "equality deletes on a PARTITIONED Iceberg table are scoped by " +
+        "partition; this reader implements the unpartitioned case — " +
+        "refusing rather than over-deleting across partitions")
+    val schema = st.schema
+    val mapping = nameMappingOf(meta)
+
+    // the data scan, with the table projection AND the metadata
+    // columns the delete joins key on
+    val metaCols = Seq(
+      canonCol(col("_metadata.file_path")).as("__graft_cpath"),
+      col("_metadata.row_index").as("__graft_pos"))
+    val base = mapping match {
+      case None =>
+        readerSession(spark).read.schema(schema).parquet(st.files: _*)
+          .select(schema.fieldNames.map(col).toIndexedSeq ++ metaCols: _*)
+      case Some(mp) =>
+        val readSchema = toMapped(schema, mp)
+        spark.read.schema(readSchema).parquet(st.files: _*)
+          .select(schema.fields.zip(readSchema.fields).map { case (lf, pf) =>
+            col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+          }.toIndexedSeq ++ metaCols: _*)
+    }
+    val seqDim = spark.createDataFrame(
+      st.dataSeq.toSeq.map { case (p, s) => (canonStr(p), s) })
+      .toDF("__graft_dpath", "__graft_dseq")
+    var cur = base.join(broadcast(seqDim),
+      col("__graft_cpath") === col("__graft_dpath")) // dim covers every file
+      .drop("__graft_dpath")
+
+    val posDels = st.deletes.filter(_.content == 1L)
+    if (posDels.nonEmpty) {
+      val posT = StructType(Seq(StructField("file_path", StringType),
+        StructField("pos", LongType)))
+      val delRows = posDels.map(d =>
+        spark.read.schema(posT).parquet(d.path)
+          .select(canonCol(col("file_path")).as("__pd_path"),
+            col("pos").as("__pd_pos"), lit(d.seq).as("__pd_seq")))
+        .reduce(_ unionAll _)
+      cur = cur.join(delRows,
+        col("__graft_cpath") === col("__pd_path") &&
+          col("__graft_pos") === col("__pd_pos") &&
+          col("__pd_seq") >= col("__graft_dseq"), "left_anti")
+    }
+
+    st.deletes.filter(_.content == 2L).groupBy(_.equalityIds.sorted)
+      .toSeq.sortBy(_._1.mkString(",")).foreach { case (ids, group) =>
+        val fields = ids.map(id => schema.fields.find(f =>
+            f.metadata.contains("parquet.field.id") &&
+              f.metadata.getLong("parquet.field.id") == id)
+          .getOrElse(sys.error(s"equality delete references field id $id " +
+            "with no top-level schema field — refusing")))
+        val delSchema = StructType(fields.map(_.copy(nullable = true)))
+        val delRows = group.map(d =>
+          readerSession(spark).read.schema(delSchema).parquet(d.path)
+            .select(fields.map(f =>
+              col(s"`${f.name}`").as(s"__ed_${f.name}")).toIndexedSeq :+
+              lit(d.seq).as("__ed_seq"): _*))
+          .reduce(_ unionAll _)
+        val cond = fields.map(f =>
+          col(s"`${f.name}`") <=> col(s"__ed_${f.name}")).reduce(_ && _) &&
+          col("__graft_dseq") < col("__ed_seq")
+        cur = cur.join(delRows, cond, "left_anti")
+      }
+
+    cur.select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** Derived session carrying the parquet field-id read confs: same

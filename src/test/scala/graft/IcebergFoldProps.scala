@@ -21,9 +21,10 @@ import graft.sources.IcebergRead
   * exactly the live-file set an in-memory model computes, under the
   * snapshot's OWN schema (rename included, values non-null — i.e. the
   * field-id resolution holds for every random interleaving, not just
-  * the fixed IcebergReadSpec fixtures). Refusal cases (format-version
-  * 3, delete manifests) are pinned here too so the property file is
-  * the one-stop contract.
+  * the fixed IcebergReadSpec fixtures). The format-version-3 refusal
+  * and a minimal position-delete application (r14 — full delete
+  * coverage in IcebergDeleteSpec) are pinned here too so the property
+  * file is the one-stop contract.
   *
   * Native ScalaCheck `Properties` — same offline-framework note as
   * CompatWindowProps. */
@@ -202,15 +203,40 @@ object IcebergFoldProps extends Properties("IcebergFold") {
     e.getMessage.contains("format-version 3")
   }
 
-  property("delete manifests are refused") = Prop {
+  property("a position delete drops the row (r14: deletes read, not refused)") = Prop {
+    import spark.implicits._
     val root = Files.createTempDirectory("graft_ice_prop_del_").toString
     val md = Paths.get(root, "metadata")
     Files.createDirectories(md)
+    // position delete targeting pool(0)'s single row; both data and
+    // delete inherit sequence number 0 from schemaless ml entries, and
+    // position deletes apply at EQUAL sequence numbers
+    val posDel = {
+      val tmp = md.resolve(".posdel")
+      Seq((pool(0), 0L)).toDF("file_path", "pos")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ls = Files.list(tmp)
+      val part = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+      val dest = md.resolve("posdel.parquet")
+      Files.move(part, dest)
+      dest.toString
+    }
+    val delRow = {
+      val df = new GenericData.Record(manifestSchema.getField("data_file").schema())
+      df.put("content", 1); df.put("file_path", posDel)
+      df.put("file_format", "PARQUET")
+      val r = new GenericData.Record(manifestSchema)
+      r.put("status", 1); r.put("data_file", df)
+      r
+    }
     avroWrite(md.resolve("m0.avro").toString, manifestSchema,
-      Seq(mRow(1, pool(0))))
+      Seq(mRow(1, pool(0)), mRow(1, pool(1))))
+    avroWrite(md.resolve("mdel.avro").toString, manifestSchema, Seq(delRow))
     avroWrite(md.resolve("snap-1.avro").toString, manifestListSchema,
       Seq(mlRow(md.resolve("m0.avro").toString),
-        mlRow(md.resolve("m0.avro").toString, content = 1)))
+        mlRow(md.resolve("mdel.avro").toString, content = 1)))
     Files.writeString(md.resolve("v1.metadata.json"),
       s"""{"format-version":2,"table-uuid":"prop","location":"$root",
          |"current-snapshot-id":1,
@@ -218,8 +244,8 @@ object IcebergFoldProps extends Properties("IcebergFold") {
          |"snapshots":[{"snapshot-id":1,"schema-id":0,
          |"manifest-list":"${md.resolve("snap-1.avro")}"}]}""".stripMargin)
     Files.writeString(md.resolve("version-hint.text"), "1")
-    val e = intercept2[IllegalArgumentException](IcebergRead.read(spark, root))
-    e.getMessage.contains("DELETE manifest")
+    IcebergRead.read(spark, root).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L)
   }
 
   /** Tiny intercept for ScalaCheck props (no ScalaTest Assertions here). */

@@ -19,7 +19,8 @@ import graft.sources.IcebergRead
   * jars Spark ships), data files written as ordinary parquet. Covers
   * snapshot resolution via version-hint, time travel by snapshot id,
   * deleted-entry exclusion, schema conversion (incl. nested and
-  * decimal types), and the loud refusal of v2 row-level deletes. */
+  * decimal types), and the loud refusal of unknown content codes
+  * (v2 row-level deletes themselves READ — IcebergDeleteSpec). */
 class IcebergReadSpec extends SparkSpec {
 
   private val manifestListSchema = new Schema.Parser().parse(
@@ -141,15 +142,17 @@ class IcebergReadSpec extends SparkSpec {
       .toSeq === Seq((1L, "a")))
   }
 
-  test("refuses v2 row-level deletes instead of fabricating rows") {
+  test("refuses files with an unknown content code instead of guessing") {
+    // position (1) and equality (2) deletes READ since r14
+    // (IcebergDeleteSpec); anything else is future spec surface and
+    // must refuse by code
     val root = buildTable()
     val md = Paths.get(root, "metadata")
-    // a DELETE manifest in the manifest list
     avroWrite(md.resolve("snap-3.avro").toString, manifestListSchema,
       Seq(manifestListRow("metadata/m2.avro"),
         manifestListRow("metadata/mdel.avro", content = 1)))
     avroWrite(md.resolve("mdel.avro").toString, manifestSchema,
-      Seq(manifestRow(1, "data/posdel.parquet", content = 1)))
+      Seq(manifestRow(1, "data/mystery.parquet", content = 7)))
     Files.writeString(md.resolve("v4.metadata.json"),
       s"""{"format-version":2,"table-uuid":"fixture","location":"$root",
          |"current-snapshot-id":3,
@@ -158,8 +161,8 @@ class IcebergReadSpec extends SparkSpec {
          |{"snapshot-id":3,"schema-id":0,"manifest-list":"metadata/snap-3.avro"}
          |]}""".stripMargin)
     Files.writeString(md.resolve("version-hint.text"), "4")
-    val e = intercept[IllegalArgumentException] { IcebergRead.read(spark, root) }
-    assert(e.getMessage.contains("DELETE manifest"))
+    val e = intercept[RuntimeException] { IcebergRead.read(spark, root) }
+    assert(e.getMessage.contains("unknown content=7"))
   }
 
   test("importIceberg snapshots into a GraftTable, contents intact") {
