@@ -312,6 +312,14 @@ final class RoaringBitmapArray private (
     * deletes — and what pins the reader against run containers). */
   def runOptimize(): Unit = bitmaps.foreach(_.runOptimize())
 
+  /** Union `other` into this (container-level `or` — how a writer
+    * GROWS a file's vector: the new DV must contain every previously
+    * deleted position, PROTOCOL.md). */
+  def orInPlace(other: RoaringBitmapArray): Unit = {
+    while (bitmaps.length < other.bitmaps.length) bitmaps += new RoaringBitmap()
+    other.bitmaps.zipWithIndex.foreach { case (bm, i) => bitmaps(i).or(bm) }
+  }
+
   /** Portable serialization: LE magic + LE count + consecutive
     * RoaringFormatSpec-portable 32-bit bitmaps. */
   def serialize(): Array[Byte] = {

@@ -105,12 +105,17 @@ object DeltaRead {
     * SetTransaction state (latest version per appId — the streaming
     * idempotence ledger); `stats` maps live paths to their add.stats
     * JSON for file skipping; `dvs` maps live paths to their deletion
-    * vectors (at most one per path — the fold enforces it). */
+    * vectors (at most one per path — the fold enforces it);
+    * `readerFeatures`/`writerFeatures` are the folded table-features
+    * sets (version-3/7 protocols), carried so [[DeltaWrite]] can gate
+    * on and PRESERVE them. */
   private[sources] case class TableState(version: Long, meta: Meta,
       live: Seq[(String, Map[String, String])], minWriter: Long = 2L,
       minReader: Long = 1L, txns: Map[String, Long] = Map.empty,
       stats: Map[String, String] = Map.empty,
-      dvs: Map[String, DeltaDv.DvDescriptor] = Map.empty)
+      dvs: Map[String, DeltaDv.DvDescriptor] = Map.empty,
+      readerFeatures: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty)
 
   /** Distinct partition tuples above which [[plan]] abandons the
     * union-of-typed-scans shape for one flat hive-discovery scan
@@ -262,9 +267,13 @@ object DeltaRead {
     * bootstrap, then JSON commits in version order; last action per
     * path wins; newest metaData wins. All protocol refusals live
     * here so every caller (snapshot read, flat-plan read, CDC sync)
-    * gets the same guarantees. */
-  private[sources] def state(spark: SparkSession, root: String,
-                             versionAsOf: Long): TableState = {
+    * gets the same guarantees.
+    *
+    * Visibility: `private[graft]` so the write-path specs can assert
+    * the folded protocol/feature/vector state directly (the
+    * [[GraftTable.commit]] precedent). */
+  private[graft] def state(spark: SparkSession, root: String,
+                           versionAsOf: Long): TableState = {
     val log = Paths.get(root, "_delta_log")
     val (commits, checkpoints, brokenCps) = logEntries(root, versionAsOf)
     require(commits.nonEmpty || checkpoints.nonEmpty,
@@ -274,6 +283,7 @@ object DeltaRead {
     var minReader = 1L
     var minWriter = 1L
     var readerFeatures = Set.empty[String]
+    var writerFeatures = Set.empty[String]
     // LOGICAL file = (path, deletionVector uniqueId) — the spec's
     // reconciliation key since reader version 3: updating a file's DV
     // is remove(path, oldDv) + add(path, newDv) in one commit, and the
@@ -342,11 +352,19 @@ object DeltaRead {
             if (hasW) col("protocol.minWriterVersion").cast("long")
             else lit(1L),
             if (sub("protocol", "readerFeatures")) col("protocol.readerFeatures")
+            else lit(null).cast("array<string>"),
+            if (sub("protocol", "writerFeatures")) col("protocol.writerFeatures")
             else lit(null).cast("array<string>"))
           .collect().foreach { r =>
-            minReader = math.max(minReader, r.getLong(0))
-            minWriter = math.max(minWriter, r.getLong(1))
-            if (!r.isNullAt(2)) readerFeatures ++= r.getSeq[String](2)
+            // the newest protocol action REPLACES the protocol (spec:
+            // exactly one protocol per checkpoint; commits below
+            // assign for the same reason)
+            minReader = r.getLong(0)
+            minWriter = r.getLong(1)
+            readerFeatures =
+              if (r.isNullAt(2)) Set.empty else r.getSeq[String](2).toSet
+            writerFeatures =
+              if (r.isNullAt(3)) Set.empty else r.getSeq[String](3).toSet
           }
       }
       if (cols("add"))
@@ -400,12 +418,15 @@ object DeltaRead {
               Json.long(m, "createdTime")))
           }
           obj.get("protocol").foreach { p =>
-            minReader = math.max(minReader,
-              Json.long(p, "minReaderVersion").getOrElse(1L))
-            minWriter = math.max(minWriter,
-              Json.long(p, "minWriterVersion").getOrElse(1L))
-            readerFeatures ++=
-              Json.list(p, "readerFeatures").map(_.asInstanceOf[String])
+            // newest protocol action WINS outright (spec: the action
+            // replaces the table's protocol; folding max/union would
+            // keep stale feature lists alive past an upgrade)
+            minReader = Json.long(p, "minReaderVersion").getOrElse(1L)
+            minWriter = Json.long(p, "minWriterVersion").getOrElse(1L)
+            readerFeatures = Json.list(p, "readerFeatures")
+              .map(_.asInstanceOf[String]).toSet
+            writerFeatures = Json.list(p, "writerFeatures")
+              .map(_.asInstanceOf[String]).toSet
           }
           obj.get("add").foreach { a =>
             applyAdd(Json.str(a, "path")
@@ -518,12 +539,15 @@ object DeltaRead {
               Json.long(m, "createdTime")))
           }
           obj.get("protocol").foreach { p =>
-            minReader = math.max(minReader,
-              Json.long(p, "minReaderVersion").getOrElse(1L))
-            minWriter = math.max(minWriter,
-              Json.long(p, "minWriterVersion").getOrElse(1L))
-            readerFeatures ++=
-              Json.list(p, "readerFeatures").map(_.asInstanceOf[String])
+            // newest protocol action WINS outright (spec: the action
+            // replaces the table's protocol; folding max/union would
+            // keep stale feature lists alive past an upgrade)
+            minReader = Json.long(p, "minReaderVersion").getOrElse(1L)
+            minWriter = Json.long(p, "minWriterVersion").getOrElse(1L)
+            readerFeatures = Json.list(p, "readerFeatures")
+              .map(_.asInstanceOf[String]).toSet
+            writerFeatures = Json.list(p, "writerFeatures")
+              .map(_.asInstanceOf[String]).toSet
           }
           obj.get("add").foreach { a =>
             applyAdd(Json.str(a, "path")
@@ -613,7 +637,8 @@ object DeltaRead {
     val livePaths = liveFull.map(_._1).toSet
     val dvMap = liveFull.collect { case (p, _, Some(dv)) => p -> dv }.toMap
     TableState(folded, m, liveSeq, minWriter, minReader, txns.toMap,
-      stats.toMap.view.filterKeys(livePaths).toMap, dvMap)
+      stats.toMap.view.filterKeys(livePaths).toMap, dvMap,
+      readerFeatures, writerFeatures)
   }
 
   /** String→String JSON map (partitionValues / configuration); JSON
@@ -770,10 +795,33 @@ object DeltaRead {
     * rename read correctly at every version, and files missing a
     * later-added physical column return NULL for it (parquet
     * missing-column semantics), exactly as the protocol specifies. */
+  /** Column names under which [[planWithMeta]] exposes each row's
+    * physical provenance (the scan's `_metadata` file path and row
+    * index) — what [[DeltaWrite.deleteWithDv]] aggregates into
+    * deletion vectors. */
+  private[sources] val MetaFileCol = "__graft_file"
+  private[sources] val MetaPosCol = "__graft_pos"
+
+  /** [[plan]] with the [[MetaFileCol]]/[[MetaPosCol]] provenance
+    * columns appended (materialized in the first projection off each
+    * scan, where `_metadata` is still resolvable). */
+  private[sources] def planWithMeta(spark: SparkSession, root: String,
+      m: Meta, live: Seq[(String, Map[String, String])],
+      dvs: Map[String, DeltaDv.DvDescriptor]): DataFrame =
+    plan(spark, root, m, live, dvs, withMeta = true)
+
   private[sources] def plan(spark: SparkSession, root: String, m: Meta,
                             live: Seq[(String, Map[String, String])],
-                            dvs: Map[String, DeltaDv.DvDescriptor] = Map.empty)
+                            dvs: Map[String, DeltaDv.DvDescriptor] = Map.empty,
+                            withMeta: Boolean = false)
       : DataFrame = {
+    val metaSel: Seq[org.apache.spark.sql.Column] =
+      if (!withMeta) Nil
+      else Seq(col("_metadata.file_path").as(MetaFileCol),
+        col("_metadata.row_index").as(MetaPosCol))
+    val outNames: Seq[String] =
+      m.schema.fieldNames.toSeq ++
+        (if (withMeta) Seq(MetaFileCol, MetaPosCol) else Nil)
     // Deletion vectors: scans over DV-carrying files keep Spark's
     // parquet metadata columns in scope and drop deleted row positions
     // via the codegen'd DvDeleted filter — applied BEFORE any
@@ -813,9 +861,17 @@ object DeltaRead {
       if (!mapped) pv.get(pc).orNull
       else pv.get(physByLogical(pc)).orElse(pv.get(pc)).orNull
 
-    if (live.isEmpty)
+    if (live.isEmpty) {
+      val outSchema =
+        if (!withMeta) m.schema
+        else StructType(m.schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField(MetaFileCol,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(MetaPosCol,
+            org.apache.spark.sql.types.LongType)))
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    }
 
     val bySpec = live.groupBy(_._2).toSeq
     if (!mapped && m.partitionCols.nonEmpty &&
@@ -827,7 +883,7 @@ object DeltaRead {
         .schema(m.schema)
         .parquet(live.map(f => resolvePath(rootAbs, f._1)): _*),
         live.map(_._1))
-        .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+        .select(m.schema.fieldNames.map(col).toIndexedSeq ++ metaSel: _*)
     }
 
     val parts = bySpec.map { case (pv, group) =>
@@ -837,9 +893,11 @@ object DeltaRead {
         reader.parquet(group.map(g => resolvePath(root, g._1)): _*),
         group.map(_._1))
       val logical =
-        if (!mapped) base
+        if (!mapped && !withMeta) base
+        else if (!mapped) base.select(col("*") +: metaSel: _*)
         else base.select(dataCols.map(f =>
-          col(s"`${physicalName(f)}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+          col(s"`${physicalName(f)}`").cast(f.dataType).as(f.name))
+          .toIndexedSeq ++ metaSel: _*)
       val withParts = m.partitionCols.foldLeft(logical) { (df, pc) =>
         val f = m.schema.fields.find(_.name == pc)
           .getOrElse(sys.error(s"partition column $pc missing from schema"))
@@ -847,7 +905,7 @@ object DeltaRead {
         df.withColumn(pc,
           (if (raw == null) lit(null) else lit(raw)).cast(f.dataType))
       }
-      withParts.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+      withParts.select(outNames.map(col).toIndexedSeq: _*)
     }
     parts.reduce(_.unionAll(_))
   }

@@ -37,10 +37,16 @@ import graft.util.Json
   * can decide whether to re-derive it.
   *
   * Spec conformance the writer enforces rather than assumes:
-  *   - protocol (1, 2) is declared on create; tables demanding
-  *     `minWriterVersion` > 2 (or column mapping, whose physical
+  *   - protocol (1, 2) is declared on create; legacy feature bundles
+  *     `minWriterVersion` 3–6 (or column mapping, whose physical
   *     col-<uuid> names a by-name writer cannot produce) are REFUSED —
-  *     never written with silently missing feature behavior;
+  *     never written with silently missing feature behavior. TABLE
+  *     FEATURES (version 7) write iff every listed writerFeature is
+  *     implemented here (appendOnly, invariants, deletionVectors —
+  *     see [[deleteWithDv]], which also performs the (1,2)→(3,7)
+  *     upgrade the first time a vector is written), and every file
+  *     action carries the spec's (path, deletion-vector) logical-file
+  *     identity;
   *   - minWriterVersion=2 means invariants must be honored: a schema
   *     carrying `delta.invariants` metadata is refused (this writer
   *     does not evaluate invariant expressions), and
@@ -204,8 +210,7 @@ object DeltaWrite {
     val adds = stage(spark, aligned, root, st.meta.partitionCols)
     val ts = System.currentTimeMillis()
     val removes = st.live.map { case (p, _) =>
-      ListMap("remove" -> ListMap(
-        "path" -> p, "deletionTimestamp" -> ts, "dataChange" -> true))
+      removeAction(p, st.dvs.get(p), ts)
     }
     val actions = (commitInfo("WRITE", "Overwrite") +: removes) ++ adds
     commit(root, st.version + 1, actions) match {
@@ -248,7 +253,7 @@ object DeltaWrite {
       canon(DeltaRead.percentDecode(p.stripPrefix("file:")))
     val liveByPath = st.live.map(f => canon(resolve(root, f._1)) -> f).toMap
 
-    val affected = DeltaRead.plan(spark, root, st.meta, st.live)
+    val affected = DeltaRead.plan(spark, root, st.meta, st.live, st.dvs)
       .where(matchTrue)
       .select(input_file_name()).distinct()
       .collect().map(r => liveByPath.getOrElse(canonUri(r.getString(0)),
@@ -256,13 +261,15 @@ object DeltaWrite {
           "the table changed under the delete")))
     if (affected.isEmpty) return st.version
 
-    val kept = DeltaRead.plan(spark, root, st.meta, affected.toSeq)
+    // survivors of a DV'd file = its VISIBLE rows minus the matches —
+    // the rewrite naturally clears the file's vector (the remove below
+    // carries it away)
+    val kept = DeltaRead.plan(spark, root, st.meta, affected.toSeq, st.dvs)
       .where(!matchTrue)
     val adds = stage(spark, kept, root, st.meta.partitionCols)
     val ts = System.currentTimeMillis()
     val removes = affected.toSeq.map { case (p, _) =>
-      ListMap("remove" -> ListMap(
-        "path" -> p, "deletionTimestamp" -> ts, "dataChange" -> true))
+      removeAction(p, st.dvs.get(p), ts)
     }
     val actions = (commitInfo("DELETE") +: removes) ++ adds
     commit(root, st.version + 1, actions) match {
@@ -275,6 +282,157 @@ object DeltaWrite {
     }
   }
 
+  /** DELETE FROM without rewriting a single data byte: the matching
+    * rows' physical positions become DELETION VECTORS (PROTOCOL.md
+    * "Deletion Vectors") — each affected file is re-added with a
+    * vector naming its dead rows, the previous (path, dv) entry is
+    * removed, and readers drop the positions at scan time. THE
+    * 100 TB delete: a predicate hitting k rows costs one scan, a
+    * (file, pos)-keyed combine of k positions, and manifest-scale
+    * metadata — where [[delete]]'s copy-on-write rewrites every
+    * affected FILE. A file whose every visible row dies is removed
+    * outright (no empty-shell DV).
+    *
+    * Positions are aggregated into serialized bitmaps EXECUTOR-side
+    * (`groupByKey(file).mapGroups`): the driver receives one
+    * bitmap-sized blob per affected file — bounded by vector bytes,
+    * never by deleted-row count. An existing vector is UNIONED in (the
+    * spec: a file's new DV must contain every previously deleted
+    * position), and all of the commit's vectors land in ONE on-disk
+    * `.bin` file.
+    *
+    * First DV on a (1,2) table upgrades the protocol in the same
+    * commit — minReader 3 / minWriter 7 with
+    * readerFeatures=[deletionVectors] and writerFeatures listing the
+    * legacy features version 2 implied plus deletionVectors — and
+    * stamps `delta.enableDeletionVectors=true` into the table
+    * configuration via a metaData action that PRESERVES id and
+    * createdTime. Lost commit races refuse like [[delete]] (the
+    * remove-set went stale); the orphaned vector file is cleaned up. */
+  def deleteWithDv(spark: SparkSession, root: String,
+                   predicate: org.apache.spark.sql.Column): Long = {
+    val st = writableState(spark, root)
+    require(st.meta.configuration.getOrElse("delta.appendOnly", "false") != "true",
+      s"Delta table at $root sets delta.appendOnly=true — refusing delete")
+    val matchTrue = predicate <=> org.apache.spark.sql.functions.lit(true)
+
+    import spark.implicits._
+    val hits = DeltaRead.planWithMeta(spark, root, st.meta, st.live, st.dvs)
+      .where(matchTrue)
+      .select(col(DeltaRead.MetaFileCol), col(DeltaRead.MetaPosCol))
+      .as[(String, Long)]
+    val perFile: Array[(String, Array[Byte])] = hits.groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val bm = RoaringBitmapArray()
+        it.foreach(t => bm.add(t._2))
+        bm.runOptimize()
+        (f, bm.serialize())
+      }.collect()
+    if (perFile.isEmpty) return st.version
+
+    def canon(p: String): String =
+      Paths.get(p).toAbsolutePath.normalize.toString
+    def canonUri(p: String): String =
+      canon(DeltaRead.percentDecode(p.stripPrefix("file:")))
+    val liveByPath = st.live.map(f => canon(resolve(root, f._1)) -> f).toMap
+
+    // merge with any existing vector; split full-file deletes out
+    val merged = perFile.toSeq.map { case (uri, bytes) =>
+      val (p, pv) = liveByPath.getOrElse(canonUri(uri),
+        sys.error(s"matched file $uri not in the live set — " +
+          "the table changed under the delete"))
+      val bm = RoaringBitmapArray.deserialize(bytes)
+      st.dvs.get(p).foreach(old => bm.orInPlace(DeltaDv.load(root, old)))
+      bm.runOptimize()
+      (p, pv, bm)
+    }
+    val (fullyDead, partial) = merged.partition { case (p, _, bm) =>
+      bm.cardinality == physicalRows(Paths.get(resolve(root, p)))
+    }
+
+    val ts = System.currentTimeMillis()
+    val descs =
+      if (partial.isEmpty) Nil
+      else DeltaDv.writeFile(root, "", partial.map(_._3))
+    val needUpgrade = st.minReader < 3 || st.minWriter < 7 ||
+      !st.readerFeatures.contains("deletionVectors") ||
+      !st.writerFeatures.contains("deletionVectors")
+    val upgrade =
+      if (!needUpgrade) Vector.empty
+      else Vector(
+        ListMap[String, Any]("protocol" -> ListMap(
+          "minReaderVersion" -> 3L, "minWriterVersion" -> 7L,
+          "readerFeatures" ->
+            (st.readerFeatures + "deletionVectors").toSeq.sorted,
+          "writerFeatures" ->
+            (st.writerFeatures ++ SupportedWriterFeatures).toSeq.sorted)),
+        metaDataFrom(st.meta,
+          st.meta.configuration + ("delta.enableDeletionVectors" -> "true")))
+    val removes = merged.map { case (p, _, _) =>
+      removeAction(p, st.dvs.get(p), ts)
+    }
+    val adds = partial.zip(descs).map { case ((p, pv, _), d) =>
+      val f = Paths.get(resolve(root, p))
+      ListMap[String, Any]("add" -> (ListMap[String, Any](
+        "path" -> p,
+        "partitionValues" -> ListMap(pv.toSeq.sortBy(_._1): _*),
+        "size" -> Files.size(f),
+        "modificationTime" -> Files.getLastModifiedTime(f).toMillis,
+        "dataChange" -> true,
+        "deletionVector" -> dvAction(d)) ++
+        st.stats.get(p).map(s => ListMap("stats" -> s)).getOrElse(ListMap.empty)))
+    }
+    val actions = (commitInfo("DELETE") +: upgrade) ++ removes ++ adds
+    commit(root, st.version + 1, actions) match {
+      case Some(v) => v
+      case None =>
+        descs.headOption.foreach(d =>
+          Files.deleteIfExists(DeltaDv.dvPath(root, d)))
+        throw new ConcurrentWriteException(
+          s"version ${st.version + 1} of $root was committed concurrently " +
+            "during deleteWithDv — re-read and retry")
+    }
+  }
+
+  /** Physical row count from one parquet footer (metadata-only). */
+  private def physicalRows(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toString),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** The deletionVector descriptor object for a file action. */
+  private def dvAction(d: DeltaDv.DvDescriptor): ListMap[String, Any] =
+    ListMap[String, Any]("storageType" -> d.storageType,
+      "pathOrInlineDv" -> d.pathOrInlineDv) ++
+      d.offset.map(o => ListMap[String, Any]("offset" -> o))
+        .getOrElse(ListMap.empty[String, Any]) ++
+      ListMap[String, Any]("sizeInBytes" -> d.sizeInBytes.toLong,
+        "cardinality" -> d.cardinality)
+
+  /** A remove action carrying the removed logical file's deletion
+    * vector (the (path, dv) identity reconciliation keys on). */
+  private def removeAction(p: String, dv: Option[DeltaDv.DvDescriptor],
+                           ts: Long): Map[String, Any] =
+    ListMap("remove" -> (ListMap[String, Any](
+      "path" -> p, "deletionTimestamp" -> ts, "dataChange" -> true) ++
+      dv.map(d => ListMap[String, Any]("deletionVector" -> dvAction(d)))
+        .getOrElse(ListMap.empty[String, Any])))
+
+  /** A metaData action that PRESERVES the table's id/createdTime and
+    * schema, with `conf` as the (possibly updated) configuration. */
+  private def metaDataFrom(meta: DeltaRead.Meta,
+                           conf: Map[String, String]): Map[String, Any] =
+    ListMap("metaData" -> ListMap(
+      "id" -> (if (meta.id.nonEmpty) meta.id else UUID.randomUUID().toString),
+      "format" -> ListMap("provider" -> "parquet", "options" -> ListMap.empty),
+      "schemaString" -> meta.schema.json,
+      "partitionColumns" -> meta.partitionCols,
+      "configuration" -> ListMap(conf.toSeq.sortBy(_._1): _*),
+      "createdTime" -> meta.createdTime.getOrElse(System.currentTimeMillis())))
+
   /** Write a single-part checkpoint of the CURRENT version and point
     * `_last_checkpoint` at it, so readers bootstrap without replaying
     * the JSON tail and old commits become vacuumable. The checkpoint
@@ -286,25 +444,34 @@ object DeltaWrite {
     * rows would break every idempotent streaming writer's replay
     * detection after the next log clean). Expired remove tombstones
     * are not retained (this writer's tables carry no vacuum
-    * bookkeeping). Tables demanding minWriterVersion > 2 are refused:
-    * their feature actions (e.g. domainMetadata) are not folded here,
-    * so checkpointing would silently discard them. Returns the
+    * bookkeeping). Live deletion vectors and the protocol's
+    * reader/writer feature lists are carried in full (r14 — dropping
+    * either would resurrect deleted rows / downgrade the protocol for
+    * bootstrapped readers); legacy-versioned tables (minWriter 3–6)
+    * and unknown version-7 features are refused: their feature
+    * actions (e.g. domainMetadata) are not folded here, so
+    * checkpointing would silently discard them. Returns the
     * checkpointed version. */
   def checkpoint(spark: SparkSession, root: String): Long = {
     import org.apache.spark.sql.Row
     val st = DeltaRead.state(spark, root, Long.MaxValue)
-    require(st.minWriter <= 2,
-      s"Delta table at $root needs minWriterVersion=${st.minWriter}; its " +
-        "feature actions are not reconstructed by this fold, so a " +
-        "checkpoint would silently discard table state — refusing")
-    require(st.dvs.isEmpty,
-      s"Delta table at $root has live deletion vectors; this checkpoint " +
-        "schema carries no deletionVector column, so writing one would " +
-        "RESURRECT every deleted row for checkpoint-bootstrapped readers " +
-        "— refusing")
+    // (1,2) and table-features protocols whose every feature is
+    // implemented here checkpoint fine — their whole state IS what
+    // this fold reconstructs (protocol incl. feature lists, metaData,
+    // adds incl. deletion vectors, txn ledger). Versions 3–6 bundle
+    // legacy feature actions this fold does not carry — refuse.
+    require(st.minWriter <= 2 ||
+        (st.minWriter == 7 &&
+          (st.writerFeatures -- SupportedWriterFeatures).isEmpty),
+      s"Delta table at $root needs minWriterVersion=${st.minWriter} " +
+        s"(writerFeatures=${st.writerFeatures.toSeq.sorted.mkString(",")}); " +
+        "feature actions beyond this fold's reconstruction would be " +
+        "silently discarded by a checkpoint — refusing")
     val protoT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
     val metaT = StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(
@@ -321,7 +488,13 @@ object DeltaWrite {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))
+      StructField("stats", StringType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", LongType),
+        StructField("sizeInBytes", LongType),
+        StructField("cardinality", LongType))))))
     val txnT = StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType)))
@@ -329,7 +502,10 @@ object DeltaWrite {
       StructField("protocol", protoT), StructField("metaData", metaT),
       StructField("add", addT), StructField("txn", txnT)))
     val rows =
-      Row(Row(st.minReader.toInt, st.minWriter.toInt), null, null, null) +:
+      Row(Row(st.minReader.toInt, st.minWriter.toInt,
+        if (st.readerFeatures.isEmpty) null else st.readerFeatures.toSeq.sorted,
+        if (st.writerFeatures.isEmpty) null else st.writerFeatures.toSeq.sorted),
+        null, null, null) +:
       Row(null, Row(
         if (st.meta.id.nonEmpty) st.meta.id else s"graft-${UUID.randomUUID()}",
         Row("parquet", Map.empty[String, String]), st.meta.schema.json,
@@ -342,7 +518,10 @@ object DeltaWrite {
         val f = Paths.get(resolve(root, p))
         Row(null, null, Row(p, pv, Files.size(f),
           Files.getLastModifiedTime(f).toMillis, true,
-          st.stats.get(p).orNull), null)
+          st.stats.get(p).orNull,
+          st.dvs.get(p).map(d => Row(d.storageType, d.pathOrInlineDv,
+            d.offset.map(Long.box).orNull, d.sizeInBytes.toLong,
+            d.cardinality)).orNull), null)
       })
     val cp = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), cpT)
@@ -365,29 +544,50 @@ object DeltaWrite {
 
   // ---------------------------------------------------------------- internals
 
+  /** Writer features (protocol version 7) this implementation honors:
+    * appendOnly (enforced — overwrite/delete refuse on
+    * `delta.appendOnly`), invariants (honored by REFUSAL — schemas
+    * declaring `delta.invariants` are never written, the safe
+    * direction for a writer that does not evaluate them), and
+    * deletionVectors (file actions emitted with (path, dv) identity,
+    * vectors written by [[deleteWithDv]]). These are exactly the
+    * features an upgrade-to-7 lists: the two legacy features
+    * minWriterVersion=2 implied, plus DVs. */
+  private val SupportedWriterFeatures: Set[String] =
+    Set("appendOnly", "invariants", "deletionVectors")
+
   /** Fold the current state and refuse everything this writer cannot
     * honor (PROTOCOL.md: "a writer must refuse to write to a table
-    * whose protocol it does not fully implement"). */
+    * whose protocol it does not fully implement"). Versions 3–6 are
+    * LEGACY feature bundles (constraints, CDF, generated columns, …)
+    * this writer does not implement; version 7 is table features and
+    * writes proceed iff every listed writerFeature is in
+    * [[SupportedWriterFeatures]]. */
   private def writableState(spark: SparkSession, root: String)
       : DeltaRead.TableState = {
     val st = DeltaRead.state(spark, root, Long.MaxValue)
-    require(st.minWriter <= 2,
+    require(st.minWriter <= 2 || st.minWriter == 7,
       s"Delta table at $root needs minWriterVersion=${st.minWriter}; this " +
-        "writer implements protocol (1,2) — refusing rather than writing " +
-        "a table whose feature contracts it would silently break")
+        "writer implements protocol (1,2) and table features (3,7) — " +
+        "refusing rather than writing a table whose legacy feature " +
+        "contracts it would silently break")
+    if (st.minWriter == 7) {
+      require(st.writerFeatures.nonEmpty,
+        s"Delta table at $root declares minWriterVersion=7 but lists no " +
+          "writerFeatures — non-conformant protocol action; refusing")
+      val unsupported = st.writerFeatures -- SupportedWriterFeatures
+      require(unsupported.isEmpty,
+        s"Delta table at $root requires writer feature(s) " +
+          s"${unsupported.toSeq.sorted.mkString(", ")} this writer does not " +
+          s"implement (supported: ${SupportedWriterFeatures.toSeq.sorted.mkString(", ")}) " +
+          "— refusing rather than breaking their contracts")
+    }
     // the READER handles name-mode mapping; the writer does not emit
     // physical col-<uuid> columns, so any mapped table is write-refused
-    // (conformant ones carry minWriter=5 and are caught above anyway)
     val cm = st.meta.configuration.getOrElse("delta.columnMapping.mode", "none")
     require(cm == "none",
       s"Delta table at $root uses delta.columnMapping.mode=$cm; this writer " +
         "does not produce physical column names — refusing to write")
-    // conformant DV tables carry minWriter=7 and are refused above;
-    // this belt covers hand-authored logs: a writer that does not
-    // reconcile by (path, dv) must not touch live deletion vectors
-    require(st.dvs.isEmpty,
-      s"Delta table at $root has live deletion vectors; this writer's " +
-        "remove/rewrite logic is path-keyed — refusing to write")
     refuseInvariants(st.meta.schema, root)
     // an EXTERNAL table may be partitioned by a type whose spec
     // serialization diverges from the hive dir form stage() emits —

@@ -387,25 +387,25 @@ class DeltaDvSpec extends SparkSpec {
     assert(ids(GraftTable.read(spark, gt)) === Seq(1L))
   }
 
-  test("the path-keyed writer and checkpointer refuse DV tables loudly") {
+  test("the writer handles DV tables (r14 write path): append and checkpoint preserve vectors") {
     import spark.implicits._
     val root = freshTable()
     val f1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     dataFile(root, "f1.parquet", f1)
     val Seq(dv) = DeltaDv.writeFile(root, "", Seq(RoaringBitmapArray(0L)))
-    // hand-authored LOW protocol (the conformant minWriter=7 is caught
-    // by the version gate already — this pins the dv-specific belt)
+    // hand-authored LOW protocol with a live vector: the dv-aware
+    // writer (DeltaDvWriteSpec has the full surface) must neither
+    // refuse nor lose it
     writeCommit(root, 0, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       metaLine(f1.schema.json), addLine("f1.parquet", dv = Some(dv))))
     assert(ids(DeltaRead.read(spark, root)) === Seq(2L))
-    val w = intercept[IllegalArgumentException] {
-      DeltaWrite.append(spark, f1, root)
-    }
-    assert(w.getMessage.contains("live deletion vectors"))
-    val c = intercept[IllegalArgumentException] {
-      DeltaWrite.checkpoint(spark, root)
-    }
-    assert(c.getMessage.contains("RESURRECT"))
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), root)
+    assert(ids(DeltaRead.read(spark, root)) === Seq(2L, 3L))
+    val cpV = DeltaWrite.checkpoint(spark, root)
+    (0L to cpV).foreach(v =>
+      Files.delete(Paths.get(root, "_delta_log", f"$v%020d.json")))
+    assert(ids(DeltaRead.read(spark, root)) === Seq(2L, 3L),
+      "the checkpoint must carry the deletion vector")
   }
 }
