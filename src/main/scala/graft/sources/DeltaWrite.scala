@@ -394,6 +394,42 @@ object DeltaWrite {
     }
   }
 
+  /** Maintenance twin of [[deleteWithDv]] — the OPTIMIZE-style purge
+    * every DV table eventually needs: rewrite files whose vector
+    * deletes at least `minDeletedFraction` of their physical rows back
+    * to clean parquet (the visible rows), dropping their vectors. The
+    * table's LOGICAL content is unchanged, so every action carries
+    * `dataChange=false` — streaming readers of the log know to skip
+    * the commit, and `delta.appendOnly` does not block it.
+    * Work ∝ the rewritten files' visible bytes; untouched files are
+    * carried by reference. Returns the committed version (unchanged
+    * when no vector clears the threshold). */
+  def purgeVectors(spark: SparkSession, root: String,
+                   minDeletedFraction: Double = 0.0): Long = {
+    val st = writableState(spark, root)
+    val targets = st.live.filter { case (p, _) =>
+      st.dvs.get(p).exists(_.cardinality.toDouble >=
+        minDeletedFraction * physicalRows(Paths.get(resolve(root, p))))
+    }
+    if (targets.isEmpty) return st.version
+    val visible = DeltaRead.plan(spark, root, st.meta, targets, st.dvs)
+    val adds = stage(spark, visible, root, st.meta.partitionCols,
+      dataChange = false)
+    val ts = System.currentTimeMillis()
+    val removes = targets.map { case (p, _) =>
+      removeAction(p, st.dvs.get(p), ts, dataChange = false)
+    }
+    val actions = (commitInfo("OPTIMIZE", "purgeVectors") +: removes) ++ adds
+    commit(root, st.version + 1, actions) match {
+      case Some(v) => v
+      case None =>
+        cleanup(root, adds)
+        throw new ConcurrentWriteException(
+          s"version ${st.version + 1} of $root was committed concurrently " +
+            "during purgeVectors — re-read and retry")
+    }
+  }
+
   /** Physical row count from one parquet footer (metadata-only). */
   private def physicalRows(p: Path): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -415,9 +451,9 @@ object DeltaWrite {
   /** A remove action carrying the removed logical file's deletion
     * vector (the (path, dv) identity reconciliation keys on). */
   private def removeAction(p: String, dv: Option[DeltaDv.DvDescriptor],
-                           ts: Long): Map[String, Any] =
+                           ts: Long, dataChange: Boolean = true): Map[String, Any] =
     ListMap("remove" -> (ListMap[String, Any](
-      "path" -> p, "deletionTimestamp" -> ts, "dataChange" -> true) ++
+      "path" -> p, "deletionTimestamp" -> ts, "dataChange" -> dataChange) ++
       dv.map(d => ListMap[String, Any]("deletionVector" -> dvAction(d)))
         .getOrElse(ListMap.empty[String, Any])))
 
@@ -656,7 +692,8 @@ object DeltaWrite {
     * values from its directory path (unescaping hive's %xx form) and
     * reads `numRecords` from its parquet footer for `stats`. */
   private def stage(spark: SparkSession, df: DataFrame, root: String,
-                    partitionBy: Seq[String]): Vector[Map[String, Any]] = {
+                    partitionBy: Seq[String],
+                    dataChange: Boolean = true): Vector[Map[String, Any]] = {
     Files.createDirectories(Paths.get(root))
     val stg = Paths.get(root, s".graft-stage-${UUID.randomUUID()}")
     val writer = df.write.mode("errorifexists")
@@ -704,7 +741,7 @@ object DeltaWrite {
         "partitionValues" -> pv,
         "size" -> Files.size(dest),
         "modificationTime" -> Files.getLastModifiedTime(dest).toMillis,
-        "dataChange" -> true,
+        "dataChange" -> dataChange,
         "stats" -> Json.render(fileStats(dest,
           StructType(df.schema.fields.filterNot(f =>
             partitionBy.contains(f.name)))))))

@@ -161,6 +161,34 @@ class DeltaDvWriteSpec extends SparkSpec {
     assert(ids(GraftTable.read(spark, gt)) === Seq(1L, 3L, 4L, 5L))
   }
 
+  test("purgeVectors rewrites DV'd files clean with dataChange=false; threshold honored") {
+    import spark.implicits._
+    val root = freshTable()
+    DeltaWrite.create(spark,
+      (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), root)
+    DeltaWrite.append(spark, Seq((9L, "v9")).toDF("id", "v"), root)
+    DeltaWrite.deleteWithDv(spark, root, col("id").isin(2L, 3L))
+    val before = ids(DeltaRead.read(spark, root))
+
+    val v = DeltaWrite.purgeVectors(spark, root)
+    assert(v === 3L)
+    assert(ids(DeltaRead.read(spark, root)) === before,
+      "purge must not change logical content")
+    assert(DeltaRead.state(spark, root, Long.MaxValue).dvs.isEmpty)
+    // every action in the purge commit declares dataChange=false
+    val lines = Files.readAllLines(
+      Paths.get(root, "_delta_log", f"$v%020d.json")).asScala
+      .filter(l => l.contains("\"add\"") || l.contains("\"remove\""))
+    assert(lines.nonEmpty &&
+      lines.forall(_.contains("\"dataChange\":false")))
+
+    // a vector under the density threshold is left alone
+    DeltaWrite.deleteWithDv(spark, root, col("id") === 4L) // 1 of 6 rows
+    val vSame = DeltaWrite.purgeVectors(spark, root, minDeletedFraction = 0.5)
+    assert(vSame === 4L, "no commit when nothing clears the threshold")
+    assert(DeltaRead.state(spark, root, Long.MaxValue).dvs.nonEmpty)
+  }
+
   test("writer refusals: legacy versions 3-6 and unknown version-7 features, by name") {
     import spark.implicits._
     val root = freshTable()
