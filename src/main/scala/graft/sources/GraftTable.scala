@@ -465,9 +465,13 @@ object GraftTable {
     * ENTERED the live set upsert, keys present only in files that
     * LEFT it delete. Identity-partition values live inside Iceberg
     * data files, so the diff needs no metadata-side value injection.
-    * Refusals: v2 row-level DELETE files anywhere on the walked chain
-    * (the reader applies them — r14 — but this FILE-level diff would
-    * miss their row-visibility changes; re-import instead), schema
+    * v2 POSITION deletes sync incrementally (r14): a changed delete
+    * file names its target data files, and those files' prev/cur
+    * VISIBLE rows ride both sides of the diff — newly hidden keys
+    * fall out as deletes, dropped delete files resurrect rows as
+    * upserts, cost proportional to the changed targets. Refusals:
+    * EQUALITY delete files (value-matched against every older file —
+    * un-localizable by a file diff; re-import instead), schema
     * changes (column renames included: GraftTable has no rename
     * story), and duplicate merge keys; same crash-idempotent marker
     * protocol as [[syncDelta]].
@@ -499,23 +503,47 @@ object GraftTable {
         s"Iceberg snapshot ${cur.snapshotId} at $iceRoot changes the " +
           "table schema; incremental sync has no schema-evolution " +
           s"story — re-import (table stays consistent as of snapshot ${prev.snapshotId})")
-      require(cur.deletes.isEmpty && prev.deletes.isEmpty,
-        s"Iceberg snapshot ${cur.snapshotId} at $iceRoot carries v2 " +
-          "row-level delete files; this FILE-level diff would miss their " +
-          "row-visibility changes — re-import instead (the reader applies " +
-          s"them; table stays consistent as of snapshot ${prev.snapshotId})")
+      // POSITION deletes sync incrementally (below); EQUALITY deletes
+      // match by value against every strictly-older file — a file
+      // diff cannot localize them, so they still refuse
+      require((cur.deletes ++ prev.deletes).forall(_.content == 1L),
+        s"Iceberg snapshot ${cur.snapshotId} at $iceRoot carries EQUALITY " +
+          "delete files; a file-level diff cannot localize value-matched " +
+          "deletes — re-import instead (the reader applies them; table " +
+          s"stays consistent as of snapshot ${prev.snapshotId})")
       val prevSet = prev.files.toSet
       val curSet = cur.files.toSet
       val addedFiles = cur.files.filterNot(prevSet)
       val removedFiles = prev.files.filterNot(curSet)
+      // a position-delete-file change moves row VISIBILITY inside data
+      // files that stayed live: feed those files' prev/cur VISIBLE
+      // rows through both sides of the diff — unchanged rows re-upsert
+      // (no-op), newly hidden keys fall out as deletes, resurrected
+      // ones (a dropped delete file) come back as upserts. Work stays
+      // proportional to the changed delete files' targets.
+      val delKey = (d: IcebergRead.DeleteFile) => (d.path, d.seq)
+      val prevDel = prev.deletes.map(delKey).toSet
+      val curDel = cur.deletes.map(delKey).toSet
+      val changedDelFiles =
+        (prev.deletes.filterNot(d => curDel(delKey(d))) ++
+          cur.deletes.filterNot(d => prevDel(delKey(d)))).map(_.path).distinct
+      val changedCommon: Seq[String] =
+        if (changedDelFiles.isEmpty) Nil
+        else {
+          val targets = IcebergRead.posDeleteTargets(spark, changedDelFiles)
+          (prevSet intersect curSet).toSeq
+            .filter(p => targets(IcebergRead.canonStr(p)))
+        }
+      val old = prev
       prev = cur
-      if (addedFiles.isEmpty && removedFiles.isEmpty) {
+      if (addedFiles.isEmpty && removedFiles.isEmpty && changedCommon.isEmpty) {
         writeIcebergMarker(root, iceRoot, cur.snapshotId)
         None
       } else {
-        val mapping = IcebergRead.nameMappingOf(meta)
-        val added = IcebergRead.planFiles(spark, cur.schema, addedFiles, mapping)
-        val removed = IcebergRead.planFiles(spark, cur.schema, removedFiles, mapping)
+        val added = IcebergRead.planFilesVisible(spark, meta, cur,
+          addedFiles ++ changedCommon)
+        val removed = IcebergRead.planFilesVisible(spark, meta, old,
+          removedFiles ++ changedCommon)
         val valueCols = cur.schema.fields.filterNot(_.name == key)
         val upserts = added.select(
           (col(key) +: lit(false).as("is_delete") +:

@@ -240,8 +240,29 @@ object IcebergRead {
     // the derived session the parquet RELATION is built with
     // (HadoopFsRelation pins its own SparkSession) — see planFiles.
     // Tables carrying a name mapping resolve through it instead.
-    if (st.deletes.isEmpty) planFiles(spark, st.schema, st.files, nameMappingOf(meta))
-    else planWithDeletes(spark, meta, st)
+    planFilesVisible(spark, meta, st, st.files)
+  }
+
+  /** VISIBLE rows of `subset`'s files under snapshot `st` — the one
+    * entry point both the snapshot read and the delete-aware sync
+    * diff use: with no delete files it is the plain [[planFiles]]
+    * scan; otherwise the delete-aware plan below, restricted to the
+    * subset. */
+  private[sources] def planFilesVisible(spark: SparkSession, meta: Any,
+      st: SnapState, subset: Seq[String]): DataFrame =
+    if (st.deletes.isEmpty) planFiles(spark, st.schema, subset, nameMappingOf(meta))
+    else planWithDeletes(spark, meta, st, subset)
+
+  /** Canonical paths of the data files the given POSITION-delete
+    * files target (one metadata-light scan of their `file_path`
+    * column) — how the sync localizes a delete-file change to the
+    * data files whose visibility it moves. */
+  private[sources] def posDeleteTargets(spark: SparkSession,
+                                        paths: Seq[String]): Set[String] = {
+    if (paths.isEmpty) return Set.empty
+    val posT = StructType(Seq(StructField("file_path", StringType)))
+    spark.read.schema(posT).parquet(paths: _*)
+      .distinct().collect().map(r => canonStr(r.getString(0))).toSet
   }
 
   /** True iff any partition spec in `meta` carries fields — the gate
@@ -260,7 +281,7 @@ object IcebergRead {
     import org.apache.spark.sql.functions.regexp_replace
     regexp_replace(regexp_replace(c, "^file:", ""), "^/+", "/")
   }
-  private def canonStr(p: String): String =
+  private[sources] def canonStr(p: String): String =
     p.stripPrefix("file:").replaceAll("^/+", "/")
 
   /** The delete-aware snapshot plan. Shape (one declarative DAG, no
@@ -279,7 +300,7 @@ object IcebergRead {
     * AQE broadcasts when small and shuffles when not — never a
     * cartesian, and data bytes are touched once. */
   private def planWithDeletes(spark: SparkSession, meta: Any,
-                              st: SnapState): DataFrame = {
+                              st: SnapState, subset: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     require(!st.deletes.exists(_.content == 2L) || !partitioned(meta),
       "equality deletes on a PARTITIONED Iceberg table are scoped by " +
@@ -287,6 +308,9 @@ object IcebergRead {
         "refusing rather than over-deleting across partitions")
     val schema = st.schema
     val mapping = nameMappingOf(meta)
+    if (subset.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
     // the data scan, with the table projection AND the metadata
     // columns the delete joins key on
@@ -295,17 +319,19 @@ object IcebergRead {
       col("_metadata.row_index").as("__graft_pos"))
     val base = mapping match {
       case None =>
-        readerSession(spark).read.schema(schema).parquet(st.files: _*)
+        readerSession(spark).read.schema(schema).parquet(subset: _*)
           .select(schema.fieldNames.map(col).toIndexedSeq ++ metaCols: _*)
       case Some(mp) =>
         val readSchema = toMapped(schema, mp)
-        spark.read.schema(readSchema).parquet(st.files: _*)
+        spark.read.schema(readSchema).parquet(subset: _*)
           .select(schema.fields.zip(readSchema.fields).map { case (lf, pf) =>
             col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
           }.toIndexedSeq ++ metaCols: _*)
     }
+    val subsetSet = subset.toSet
     val seqDim = spark.createDataFrame(
-      st.dataSeq.toSeq.map { case (p, s) => (canonStr(p), s) })
+      st.dataSeq.toSeq.filter(e => subsetSet(e._1))
+        .map { case (p, s) => (canonStr(p), s) })
       .toDF("__graft_dpath", "__graft_dseq")
     var cur = base.join(broadcast(seqDim),
       col("__graft_cpath") === col("__graft_dpath")) // dim covers every file

@@ -185,55 +185,88 @@ class IcebergDeleteSpec extends SparkSpec {
     assert(ids(GraftTable.read(spark, gt)) === Seq(1L, 3L, 6L, 7L, 8L))
   }
 
-  test("syncIceberg refuses a delete-carrying chain, names the re-import path") {
+  test("syncIceberg applies position-delete commits incrementally; equality still refuses") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_ice_del_sync_").toString
     val md = Paths.get(root, "metadata")
     Files.createDirectories(md)
     val fid = Map("id" -> 1L, "v" -> 2L)
     val f1 = dataFile(root, "f1.parquet", withIds(
-      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), fid))
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), fid))
     avroWrite(md.resolve("m1.avro").toString, manifestSchema,
       Seq(entryRow(1, "data/f1.parquet")))
     avroWrite(md.resolve("snap-1.avro").toString, manifestListSchema,
       Seq(mlRow("metadata/m1.avro", 0, 1L)))
-    Files.writeString(md.resolve("v1.metadata.json"),
-      s"""{"format-version":2,"table-uuid":"fixture","location":"$root",
-         |"current-snapshot-id":1,
-         |"schemas":[$schemaJson],"current-schema-id":0,
-         |"snapshots":[
-         |{"snapshot-id":1,"schema-id":0,"manifest-list":"metadata/snap-1.avro"}
-         |]}""".stripMargin)
-    Files.writeString(md.resolve("version-hint.text"), "1")
+    def metaJson(v: Int, snaps: String): Unit = {
+      Files.writeString(md.resolve(s"v$v.metadata.json"),
+        s"""{"format-version":2,"table-uuid":"fixture","location":"$root",
+           |"current-snapshot-id":${v},
+           |"schemas":[$schemaJson],"current-schema-id":0,
+           |"snapshots":[$snaps]}""".stripMargin)
+      Files.writeString(md.resolve("version-hint.text"), v.toString)
+    }
+    val snap1 =
+      s"""{"snapshot-id":1,"schema-id":0,"manifest-list":"metadata/snap-1.avro"}"""
+    metaJson(1, snap1)
 
     val gt = Files.createTempDirectory("graft_ice_del_sync_gt_").toString
     GraftTable.importIceberg(spark, root, gt, "id", 2)
+    assert(ids(GraftTable.read(spark, gt)) === Seq(1L, 2L, 3L))
 
-    // snapshot 2 attaches a position delete to f1
-    dataFile(root, "posdel.parquet",
-      Seq((f1, 0L)).toDF("file_path", "pos"))
+    // snapshot 2: a position delete hides f1's row 0 (id=1) — the
+    // data-file set is UNCHANGED, only visibility moved
+    dataFile(root, "posdel.parquet", Seq((f1, 0L)).toDF("file_path", "pos"))
     avroWrite(md.resolve("mdel.avro").toString, manifestSchema,
       Seq(entryRow(1, "data/posdel.parquet", content = 1)))
     avroWrite(md.resolve("snap-2.avro").toString, manifestListSchema, Seq(
       mlRow("metadata/m1.avro", 0, 1L),
       mlRow("metadata/mdel.avro", 1, 2L)))
-    Files.writeString(md.resolve("v2.metadata.json"),
-      s"""{"format-version":2,"table-uuid":"fixture","location":"$root",
-         |"current-snapshot-id":2,
-         |"schemas":[$schemaJson],"current-schema-id":0,
-         |"snapshots":[
-         |{"snapshot-id":1,"schema-id":0,"manifest-list":"metadata/snap-1.avro"},
-         |{"snapshot-id":2,"schema-id":0,"parent-snapshot-id":1,"manifest-list":"metadata/snap-2.avro"}
-         |]}""".stripMargin)
-    Files.writeString(md.resolve("version-hint.text"), "2")
+    val snap2 = snap1 + "," +
+      s"""{"snapshot-id":2,"schema-id":0,"parent-snapshot-id":1,"manifest-list":"metadata/snap-2.avro"}"""
+    metaJson(2, snap2)
+    val applied = GraftTable.syncIceberg(spark, gt)
+    assert(applied.map(_._1) === Seq(2L))
+    assert(applied.head._2.rowsDeleted === 1L)
+    assert(ids(GraftTable.read(spark, gt)) === Seq(2L, 3L))
 
+    // snapshot 3: a SECOND delete file hides row 1 (id=2) — the diff
+    // must localize to the new delete file's targets only
+    dataFile(root, "posdel2.parquet", Seq((f1, 1L)).toDF("file_path", "pos"))
+    avroWrite(md.resolve("mdel2.avro").toString, manifestSchema,
+      Seq(entryRow(1, "data/posdel2.parquet", content = 1)))
+    avroWrite(md.resolve("snap-3.avro").toString, manifestListSchema, Seq(
+      mlRow("metadata/m1.avro", 0, 1L),
+      mlRow("metadata/mdel.avro", 1, 2L),
+      mlRow("metadata/mdel2.avro", 1, 3L)))
+    val snap3 = snap2 + "," +
+      s"""{"snapshot-id":3,"schema-id":0,"parent-snapshot-id":2,"manifest-list":"metadata/snap-3.avro"}"""
+    metaJson(3, snap3)
+    val applied3 = GraftTable.syncIceberg(spark, gt)
+    assert(applied3.map(_._1) === Seq(3L))
+    assert(applied3.head._2.rowsDeleted === 1L)
+    assert(ids(GraftTable.read(spark, gt)) === Seq(3L))
+
+    // snapshot 4: an EQUALITY delete appears — refuse, stay at snap 3
+    dataFile(root, "eqdel2.parquet", withIds(
+      Seq(Tuple1("c")).toDF("v"), Map("v" -> 2L)))
+    avroWrite(md.resolve("mdel3.avro").toString, manifestSchema,
+      Seq(entryRow(1, "data/eqdel2.parquet", content = 2, eqIds = Seq(2))))
+    avroWrite(md.resolve("snap-4.avro").toString, manifestListSchema, Seq(
+      mlRow("metadata/m1.avro", 0, 1L),
+      mlRow("metadata/mdel.avro", 1, 2L),
+      mlRow("metadata/mdel2.avro", 1, 3L),
+      mlRow("metadata/mdel3.avro", 1, 4L)))
+    val snap4 = snap3 + "," +
+      s"""{"snapshot-id":4,"schema-id":0,"parent-snapshot-id":3,"manifest-list":"metadata/snap-4.avro"}"""
+    metaJson(4, snap4)
     val e = intercept[IllegalArgumentException] {
       GraftTable.syncIceberg(spark, gt)
     }
-    assert(e.getMessage.contains("row-level delete files") &&
+    assert(e.getMessage.contains("EQUALITY") &&
       e.getMessage.contains("re-import"))
-    // the reader itself DOES apply it
-    assert(ids(IcebergRead.read(spark, root)) === Seq(2L))
+    assert(ids(GraftTable.read(spark, gt)) === Seq(3L)) // consistent at snap 3
+    // the reader itself applies everything
+    assert(ids(IcebergRead.read(spark, root)) === Seq.empty)
   }
 
   test("equality deletes on a partitioned table refuse") {
