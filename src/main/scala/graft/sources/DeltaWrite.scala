@@ -354,9 +354,12 @@ object DeltaWrite {
     val descs =
       if (partial.isEmpty) Nil
       else DeltaDv.writeFile(root, "", partial.map(_._3))
-    val needUpgrade = st.minReader < 3 || st.minWriter < 7 ||
+    // upgrade only when a vector is actually WRITTEN — a delete that
+    // merely removes whole files must not one-way-bump a (1,2) table
+    val needUpgrade = partial.nonEmpty && (st.minReader < 3 ||
+      st.minWriter < 7 ||
       !st.readerFeatures.contains("deletionVectors") ||
-      !st.writerFeatures.contains("deletionVectors")
+      !st.writerFeatures.contains("deletionVectors"))
     val upgrade =
       if (!needUpgrade) Vector.empty
       else Vector(

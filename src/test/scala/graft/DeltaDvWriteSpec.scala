@@ -92,6 +92,9 @@ class DeltaDvWriteSpec extends SparkSpec {
     // the low=true file left the live set entirely; no vector shell
     assert(st.live.forall(!_._1.contains("low=true")))
     assert(st.dvs.isEmpty)
+    // no vector was written, so the one-way protocol bump must NOT
+    // have happened — the table stays writable by (1,2) engines
+    assert(st.minReader === 1L && st.minWriter === 2L)
   }
 
   test("copy-on-write ops on a DV table: delete clears vectors, overwrite carries them away, append just works") {
