@@ -155,6 +155,160 @@ object DeltaRead {
         (if (hi == null) lit(true) else c <= lit(hi)))
   }
 
+  /** CHANGE DATA FEED read: the row-level changes each version in
+    * `[fromVersion, toVersion]` committed, as one frame of the table's
+    * columns plus `_change_type` (insert / delete / update_preimage /
+    * update_postimage) and `_commit_version` — the surface CDF
+    * consumers (downstream syncs, audit pipelines, incremental
+    * materializations) build on.
+    *
+    * Per version, exactly the protocol's reader rule:
+    *   - a commit carrying `cdc` actions is read from its change-data
+    *     files ONLY (they are authoritative; the commit's add/remove
+    *     actions are ignored for change purposes — PROTOCOL.md "Change
+    *     Data Files"). The files carry `_change_type` themselves and
+    *     their partition values inject from the action like adds'.
+    *   - otherwise changes derive from the commit's dataChange file
+    *     actions as a MULTISET diff: removed logical files' rows read
+    *     under the PRE-commit state (their old deletion vectors),
+    *     added ones under the post-commit state, then
+    *     deletes = removed \ added and inserts = added \ removed
+    *     (`exceptAll`). This attributes every commit shape this
+    *     writer emits exactly — appends (all adds insert), full-file
+    *     deletes, copy-on-write rewrites (surviving rows cancel OUT —
+    *     they are not changes), overwrites, and deletion-vector
+    *     updates (remove(f, oldDv) + add(f, newDv): the diff is
+    *     precisely the newly hidden rows).
+    *   - dataChange=false commits ([[DeltaWrite.purgeVectors]],
+    *     OPTIMIZE) contribute NOTHING — the CDC contract.
+    *
+    * Refusals: a vacuumed commit file in range (per-version actions
+    * are gone — no change attribution), and a schema change inside
+    * the range (the union would silently mis-bind columns).
+    *
+    * 100 TB shape: per version the work is one scan of the COMMIT's
+    * files plus an exceptAll shuffle of those rows — commit-
+    * proportional, never table-proportional; the log folds are
+    * manifest-scale. */
+  def readChanges(spark: SparkSession, root: String,
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    val last = latestVersion(root)
+    val to = math.min(toVersion, last)
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"readChanges range [$fromVersion, $toVersion] is empty for table " +
+        s"at $root (latest version $last)")
+    val logDir = Paths.get(root, "_delta_log")
+    (fromVersion to to).foreach { v =>
+      require(Files.isRegularFile(logDir.resolve(f"$v%020d.json")),
+        s"commit $v at $root was vacuumed — its per-version actions are " +
+          "gone, so row-level changes cannot be attributed; narrow the " +
+          "range to surviving commits")
+    }
+    val metas = (fromVersion to to).map(v => v -> state(spark, root, v).meta)
+    metas.sliding(2).foreach {
+      case Seq((v1, m1), (v2, m2)) =>
+        require(m1.schema == m2.schema && m1.partitionCols == m2.partitionCols,
+          s"table schema changes between versions $v1 and $v2 at $root — " +
+            "a single change feed cannot span a schema change; split the range")
+      case _ => ()
+    }
+    val schema = metas.head._2.schema
+    val frames = (fromVersion to to).flatMap(v => changesAt(spark, root, v))
+    if (frames.isEmpty) {
+      val outSchema = StructType(schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    } else frames.reduce(_ unionByName _)
+  }
+
+  /** One version's change frame (None when the commit changed no
+    * rows). */
+  private def changesAt(spark: SparkSession, root: String,
+                        v: Long): Option[DataFrame] = {
+    val log = Paths.get(root, "_delta_log")
+    val commitFile = log.resolve(f"$v%020d.json")
+    require(Files.isRegularFile(commitFile),
+      s"commit $v at $root was vacuumed — its per-version actions are " +
+        "gone, so row-level changes cannot be attributed; narrow the range " +
+        "to surviving commits")
+    val st = state(spark, root, v)
+    var cdcs = Vector.empty[(String, Map[String, String])]
+    var adds = Vector.empty[String]
+    var removes = Vector.empty[String]
+    Files.readAllLines(commitFile, StandardCharsets.UTF_8)
+      .asScala.filter(_.trim.nonEmpty).foreach { line =>
+        val obj = Json.parse(line).asInstanceOf[Map[String, Any]]
+        obj.get("cdc").foreach { c =>
+          cdcs :+= ((Json.str(c, "path")
+            .getOrElse(sys.error(s"cdc without path: $line")),
+            strMap(Json.get(c, "partitionValues"))))
+        }
+        obj.get("add").foreach { a =>
+          if (Json.get(a, "dataChange") != java.lang.Boolean.FALSE)
+            adds :+= Json.str(a, "path")
+              .getOrElse(sys.error(s"add without path: $line"))
+        }
+        obj.get("remove").foreach { r =>
+          if (Json.get(r, "dataChange") != java.lang.Boolean.FALSE)
+            removes ++= Json.str(r, "path")
+        }
+      }
+
+    val verCol = lit(v).as("_commit_version")
+    if (cdcs.nonEmpty) {
+      // change-data files are authoritative; they carry _change_type
+      // as a physical column and live under the table root like data
+      val dataCols = st.meta.schema.fields
+        .filterNot(f => st.meta.partitionCols.contains(f.name))
+      val readSchema = StructType(dataCols :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType))
+      val frames = cdcs.map { case (p, pv) =>
+        val base = spark.read.schema(readSchema)
+          .parquet(resolvePath(root, p))
+        val withParts = st.meta.partitionCols.foldLeft(base) { (df, pc) =>
+          val f = st.meta.schema.fields.find(_.name == pc)
+            .getOrElse(sys.error(s"partition column $pc missing from schema"))
+          val raw = pv.get(pc).orNull
+          df.withColumn(pc,
+            (if (raw == null) lit(null) else lit(raw)).cast(f.dataType))
+        }
+        withParts.select((st.meta.schema.fieldNames.map(col) ++
+          Seq(col("_change_type"), verCol)).toIndexedSeq: _*)
+      }
+      Some(frames.reduce(_ unionByName _))
+    } else if (adds.isEmpty && removes.isEmpty) None
+    else {
+      // the v-1 fold is only needed (and only well-defined — v-1 may
+      // predate the oldest usable checkpoint) when the commit REMOVES
+      // logical files
+      val prev =
+        if (v == 0 || removes.isEmpty) None
+        else Some(state(spark, root, v - 1))
+      // removed logical files read under their PRE-commit visibility;
+      // added ones under the post-commit state
+      val addedRows = plan(spark, root, st.meta,
+        st.live.filter(f => adds.contains(f._1)), st.dvs)
+      val removedEntries = prev.map(_.live.filter(f => removes.contains(f._1)))
+        .getOrElse(Seq.empty)
+      val removedRows = prev match {
+        case Some(p) => plan(spark, root, p.meta, removedEntries, p.dvs)
+        case None => addedRows.limit(0)
+      }
+      val ins = addedRows.exceptAll(removedRows)
+        .select((st.meta.schema.fieldNames.map(col) :+
+          lit("insert").as("_change_type") :+ verCol).toIndexedSeq: _*)
+      val del = removedRows.exceptAll(addedRows)
+        .select((st.meta.schema.fieldNames.map(col) :+
+          lit("delete").as("_change_type") :+ verCol).toIndexedSeq: _*)
+      Some(ins.unionByName(del))
+    }
+  }
+
   /** The live files a stats-aware reader must scan for
     * `lo <= column <= hi`: drops a file iff its stats PROVE
     * max < lo or min > hi. Numbers compare numerically (parse emits
