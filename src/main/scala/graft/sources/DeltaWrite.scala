@@ -562,9 +562,15 @@ object DeltaWrite {
             d.offset.map(Long.box).orNull, d.sizeInBytes.toLong,
             d.cardinality)).orNull), null)
       })
+    val log = Paths.get(root, "_delta_log")
+    val target = log.resolve(f"${st.version}%020d.checkpoint.parquet")
+    // idempotent: a checkpoint already at this version IS the folded
+    // state (checkpointing is deterministic per version) — re-running
+    // without an intervening commit, or losing a race to a concurrent
+    // checkpointer, must be a no-op, not an FS crash
+    if (Files.exists(target)) return st.version
     val cp = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), cpT)
-    val log = Paths.get(root, "_delta_log")
     val tmp = log.resolve(s".cp_${UUID.randomUUID()}")
     cp.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = {
@@ -573,7 +579,12 @@ object DeltaWrite {
         .find(_.getFileName.toString.endsWith(".parquet")).get
       finally ls.close()
     }
-    Files.move(part, log.resolve(f"${st.version}%020d.checkpoint.parquet"))
+    try Files.move(part, target)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        deleteTree(tmp) // a concurrent checkpointer won the same version
+        return st.version
+    }
     deleteTree(tmp)
     Files.write(log.resolve("_last_checkpoint"),
       Json.render(ListMap("version" -> st.version, "size" -> rows.size.toLong))

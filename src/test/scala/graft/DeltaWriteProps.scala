@@ -9,7 +9,8 @@ import org.scalacheck.Prop.forAll
 import graft.sources.{DeltaRead, DeltaWrite}
 
 /** Model-based property for [[DeltaWrite]]: RANDOM operation sequences
-  * (append / overwrite / delete / checkpoint, partitioned and not) executed
+  * (append / overwrite / copy-on-write delete / DELETION-VECTOR
+  * delete / purgeVectors / checkpoint, partitioned and not) executed
   * through the WRITER must reconstruct, at EVERY versionAsOf, exactly
   * the multiset a trivial in-memory model computes. DeltaFoldProps
   * pins the reader's fold against hand-written logs; this pins the
@@ -42,8 +43,11 @@ object DeltaWriteProps extends Properties("DeltaWrite") {
     * checkpoint bootstrap). */
   private case class Op(rows: List[(Long, String)], kind: Int,
                         delId: Long, cp: Boolean, txnV: Option[Long]) {
+    def isAppend: Boolean = kind == 0
     def isOverwrite: Boolean = kind == 1
     def isDelete: Boolean = kind == 2
+    def isDvDelete: Boolean = kind == 3 // r14: vectors, protocol upgrade
+    def isPurge: Boolean = kind == 4 // r14: dataChange=false rewrite
   }
 
   private val genOps: Gen[(Boolean, List[Op])] = for {
@@ -53,7 +57,7 @@ object DeltaWriteProps extends Properties("DeltaWrite") {
       k <- Gen.choose(1, 4)
       rows <- Gen.listOfN(k, Gen.zip(
         Gen.choose(0L, 9L), Gen.oneOf("x", "y", "z")))
-      kind <- Gen.frequency(3 -> 0, 2 -> 1, 2 -> 2)
+      kind <- Gen.frequency(3 -> 0, 2 -> 1, 2 -> 2, 2 -> 3, 1 -> 4)
       delId <- Gen.choose(0L, 9L)
       cp <- Gen.frequency(3 -> false, 1 -> true)
       txnV <- Gen.frequency(2 -> Gen.const(None),
@@ -80,18 +84,22 @@ object DeltaWriteProps extends Properties("DeltaWrite") {
           if (i == 0) DeltaWrite.create(spark, df, root, partBy)
           else if (op.isDelete)
             DeltaWrite.delete(spark, root, col("id") === op.delId)
+          else if (op.isDvDelete)
+            DeltaWrite.deleteWithDv(spark, root, col("id") === op.delId)
+          else if (op.isPurge) DeltaWrite.purgeVectors(spark, root)
           else if (op.isOverwrite) DeltaWrite.overwrite(spark, df, root)
           else DeltaWrite.append(spark, df, root,
             txn = op.txnV.map(("props-app", _)))
-        val txnSkipped = !op.isDelete && !op.isOverwrite && i > 0 &&
-          op.txnV.exists(_ <= ledger)
+        val txnSkipped = op.isAppend && i > 0 && op.txnV.exists(_ <= ledger)
         model =
           if (i == 0) op.rows.toVector
-          else if (op.isDelete) model.filterNot(_._1 == op.delId)
+          else if (op.isDelete || op.isDvDelete)
+            model.filterNot(_._1 == op.delId)
+          else if (op.isPurge) model // logical content unchanged
           else if (op.isOverwrite) op.rows.toVector
           else if (txnSkipped) model
           else model ++ op.rows
-        if (!op.isDelete && !op.isOverwrite && i > 0 && !txnSkipped)
+        if (op.isAppend && i > 0 && !txnSkipped)
           op.txnV.foreach(t => ledger = math.max(ledger, t))
         modelAt += ((v, model))
       }
