@@ -253,6 +253,96 @@ object IcebergRead {
     if (st.deletes.isEmpty) planFiles(spark, st.schema, subset, nameMappingOf(meta))
     else planWithDeletes(spark, meta, st, subset)
 
+  /** CHANGE-FEED read over SNAPSHOT ANCESTRY — [[DeltaRead
+    * .readChanges]]'s Iceberg twin: the row-level changes each
+    * snapshot on the parent chain `(fromSnapshotId, toSnapshotId]`
+    * committed, as one frame of the table's columns plus
+    * `_change_type` (insert / delete) and `_commit_snapshot_id`.
+    * Per ancestry step the diff is the one [[GraftTable.syncIceberg]]
+    * proved: data files entering/leaving the live set plus files
+    * whose POSITION-delete visibility moved (changed delete files
+    * localized to their targets), then a MULTISET `exceptAll` in each
+    * direction — so copy-on-write rewrites' surviving rows cancel
+    * (they are not changes), visibility-only commits surface exactly
+    * the newly hidden rows, and dropped delete files resurrect rows
+    * as inserts.
+    *
+    * Refusals: `fromSnapshotId` not an ancestor of `toSnapshotId`
+    * (rolled-back or replaced lineage — a diff across a rewrite
+    * fabricates changes), EQUALITY delete files on the walked chain
+    * (value-matched against every older file — un-localizable by a
+    * file diff), and schema changes across the range.
+    *
+    * 100 TB shape: per snapshot the cost is one scan of the COMMIT's
+    * files (plus changed-delete targets) and an exceptAll of those
+    * rows — commit-proportional, never table-proportional. */
+  def readChanges(spark: SparkSession, root: String,
+                  fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val meta = currentMeta(root)
+    // ancestry walk: to → … → from (exclusive), oldest-first
+    val chain = Iterator.iterate(Option(snapState(meta, root, toSnapshotId))) {
+        case Some(st) => st.parentId.map(snapState(meta, root, _))
+        case None => None
+      }
+      .takeWhile(st => st.isDefined && st.get.snapshotId != fromSnapshotId)
+      .map(_.get).toVector.reverse
+    require(toSnapshotId == fromSnapshotId ||
+        chain.headOption.flatMap(_.parentId).contains(fromSnapshotId),
+      s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId at " +
+        s"$root — the lineage was rolled back or replaced; a diff across " +
+        "a rewrite would fabricate changes")
+    var prev = snapState(meta, root, fromSnapshotId)
+    val frames = chain.flatMap { cur =>
+      require(cur.schema == prev.schema,
+        s"table schema changes at snapshot ${cur.snapshotId} at $root — " +
+          "a single change feed cannot span a schema change; split the range")
+      require((cur.deletes ++ prev.deletes).forall(_.content == 1L),
+        s"snapshot ${cur.snapshotId} at $root carries EQUALITY delete " +
+          "files; a file-level diff cannot localize value-matched deletes")
+      val prevSet = prev.files.toSet
+      val curSet = cur.files.toSet
+      val addedFiles = cur.files.filterNot(prevSet)
+      val removedFiles = prev.files.filterNot(curSet)
+      val delKey = (d: DeleteFile) => (d.path, d.seq)
+      val prevDel = prev.deletes.map(delKey).toSet
+      val curDel = cur.deletes.map(delKey).toSet
+      val changedDelFiles =
+        (prev.deletes.filterNot(d => curDel(delKey(d))) ++
+          cur.deletes.filterNot(d => prevDel(delKey(d)))).map(_.path).distinct
+      val changedCommon: Seq[String] =
+        if (changedDelFiles.isEmpty) Nil
+        else {
+          val targets = posDeleteTargets(spark, changedDelFiles)
+          (prevSet intersect curSet).toSeq.filter(p => targets(canonStr(p)))
+        }
+      val old = prev
+      prev = cur
+      if (addedFiles.isEmpty && removedFiles.isEmpty && changedCommon.isEmpty)
+        None
+      else {
+        val added = planFilesVisible(spark, meta, cur,
+          addedFiles ++ changedCommon)
+        val removed = planFilesVisible(spark, meta, old,
+          removedFiles ++ changedCommon)
+        val names = cur.schema.fieldNames.toIndexedSeq
+        val snapCol = lit(cur.snapshotId).as("_commit_snapshot_id")
+        val ins = added.exceptAll(removed).select(names.map(col) :+
+          lit("insert").as("_change_type") :+ snapCol: _*)
+        val del = removed.exceptAll(added).select(names.map(col) :+
+          lit("delete").as("_change_type") :+ snapCol: _*)
+        Some(ins.unionByName(del))
+      }
+    }
+    if (frames.isEmpty) {
+      val outSchema = StructType(prev.schema.fields ++ Seq(
+        StructField("_change_type", StringType),
+        StructField("_commit_snapshot_id", LongType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    } else frames.reduce(_ unionByName _)
+  }
+
   /** Canonical paths of the data files the given POSITION-delete
     * files target (one metadata-light scan of their `file_path`
     * column) — how the sync localizes a delete-file change to the

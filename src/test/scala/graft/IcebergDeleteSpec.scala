@@ -269,6 +269,75 @@ class IcebergDeleteSpec extends SparkSpec {
     assert(ids(IcebergRead.read(spark, root)) === Seq.empty)
   }
 
+  test("readChanges: per-snapshot feed with survivor cancellation and visibility-only commits") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ice_cdf_").toString
+    val md = Paths.get(root, "metadata")
+    Files.createDirectories(md)
+    val fid = Map("id" -> 1L, "v" -> 2L)
+    val f1 = dataFile(root, "f1.parquet", withIds(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), fid))
+    dataFile(root, "f2.parquet", withIds(
+      Seq((4L, "d"), (5L, "e")).toDF("id", "v"), fid))
+    dataFile(root, "f1b.parquet", withIds(
+      Seq((3L, "c")).toDF("id", "v"), fid)) // CoW rewrite: id 2 dropped
+    dataFile(root, "posdel.parquet", Seq((f1, 0L)).toDF("file_path", "pos"))
+
+    avroWrite(md.resolve("m1.avro").toString, manifestSchema,
+      Seq(entryRow(1, "data/f1.parquet")))
+    avroWrite(md.resolve("mdel.avro").toString, manifestSchema,
+      Seq(entryRow(1, "data/posdel.parquet", content = 1)))
+    avroWrite(md.resolve("m3.avro").toString, manifestSchema,
+      Seq(entryRow(1, "data/f2.parquet", seq = Some(3L))))
+    avroWrite(md.resolve("m4.avro").toString, manifestSchema,
+      Seq(entryRow(1, "data/f1b.parquet", seq = Some(4L))))
+    avroWrite(md.resolve("snap-1.avro").toString, manifestListSchema,
+      Seq(mlRow("metadata/m1.avro", 0, 1L)))
+    avroWrite(md.resolve("snap-2.avro").toString, manifestListSchema, Seq(
+      mlRow("metadata/m1.avro", 0, 1L), mlRow("metadata/mdel.avro", 1, 2L)))
+    avroWrite(md.resolve("snap-3.avro").toString, manifestListSchema, Seq(
+      mlRow("metadata/m1.avro", 0, 1L), mlRow("metadata/mdel.avro", 1, 2L),
+      mlRow("metadata/m3.avro", 0, 3L)))
+    avroWrite(md.resolve("snap-4.avro").toString, manifestListSchema, Seq(
+      mlRow("metadata/m4.avro", 0, 4L), mlRow("metadata/m3.avro", 0, 3L)))
+    Files.writeString(md.resolve("v4.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"fixture","location":"$root",
+         |"current-snapshot-id":4,
+         |"schemas":[$schemaJson],"current-schema-id":0,
+         |"snapshots":[
+         |{"snapshot-id":1,"schema-id":0,"manifest-list":"metadata/snap-1.avro"},
+         |{"snapshot-id":2,"schema-id":0,"parent-snapshot-id":1,"manifest-list":"metadata/snap-2.avro"},
+         |{"snapshot-id":3,"schema-id":0,"parent-snapshot-id":2,"manifest-list":"metadata/snap-3.avro"},
+         |{"snapshot-id":4,"schema-id":0,"parent-snapshot-id":3,"manifest-list":"metadata/snap-4.avro"}
+         |]}""".stripMargin)
+    Files.writeString(md.resolve("version-hint.text"), "4")
+
+    def feed(from: Long, to: Long): Seq[(Long, String, Long)] =
+      IcebergRead.readChanges(spark, root, from, to)
+        .select("_commit_snapshot_id", "_change_type", "id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq.sorted
+    // snap2: visibility-only — exactly the newly hidden row
+    assert(feed(1, 2) === Seq((2L, "delete", 1L)))
+    // snap3: plain append
+    assert(feed(2, 3) === Seq((3L, "insert", 4L), (3L, "insert", 5L)))
+    // snap4: CoW rewrite of f1 — the SURVIVOR (id 3) cancels, only the
+    // dropped row surfaces
+    assert(feed(3, 4) === Seq((4L, "delete", 2L)))
+    assert(feed(1, 4) === Seq((2L, "delete", 1L), (3L, "insert", 4L),
+      (3L, "insert", 5L), (4L, "delete", 2L)))
+    // an empty range is an empty frame with the feed schema
+    val empty = IcebergRead.readChanges(spark, root, 2, 2)
+    assert(empty.columns.toSeq ===
+      Seq("id", "v", "_change_type", "_commit_snapshot_id"))
+    assert(empty.count() === 0L)
+    // a non-ancestor pair refuses
+    val e = intercept[IllegalArgumentException] {
+      IcebergRead.readChanges(spark, root, 3, 2)
+    }
+    assert(e.getMessage.contains("not an ancestor"))
+  }
+
   test("equality deletes on a partitioned table refuse") {
     import spark.implicits._
     val root = buildTable()
