@@ -204,7 +204,15 @@ object DeltaRead {
           "gone, so row-level changes cannot be attributed; narrow the " +
           "range to surviving commits")
     }
-    val metas = (fromVersion to to).map(v => v -> state(spark, root, v).meta)
+    // one fold per DISTINCT version across the whole range (ADVICE
+    // r14: the metas loop + changesAt's state(v)/state(v-1) re-folded
+    // the full log O(range²) times — each fold replays checkpoint
+    // parquet plus the JSON tail, expensive on long ranges for purely
+    // derivable per-version state)
+    val stCache = scala.collection.mutable.HashMap.empty[Long, TableState]
+    def stateAt(v: Long): TableState =
+      stCache.getOrElseUpdate(v, state(spark, root, v))
+    val metas = (fromVersion to to).map(v => v -> stateAt(v).meta)
     metas.sliding(2).foreach {
       case Seq((v1, m1), (v2, m2)) =>
         require(m1.schema == m2.schema && m1.partitionCols == m2.partitionCols,
@@ -213,7 +221,8 @@ object DeltaRead {
       case _ => ()
     }
     val schema = metas.head._2.schema
-    val frames = (fromVersion to to).flatMap(v => changesAt(spark, root, v))
+    val frames = (fromVersion to to).flatMap(v =>
+      changesAt(spark, root, v, stateAt))
     if (frames.isEmpty) {
       val outSchema = StructType(schema.fields ++ Seq(
         org.apache.spark.sql.types.StructField("_change_type",
@@ -226,16 +235,17 @@ object DeltaRead {
   }
 
   /** One version's change frame (None when the commit changed no
-    * rows). */
-  private def changesAt(spark: SparkSession, root: String,
-                        v: Long): Option[DataFrame] = {
+    * rows). `stateAt` memoizes the log folds across the caller's
+    * range. */
+  private def changesAt(spark: SparkSession, root: String, v: Long,
+                        stateAt: Long => TableState): Option[DataFrame] = {
     val log = Paths.get(root, "_delta_log")
     val commitFile = log.resolve(f"$v%020d.json")
     require(Files.isRegularFile(commitFile),
       s"commit $v at $root was vacuumed — its per-version actions are " +
         "gone, so row-level changes cannot be attributed; narrow the range " +
         "to surviving commits")
-    val st = state(spark, root, v)
+    val st = stateAt(v)
     var cdcs = Vector.empty[(String, Map[String, String])]
     var adds = Vector.empty[String]
     var removes = Vector.empty[String]
@@ -261,19 +271,42 @@ object DeltaRead {
     val verCol = lit(v).as("_commit_version")
     if (cdcs.nonEmpty) {
       // change-data files are authoritative; they carry _change_type
-      // as a physical column and live under the table root like data
+      // as a physical column and live under the table root like data.
+      // Under column mapping (EITHER mode — id-mode files carry
+      // physical names too, the spec requires physicalName metadata in
+      // both) the files' data columns are the PHYSICAL col-<uuid>
+      // names and the log keys partitionValues physically (ADVICE r14:
+      // reading under the logical schema here bound every column to
+      // NULL silently); `_change_type` itself is never mapped.
+      val cmMode =
+        st.meta.configuration.getOrElse("delta.columnMapping.mode", "none")
+      val mapped = cmMode == "name" || cmMode == "id"
       val dataCols = st.meta.schema.fields
         .filterNot(f => st.meta.partitionCols.contains(f.name))
-      val readSchema = StructType(dataCols :+
+      val readFields =
+        if (!mapped) dataCols
+        else dataCols.map(f => org.apache.spark.sql.types.StructField(
+          physicalName(f), toPhysical(f.dataType, withIds = false),
+          f.nullable))
+      val readSchema = StructType(readFields :+
         org.apache.spark.sql.types.StructField("_change_type",
           org.apache.spark.sql.types.StringType))
+      val physByLogical =
+        st.meta.schema.fields.map(f => f.name -> physicalName(f)).toMap
       val frames = cdcs.map { case (p, pv) =>
         val base = spark.read.schema(readSchema)
           .parquet(resolvePath(root, p))
-        val withParts = st.meta.partitionCols.foldLeft(base) { (df, pc) =>
+        val logical =
+          if (!mapped) base
+          else base.select(dataCols.map(f =>
+            col(s"`${physicalName(f)}`").cast(f.dataType).as(f.name))
+            .toIndexedSeq :+ col("_change_type"): _*)
+        val withParts = st.meta.partitionCols.foldLeft(logical) { (df, pc) =>
           val f = st.meta.schema.fields.find(_.name == pc)
             .getOrElse(sys.error(s"partition column $pc missing from schema"))
-          val raw = pv.get(pc).orNull
+          val raw =
+            if (!mapped) pv.get(pc).orNull
+            else pv.get(physByLogical(pc)).orElse(pv.get(pc)).orNull
           df.withColumn(pc,
             (if (raw == null) lit(null) else lit(raw)).cast(f.dataType))
         }
@@ -288,7 +321,7 @@ object DeltaRead {
       // logical files
       val prev =
         if (v == 0 || removes.isEmpty) None
-        else Some(state(spark, root, v - 1))
+        else Some(stateAt(v - 1))
       // removed logical files read under their PRE-commit visibility;
       // added ones under the post-commit state
       val addedRows = plan(spark, root, st.meta,

@@ -383,7 +383,8 @@ object DeltaWrite {
         "modificationTime" -> Files.getLastModifiedTime(f).toMillis,
         "dataChange" -> true,
         "deletionVector" -> dvAction(d)) ++
-        st.stats.get(p).map(s => ListMap("stats" -> s)).getOrElse(ListMap.empty)))
+        st.stats.get(p).map(s => ListMap("stats" -> nonTightStats(s)))
+          .getOrElse(ListMap.empty)))
     }
     val actions = (commitInfo("DELETE") +: upgrade) ++ removes ++ adds
     commit(root, st.version + 1, actions) match {
@@ -440,6 +441,23 @@ object DeltaWrite {
       new org.apache.hadoop.conf.Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
+  }
+
+  /** Stats for a DV-carrying add: the protocol's deletion-vector
+    * writer requirements mandate `tightBounds:false` on any add whose
+    * rows are partially hidden — absent, it defaults TRUE and an
+    * external reader may answer MIN/MAX from bounds that still
+    * include deleted rows (ADVICE r14). numRecords stays PHYSICAL
+    * (the spec's definition); min/max/nullCount remain valid as
+    * non-tight bounds. */
+  private def nonTightStats(statsJson: String): String = {
+    val obj = Json.parse(statsJson) match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case other => sys.error(s"unparseable stats JSON: $other")
+    }
+    Json.render(ListMap(
+      ((obj - "tightBounds").toSeq.sortBy(_._1) :+
+        ("tightBounds" -> false)): _*))
   }
 
   /** The deletionVector descriptor object for a file action. */
@@ -564,11 +582,22 @@ object DeltaWrite {
       })
     val log = Paths.get(root, "_delta_log")
     val target = log.resolve(f"${st.version}%020d.checkpoint.parquet")
+    // external readers find the newest checkpoint through this hint —
+    // (re)written on EVERY exit path that leaves a checkpoint at this
+    // version (ADVICE r14: a crash after the parquet move but before
+    // the hint write would otherwise leave _last_checkpoint
+    // permanently stale, since reruns no-op on the existing file)
+    def writeHint(): Long = {
+      Files.write(log.resolve("_last_checkpoint"),
+        Json.render(ListMap("version" -> st.version, "size" -> rows.size.toLong))
+          .getBytes(StandardCharsets.UTF_8))
+      st.version
+    }
     // idempotent: a checkpoint already at this version IS the folded
     // state (checkpointing is deterministic per version) — re-running
     // without an intervening commit, or losing a race to a concurrent
     // checkpointer, must be a no-op, not an FS crash
-    if (Files.exists(target)) return st.version
+    if (Files.exists(target)) return writeHint()
     val cp = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), cpT)
     val tmp = log.resolve(s".cp_${UUID.randomUUID()}")
@@ -583,13 +612,10 @@ object DeltaWrite {
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         deleteTree(tmp) // a concurrent checkpointer won the same version
-        return st.version
+        return writeHint()
     }
     deleteTree(tmp)
-    Files.write(log.resolve("_last_checkpoint"),
-      Json.render(ListMap("version" -> st.version, "size" -> rows.size.toLong))
-        .getBytes(StandardCharsets.UTF_8))
-    st.version
+    writeHint()
   }
 
   // ---------------------------------------------------------------- internals

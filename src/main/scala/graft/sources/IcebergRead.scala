@@ -366,13 +366,26 @@ object IcebergRead {
 
   /** Scan canonicalization shared by both sides of the delete joins:
     * `_metadata.file_path` URIs and the spec's absolute `file_path`
-    * strings both reduce to one slash-rooted form. */
+    * strings both reduce to one slash-rooted PERCENT-DECODED form
+    * (ADVICE r14: `_metadata.file_path` is a URL-encoded URI while
+    * manifest/delete-file paths are raw — without decoding, any path
+    * containing a URI-escapable character (space, %, #, non-ASCII)
+    * silently emptied the inner joins). Decoding is the same pure
+    * RFC-3986 pass [[DeltaDv]]'s resolve uses — '+' stays literal; a
+    * RAW path containing a literal %XX run is mis-decoded, the
+    * trade-off that side already accepted, and the seq-dim join below
+    * now fails LOUDLY instead of silently when canonicalization ever
+    * diverges. The decode runs per row but on per-FILE-constant
+    * strings — join-key arithmetic, not data work. */
+  private lazy val percentDecodeUdf =
+    org.apache.spark.sql.functions.udf((s: String) =>
+      if (s == null) null else DeltaRead.percentDecode(s))
   private def canonCol(c: org.apache.spark.sql.Column) = {
     import org.apache.spark.sql.functions.regexp_replace
-    regexp_replace(regexp_replace(c, "^file:", ""), "^/+", "/")
+    percentDecodeUdf(regexp_replace(regexp_replace(c, "^file:", ""), "^/+", "/"))
   }
   private[sources] def canonStr(p: String): String =
-    p.stripPrefix("file:").replaceAll("^/+", "/")
+    DeltaRead.percentDecode(p.stripPrefix("file:")).replaceAll("^/+", "/")
 
   /** The delete-aware snapshot plan. Shape (one declarative DAG, no
     * driver-side row work):
@@ -423,8 +436,20 @@ object IcebergRead {
       st.dataSeq.toSeq.filter(e => subsetSet(e._1))
         .map { case (p, s) => (canonStr(p), s) })
       .toDF("__graft_dpath", "__graft_dseq")
+    // the dim covers every subset file BY CONSTRUCTION (it is built
+    // from st.dataSeq over the same list), so a non-match can only
+    // mean the path canonicalization diverged — raise, never drop
+    // rows silently (ADVICE r14)
+    import org.apache.spark.sql.functions.{concat, raise_error, when}
     var cur = base.join(broadcast(seqDim),
-      col("__graft_cpath") === col("__graft_dpath")) // dim covers every file
+      col("__graft_cpath") === col("__graft_dpath"), "left")
+      .withColumn("__graft_dseq",
+        when(col("__graft_dseq").isNotNull, col("__graft_dseq"))
+          .otherwise(raise_error(concat(
+            lit("Iceberg delete-aware scan: data file "), col("__graft_cpath"),
+            lit(" missing from the sequence-number dim — path " +
+              "canonicalization diverged; refusing to return a partial " +
+              "result")))))
       .drop("__graft_dpath")
 
     val posDels = st.deletes.filter(_.content == 1L)

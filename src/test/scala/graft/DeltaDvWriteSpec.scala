@@ -81,6 +81,31 @@ class DeltaDvWriteSpec extends SparkSpec {
     assert(DeltaRead.latestVersion(root) === 2L)
   }
 
+  test("a DV-carrying add marks its stats tightBounds:false, numRecords physical") {
+    // ADVICE r14: absent tightBounds defaults to TRUE, so a foreign
+    // reader would answer MIN/MAX from bounds still including deleted
+    // rows — the protocol's DV writer requirements mandate false
+    import spark.implicits._
+    val root = freshTable()
+    DeltaWrite.create(spark,
+      (1L to 5L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), root)
+    DeltaWrite.deleteWithDv(spark, root, col("id") === 5L)
+    val line = Files.readAllLines(
+      Paths.get(root, "_delta_log", f"${1L}%020d.json")).asScala
+      .find(_.contains("\"add\"")).get
+    val add = graft.util.Json.get(graft.util.Json.parse(line), "add")
+    val stats = graft.util.Json.parse(
+      graft.util.Json.str(add, "stats").get)
+    assert(graft.util.Json.get(stats, "tightBounds") ===
+      java.lang.Boolean.FALSE)
+    // numRecords stays PHYSICAL (5 rows in the file, 1 hidden)
+    assert(graft.util.Json.long(stats, "numRecords") === Some(5L))
+    // min/max survive as non-tight bounds
+    assert(graft.util.Json.long(stats, "minValues", "id") === Some(1L))
+    // and the reader still folds/reads the table fine
+    assert(ids(DeltaRead.read(spark, root)) === (1L to 4L))
+  }
+
   test("a fully-deleted file is removed outright, not wrapped in a full DV") {
     import spark.implicits._
     val root = freshTable()

@@ -308,6 +308,16 @@ class DeltaWriteSpec extends SparkSpec {
     // and the log keeps working past the checkpoint
     DeltaWrite.append(spark, Seq((11L, "r", "w")).toDF("id", "v", "p"), root)
     assert(DeltaRead.read(spark, root).count() == 3)
+
+    // idempotent re-run: the parquet is a no-op but _last_checkpoint
+    // is still (re)written — a crash between the move and the hint
+    // write must not leave the hint permanently stale (ADVICE r14)
+    val hint = Paths.get(root, "_delta_log", "_last_checkpoint")
+    Files.delete(hint) // simulate the crash-after-move
+    assert(DeltaWrite.checkpoint(spark, root) == 3L) // fresh cp at v3
+    Files.delete(hint)
+    assert(DeltaWrite.checkpoint(spark, root) == 3L) // early-return path
+    assert(Files.readString(hint).contains("\"version\":3"))
   }
 
   test("'+' and hive-escaped partition values stay readable and deletable") {

@@ -354,6 +354,39 @@ class IcebergDeleteSpec extends SparkSpec {
     assert(e.getMessage.contains("PARTITIONED"))
   }
 
+  test("deletes apply in a table path containing URI-escapable characters") {
+    // ADVICE r14: _metadata.file_path is a URL-encoded URI while
+    // manifest/delete-file paths are raw — before the canonicalization
+    // percent-decoded both sides, a path with a space silently emptied
+    // every delete-aware inner join (wrong data, no error)
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_ice_sp_")
+    val root = Files.createDirectory(base.resolve("ice tbl")).toString
+    val md = Paths.get(root, "metadata")
+    Files.createDirectories(md)
+    val fid = Map("id" -> 1L, "v" -> 2L)
+    val f1 = dataFile(root, "f1.parquet", withIds(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), fid))
+    dataFile(root, "posdel.parquet",
+      Seq((f1, 1L)).toDF("file_path", "pos"))
+    avroWrite(md.resolve("m1.avro").toString, manifestSchema,
+      Seq(entryRow(1, "data/f1.parquet")))
+    avroWrite(md.resolve("mdel.avro").toString, manifestSchema,
+      Seq(entryRow(1, "data/posdel.parquet", content = 1)))
+    avroWrite(md.resolve("snap-1.avro").toString, manifestListSchema, Seq(
+      mlRow("metadata/m1.avro", 0, 1L),
+      mlRow("metadata/mdel.avro", 1, 2L)))
+    Files.writeString(md.resolve("v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"fixture","location":"$root",
+         |"current-snapshot-id":1,
+         |"schemas":[$schemaJson],"current-schema-id":0,
+         |"snapshots":[
+         |{"snapshot-id":1,"schema-id":0,"manifest-list":"metadata/snap-1.avro"}
+         |]}""".stripMargin)
+    Files.writeString(md.resolve("version-hint.text"), "1")
+    assert(ids(IcebergRead.read(spark, root)) === Seq(1L, 3L))
+  }
+
   test("an equality id with no top-level schema field refuses") {
     val root = buildTable()
     val md = Paths.get(root, "metadata")
