@@ -365,13 +365,26 @@ object DeltaRead {
         case _ => None
       }
     }
+    // under column mapping the spec keys stats PHYSICALLY — resolve
+    // the logical column through the schema, falling back to the
+    // logical key for lenient writers (a miss keeps the file: sound)
+    val statsKeys: Seq[String] = {
+      val cm = st.meta.configuration
+        .getOrElse("delta.columnMapping.mode", "none")
+      if (cm == "none") Seq(column)
+      else st.meta.schema.fields.find(_.name == column)
+        .map(f => Seq(physicalName(f), column)).getOrElse(Seq(column))
+    }
+    def statVal(s: Any, side: String): Option[Any] =
+      statsKeys.iterator.map(k => Option(Json.get(s, side, k)))
+        .collectFirst { case Some(v) => v }
     st.live.filter { case (p, _) =>
       st.stats.get(p) match {
         case None => true
         case Some(json) =>
           val s = Json.parse(json)
-          val mn = Option(Json.get(s, "minValues", column))
-          val mx = Option(Json.get(s, "maxValues", column))
+          val mn = statVal(s, "minValues")
+          val mx = statVal(s, "maxValues")
           val belowLo = // max < lo → no row can reach the interval
             (for (m <- mx; l <- Option(lo); r <- lt(m, l)) yield r)
               .getOrElse(false)
@@ -900,8 +913,8 @@ object DeltaRead {
       }
     }
 
-  private val PhysicalNameKey = "delta.columnMapping.physicalName"
-  private val FieldIdKey = "delta.columnMapping.id"
+  private[sources] val PhysicalNameKey = "delta.columnMapping.physicalName"
+  private[sources] val FieldIdKey = "delta.columnMapping.id"
 
   /** Reader features (protocol version 3) this implementation honors:
     * column mapping (both modes, r13/r14), deletion vectors
@@ -915,7 +928,7 @@ object DeltaRead {
     Set("columnMapping", "deletionVectors", "v2Checkpoint", "timestampNtz",
       "vacuumProtocolCheck")
 
-  private def physicalName(f: org.apache.spark.sql.types.StructField): String =
+  private[sources] def physicalName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
     else f.name
 
@@ -924,7 +937,7 @@ object DeltaRead {
     * mode (`withIds`), the field's delta.columnMapping.id also rides
     * along as `parquet.field.id`, the key Spark's native footer
     * field-id matching resolves by. */
-  private def toPhysical(t: DataType, withIds: Boolean): DataType = t match {
+  private[sources] def toPhysical(t: DataType, withIds: Boolean): DataType = t match {
     case s: StructType => StructType(s.fields.map { f =>
       val md =
         if (withIds && f.metadata.contains(FieldIdKey))

@@ -37,15 +37,21 @@ import graft.util.Json
   * can decide whether to re-derive it.
   *
   * Spec conformance the writer enforces rather than assumes:
-  *   - protocol (1, 2) is declared on create; legacy feature bundles
-  *     `minWriterVersion` 3–6 (or column mapping, whose physical
-  *     col-<uuid> names a by-name writer cannot produce) are REFUSED —
-  *     never written with silently missing feature behavior. TABLE
-  *     FEATURES (version 7) write iff every listed writerFeature is
-  *     implemented here (appendOnly, invariants, deletionVectors —
-  *     see [[deleteWithDv]], which also performs the (1,2)→(3,7)
-  *     upgrade the first time a vector is written), and every file
-  *     action carries the spec's (path, deletion-vector) logical-file
+  *   - protocol (1, 2) is declared on create — (3, 7) with
+  *     columnMapping when a mapped table is created. COLUMN MAPPING
+  *     (r15) writes in BOTH modes: [[stage]] projects frames to their
+  *     physical col-<uuid> shape (footer field ids under `id` mode)
+  *     and keys partitionValues and stats physically, as the spec's
+  *     writer requirements mandate. Legacy feature bundles
+  *     `minWriterVersion` 3–6 write iff every bundled feature is
+  *     implemented here or PROVABLY UNUSED by the table
+  *     ([[checkLegacyUnused]] — a real user's mapped table usually
+  *     arrives as (2,5)); TABLE FEATURES (version 7) write iff every
+  *     listed writerFeature is implemented here (appendOnly,
+  *     invariants, columnMapping, deletionVectors — see
+  *     [[deleteWithDv]], which also performs the (1,2)→(3,7) upgrade
+  *     the first time a vector is written), and every file action
+  *     carries the spec's (path, deletion-vector) logical-file
   *     identity;
   *   - minWriterVersion=2 means invariants must be honored: a schema
   *     carrying `delta.invariants` metadata is refused (this writer
@@ -89,7 +95,17 @@ object DeltaWrite {
 
   /** Create a new Delta table at `root` from `df`, optionally
     * hive-partitioned by `partitionBy`. Refuses if any Delta log
-    * already exists there. Returns the created version (always 0). */
+    * already exists there. Returns the created version (always 0).
+    *
+    * Passing
+    * `delta.columnMapping.mode=name|id` in `configuration` creates a
+    * COLUMN-MAPPED table (r15): every field (nested included) is
+    * assigned a fresh `col-<uuid>` physical name and a field id,
+    * `delta.columnMapping.maxColumnId` records the high-water mark the
+    * spec requires for schema evolution, the data files are written
+    * under the physical names (plus footer field ids), and the
+    * protocol declares table features (3,7) with columnMapping in both
+    * lists — the shape a renamed/dropped column needs from day one. */
   def create(spark: SparkSession, df: DataFrame, root: String,
              partitionBy: Seq[String] = Nil,
              configuration: Map[String, String] = Map.empty): Long = {
@@ -101,12 +117,33 @@ object DeltaWrite {
     }, s"Delta table already exists at $root — use append/overwrite")
     checkPartitionable(df.schema, partitionBy)
     refuseInvariants(df.schema, root)
-    val adds = stage(spark, df, root, partitionBy)
+    val cm = configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cm == "none" || cm == "name" || cm == "id",
+      s"unknown delta.columnMapping.mode=$cm (none, name, id)")
+    val (schema, conf, proto) =
+      if (cm == "none")
+        (df.schema, configuration,
+          ListMap[String, Any]("protocol" -> ListMap(
+            "minReaderVersion" -> 1L, "minWriterVersion" -> 2L)))
+      else {
+        val (decorated, maxId) = decorateMapping(df.schema)
+        (decorated,
+          configuration +
+            ("delta.columnMapping.maxColumnId" -> maxId.toString),
+          ListMap[String, Any]("protocol" -> ListMap(
+            "minReaderVersion" -> 3L, "minWriterVersion" -> 7L,
+            "readerFeatures" -> Seq("columnMapping"),
+            "writerFeatures" -> Seq("appendOnly", "columnMapping",
+              "invariants"))))
+      }
+    val mapping = if (cm == "none") None else Some((cm, schema))
+    val adds = stage(spark, df, root, partitionBy, mapping = mapping)
+    // metaData.partitionColumns stay LOGICAL (they resolve against the
+    // schema's names); only partitionValues keys and file paths go
+    // physical — the spec's split, and what the reader expects
     val actions = Vector(
-      commitInfo("CREATE TABLE AS SELECT"),
-      ListMap("protocol" -> ListMap(
-        "minReaderVersion" -> 1L, "minWriterVersion" -> 2L)),
-      metaData(df.schema, partitionBy, configuration)) ++ adds
+      commitInfo("CREATE TABLE AS SELECT"), proto,
+      metaData(schema, partitionBy, conf)) ++ adds
     commit(root, 0L, actions) match {
       case Some(v) => v
       case None =>
@@ -138,7 +175,8 @@ object DeltaWrite {
       txn.exists { case (app, v) => s.txns.get(app).exists(_ >= v) }
     if (alreadyApplied(st)) return st.version
     val aligned = align(df, st.meta)
-    val adds = stage(spark, aligned, root, st.meta.partitionCols)
+    val adds = stage(spark, aligned, root, st.meta.partitionCols,
+      mapping = mappingOf(st.meta))
     val txnActions = txn.toVector.map { case (app, v) =>
       ListMap[String, Any]("txn" -> ListMap(
         "appId" -> app, "version" -> v,
@@ -207,7 +245,8 @@ object DeltaWrite {
     require(st.meta.configuration.getOrElse("delta.appendOnly", "false") != "true",
       s"Delta table at $root sets delta.appendOnly=true — refusing overwrite")
     val aligned = align(df, st.meta)
-    val adds = stage(spark, aligned, root, st.meta.partitionCols)
+    val adds = stage(spark, aligned, root, st.meta.partitionCols,
+      mapping = mappingOf(st.meta))
     val ts = System.currentTimeMillis()
     val removes = st.live.map { case (p, _) =>
       removeAction(p, st.dvs.get(p), ts)
@@ -266,7 +305,8 @@ object DeltaWrite {
     // carries it away)
     val kept = DeltaRead.plan(spark, root, st.meta, affected.toSeq, st.dvs)
       .where(!matchTrue)
-    val adds = stage(spark, kept, root, st.meta.partitionCols)
+    val adds = stage(spark, kept, root, st.meta.partitionCols,
+      mapping = mappingOf(st.meta))
     val ts = System.currentTimeMillis()
     val removes = affected.toSeq.map { case (p, _) =>
       removeAction(p, st.dvs.get(p), ts)
@@ -368,7 +408,8 @@ object DeltaWrite {
           "readerFeatures" ->
             (st.readerFeatures + "deletionVectors").toSeq.sorted,
           "writerFeatures" ->
-            (st.writerFeatures ++ SupportedWriterFeatures).toSeq.sorted)),
+            (st.writerFeatures ++ LegacyV2Features + "deletionVectors")
+              .toSeq.sorted)),
         metaDataFrom(st.meta,
           st.meta.configuration + ("delta.enableDeletionVectors" -> "true")))
     val removes = merged.map { case (p, _, _) =>
@@ -418,7 +459,7 @@ object DeltaWrite {
     if (targets.isEmpty) return st.version
     val visible = DeltaRead.plan(spark, root, st.meta, targets, st.dvs)
     val adds = stage(spark, visible, root, st.meta.partitionCols,
-      dataChange = false)
+      dataChange = false, mapping = mappingOf(st.meta))
     val ts = System.currentTimeMillis()
     val removes = targets.map { case (p, _) =>
       removeAction(p, st.dvs.get(p), ts, dataChange = false)
@@ -519,7 +560,13 @@ object DeltaWrite {
     // legacy feature actions this fold does not carry — refuse.
     require(st.minWriter <= 2 ||
         (st.minWriter == 7 &&
-          (st.writerFeatures -- SupportedWriterFeatures).isEmpty),
+          (st.writerFeatures -- SupportedWriterFeatures).isEmpty) ||
+        (st.minWriter <= 6 && {
+          // legacy 3–6 state lives entirely in configuration / schema
+          // metadata (carried verbatim); checkpointable whenever the
+          // table is writable under the same gates
+          checkLegacyUnused(st, root); true
+        }),
       s"Delta table at $root needs minWriterVersion=${st.minWriter} " +
         s"(writerFeatures=${st.writerFeatures.toSeq.sorted.mkString(",")}); " +
         "feature actions beyond this fold's reconstruction would be " +
@@ -630,7 +677,13 @@ object DeltaWrite {
     * features an upgrade-to-7 lists: the two legacy features
     * minWriterVersion=2 implied, plus DVs. */
   private val SupportedWriterFeatures: Set[String] =
-    Set("appendOnly", "invariants", "deletionVectors")
+    Set("appendOnly", "invariants", "deletionVectors", "columnMapping")
+
+  /** The features a (1,2)→(3,7) upgrade lists: the two legacy features
+    * version 2 implied plus the one being enabled — NOT the full
+    * supported set (stamping e.g. columnMapping onto an unmapped table
+    * would demand the feature of every future writer for nothing). */
+  private val LegacyV2Features: Set[String] = Set("appendOnly", "invariants")
 
   /** Fold the current state and refuse everything this writer cannot
     * honor (PROTOCOL.md: "a writer must refuse to write to a table
@@ -642,11 +695,16 @@ object DeltaWrite {
   private def writableState(spark: SparkSession, root: String)
       : DeltaRead.TableState = {
     val st = DeltaRead.state(spark, root, Long.MaxValue)
-    require(st.minWriter <= 2 || st.minWriter == 7,
-      s"Delta table at $root needs minWriterVersion=${st.minWriter}; this " +
-        "writer implements protocol (1,2) and table features (3,7) — " +
-        "refusing rather than writing a table whose legacy feature " +
-        "contracts it would silently break")
+    require(st.minWriter <= 7,
+      s"Delta table at $root needs minWriterVersion=${st.minWriter}; the " +
+        "protocol defines writer versions up to 7 — refusing an unknown one")
+    if (st.minWriter >= 3 && st.minWriter <= 6)
+      // LEGACY feature bundles: each implied feature must be
+      // implemented here (columnMapping is, r15) or provably UNUSED by
+      // this table — a real user's mapped table usually arrives as
+      // (2,5), and refusing it wholesale when none of the other
+      // bundled features has anything to enforce serves nobody
+      checkLegacyUnused(st, root)
     if (st.minWriter == 7) {
       require(st.writerFeatures.nonEmpty,
         s"Delta table at $root declares minWriterVersion=7 but lists no " +
@@ -658,18 +716,61 @@ object DeltaWrite {
           s"implement (supported: ${SupportedWriterFeatures.toSeq.sorted.mkString(", ")}) " +
           "— refusing rather than breaking their contracts")
     }
-    // the READER handles name-mode mapping; the writer does not emit
-    // physical col-<uuid> columns, so any mapped table is write-refused
-    val cm = st.meta.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cm == "none",
-      s"Delta table at $root uses delta.columnMapping.mode=$cm; this writer " +
-        "does not produce physical column names — refusing to write")
+    // column-mapped tables (name AND id modes — r15) WRITE through
+    // the physical-name machinery in [[stage]]; the reader's fold has
+    // already validated the mode and the per-field physicalName/id
+    // metadata, so nothing to refuse here
     refuseInvariants(st.meta.schema, root)
     // an EXTERNAL table may be partitioned by a type whose spec
     // serialization diverges from the hive dir form stage() emits —
     // the same refusal as at create-time applies to every write
     checkPartitionable(st.meta.schema, st.meta.partitionCols)
     st
+  }
+
+  /** Legacy writer versions 3–6 bundle features this writer does not
+    * evaluate. Each is refused ONLY when the table actually uses it —
+    * the feature contracts are all of the form "when X is declared,
+    * enforce X", so a table declaring none of them is safe to write:
+    *   3: CHECK constraints (`delta.constraints.*` configuration keys)
+    *   4: change data feed (`delta.enableChangeDataFeed=true` — this
+    *      writer does not emit cdc actions) and generated columns
+    *      (`delta.generationExpression` field metadata)
+    *   5: column mapping — IMPLEMENTED (name + id modes)
+    *   6: identity columns (`delta.identity.*` field metadata). */
+  private def checkLegacyUnused(st: DeltaRead.TableState, root: String): Unit = {
+    val v = st.minWriter
+    if (v >= 3)
+      require(!st.meta.configuration.keys.exists(_.startsWith("delta.constraints.")),
+        s"Delta table at $root (minWriterVersion=$v) declares CHECK " +
+          "constraints this writer does not evaluate — refusing rather " +
+          "than committing rows it cannot validate")
+    if (v >= 4) {
+      require(st.meta.configuration
+          .getOrElse("delta.enableChangeDataFeed", "false") != "true",
+        s"Delta table at $root (minWriterVersion=$v) enables the change " +
+          "data feed; this writer does not emit cdc actions — refusing " +
+          "rather than breaking downstream CDF readers")
+      require(!fieldMetaHas(st.meta.schema, Set("delta.generationExpression")),
+        s"Delta table at $root (minWriterVersion=$v) declares generated " +
+          "columns this writer does not compute — refusing")
+    }
+    if (v >= 6)
+      require(!fieldMetaHas(st.meta.schema, Set("delta.identity.start",
+          "delta.identity.step", "delta.identity.allowExplicitInsert")),
+        s"Delta table at $root (minWriterVersion=$v) declares identity " +
+          "columns this writer does not generate — refusing")
+  }
+
+  private def fieldMetaHas(schema: StructType, keys: Set[String]): Boolean = {
+    def walk(t: DataType): Boolean = t match {
+      case s: StructType => s.fields.exists(f =>
+        keys.exists(f.metadata.contains) || walk(f.dataType))
+      case a: ArrayType => walk(a.elementType)
+      case m: MapType => walk(m.keyType) || walk(m.valueType)
+      case _ => false
+    }
+    walk(schema)
   }
 
   /** minWriterVersion=2's one feature is column invariants: a writer
@@ -716,7 +817,9 @@ object DeltaWrite {
         s"data has ${df.schema.fieldNames.mkString(",")}")
     meta.schema.fields.foreach { tf =>
       val dfF = have(tf.name)
-      require(dfF.dataType == tf.dataType,
+      // types compare METADATA-STRIPPED: a mapped table's nested
+      // fields carry columnMapping metadata the user's frame never has
+      require(stripMeta(dfF.dataType) == stripMeta(tf.dataType),
         s"column ${tf.name}: table type ${tf.dataType.simpleString} != " +
           s"data type ${dfF.dataType.simpleString}")
       require(tf.nullable || !dfF.nullable,
@@ -725,20 +828,90 @@ object DeltaWrite {
     df.select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
+  private def stripMeta(t: DataType): DataType = t match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, stripMeta(f.dataType), f.nullable)))
+    case a: ArrayType => a.copy(elementType = stripMeta(a.elementType))
+    case m: MapType =>
+      m.copy(keyType = stripMeta(m.keyType), valueType = stripMeta(m.valueType))
+    case other => other
+  }
+
+  /** `(mode, decorated logical schema)` when `meta` declares column
+    * mapping — what [[stage]] needs to write physically. */
+  private def mappingOf(meta: DeltaRead.Meta): Option[(String, StructType)] =
+    meta.configuration.get("delta.columnMapping.mode")
+      .filter(m => m == "name" || m == "id").map(m => (m, meta.schema))
+
+  private def physByLogical(schema: StructType): Map[String, String] =
+    schema.fields.map(f => f.name -> DeltaRead.physicalName(f)).toMap
+
+  /** Assign fresh column-mapping identities to every field of a new
+    * table's schema, nested fields included (the spec gives each
+    * field a unique id and an immutable `col-<uuid>` physical name;
+    * the returned high-water mark becomes
+    * `delta.columnMapping.maxColumnId`). */
+  private def decorateMapping(schema: StructType): (StructType, Long) = {
+    var next = 0L
+    def walk(t: DataType): DataType = t match {
+      case s: StructType => StructType(s.fields.map { f =>
+        next += 1
+        val md = new MetadataBuilder().withMetadata(f.metadata)
+          .putString(DeltaRead.PhysicalNameKey, s"col-${UUID.randomUUID()}")
+          .putLong(DeltaRead.FieldIdKey, next).build()
+        StructField(f.name, walk(f.dataType), f.nullable, md)
+      })
+      case a: ArrayType => a.copy(elementType = walk(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = walk(m.keyType), valueType = walk(m.valueType))
+      case other => other
+    }
+    (walk(schema).asInstanceOf[StructType], next)
+  }
+
   /** Distributed write of `df` under `root` in hive layout, returning
     * the `add` actions. One `partitionBy` parquet job stages into a
     * hidden dir inside the root (same filesystem ⇒ publishing each
     * file is a rename); the driver then recovers each file's partition
     * values from its directory path (unescaping hive's %xx form) and
-    * reads `numRecords` from its parquet footer for `stats`. */
+    * reads `numRecords` from its parquet footer for `stats`.
+    *
+    * Under column mapping (`mapping` = mode + decorated logical
+    * schema) the frame is projected to PHYSICAL shape first: every
+    * column renamed to its `physicalName` (nested renames ride a cast
+    * to the physical struct type), field ids attached as
+    * `parquet.field.id` under `id` mode (Spark's parquet writer stamps
+    * them into the footers — `spark.sql.parquet.fieldId.write.enabled`
+    * defaults on), partition directories and `partitionValues` keys
+    * physical, and `stats` keyed by physical names — exactly the
+    * spec's "track partition values and column level statistics with
+    * the physical name of the column in the transaction log". */
   private def stage(spark: SparkSession, df: DataFrame, root: String,
                     partitionBy: Seq[String],
-                    dataChange: Boolean = true): Vector[Map[String, Any]] = {
+                    dataChange: Boolean = true,
+                    mapping: Option[(String, StructType)] = None)
+      : Vector[Map[String, Any]] = {
+    val (physDf, physPartitionBy) = mapping match {
+      case None => (df, partitionBy)
+      case Some((mode, schema)) =>
+        val byId = mode == "id"
+        val phys = physByLogical(schema)
+        val cols = schema.fields.map { f =>
+          val c = col(s"`${f.name}`")
+            .cast(DeltaRead.toPhysical(f.dataType, byId))
+          if (byId && f.metadata.contains(DeltaRead.FieldIdKey))
+            c.as(phys(f.name), new MetadataBuilder()
+              .putLong("parquet.field.id",
+                f.metadata.getLong(DeltaRead.FieldIdKey)).build())
+          else c.as(phys(f.name))
+        }
+        (df.select(cols.toIndexedSeq: _*), partitionBy.map(phys))
+    }
     Files.createDirectories(Paths.get(root))
     val stg = Paths.get(root, s".graft-stage-${UUID.randomUUID()}")
-    val writer = df.write.mode("errorifexists")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(stg.toString)
+    val writer = physDf.write.mode("errorifexists")
+    (if (physPartitionBy.nonEmpty) writer.partitionBy(physPartitionBy: _*)
+     else writer).parquet(stg.toString)
 
     val staged = {
       val walk = Files.walk(stg)
@@ -783,8 +956,8 @@ object DeltaWrite {
         "modificationTime" -> Files.getLastModifiedTime(dest).toMillis,
         "dataChange" -> dataChange,
         "stats" -> Json.render(fileStats(dest,
-          StructType(df.schema.fields.filterNot(f =>
-            partitionBy.contains(f.name)))))))
+          StructType(physDf.schema.fields.filterNot(f =>
+            physPartitionBy.contains(f.name)))))))
     }
     deleteTree(stg)
     adds

@@ -226,11 +226,14 @@ class DeltaDvWriteSpec extends SparkSpec {
       Files.writeString(log.resolve(f"$v%020d.json"),
         s"""{"protocol":$body}\n""")
 
-    protoCommit(1L, """{"minReaderVersion":1,"minWriterVersion":4}""")
+    // unknown writer versions (>7) refuse outright; legacy 3-6 gates
+    // (write iff the bundled features are provably unused) live in
+    // DeltaMappedWriteSpec
+    protoCommit(1L, """{"minReaderVersion":1,"minWriterVersion":8}""")
     val legacy = intercept[IllegalArgumentException] {
       DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), root)
     }
-    assert(legacy.getMessage.contains("minWriterVersion=4"))
+    assert(legacy.getMessage.contains("minWriterVersion=8"))
 
     protoCommit(2L,
       """{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["typeWidening"]}""")

@@ -353,12 +353,12 @@ class DeltaReadSpec extends SparkSpec {
       if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2)))
       .toSet == Set((1L, None, "x"), (2L, None, "y"), (3L, Some(9L), "z")))
 
-    // writes to mapped tables stay refused — the writer cannot emit
-    // physical names
-    assert(intercept[Exception] {
-      graft.sources.DeltaWrite.append(spark,
-        Seq((4L, 1L, "q")).toDF("id", "n", "p"), root)
-    }.getMessage.contains("columnMapping"))
+    // writes to mapped tables WORK since r15 — the writer emits
+    // physical names (DeltaMappedWriteSpec covers the full lifecycle)
+    graft.sources.DeltaWrite.append(spark,
+      Seq((4L, 1L, "q")).toDF("id", "n", "p"), root)
+    assert(DeltaRead.read(spark, root).where($"id" === 4L)
+      .select("n").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
   test("refuses a log with a version gap, naming unusable checkpoints") {

@@ -50,8 +50,12 @@ object DeltaWriteProps extends Properties("DeltaWrite") {
     def isPurge: Boolean = kind == 4 // r14: dataChange=false rewrite
   }
 
-  private val genOps: Gen[(Boolean, List[Op])] = for {
+  private val genOps: Gen[((Boolean, String), List[Op])] = for {
     partitioned <- Gen.oneOf(true, false)
+    // r15: the same sequences must hold on COLUMN-MAPPED tables —
+    // physical staging, physical partitionValues/stats keys, DV adds
+    // carrying mapped stats, checkpoints of (3,7) feature protocols
+    cmMode <- Gen.frequency(2 -> "none", 1 -> "name", 1 -> "id")
     n <- Gen.choose(1, 5)
     ops <- Gen.listOfN(n, for {
       k <- Gen.choose(1, 4)
@@ -63,13 +67,16 @@ object DeltaWriteProps extends Properties("DeltaWrite") {
       txnV <- Gen.frequency(2 -> Gen.const(None),
         1 -> Gen.choose(0L, 3L).map(Some(_)))
     } yield Op(rows, kind, delId, cp, txnV))
-  } yield (partitioned, ops)
+  } yield ((partitioned, cmMode), ops)
 
   property("random write sequences fold to the model at every version") =
-    forAll(genOps) { case (partitioned, ops) =>
+    forAll(genOps) { case ((partitioned, cmMode), ops) =>
       import spark.implicits._
       val root = Files.createTempDirectory("graft_deltaw_prop_").toString
       val partBy = if (partitioned) Seq("p") else Nil
+      val conf =
+        if (cmMode == "none") Map.empty[String, String]
+        else Map("delta.columnMapping.mode" -> cmMode)
 
       var model = Vector.empty[(Long, String)] // multiset of live rows
       var ledger = -1L // the model's SetTransaction fold for the one appId
@@ -81,7 +88,7 @@ object DeltaWriteProps extends Properties("DeltaWrite") {
         if (op.cp && i > 0) DeltaWrite.checkpoint(spark, root)
         val df = op.rows.toDF("id", "p")
         val v =
-          if (i == 0) DeltaWrite.create(spark, df, root, partBy)
+          if (i == 0) DeltaWrite.create(spark, df, root, partBy, conf)
           else if (op.isDelete)
             DeltaWrite.delete(spark, root, col("id") === op.delId)
           else if (op.isDvDelete)
@@ -111,7 +118,7 @@ object DeltaWriteProps extends Properties("DeltaWrite") {
           .toVector.sorted
         val ok = got == want.sorted
         if (!ok) println(s"v$v: got=$got want=${want.sorted} ops=$ops " +
-          s"partitioned=$partitioned")
+          s"partitioned=$partitioned cmMode=$cmMode")
         ok
       }
     }

@@ -186,13 +186,16 @@ class DeltaWriteSpec extends SparkSpec {
     val schema = Seq((1L, "a", "x")).toDF("id", "v", "p").schema.json
     def jstr(s: String) =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // r15: a bare legacy version no longer refuses — the feature has
+    // to be USED (here: an actual CHECK constraint this writer cannot
+    // evaluate)
     Files.write(log.resolve(f"${0L}%020d.json"),
       (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""" + "\n" +
-        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":[],"configuration":{},"createdTime":0}}""" + "\n")
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema)},"partitionColumns":[],"configuration":{"delta.constraints.c0":"id > 0"},"createdTime":0}}""" + "\n")
         .getBytes(StandardCharsets.UTF_8))
     assert(intercept[Exception] {
       DeltaWrite.append(spark, df3, v3)
-    }.getMessage.contains("minWriterVersion=3"))
+    }.getMessage.contains("CHECK"))
 
     // delta.appendOnly=true refuses overwrite, allows append
     val ao = fresh()
@@ -429,16 +432,22 @@ class DeltaWriteSpec extends SparkSpec {
       txn = Some(("app-1", 7L))) == 2L)
     assert(DeltaRead.read(spark, root).count() == 4)
 
-    // minWriterVersion > 2: unknown feature actions are not folded, so
-    // a checkpoint would silently discard table state — refuse
+    // a legacy table genuinely USING a feature this fold does not
+    // reconstruct (a CHECK constraint) refuses to checkpoint; bare
+    // legacy versions checkpoint fine since r15 (their state lives
+    // entirely in configuration/schema metadata, carried verbatim)
     val v3 = fresh()
     DeltaWrite.create(spark, df3, v3)
+    val st3 = DeltaRead.state(spark, v3, Long.MaxValue)
+    def jstr2(x: String) =
+      "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     Files.write(Paths.get(v3, "_delta_log", f"${1L}%020d.json"),
-      ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""" + "\n")
+      ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""" + "\n" +
+        s"""{"metaData":{"id":"${st3.meta.id}","format":{"provider":"parquet","options":{}},"schemaString":${jstr2(st3.meta.schema.json)},"partitionColumns":[],"configuration":{"delta.constraints.c0":"id > 0"},"createdTime":0}}""" + "\n")
         .getBytes(StandardCharsets.UTF_8))
     assert(intercept[Exception] {
       DeltaWrite.checkpoint(spark, v3)
-    }.getMessage.contains("minWriterVersion=3"))
+    }.getMessage.contains("CHECK"))
   }
 
   test("add.stats carry column min/max/nullCount; readBetween skips " +
