@@ -120,21 +120,33 @@ object DeltaWrite {
     val cm = configuration.getOrElse("delta.columnMapping.mode", "none")
     require(cm == "none" || cm == "name" || cm == "id",
       s"unknown delta.columnMapping.mode=$cm (none, name, id)")
-    val (schema, conf, proto) =
-      if (cm == "none")
-        (df.schema, configuration,
-          ListMap[String, Any]("protocol" -> ListMap(
-            "minReaderVersion" -> 1L, "minWriterVersion" -> 2L)))
+    val cdf =
+      configuration.getOrElse("delta.enableChangeDataFeed", "false") == "true"
+    val (schema, conf) =
+      if (cm == "none") (df.schema, configuration)
       else {
         val (decorated, maxId) = decorateMapping(df.schema)
-        (decorated,
-          configuration +
-            ("delta.columnMapping.maxColumnId" -> maxId.toString),
-          ListMap[String, Any]("protocol" -> ListMap(
-            "minReaderVersion" -> 3L, "minWriterVersion" -> 7L,
-            "readerFeatures" -> Seq("columnMapping"),
-            "writerFeatures" -> Seq("appendOnly", "columnMapping",
-              "invariants"))))
+        (decorated, configuration +
+          ("delta.columnMapping.maxColumnId" -> maxId.toString))
+      }
+    // protocol: (1,2) plain; table features (x,7) when column mapping
+    // (a READER feature too → minReader 3 + readerFeatures) and/or CDF
+    // (writer-only → minReader stays 1, no readerFeatures key) is on
+    val proto: ListMap[String, Any] =
+      if (cm == "none" && !cdf)
+        ListMap("protocol" -> ListMap(
+          "minReaderVersion" -> 1L, "minWriterVersion" -> 2L))
+      else {
+        val wf = LegacyV2Features ++
+          (if (cm != "none") Set("columnMapping") else Set.empty) ++
+          (if (cdf) Set("changeDataFeed") else Set.empty)
+        ListMap("protocol" -> (ListMap[String, Any](
+          "minReaderVersion" -> (if (cm != "none") 3L else 1L),
+          "minWriterVersion" -> 7L) ++
+          (if (cm != "none")
+            ListMap[String, Any]("readerFeatures" -> Seq("columnMapping"))
+          else ListMap.empty[String, Any]) ++
+          ListMap[String, Any]("writerFeatures" -> wf.toSeq.sorted)))
       }
     val mapping = if (cm == "none") None else Some((cm, schema))
     val adds = stage(spark, df, root, partitionBy, mapping = mapping)
@@ -307,15 +319,30 @@ object DeltaWrite {
       .where(!matchTrue)
     val adds = stage(spark, kept, root, st.meta.partitionCols,
       mapping = mappingOf(st.meta))
+    // change data feed: a partial-file delete is NOT derivable from
+    // its add/remove actions (a file-level reader would report the
+    // rewrite's surviving rows as delete+insert), so when CDF is on
+    // the commit must carry authoritative change files — the deleted
+    // rows, _change_type=delete (PROTOCOL.md writer requirements)
+    val cdcs =
+      if (!cdfEnabled(st.meta)) Vector.empty[Map[String, Any]]
+      else {
+        val deleted = DeltaRead.plan(spark, root, st.meta, affected.toSeq,
+          st.dvs).where(matchTrue)
+          .select(st.meta.schema.fieldNames.map(col).toIndexedSeq :+
+            org.apache.spark.sql.functions.lit("delete")
+              .as("_change_type"): _*)
+        stageChangeData(spark, deleted, root, st.meta)
+      }
     val ts = System.currentTimeMillis()
     val removes = affected.toSeq.map { case (p, _) =>
       removeAction(p, st.dvs.get(p), ts)
     }
-    val actions = (commitInfo("DELETE") +: removes) ++ adds
+    val actions = (commitInfo("DELETE") +: removes) ++ adds ++ cdcs
     commit(root, st.version + 1, actions) match {
       case Some(v) => v
       case None =>
-        cleanup(root, adds)
+        cleanup(root, adds ++ cdcs)
         throw new ConcurrentWriteException(
           s"version ${st.version + 1} of $root was committed concurrently " +
             "during delete — re-read and retry")
@@ -427,12 +454,28 @@ object DeltaWrite {
         st.stats.get(p).map(s => ListMap("stats" -> nonTightStats(s)))
           .getOrElse(ListMap.empty)))
     }
-    val actions = (commitInfo("DELETE") +: upgrade) ++ removes ++ adds
+    // CDF: the newly hidden rows are exactly the predicate's visible
+    // matches under the PRE-commit vectors — written as authoritative
+    // change files (a remove(f,old)+add(f,new) pair is not derivable
+    // by file-level CDF readers)
+    val cdcs =
+      if (!cdfEnabled(st.meta)) Vector.empty[Map[String, Any]]
+      else {
+        val deleted = DeltaRead.plan(spark, root, st.meta,
+          merged.map { case (p, pv, _) => (p, pv) }, st.dvs)
+          .where(matchTrue)
+          .select(st.meta.schema.fieldNames.map(col).toIndexedSeq :+
+            org.apache.spark.sql.functions.lit("delete")
+              .as("_change_type"): _*)
+        stageChangeData(spark, deleted, root, st.meta)
+      }
+    val actions = (commitInfo("DELETE") +: upgrade) ++ removes ++ adds ++ cdcs
     commit(root, st.version + 1, actions) match {
       case Some(v) => v
       case None =>
         descs.headOption.foreach(d =>
           Files.deleteIfExists(DeltaDv.dvPath(root, d)))
+        cleanup(root, cdcs.toVector)
         throw new ConcurrentWriteException(
           s"version ${st.version + 1} of $root was committed concurrently " +
             "during deleteWithDv — re-read and retry")
@@ -677,7 +720,8 @@ object DeltaWrite {
     * features an upgrade-to-7 lists: the two legacy features
     * minWriterVersion=2 implied, plus DVs. */
   private val SupportedWriterFeatures: Set[String] =
-    Set("appendOnly", "invariants", "deletionVectors", "columnMapping")
+    Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+      "changeDataFeed")
 
   /** The features a (1,2)→(3,7) upgrade lists: the two legacy features
     * version 2 implied plus the one being enabled — NOT the full
@@ -733,8 +777,8 @@ object DeltaWrite {
     * the feature contracts are all of the form "when X is declared,
     * enforce X", so a table declaring none of them is safe to write:
     *   3: CHECK constraints (`delta.constraints.*` configuration keys)
-    *   4: change data feed (`delta.enableChangeDataFeed=true` — this
-    *      writer does not emit cdc actions) and generated columns
+    *   4: change data feed — IMPLEMENTED (cdc actions + `_change_data`
+    *      files from the row-subset ops, r15) — and generated columns
     *      (`delta.generationExpression` field metadata)
     *   5: column mapping — IMPLEMENTED (name + id modes)
     *   6: identity columns (`delta.identity.*` field metadata). */
@@ -745,16 +789,10 @@ object DeltaWrite {
         s"Delta table at $root (minWriterVersion=$v) declares CHECK " +
           "constraints this writer does not evaluate — refusing rather " +
           "than committing rows it cannot validate")
-    if (v >= 4) {
-      require(st.meta.configuration
-          .getOrElse("delta.enableChangeDataFeed", "false") != "true",
-        s"Delta table at $root (minWriterVersion=$v) enables the change " +
-          "data feed; this writer does not emit cdc actions — refusing " +
-          "rather than breaking downstream CDF readers")
+    if (v >= 4)
       require(!fieldMetaHas(st.meta.schema, Set("delta.generationExpression")),
         s"Delta table at $root (minWriterVersion=$v) declares generated " +
           "columns this writer does not compute — refusing")
-    }
     if (v >= 6)
       require(!fieldMetaHas(st.meta.schema, Set("delta.identity.start",
           "delta.identity.step", "delta.identity.allowExplicitInsert")),
@@ -886,10 +924,32 @@ object DeltaWrite {
     * physical, and `stats` keyed by physical names — exactly the
     * spec's "track partition values and column level statistics with
     * the physical name of the column in the transaction log". */
+  /** Stage `rows` (table columns + `_change_type`) as CHANGE DATA
+    * FILES under `<root>/_change_data/` and return their `cdc` actions
+    * — the protocol's authoritative change representation
+    * (PROTOCOL.md "Change Data Files"): same hive layout and physical-
+    * name rules as data files, `_change_type` carried as an ordinary
+    * column (never mapped), `dataChange=false` on every cdc action as
+    * the spec mandates. */
+  private def stageChangeData(spark: SparkSession, rows: DataFrame,
+                              root: String, meta: DeltaRead.Meta)
+      : Vector[Map[String, Any]] = {
+    val withCt = StructType(meta.schema.fields :+
+      StructField("_change_type", StringType))
+    stage(spark, rows, root, meta.partitionCols,
+      mapping = mappingOf(meta).map { case (mode, _) => (mode, withCt) },
+      changeData = true)
+  }
+
+  /** True when every row-subset commit must carry change data files. */
+  private def cdfEnabled(meta: DeltaRead.Meta): Boolean =
+    meta.configuration.getOrElse("delta.enableChangeDataFeed", "false") == "true"
+
   private def stage(spark: SparkSession, df: DataFrame, root: String,
                     partitionBy: Seq[String],
                     dataChange: Boolean = true,
-                    mapping: Option[(String, StructType)] = None)
+                    mapping: Option[(String, StructType)] = None,
+                    changeData: Boolean = false)
       : Vector[Map[String, Any]] = {
     val (physDf, physPartitionBy) = mapping match {
       case None => (df, partitionBy)
@@ -946,18 +1006,28 @@ object DeltaWrite {
         seg.substring(0, eq) ->
           (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw)
       }: _*)
-      val dest = Paths.get(root).resolve(rel)
+      val base =
+        if (changeData) Paths.get(root).resolve("_change_data")
+        else Paths.get(root)
+      val dest = base.resolve(rel)
       Files.createDirectories(dest.getParent)
       Files.move(p, dest) // unique part-<uuid> names: collision = bug
-      ListMap[String, Any]("add" -> ListMap(
-        "path" -> encodePath(segs.mkString("/")),
-        "partitionValues" -> pv,
-        "size" -> Files.size(dest),
-        "modificationTime" -> Files.getLastModifiedTime(dest).toMillis,
-        "dataChange" -> dataChange,
-        "stats" -> Json.render(fileStats(dest,
-          StructType(physDf.schema.fields.filterNot(f =>
-            physPartitionBy.contains(f.name)))))))
+      if (changeData)
+        ListMap[String, Any]("cdc" -> ListMap(
+          "path" -> encodePath(("_change_data" +: segs).mkString("/")),
+          "partitionValues" -> pv,
+          "size" -> Files.size(dest),
+          "dataChange" -> false))
+      else
+        ListMap[String, Any]("add" -> ListMap(
+          "path" -> encodePath(segs.mkString("/")),
+          "partitionValues" -> pv,
+          "size" -> Files.size(dest),
+          "modificationTime" -> Files.getLastModifiedTime(dest).toMillis,
+          "dataChange" -> dataChange,
+          "stats" -> Json.render(fileStats(dest,
+            StructType(physDf.schema.fields.filterNot(f =>
+              physPartitionBy.contains(f.name)))))))
     }
     deleteTree(stg)
     adds
@@ -1088,9 +1158,10 @@ object DeltaWrite {
     * ever published) — delete them rather than leak. */
   private def cleanup(root: String, adds: Seq[Map[String, Any]]): Unit =
     adds.foreach { a =>
-      Json.str(a, "add", "path").foreach { p =>
-        Files.deleteIfExists(Paths.get(resolve(root, p)))
-      }
+      (Json.str(a, "add", "path") orElse Json.str(a, "cdc", "path"))
+        .foreach { p =>
+          Files.deleteIfExists(Paths.get(resolve(root, p)))
+        }
     }
 
   /** add.path → filesystem path, via the same pure percent-decoder as

@@ -127,6 +127,107 @@ class DeltaCdfSpec extends SparkSpec {
       .collect().map(_.getString(1)).toSeq === Seq("a", "B2"))
   }
 
+  test("CDF WRITES: row-subset deletes emit authoritative cdc actions + " +
+      "_change_data files (r15)") {
+    import spark.implicits._
+    val root = freshTable()
+    // partitioned CDF table from day one — protocol must declare the
+    // writer feature
+    DeltaWrite.create(spark,
+      Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y"), (4L, "d", "y"))
+        .toDF("id", "v", "p").coalesce(1),
+      root, partitionBy = Seq("p"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val st0 = DeltaRead.state(spark, root, Long.MaxValue)
+    assert(st0.minReader === 1L && st0.minWriter === 7L)
+    assert(st0.writerFeatures ===
+      Set("appendOnly", "changeDataFeed", "invariants"))
+
+    def commitActions(v: Long): Seq[Map[String, Any]] =
+      Files.readAllLines(Paths.get(root, f"_delta_log/$v%020d.json"))
+        .asScala.filter(_.trim.nonEmpty)
+        .map(l => graft.util.Json.parse(l).asInstanceOf[Map[String, Any]])
+        .toSeq
+
+    // v1: blind append — NO cdc (derivable from adds, per spec)
+    DeltaWrite.append(spark, Seq((5L, "e", "x")).toDF("id", "v", "p"), root)
+    assert(!commitActions(1L).exists(_.contains("cdc")))
+
+    // v2: copy-on-write delete of a row SUBSET — cdc mandatory
+    DeltaWrite.delete(spark, root, col("id") === 1L)
+    val cdc2 = commitActions(2L).flatMap(_.get("cdc"))
+    assert(cdc2.nonEmpty)
+    cdc2.foreach { c =>
+      val path = graft.util.Json.str(c, "path").get
+      assert(path.startsWith("_change_data/"))
+      assert(graft.util.Json.get(c, "dataChange") === java.lang.Boolean.FALSE)
+      // partition values ride the action; the FILE carries data cols +
+      // _change_type only
+      assert(graft.util.Json.get(c, "partitionValues")
+        .asInstanceOf[Map[String, Any]].keySet === Set("p"))
+      val cols = spark.read.parquet(Paths.get(root, path).toString)
+        .columns.toSet
+      assert(cols === Set("id", "v", "_change_type"))
+    }
+    assert(changes(root, 2, 2) === Seq((2L, "delete", 1L)))
+
+    // v3: DV delete — cdc carries exactly the newly hidden rows
+    DeltaWrite.deleteWithDv(spark, root, col("id").isin(2L, 3L))
+    assert(commitActions(3L).exists(_.contains("cdc")))
+    assert(changes(root, 3, 3) ===
+      Seq((3L, "delete", 2L), (3L, "delete", 3L)))
+
+    // v4: purge (dataChange=false) still contributes nothing
+    DeltaWrite.purgeVectors(spark, root)
+    assert(!commitActions(4L).exists(_.contains("cdc")))
+    assert(changes(root, 0, 4).count(_._2 == "delete") === 3)
+
+    // checkpoint a changeDataFeed-featured table and bootstrap past it
+    val cpV = DeltaWrite.checkpoint(spark, root)
+    (0L until cpV).foreach(v =>
+      Files.delete(Paths.get(root, f"_delta_log/$v%020d.json")))
+    assert(DeltaRead.read(spark, root).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(4L, 5L))
+  }
+
+  test("CDF writes on a COLUMN-MAPPED table: physical change files, " +
+      "physical pv keys, logical feed") {
+    import spark.implicits._
+    val root = freshTable()
+    DeltaWrite.create(spark,
+      Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "p"),
+      root, partitionBy = Seq("p"),
+      configuration = Map("delta.columnMapping.mode" -> "name",
+        "delta.enableChangeDataFeed" -> "true"))
+    val st = DeltaRead.state(spark, root, Long.MaxValue)
+    assert(st.writerFeatures === Set("appendOnly", "changeDataFeed",
+      "columnMapping", "invariants"))
+    DeltaWrite.delete(spark, root, col("id") === 2L)
+
+    val cdc = Files.readAllLines(
+      Paths.get(root, f"_delta_log/${1L}%020d.json")).asScala
+      .filter(_.contains("\"cdc\""))
+      .map(l => graft.util.Json.get(graft.util.Json.parse(l), "cdc"))
+    assert(cdc.nonEmpty)
+    val physP = st.meta.schema.fields.find(_.name == "p").get
+      .metadata.getString("delta.columnMapping.physicalName")
+    cdc.foreach { c =>
+      // pv keyed PHYSICALLY, file columns physical + literal _change_type
+      assert(graft.util.Json.get(c, "partitionValues")
+        .asInstanceOf[Map[String, Any]].keySet === Set(physP))
+      val cols = spark.read.parquet(Paths.get(root,
+        graft.util.Json.str(c, "path").get).toString).columns.toSet
+      assert(cols.contains("_change_type"))
+      assert((cols - "_change_type").forall(_.startsWith("col-")))
+    }
+    // the reader's mapped cdc branch (ADVICE r14 fix) resolves it all
+    // back to logical shape
+    val got = DeltaRead.readChanges(spark, root, 1, 1)
+      .select("_change_type", "id", "v", "p").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq === Seq(("delete", 2L, "b", "y")))
+  }
+
   test("refusals: vacuumed commit in range; schema change across the range") {
     import spark.implicits._
     val root = freshTable()

@@ -203,20 +203,31 @@ class DeltaMappedWriteSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("CHECK"))
 
-    // CDF enabled on a v4+ legacy table refuses too (no cdc emission)
+    // legacy v4: CDF is IMPLEMENTED (r15) so enabling it still writes
+    // — a delete even emits the cdc the feature demands; generated
+    // columns remain a by-name refusal
     val root2 = fresh()
-    DeltaWrite.create(spark, Seq((1L, "a")).toDF("id", "v"), root2)
+    DeltaWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1), root2)
     Files.write(Paths.get(root2, "_delta_log", f"${1L}%020d.json"),
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}
         |""".stripMargin.getBytes(StandardCharsets.UTF_8))
-    // bare v4 (no CDF, no generated columns) writes fine
-    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), root2)
     evolveSchema(root2, identity,
       conf => conf + ("delta.enableChangeDataFeed" -> "true"))
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), root2)
+    DeltaWrite.delete(spark, root2, col("id") === 1L)
+    assert(Files.readAllLines(Paths.get(root2, "_delta_log",
+      f"${DeltaRead.state(spark, root2, Long.MaxValue).version}%020d.json"))
+      .asScala.exists(_.contains("\"cdc\"")))
+
+    val genField = StructType(Seq(StructField("g", LongType, nullable = true,
+      new MetadataBuilder()
+        .putString("delta.generationExpression", "id + 1").build())))
+    evolveSchema(root2, s => StructType(s.fields ++ genField.fields))
     val e2 = intercept[IllegalArgumentException] {
-      DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), root2)
+      DeltaWrite.append(spark,
+        Seq((4L, "d", 5L)).toDF("id", "v", "g"), root2)
     }
-    assert(e2.getMessage.contains("change data feed") ||
-      e2.getMessage.contains("cdc"))
+    assert(e2.getMessage.contains("generated"))
   }
 }

@@ -50,12 +50,16 @@ object DeltaWriteProps extends Properties("DeltaWrite") {
     def isPurge: Boolean = kind == 4 // r14: dataChange=false rewrite
   }
 
-  private val genOps: Gen[((Boolean, String), List[Op])] = for {
+  private val genOps: Gen[((Boolean, String, Boolean), List[Op])] = for {
     partitioned <- Gen.oneOf(true, false)
     // r15: the same sequences must hold on COLUMN-MAPPED tables —
     // physical staging, physical partitionValues/stats keys, DV adds
     // carrying mapped stats, checkpoints of (3,7) feature protocols
     cmMode <- Gen.frequency(2 -> "none", 1 -> "name", 1 -> "id")
+    // r15: half the tables run with the change data feed on — every
+    // row-subset delete then carries cdc actions, and the per-version
+    // feed must FOLD back to the same model (checked below)
+    cdf <- Gen.oneOf(true, false)
     n <- Gen.choose(1, 5)
     ops <- Gen.listOfN(n, for {
       k <- Gen.choose(1, 4)
@@ -67,16 +71,18 @@ object DeltaWriteProps extends Properties("DeltaWrite") {
       txnV <- Gen.frequency(2 -> Gen.const(None),
         1 -> Gen.choose(0L, 3L).map(Some(_)))
     } yield Op(rows, kind, delId, cp, txnV))
-  } yield ((partitioned, cmMode), ops)
+  } yield ((partitioned, cmMode, cdf), ops)
 
   property("random write sequences fold to the model at every version") =
-    forAll(genOps) { case ((partitioned, cmMode), ops) =>
+    forAll(genOps) { case ((partitioned, cmMode, cdf), ops) =>
       import spark.implicits._
       val root = Files.createTempDirectory("graft_deltaw_prop_").toString
       val partBy = if (partitioned) Seq("p") else Nil
       val conf =
-        if (cmMode == "none") Map.empty[String, String]
-        else Map("delta.columnMapping.mode" -> cmMode)
+        (if (cmMode == "none") Map.empty[String, String]
+         else Map("delta.columnMapping.mode" -> cmMode)) ++
+          (if (cdf) Map("delta.enableChangeDataFeed" -> "true")
+           else Map.empty[String, String])
 
       var model = Vector.empty[(Long, String)] // multiset of live rows
       var ledger = -1L // the model's SetTransaction fold for the one appId
@@ -111,15 +117,35 @@ object DeltaWriteProps extends Properties("DeltaWrite") {
         modelAt += ((v, model))
       }
 
-      modelAt.groupBy(_._1).map { case (v, states) => (v, states.last._2) }
+      val snapshotsOk = modelAt
+        .groupBy(_._1).map { case (v, states) => (v, states.last._2) }
         .forall { case (v, want) =>
         val got = DeltaRead.read(spark, root, v.toInt)
           .collect().map(r => (r.getLong(0), r.getString(1)))
           .toVector.sorted
         val ok = got == want.sorted
         if (!ok) println(s"v$v: got=$got want=${want.sorted} ops=$ops " +
-          s"partitioned=$partitioned cmMode=$cmMode")
+          s"partitioned=$partitioned cmMode=$cmMode cdf=$cdf")
         ok
       }
+      // the CHANGE FEED must fold to the same final multiset: start
+      // empty, add each version's inserts, remove its deletes — with
+      // CDF on, delete commits take the cdc-authoritative branch, so
+      // this pins the WRITTEN change files against the model too
+      val last = DeltaRead.latestVersion(root)
+      val feed = DeltaRead.readChanges(spark, root, 0L, last)
+        .select("id", "p", "_change_type").collect()
+        .map(r => ((r.getLong(0), r.getString(1)), r.getString(2)))
+      val folded = scala.collection.mutable.Map.empty[(Long, String), Int]
+        .withDefaultValue(0)
+      feed.foreach { case (k, ct) =>
+        folded(k) += (if (ct == "insert") 1 else -1)
+      }
+      val wantBag = model.groupBy(identity).view.mapValues(_.size).toMap
+      val gotBag = folded.filter(_._2 != 0).toMap
+      val feedOk = gotBag == wantBag && folded.values.forall(_ >= 0)
+      if (!feedOk) println(s"feed fold: got=$gotBag want=$wantBag ops=$ops " +
+        s"partitioned=$partitioned cmMode=$cmMode cdf=$cdf")
+      snapshotsOk && feedOk
     }
 }
