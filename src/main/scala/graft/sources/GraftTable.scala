@@ -314,15 +314,45 @@ object GraftTable {
   def read(spark: SparkSession, s: Snapshot): DataFrame =
     spark.read.parquet(s.files.map(_.path): _*)
 
+  /** The table's schema at snapshot `s` — from its own files, or the
+    * newest earlier snapshot that still had one (a delete-everything
+    * merge legitimately empties the file list; the schema survives in
+    * history — r15, hit by an Iceberg equality-delete sync that
+    * removed every row). */
+  private def schemaAt(spark: SparkSession, root: String,
+                       s: Snapshot): org.apache.spark.sql.types.StructType = {
+    var v = s.version
+    while (v >= 1) {
+      val sn =
+        if (v == s.version) Some(s)
+        else scala.util.Try(snapshot(root, v)).toOption
+      sn.filter(_.files.nonEmpty).foreach { hit =>
+        return spark.read.parquet(hit.files.head.path).schema
+      }
+      v -= 1
+    }
+    sys.error(s"table at $root has no data file in any snapshot <= " +
+      s"${s.version} — no schema recoverable")
+  }
+
+  /** [[read]] that tolerates an EMPTY snapshot (returns a zero-row
+    * frame under the schema recovered from history). */
+  private def readAt(spark: SparkSession, root: String,
+                     s: Snapshot): DataFrame =
+    if (s.files.nonEmpty) read(spark, s)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schemaAt(spark, root, s))
+
   def read(spark: SparkSession, root: String): DataFrame =
-    read(spark, latest(root))
+    readAt(spark, root, latest(root))
 
   /** Time travel: read the table exactly as committed at `version` —
     * the reproducible-training-set primitive (pin the manifest a run
     * trained on; re-reads are bit-identical no matter how many merges
     * landed since). Fails if the version was vacuumed. */
   def read(spark: SparkSession, root: String, version: Int): DataFrame =
-    read(spark, snapshot(root, version))
+    readAt(spark, root, snapshot(root, version))
 
   /** Streaming time travel (VERDICT r11 #7): replay a PINNED version
     * as a rate-limited micro-batch stream — "re-run the training
@@ -469,12 +499,14 @@ object GraftTable {
     * file names its target data files, and those files' prev/cur
     * VISIBLE rows ride both sides of the diff — newly hidden keys
     * fall out as deletes, dropped delete files resurrect rows as
-    * upserts, cost proportional to the changed targets. Refusals:
-    * EQUALITY delete files (value-matched against every older file —
-    * un-localizable by a file diff; re-import instead), schema
-    * changes (column renames included: GraftTable has no rename
-    * story), and duplicate merge keys; same crash-idempotent marker
-    * protocol as [[syncDelta]].
+    * upserts, cost proportional to the changed targets. EQUALITY
+    * deletes sync incrementally too (r15): they match by value
+    * against every strictly-older data file, so the eq-applicable
+    * COMMON files ride the diff — same mechanics, cost one scan of
+    * that slice for the snapshot. Refusals: schema changes (column
+    * renames included: GraftTable has no rename story) and duplicate
+    * merge keys; same crash-idempotent marker protocol as
+    * [[syncDelta]].
     *
     * Returns one (snapshotId, MergeStats) per data-changing snapshot
     * applied. */
@@ -503,37 +535,43 @@ object GraftTable {
         s"Iceberg snapshot ${cur.snapshotId} at $iceRoot changes the " +
           "table schema; incremental sync has no schema-evolution " +
           s"story — re-import (table stays consistent as of snapshot ${prev.snapshotId})")
-      // POSITION deletes sync incrementally (below); EQUALITY deletes
-      // match by value against every strictly-older file — a file
-      // diff cannot localize them, so they still refuse
-      require((cur.deletes ++ prev.deletes).forall(_.content == 1L),
-        s"Iceberg snapshot ${cur.snapshotId} at $iceRoot carries EQUALITY " +
-          "delete files; a file-level diff cannot localize value-matched " +
-          "deletes — re-import instead (the reader applies them; table " +
-          s"stays consistent as of snapshot ${prev.snapshotId})")
       val prevSet = prev.files.toSet
       val curSet = cur.files.toSet
       val addedFiles = cur.files.filterNot(prevSet)
       val removedFiles = prev.files.filterNot(curSet)
-      // a position-delete-file change moves row VISIBILITY inside data
-      // files that stayed live: feed those files' prev/cur VISIBLE
-      // rows through both sides of the diff — unchanged rows re-upsert
+      // a delete-file change moves row VISIBILITY inside data files
+      // that stayed live: feed those files' prev/cur VISIBLE rows
+      // through both sides of the diff — unchanged rows re-upsert
       // (no-op), newly hidden keys fall out as deletes, resurrected
-      // ones (a dropped delete file) come back as upserts. Work stays
-      // proportional to the changed delete files' targets.
+      // ones (a dropped delete file) come back as upserts.
+      //   - changed POSITION deletes name their targets: work stays
+      //     proportional to the changed files' targets;
+      //   - changed EQUALITY deletes (r15) match by VALUE against
+      //     every data file with a strictly older sequence number, so
+      //     the applicable COMMON files all ride the diff — correct
+      //     for new and dropped delete files alike (planFilesVisible
+      //     applies each side's own deletes), at the cost of scanning
+      //     the eq-applicable slice of the table for that snapshot.
+      //     Still incremental: no re-import, the marker advances.
       val delKey = (d: IcebergRead.DeleteFile) => (d.path, d.seq)
       val prevDel = prev.deletes.map(delKey).toSet
       val curDel = cur.deletes.map(delKey).toSet
-      val changedDelFiles =
-        (prev.deletes.filterNot(d => curDel(delKey(d))) ++
-          cur.deletes.filterNot(d => prevDel(delKey(d)))).map(_.path).distinct
-      val changedCommon: Seq[String] =
-        if (changedDelFiles.isEmpty) Nil
-        else {
-          val targets = IcebergRead.posDeleteTargets(spark, changedDelFiles)
-          (prevSet intersect curSet).toSeq
-            .filter(p => targets(IcebergRead.canonStr(p)))
+      val changedDels =
+        prev.deletes.filterNot(d => curDel(delKey(d))) ++
+          cur.deletes.filterNot(d => prevDel(delKey(d)))
+      val common = (prevSet intersect curSet).toSeq
+      val changedCommon: Seq[String] = {
+        val posFiles = changedDels.filter(_.content == 1L).map(_.path).distinct
+        val posTargets: Set[String] =
+          if (posFiles.isEmpty) Set.empty
+          else IcebergRead.posDeleteTargets(spark, posFiles)
+        val eqSeqMax = changedDels.filter(_.content == 2L)
+          .map(_.seq).maxOption
+        common.filter { p =>
+          posTargets(IcebergRead.canonStr(p)) ||
+            eqSeqMax.exists(s => cur.dataSeq.getOrElse(p, 0L) < s)
         }
+      }
       val old = prev
       prev = cur
       if (addedFiles.isEmpty && removedFiles.isEmpty && changedCommon.isEmpty) {
@@ -955,10 +993,37 @@ object GraftTable {
       if (prevPaths == curPaths) {
         writeIcebergExportMarker(root, iceRoot, g, sv) // marker-only
       } else {
-        val op = if (prevPaths.subsetOf(curPaths)) "append" else "overwrite"
-        val files = curS.files.map(mirrorIcebergFile(iceRoot, _))
-        sv = IcebergWrite.commitMirror(iceRoot, files, op,
-          summaryExtra = Map("graft-version" -> g.toString))
+        // a PURE-DELETE merge (touched files rewritten to a row
+        // SUBSET, no inserts or updates) mirrors as a v2 POSITION-
+        // DELETE snapshot (r15): the mirror keeps its data files and
+        // hides the deleted keys — downstream Iceberg CDC consumers
+        // see a row-level visibility commit instead of a file-level
+        // remove+add they would have to re-read. The mirror's CONTENT
+        // still equals the graft version's (the invariant every sync
+        // step maintains); its FILE SET intentionally lags until the
+        // next full-listing commit republishes graft's manifest.
+        // Detection costs one exceptAll over the TOUCHED files —
+        // commit-proportional, never table-proportional.
+        val removed = prevS.files.filterNot(f => curPaths(f.path))
+        val added = curS.files.filterNot(f => prevPaths(f.path))
+        val key = curS.key
+        lazy val addedDf = spark.read.parquet(added.map(_.path): _*)
+        lazy val removedDf = spark.read.parquet(removed.map(_.path): _*)
+        val pureDelete = removed.nonEmpty &&
+          (added.isEmpty || addedDf.exceptAll(removedDf).isEmpty)
+        if (pureDelete) {
+          val deletedKeys =
+            if (added.isEmpty) removedDf.select(col(key))
+            else removedDf.select(col(key))
+              .exceptAll(addedDf.select(col(key)))
+          sv = IcebergWrite.deleteMatching(spark, iceRoot, deletedKeys,
+            summaryExtra = Map("graft-version" -> g.toString))
+        } else {
+          val op = if (prevPaths.subsetOf(curPaths)) "append" else "overwrite"
+          val files = curS.files.map(mirrorIcebergFile(iceRoot, _))
+          sv = IcebergWrite.commitMirror(iceRoot, files, op,
+            summaryExtra = Map("graft-version" -> g.toString))
+        }
         writeIcebergExportMarker(root, iceRoot, g, sv)
         out += ((g, sv))
       }
@@ -1019,7 +1084,8 @@ object GraftTable {
             batchId: Long = -1L): (Snapshot, MergeStats) = {
     val base = latest(root)
     val key = base.key
-    val valueCols = read(spark, base).columns.filterNot(_ == key).toSeq
+    val valueCols = readAt(spark, root, base).columns
+      .filterNot(_ == key).toSeq
     // bounded: distinct change keys (the batch is small by contract;
     // a huge batch would swap this for a broadcast-join prune)
     val keyStats = changes.agg(min(col(key)), max(col(key))).collect()(0)
@@ -1073,7 +1139,7 @@ object GraftTable {
 
     // inserts: change keys matching NO base file (anti-join against
     // the full base — base keys are the authority, not the prune)
-    val baseAll = read(spark, base)
+    val baseAll = readAt(spark, root, base)
     val inserts = chg.where(!coalesce(col("is_delete"), lit(false)))
       .join(baseAll.select(col(key).as("__gt_k")), Seq("__gt_k"), "left_anti")
     val insertDf = valueCols.foldLeft(

@@ -253,6 +253,22 @@ object IcebergRead {
     if (st.deletes.isEmpty) planFiles(spark, st.schema, subset, nameMappingOf(meta))
     else planWithDeletes(spark, meta, st, subset)
 
+  /** Column names under which [[planVisiblePos]] exposes each visible
+    * row's physical provenance — what [[IcebergWrite.delete]] turns
+    * into position-delete files. The file path is CANONICAL
+    * (slash-rooted, percent-decoded); writers translate it back to
+    * the manifest's raw form via [[canonStr]] over the live list. */
+  private[sources] val PosFileCol = "__graft_file"
+  private[sources] val PosPosCol = "__graft_pos"
+
+  /** The VISIBLE rows of `subset` with provenance columns appended —
+    * the delete-aware plan run with its join keys kept. Existing
+    * delete files apply first, so positions already hidden are never
+    * re-emitted. */
+  private[sources] def planVisiblePos(spark: SparkSession, meta: Any,
+      st: SnapState, subset: Seq[String]): DataFrame =
+    planWithDeletes(spark, meta, st, subset, keepPos = true)
+
   /** CHANGE-FEED read over SNAPSHOT ANCESTRY — [[DeltaRead
     * .readChanges]]'s Iceberg twin: the row-level changes each
     * snapshot on the parent chain `(fromSnapshotId, toSnapshotId]`
@@ -267,11 +283,14 @@ object IcebergRead {
     * the newly hidden rows, and dropped delete files resurrect rows
     * as inserts.
     *
+    * Position AND equality delete-file changes both surface (r15):
+    * position deletes localize to their named targets; equality
+    * deletes put the eq-applicable common files on the diff — costlier
+    * for that snapshot, but row-exact either way.
+    *
     * Refusals: `fromSnapshotId` not an ancestor of `toSnapshotId`
     * (rolled-back or replaced lineage — a diff across a rewrite
-    * fabricates changes), EQUALITY delete files on the walked chain
-    * (value-matched against every older file — un-localizable by a
-    * file diff), and schema changes across the range.
+    * fabricates changes) and schema changes across the range.
     *
     * 100 TB shape: per snapshot the cost is one scan of the COMMIT's
     * files (plus changed-delete targets) and an exceptAll of those
@@ -297,25 +316,32 @@ object IcebergRead {
       require(cur.schema == prev.schema,
         s"table schema changes at snapshot ${cur.snapshotId} at $root — " +
           "a single change feed cannot span a schema change; split the range")
-      require((cur.deletes ++ prev.deletes).forall(_.content == 1L),
-        s"snapshot ${cur.snapshotId} at $root carries EQUALITY delete " +
-          "files; a file-level diff cannot localize value-matched deletes")
       val prevSet = prev.files.toSet
       val curSet = cur.files.toSet
       val addedFiles = cur.files.filterNot(prevSet)
       val removedFiles = prev.files.filterNot(curSet)
+      // changed POSITION deletes localize to their named targets;
+      // changed EQUALITY deletes (r15) apply by value to every data
+      // file with a strictly older sequence number, so the
+      // eq-applicable COMMON files ride the diff — each side's
+      // planFilesVisible applies its own deletes, so new and dropped
+      // delete files both surface exactly the visibility they moved
       val delKey = (d: DeleteFile) => (d.path, d.seq)
       val prevDel = prev.deletes.map(delKey).toSet
       val curDel = cur.deletes.map(delKey).toSet
-      val changedDelFiles =
-        (prev.deletes.filterNot(d => curDel(delKey(d))) ++
-          cur.deletes.filterNot(d => prevDel(delKey(d)))).map(_.path).distinct
-      val changedCommon: Seq[String] =
-        if (changedDelFiles.isEmpty) Nil
-        else {
-          val targets = posDeleteTargets(spark, changedDelFiles)
-          (prevSet intersect curSet).toSeq.filter(p => targets(canonStr(p)))
-        }
+      val changedDels =
+        prev.deletes.filterNot(d => curDel(delKey(d))) ++
+          cur.deletes.filterNot(d => prevDel(delKey(d)))
+      val changedCommon: Seq[String] = {
+        val posFiles = changedDels.filter(_.content == 1L).map(_.path).distinct
+        val targets: Set[String] =
+          if (posFiles.isEmpty) Set.empty
+          else posDeleteTargets(spark, posFiles)
+        val eqSeqMax = changedDels.filter(_.content == 2L).map(_.seq).maxOption
+        (prevSet intersect curSet).toSeq.filter(p =>
+          targets(canonStr(p)) ||
+            eqSeqMax.exists(s => cur.dataSeq.getOrElse(p, 0L) < s))
+      }
       val old = prev
       prev = cur
       if (addedFiles.isEmpty && removedFiles.isEmpty && changedCommon.isEmpty)
@@ -403,7 +429,8 @@ object IcebergRead {
     * AQE broadcasts when small and shuffles when not — never a
     * cartesian, and data bytes are touched once. */
   private def planWithDeletes(spark: SparkSession, meta: Any,
-                              st: SnapState, subset: Seq[String]): DataFrame = {
+                              st: SnapState, subset: Seq[String],
+                              keepPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     require(!st.deletes.exists(_.content == 2L) || !partitioned(meta),
       "equality deletes on a PARTITIONED Iceberg table are scoped by " +
@@ -411,15 +438,20 @@ object IcebergRead {
         "refusing rather than over-deleting across partitions")
     val schema = st.schema
     val mapping = nameMappingOf(meta)
+    val outSchema =
+      if (!keepPos) schema
+      else StructType(schema.fields ++ Seq(
+        StructField(PosFileCol, StringType),
+        StructField(PosPosCol, LongType)))
     if (subset.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
 
     // the data scan, with the table projection AND the metadata
     // columns the delete joins key on
     val metaCols = Seq(
       canonCol(col("_metadata.file_path")).as("__graft_cpath"),
-      col("_metadata.row_index").as("__graft_pos"))
+      col("_metadata.row_index").as(PosPosCol))
     val base = mapping match {
       case None =>
         readerSession(spark).read.schema(schema).parquet(subset: _*)
@@ -463,7 +495,7 @@ object IcebergRead {
         .reduce(_ unionAll _)
       cur = cur.join(delRows,
         col("__graft_cpath") === col("__pd_path") &&
-          col("__graft_pos") === col("__pd_pos") &&
+          col(PosPosCol) === col("__pd_pos") &&
           col("__pd_seq") >= col("__graft_dseq"), "left_anti")
     }
 
@@ -487,7 +519,9 @@ object IcebergRead {
         cur = cur.join(delRows, cond, "left_anti")
       }
 
-    cur.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    if (!keepPos) cur.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    else cur.select(schema.fieldNames.map(col).toIndexedSeq ++
+      Seq(col("__graft_cpath").as(PosFileCol), col(PosPosCol)): _*)
   }
 
   /** Derived session carrying the parquet field-id read confs: same

@@ -53,10 +53,14 @@ import graft.util.Json
   * foreign writer assigned are preserved, never re-derived.
   *
   * Scope (refused loudly, mirroring the reader):
-  *   - appends/overwrites require format-version = 2 exactly (this
-  *     writer emits v2 constructs — mixing them into a v1 table's
-  *     metadata would be nonconformant both ways), and no row-level
-  *     deletes exist (the reader's gate);
+  *   - writes require format-version = 2 exactly (this writer emits
+  *     v2 constructs — mixing them into a v1 table's metadata would
+  *     be nonconformant both ways). Row-level deletes WRITE since r15
+  *     ([[delete]] — position-delete files under the reserved field
+  *     ids, delete manifests, the sequence-number rules the reader
+  *     enforces); appends over delete-carrying tables carry the
+  *     delete manifests by reference, and sequence numbers keep old
+  *     deletes off new files by construction;
   *   - PARTITIONED tables are not written (the current default spec
   *     must be unpartitioned): identity-partition transforms would be
   *     expressible, but hidden-partitioning transforms (bucket,
@@ -140,6 +144,160 @@ object IcebergWrite {
     * omission, exactly how engines rewrite snapshots. */
   def overwrite(spark: SparkSession, df: DataFrame, root: String): Long =
     commitData(spark, df, root, carryPrior = false, op = "overwrite")
+
+  /** DELETE FROM without rewriting a data byte — [[DeltaWrite
+    * .deleteWithDv]]'s Iceberg twin (r15): the matching VISIBLE rows'
+    * physical positions become one v2 POSITION DELETE file
+    * (spec §Position Delete Files — `file_path` under reserved field
+    * id 2147483546, `pos` under 2147483545, rows sorted by (path,
+    * pos)), published through a delete manifest (content=1) appended
+    * to the carried prior manifests. The new snapshot's sequence
+    * number makes the spec's applicability rule come out right by
+    * construction: the delete (seq N) hits every current data file
+    * (seq ≤ N) and no file a later commit adds (seq > N). Existing
+    * delete files apply FIRST when positions are computed, so already-
+    * hidden rows are never re-emitted. A no-match delete commits
+    * nothing. Returns the committed (or current) snapshot id.
+    *
+    * 100 TB shape: one scan of the table's visible rows (predicate
+    * pushed to the parquet scan), one distributed sort of the MATCHING
+    * positions — delete-proportional everywhere but the scan, which a
+    * stats-pruning caller can subset. */
+  def delete(spark: SparkSession, root: String,
+             predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.lit
+    deleteImpl(spark, root,
+      df => df.where(predicate <=> lit(true)), Map.empty)
+  }
+
+  /** [[delete]] with the matching rows given as a KEY frame (one
+    * column, semi-joined null-safely) instead of a predicate — the
+    * shape [[GraftTable.syncToIceberg]] produces when it mirrors a
+    * pure-delete merge as a v2 delete snapshot. `summaryExtra` rides
+    * the snapshot summary (the mirror's graft-version tag). */
+  private[sources] def deleteMatching(spark: SparkSession, root: String,
+                                      keys: DataFrame,
+                                      summaryExtra: Map[String, String])
+      : Long = {
+    val kc = keys.columns match {
+      case Array(c) => c
+      case other => sys.error(s"deleteMatching wants ONE key column, got " +
+        other.mkString(","))
+    }
+    deleteImpl(spark, root,
+      df => df.join(keys, df(kc) <=> keys(kc), "left_semi"), summaryExtra)
+  }
+
+  private def deleteImpl(spark: SparkSession, root: String,
+                         filter: DataFrame => DataFrame,
+                         summaryExtra: Map[String, String]): Long = {
+    import org.apache.spark.sql.functions.col
+    var attempts = 0
+    while (true) {
+      val baseV = highestMetaVersion(root)
+      require(baseV >= 1, s"not an Iceberg table: no vN.metadata.json at $root")
+      val meta = writableMeta(root, baseV)
+      val snapId0 = Json.long(meta, "current-snapshot-id")
+        .getOrElse(sys.error(s"no current snapshot at $root"))
+      val st = IcebergRead.snapState(meta, root, snapId0)
+      // canonical → manifest-raw path, for the delete file's file_path
+      val rawByCanon = st.files.map(p => IcebergRead.canonStr(p) -> p).toMap
+      val visible = IcebergRead.planVisiblePos(spark, meta, st, st.files)
+      val toRaw = org.apache.spark.sql.functions.udf((c: String) =>
+        rawByCanon.getOrElse(c, c))
+      val positions = filter(visible)
+        .select(toRaw(col(IcebergRead.PosFileCol)).as("file_path"),
+          col(IcebergRead.PosPosCol).as("pos"))
+      val staged = stageDeleteFile(spark, positions, root)
+      staged match {
+        case None => return snapId0 // no matching row — nothing to commit
+        case Some(deleteFile) =>
+          val lastSeq = Json.long(meta, "last-sequence-number").getOrElse(0L)
+          val seq = lastSeq + 1
+          val snaps = Json.list(meta, "snapshots")
+          val snapId = snaps.flatMap(s => Json.long(s, "snapshot-id"))
+            .foldLeft(0L)(math.max) + 1
+          val schemaId = Json.long(meta, "current-schema-id").getOrElse(0L)
+          val delManifest = writeManifest(root, Seq(deleteFile), snapId, seq,
+            Json.render(currentSchemaObj(meta)), schemaId, content = 1)
+          val carried = {
+            val psnap = snaps.find(s =>
+              Json.long(s, "snapshot-id").contains(snapId0)).get
+            val ml = IcebergRead.resolve(root, Json.str(psnap, "manifest-list")
+              .getOrElse(sys.error("snapshot without manifest-list")))
+            IcebergRead.avroRows(ml).map(manifestFileAsMap(root, _))
+          }
+          val mlPath = writeManifestList(root, snapId, Some(snapId0), seq,
+            carried :+ delManifest)
+          val newSnap = snapshotEntry(root, snapId, Some(snapId0), seq,
+            mlPath, "delete", schemaId, summaryExtra)
+          val m = meta.asInstanceOf[Map[String, Any]]
+          val updated = m ++ ListMap(
+            "last-sequence-number" -> seq,
+            "last-updated-ms" -> System.currentTimeMillis(),
+            "current-snapshot-id" -> snapId,
+            "snapshots" -> (snaps :+ newSnap))
+          commitMetadata(root, baseV + 1, updated) match {
+            case Some(_) => return snapId
+            case None =>
+              attempts += 1
+              require(attempts < 64,
+                s"delete at $root lost $attempts commit races — giving up")
+              Files.deleteIfExists(Paths.get(deleteFile.path))
+            // loop: positions were computed against a superseded
+            // snapshot — re-fold and recompute
+          }
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** The spec's reserved field ids for position-delete columns. */
+  private val PosDeleteFilePathId = 2147483546L
+  private val PosDeletePosId = 2147483545L
+
+  /** One sorted position-delete parquet under `data/` (reserved field
+    * ids stamped), or None when `positions` is empty. */
+  private def stageDeleteFile(spark: SparkSession, positions: DataFrame,
+                              root: String): Option[StagedFile] = {
+    import org.apache.spark.sql.functions.col
+    val idSchema = StructType(Seq(
+      StructField("file_path", StringType, nullable = false,
+        new MetadataBuilder().putLong("parquet.field.id",
+          PosDeleteFilePathId).build()),
+      StructField("pos", LongType, nullable = false,
+        new MetadataBuilder().putLong("parquet.field.id",
+          PosDeletePosId).build())))
+    val sorted = positions.sort(col("file_path"), col("pos")).coalesce(1)
+    val stg = Paths.get(root, s".iceberg-del-${UUID.randomUUID()}")
+    spark.createDataFrame(sorted.rdd, idSchema).write.parquet(stg.toString)
+    val staged = {
+      val walk = Files.walk(stg)
+      try walk.iterator().asScala.filter(p =>
+        p.getFileName.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .toVector
+      finally walk.close()
+    }
+    val out =
+      try {
+        val src = staged.headOption.getOrElse(sys.error("no staged delete file"))
+        val rows = parquetRows(src)
+        if (rows == 0L) None
+        else {
+          val dataDir = Paths.get(root, "data")
+          Files.createDirectories(dataDir)
+          val dest = dataDir.resolve(s"delete-${UUID.randomUUID()}.parquet")
+          Files.move(src, dest)
+          Some(StagedFile(dest.toAbsolutePath.toString, Files.size(dest), rows))
+        }
+      } finally {
+        val walk = Files.walk(stg)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    out
+  }
 
   // ---------------------------------------------------------------- internals
 
@@ -570,7 +728,8 @@ object IcebergWrite {
     * row describing it. */
   private def writeManifest(root: String, files: Seq[StagedFile],
                             snapId: Long, sequenceNumber: Long,
-                            schemaJson: String, schemaId: Long)
+                            schemaJson: String, schemaId: Long,
+                            content: Int = 0)
       : Map[String, Any] = {
     val metaDir = Paths.get(root, "metadata")
     Files.createDirectories(metaDir)
@@ -579,7 +738,7 @@ object IcebergWrite {
     val partSchema = dfSchema.getField("partition").schema()
     val rows = files.map { f =>
       val df = new GenericData.Record(dfSchema)
-      df.put("content", 0)
+      df.put("content", content)
       df.put("file_path", f.path)
       df.put("file_format", "PARQUET")
       df.put("partition", new GenericData.Record(partSchema))
@@ -599,12 +758,12 @@ object IcebergWrite {
       "partition-spec" -> "[]",
       "partition-spec-id" -> "0",
       "format-version" -> "2",
-      "content" -> "data"))
+      "content" -> (if (content == 1) "deletes" else "data")))
     ListMap(
       "manifest_path" -> dest.toAbsolutePath.toString,
       "manifest_length" -> Files.size(dest),
       "partition_spec_id" -> 0L,
-      "content" -> 0L,
+      "content" -> content.toLong,
       "sequence_number" -> sequenceNumber,
       "min_sequence_number" -> sequenceNumber,
       "added_snapshot_id" -> snapId,

@@ -20,9 +20,8 @@ import graft.sources.{GraftTable, IcebergRead}
   * files with data sequence number ≤ theirs, equality deletes only
   * STRICTLY older ones, so a write's own rows stay visible. Plus the
   * loud refusals: equality deletes on a partitioned table, equality
-  * ids resolving to no top-level field, and [[GraftTable.syncIceberg]]
-  * on a delete-carrying chain (the file-level diff cannot see
-  * row-visibility changes — re-import instead). */
+  * ids resolving to no top-level field, and the incremental
+  * [[GraftTable.syncIceberg]] application of both delete kinds. */
 class IcebergDeleteSpec extends SparkSpec {
 
   private val manifestListSchema = new Schema.Parser().parse(
@@ -185,7 +184,7 @@ class IcebergDeleteSpec extends SparkSpec {
     assert(ids(GraftTable.read(spark, gt)) === Seq(1L, 3L, 6L, 7L, 8L))
   }
 
-  test("syncIceberg applies position-delete commits incrementally; equality still refuses") {
+  test("syncIceberg applies position AND equality delete commits incrementally") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_ice_del_sync_").toString
     val md = Paths.get(root, "metadata")
@@ -246,7 +245,10 @@ class IcebergDeleteSpec extends SparkSpec {
     assert(applied3.head._2.rowsDeleted === 1L)
     assert(ids(GraftTable.read(spark, gt)) === Seq(3L))
 
-    // snapshot 4: an EQUALITY delete appears — refuse, stay at snap 3
+    // snapshot 4: an EQUALITY delete (v='c' → id 3) lands
+    // incrementally too (r15): the eq-applicable common files ride
+    // both sides of the diff, so the newly hidden key falls out as a
+    // delete — no re-import
     dataFile(root, "eqdel2.parquet", withIds(
       Seq(Tuple1("c")).toDF("v"), Map("v" -> 2L)))
     avroWrite(md.resolve("mdel3.avro").toString, manifestSchema,
@@ -259,14 +261,33 @@ class IcebergDeleteSpec extends SparkSpec {
     val snap4 = snap3 + "," +
       s"""{"snapshot-id":4,"schema-id":0,"parent-snapshot-id":3,"manifest-list":"metadata/snap-4.avro"}"""
     metaJson(4, snap4)
-    val e = intercept[IllegalArgumentException] {
-      GraftTable.syncIceberg(spark, gt)
-    }
-    assert(e.getMessage.contains("EQUALITY") &&
-      e.getMessage.contains("re-import"))
-    assert(ids(GraftTable.read(spark, gt)) === Seq(3L)) // consistent at snap 3
-    // the reader itself applies everything
+    val applied4 = GraftTable.syncIceberg(spark, gt)
+    assert(applied4.map(_._1) === Seq(4L))
+    assert(applied4.head._2.rowsDeleted === 1L)
+    assert(ids(GraftTable.read(spark, gt)) === Seq.empty)
     assert(ids(IcebergRead.read(spark, root)) === Seq.empty)
+
+    // snapshot 5: the equality delete file is DROPPED — id 3
+    // resurrects as an upsert through the same eq-applicable diff
+    avroWrite(md.resolve("snap-5.avro").toString, manifestListSchema, Seq(
+      mlRow("metadata/m1.avro", 0, 1L),
+      mlRow("metadata/mdel.avro", 1, 2L),
+      mlRow("metadata/mdel2.avro", 1, 3L)))
+    val snap5 = snap4 + "," +
+      s"""{"snapshot-id":5,"schema-id":0,"parent-snapshot-id":4,"manifest-list":"metadata/snap-5.avro"}"""
+    metaJson(5, snap5)
+    val applied5 = GraftTable.syncIceberg(spark, gt)
+    assert(applied5.map(_._1) === Seq(5L))
+    assert(ids(GraftTable.read(spark, gt)) === Seq(3L))
+    assert(ids(IcebergRead.read(spark, root)) === Seq(3L))
+
+    // readChanges surfaces the equality-delete visibility moves too
+    // (r15): the new eq file at snap 4 deletes id 3, dropping it at
+    // snap 5 resurrects it as an insert
+    val feed = IcebergRead.readChanges(spark, root, 3L, 5L)
+      .select("_commit_snapshot_id", "_change_type", "id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(feed === Seq((4L, "delete", 3L), (5L, "insert", 3L)))
   }
 
   test("readChanges: per-snapshot feed with survivor cancellation and visibility-only commits") {

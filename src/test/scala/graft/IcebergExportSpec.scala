@@ -46,6 +46,10 @@ class IcebergExportSpec extends SparkSpec {
           .otherwise(lit(null).cast("string")).as("new_lang"))
   }
 
+  private def curMeta(ice: String): Any =
+    Json.parse(Files.readString(Paths.get(ice, "metadata",
+      s"v${Files.readString(Paths.get(ice, "metadata", "version-hint.text")).trim}.metadata.json")))
+
   private def rows(df: DataFrame): Set[Seq[Any]] =
     df.select("doc_id", "text", "lang").collect().map(_.toSeq.toVector).toSet
 
@@ -73,6 +77,67 @@ class IcebergExportSpec extends SparkSpec {
       rows(GraftTable.read(spark, root, 1)))
     // nothing new → no-op
     assert(GraftTable.syncToIceberg(spark, root).isEmpty)
+  }
+
+  test("a pure-delete merge mirrors as a v2 position-delete snapshot (r15)") {
+    import spark.implicits._
+    val root = fresh() + "/gt"
+    val ice = fresh() + "/ib"
+    GraftTable.create(spark, root, docs, "doc_id", 4)
+    GraftTable.exportIceberg(spark, root, ice)
+    def pureDel(mod: Long): DataFrame =
+      docs.where(col("doc_id") % 10 === mod)
+        .select(col("doc_id"), lit(true).as("is_delete"),
+          lit(null).cast("string").as("new_text"),
+          lit(null).cast("string").as("new_lang"))
+    def dataFiles(): Set[String] = {
+      val ls = Files.list(Paths.get(ice, "data"))
+      try ls.iterator().asScala.map(_.getFileName.toString).toSet
+      finally ls.close()
+    }
+    val before = dataFiles()
+
+    GraftTable.merge(spark, root, pureDel(0L)) // graft v2
+    val synced = GraftTable.syncToIceberg(spark, root)
+    assert(synced.map(_._1) == Seq(2))
+    val sid = synced.head._2
+    // content equality — the mirror invariant holds
+    assert(rows(IcebergRead.read(spark, ice, sid)) ==
+      rows(GraftTable.read(spark, root, 2)))
+    // ...but expressed as a VISIBILITY commit: op=delete, tagged, and
+    // the only new file under data/ is the position-delete file (the
+    // graft rewrites were NOT adopted)
+    val meta = curMeta(ice)
+    val snap = Json.list(meta, "snapshots")
+      .find(s => Json.long(s, "snapshot-id").contains(sid)).get
+    assert(Json.str(snap, "summary", "operation").contains("delete"))
+    assert(Json.str(snap, "summary", "graft-version").contains("2"))
+    val after = dataFiles()
+    assert(before.subsetOf(after) &&
+      (after -- before).forall(_.startsWith("delete-")))
+
+    // a SECOND pure delete stacks against the mirror's own visible
+    // rows (positions computed after the first delete applies)
+    GraftTable.merge(spark, root, pureDel(1L)) // graft v3
+    val synced2 = GraftTable.syncToIceberg(spark, root)
+    assert(rows(IcebergRead.read(spark, ice, synced2.head._2)) ==
+      rows(GraftTable.read(spark, root, 3)))
+
+    // an update/insert-bearing merge falls back to the full-listing
+    // mirror and republishes graft's file set — still snapshot-equal
+    GraftTable.merge(spark, root, batch("m4")) // graft v4
+    val synced3 = GraftTable.syncToIceberg(spark, root)
+    val sid4 = synced3.head._2
+    val snap4 = Json.list(curMeta(ice), "snapshots")
+      .find(s => Json.long(s, "snapshot-id").contains(sid4)).get
+    assert(!Json.str(snap4, "summary", "operation").contains("delete"))
+    assert(rows(IcebergRead.read(spark, ice, sid4)) ==
+      rows(GraftTable.read(spark, root, 4)))
+    // and the re-import full circle (current snapshot) stays equal
+    val back = fresh() + "/back"
+    GraftTable.importIceberg(spark, ice, back, "doc_id")
+    assert(rows(GraftTable.read(spark, back)) ==
+      rows(GraftTable.read(spark, root, 4)))
   }
 
   test("export is hard-linked metadata translation with a spec-shaped " +

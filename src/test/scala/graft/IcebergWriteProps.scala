@@ -28,15 +28,19 @@ object IcebergWriteProps extends Properties("IcebergWrite") {
       : org.scalacheck.Test.Parameters =
     p.withMinSuccessfulTests(25)
 
-  private case class Op(rows: List[(Long, String)], overwrite: Boolean)
+  /** kind 0 = append, 1 = overwrite, 2 = position DELETE of one id
+    * (r15) — deletes by this writer's own v2 delete files, applied by
+    * this reader's sequence-gated anti-joins. */
+  private case class Op(rows: List[(Long, String)], kind: Int, delId: Long)
 
   private val genOps: Gen[List[Op]] =
     Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, for {
       k <- Gen.choose(1, 4)
       rows <- Gen.listOfN(k, Gen.zip(
         Gen.choose(0L, 9L), Gen.oneOf("x", "y", "z")))
-      ow <- Gen.oneOf(true, false)
-    } yield Op(rows, ow)))
+      kind <- Gen.frequency(3 -> 0, 2 -> 1, 2 -> 2)
+      delId <- Gen.choose(0L, 9L)
+    } yield Op(rows, kind, delId)))
 
   property("random write sequences fold to the model at every snapshot") =
     forAll(genOps) { ops =>
@@ -49,10 +53,14 @@ object IcebergWriteProps extends Properties("IcebergWrite") {
         val df = op.rows.toDF("id", "p")
         val snap =
           if (i == 0) IcebergWrite.create(spark, df, root)
-          else if (op.overwrite) IcebergWrite.overwrite(spark, df, root)
+          else if (op.kind == 1) IcebergWrite.overwrite(spark, df, root)
+          else if (op.kind == 2) IcebergWrite.delete(spark, root,
+            org.apache.spark.sql.functions.col("id") === op.delId)
           else IcebergWrite.append(spark, df, root)
-        model = if (i > 0 && op.overwrite) op.rows.toVector
-                else model ++ op.rows
+        model =
+          if (i > 0 && op.kind == 1) op.rows.toVector
+          else if (i > 0 && op.kind == 2) model.filterNot(_._1 == op.delId)
+          else model ++ op.rows
         modelAt += ((snap, model))
       }
 

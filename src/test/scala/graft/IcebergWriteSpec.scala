@@ -262,6 +262,92 @@ class IcebergWriteSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
 
+  /** Top-level parquet footer field ids, null where absent. */
+  private def footerIds(p: String): Seq[Option[Int]] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(f => Option(f.getId).map(_.intValue)).toSeq
+    finally r.close()
+  }
+
+  test("position-delete writes: reserved-id delete file, delete manifest, " +
+      "sequence rules, stacking (r15)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = fresh()
+    IcebergWrite.create(spark, df3, root) // snap 1, seq 1
+    def ids(): Seq[Long] = IcebergRead.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+
+    // snap 2: hide id=2 — zero data bytes move
+    val dataBefore = {
+      val ls = Files.list(Paths.get(root, "data"))
+      try ls.iterator().asScala.map(_.toString).toSet finally ls.close()
+    }
+    val s2 = IcebergWrite.delete(spark, root, col("id") === 2L)
+    assert(s2 === 2L)
+    assert(ids() === Seq(1L, 3L))
+    assert(IcebergRead.read(spark, root, 1L).count() === 3L) // time travel
+    val dataAfter = {
+      val ls = Files.list(Paths.get(root, "data"))
+      try ls.iterator().asScala.map(_.toString).toSet finally ls.close()
+    }
+    val newFiles = dataAfter -- dataBefore
+    assert(dataBefore.subsetOf(dataAfter) && newFiles.size === 1,
+      "exactly one delete file, no data file touched")
+
+    // golden: the delete parquet carries the spec's reserved field ids
+    // and sorted (file_path, pos) rows
+    val delFile = newFiles.head
+    assert(footerIds(delFile) === Seq(Some(2147483546), Some(2147483545)))
+    val delRows = spark.read.parquet(delFile)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(delRows.size === 1 && delRows.head._2 >= 0L)
+    assert(dataBefore.contains(delRows.head._1),
+      "file_path must reference a live data file verbatim")
+    assert(delRows === delRows.sorted)
+
+    // golden: metadata v2 — snapshot op delete at seq 2; manifest list
+    // carries the prior DATA manifest plus one DELETE manifest
+    val meta = metaJson(root, 2)
+    val snap2 = Json.list(meta, "snapshots")
+      .find(s => Json.long(s, "snapshot-id").contains(2L)).get
+    assert(Json.str(snap2, "summary", "operation").contains("delete"))
+    assert(Json.long(snap2, "sequence-number").contains(2L))
+    val mlRows = avro(Json.str(snap2, "manifest-list").get) // absolute
+    assert(mlRows.map(_.get("content").toString.toLong).sorted === Seq(0L, 1L))
+    val delManifest = mlRows.find(_.get("content").toString == "1").get
+    assert(delManifest.get("sequence_number").toString.toLong === 2L)
+    val delEntries = avro(delManifest.get("manifest_path").toString)
+    assert(delEntries.size === 1)
+    val delDf = delEntries.head.get("data_file")
+      .asInstanceOf[GenericRecord]
+    assert(delDf.get("content").toString.toLong === 1L)
+    assert(delDf.get("record_count").toString.toLong === 1L)
+
+    // sequence rule: re-append the same values — the OLD delete must
+    // not hit the NEW file (write's own rows stay visible)
+    IcebergWrite.append(spark, Seq((2L, "b", 20)).toDF("id", "v", "n"), root)
+    assert(ids() === Seq(1L, 2L, 3L))
+
+    // deletes STACK, and positions already hidden are never re-emitted
+    val s4 = IcebergWrite.delete(spark, root, col("id").isin(1L, 2L))
+    assert(s4 === 4L)
+    assert(ids() === Seq(3L))
+    // no-match delete commits nothing
+    assert(IcebergWrite.delete(spark, root, col("id") === 99L) === s4)
+    assert(Json.long(metaJson(root, 4), "current-snapshot-id").contains(s4))
+
+    // and the graft import path applies the written deletes
+    val gt = fresh() + "/gt"
+    GraftTable.importIceberg(spark, root, gt, "id")
+    assert(GraftTable.read(spark, gt).select("id")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
   test("concurrent appends land at distinct snapshots, no rows lost") {
     import spark.implicits._
     val root = fresh()
