@@ -71,6 +71,66 @@ object IcebergRead {
   def read(spark: SparkSession, root: String, snapshotId: Long): DataFrame =
     readSnapshot(spark, root, Some(snapshotId))
 
+  /** TIMESTAMP time travel (VERDICT r14 gap 6): the table as of the
+    * newest snapshot on the CURRENT ancestry chain whose
+    * `timestamp-ms` is ≤ `timestampMs`. Boundary: a timestamp equal
+    * to a snapshot's resolves TO that snapshot (inclusive); one
+    * before the oldest ancestor refuses by name (rolled-back or
+    * expired lineage is not resolvable — guessing across a rewrite
+    * would fabricate history). */
+  def readAsOf(spark: SparkSession, root: String,
+               timestampMs: Long): DataFrame =
+    read(spark, root, snapshotAsOf(root, timestampMs))
+
+  /** The snapshot id [[readAsOf]] resolves `timestampMs` to. */
+  def snapshotAsOf(root: String, timestampMs: Long): Long = {
+    val chain = ancestryTimestamps(root)
+    require(timestampMs >= chain.head._2,
+      s"timestamp $timestampMs precedes the oldest ancestor snapshot " +
+        s"(${chain.head._1} at ${chain.head._2}) at $root — resolve by " +
+        "snapshot id or pass a timestamp at or after it")
+    chain.takeWhile(_._2 <= timestampMs).last._1
+  }
+
+  /** CHANGE FEED by timestamp: [[readChanges]] over
+    * `(snapshotAsOf(from), snapshotAsOf(to)]` — the changes committed
+    * AFTER `fromTimestampMs` and at-or-before `toTimestampMs`, with
+    * the same inclusive as-of boundary rule as [[readAsOf]] at both
+    * ends (a timestamp equal to a snapshot's puts it on the FROM side
+    * excluded, the TO side included). */
+  def readChangesAsOf(spark: SparkSession, root: String,
+                      fromTimestampMs: Long, toTimestampMs: Long): DataFrame = {
+    require(fromTimestampMs <= toTimestampMs,
+      s"readChangesAsOf range [$fromTimestampMs, $toTimestampMs] is empty")
+    readChanges(spark, root, snapshotAsOf(root, fromTimestampMs),
+      snapshotAsOf(root, toTimestampMs))
+  }
+
+  /** (snapshotId, timestamp-ms) along the current ancestry chain,
+    * oldest first, timestamps adjusted strictly monotonic
+    * (max(raw, prev+1)) so resolution is well-ordered even under
+    * writer clock skew. Metadata-scale. */
+  private def ancestryTimestamps(root: String): Vector[(Long, Long)] = {
+    val meta = currentMeta(root)
+    val snaps = Json.list(meta, "snapshots")
+    val byId = snaps.map(s => Json.long(s, "snapshot-id")
+      .getOrElse(sys.error("snapshot without snapshot-id")) -> s).toMap
+    val cur = Json.long(meta, "current-snapshot-id")
+      .getOrElse(sys.error(s"no current snapshot at $root"))
+    val ids = Iterator.iterate(Option(cur))(
+        _.flatMap(id => byId.get(id).flatMap(Json.long(_, "parent-snapshot-id"))))
+      .takeWhile(_.exists(byId.contains)).map(_.get).toVector.reverse
+    require(ids.nonEmpty, s"current snapshot $cur not listed at $root")
+    var prev = Long.MinValue
+    ids.map { id =>
+      val raw = Json.long(byId(id), "timestamp-ms")
+        .getOrElse(sys.error(s"snapshot $id at $root has no timestamp-ms"))
+      val adj = if (prev == Long.MinValue) raw else math.max(raw, prev + 1)
+      prev = adj
+      (id, adj)
+    }
+  }
+
   /** One v2 row-level delete file: `content` 1 = position deletes,
     * 2 = equality deletes over the top-level fields in
     * `equalityIds`; `seq` is its data sequence number (inherited from
