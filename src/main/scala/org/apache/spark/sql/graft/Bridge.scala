@@ -23,4 +23,18 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** A STREAMING DataFrame over an already-planned batch frame — what
+    * a V1 streaming `Source.getBatch` must return (MicroBatchExecution
+    * asserts `isStreaming`). The batch plan's physical RDD is wrapped
+    * verbatim, so the whole Catalyst plan (scans, anti-joins, CDF
+    * derivation) stays distributed — the exact seam production
+    * lakehouse streaming sources use. */
+  def asStreaming(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val classic = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }
