@@ -299,6 +299,177 @@ object IcebergWrite {
     out
   }
 
+  /** Result of [[expireSnapshots]]: snapshot ids expired and the
+    * physical files reclaimed by kind. */
+  case class ExpireStats(expired: Seq[Long], manifestListsDeleted: Long,
+                         manifestsDeleted: Long, dataFilesDeleted: Long,
+                         metadataFilesDeleted: Long)
+
+  /** EXPIRE SNAPSHOTS — [[DeltaWrite.vacuum]]'s Iceberg twin (r15):
+    * snapshots older than `olderThanMs` leave the metadata (the
+    * CURRENT snapshot and the newest `retainLast` ancestors on its
+    * chain always survive), and every file reachable ONLY from
+    * expired snapshots — manifest lists, manifests, data and delete
+    * files — is physically deleted. Reachability is computed exactly
+    * from the manifests of both sides, so a data file still carried
+    * by any surviving snapshot (the common case: appends carry prior
+    * manifests by reference) is never touched; the deletes are
+    * metadata-scale reads plus the unlink calls themselves.
+    *
+    * The new metadata document is committed through the same
+    * first-wins v(N+1) protocol as data commits (a lost race re-folds
+    * and retries), `snapshot-log` entries of expired ids are dropped,
+    * and `maxMetadataVersions` (opt-in) bounds the old
+    * `vN.metadata.json` ladder the way the spec's
+    * `write.metadata.previous-versions-max` does.
+    *
+    * After expiry, time travel to an expired snapshot refuses
+    * ("snapshot N not found"), and `readChanges` across an expired
+    * boundary refuses the broken ancestry — history past the horizon
+    * is gone by definition, the same contract as Delta VACUUM. */
+  def expireSnapshots(root: String, olderThanMs: Long,
+                      retainLast: Int = 1,
+                      maxMetadataVersions: Int = Int.MaxValue): ExpireStats = {
+    require(retainLast >= 1, "retainLast must keep at least the current snapshot")
+    val horizon = System.currentTimeMillis() - olderThanMs
+    var attempts = 0
+    while (true) {
+      val baseV = highestMetaVersion(root)
+      require(baseV >= 1, s"not an Iceberg table: no vN.metadata.json at $root")
+      val meta = Json.parse(Files.readString(
+        Paths.get(root, "metadata", s"v$baseV.metadata.json"),
+        StandardCharsets.UTF_8))
+      val snaps = Json.list(meta, "snapshots")
+      val byId = snaps.map(s => Json.long(s, "snapshot-id")
+        .getOrElse(sys.error("snapshot without snapshot-id")) -> s).toMap
+      val cur = Json.long(meta, "current-snapshot-id")
+        .getOrElse(sys.error(s"no current snapshot at $root"))
+      // newest `retainLast` ancestors on the current chain
+      val chainKeep = Iterator.iterate(Option(cur))(
+          _.flatMap(id => byId.get(id).flatMap(Json.long(_, "parent-snapshot-id"))))
+        .takeWhile(_.exists(byId.contains)).map(_.get)
+        .take(retainLast).toSet
+      val keep = snaps.flatMap(Json.long(_, "snapshot-id")).filter(id =>
+        chainKeep(id) ||
+          Json.long(byId(id), "timestamp-ms").exists(_ >= horizon)).toSet
+      val expired = snaps.flatMap(Json.long(_, "snapshot-id"))
+        .filterNot(keep).sorted
+      if (expired.isEmpty)
+        return ExpireStats(Nil, 0L, 0L, 0L,
+          pruneMetadataVersions(root, baseV, maxMetadataVersions))
+
+      val m = meta.asInstanceOf[Map[String, Any]]
+      val newSnaps = snaps.filter(s =>
+        Json.long(s, "snapshot-id").exists(keep))
+      val newLog = Option(Json.get(meta, "snapshot-log"))
+        .collect { case l: List[_] => l.asInstanceOf[List[Any]] }
+        .map(_.filter(e => Json.long(e, "snapshot-id").exists(keep)))
+      val updated = m ++ ListMap(
+        "last-updated-ms" -> System.currentTimeMillis(),
+        "snapshots" -> newSnaps) ++
+        newLog.map(l => ListMap("snapshot-log" -> l)).getOrElse(ListMap.empty)
+      commitMetadata(root, baseV + 1, updated) match {
+        case None =>
+          attempts += 1
+          require(attempts < 64,
+            s"expireSnapshots at $root lost $attempts commit races — giving up")
+        case Some(_) =>
+          // reachability: (manifest lists, manifests, data/delete files)
+          def reach(ids: Seq[Long]): (Set[String], Set[String], Set[String]) = {
+            val mls = scala.collection.mutable.HashSet.empty[String]
+            val mfs = scala.collection.mutable.HashSet.empty[String]
+            val dfs = scala.collection.mutable.HashSet.empty[String]
+            ids.foreach { id =>
+              val snap = byId(id)
+              Json.str(snap, "manifest-list").foreach { mlRaw =>
+                val ml = IcebergRead.resolve(root, mlRaw)
+                mls += ml
+                IcebergRead.avroRows(ml).foreach { r =>
+                  val mf = IcebergRead.resolve(root,
+                    r.get("manifest_path").toString)
+                  mfs += mf
+                  IcebergRead.avroRows(mf).foreach { e =>
+                    Option(e.get("data_file")).foreach { d =>
+                      dfs += IcebergRead.resolve(root,
+                        d.asInstanceOf[GenericRecord].get("file_path").toString)
+                    }
+                  }
+                }
+              }
+            }
+            (mls.toSet, mfs.toSet, dfs.toSet)
+          }
+          val (keepMl, keepMf, keepDf) = reach(keep.toSeq)
+          val (expMl, expMf, expDf) = reach(expired)
+          def unlink(ps: Set[String]): Long =
+            ps.count(p => Files.deleteIfExists(Paths.get(p))).toLong
+          val stats = ExpireStats(expired,
+            unlink(expMl -- keepMl), unlink(expMf -- keepMf),
+            unlink(expDf -- keepDf),
+            pruneMetadataVersions(root, baseV + 1, maxMetadataVersions))
+          return stats
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Keep the newest `max` `vN.metadata.json` documents (the spec's
+    * `write.metadata.previous-versions-max` behavior); returns the
+    * number deleted. The current document always survives. */
+  private def pruneMetadataVersions(root: String, currentV: Int,
+                                    max: Int): Long = {
+    if (max == Int.MaxValue) return 0L
+    require(max >= 1, "must keep at least the current metadata document")
+    val metaDir = Paths.get(root, "metadata")
+    val ls = Files.list(metaDir)
+    val vs = try ls.iterator().asScala.map(_.getFileName.toString)
+      .collect { case n if n.matches("v(\\d+)\\.metadata\\.json") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
+      .toVector.sorted
+    finally ls.close()
+    vs.filter(v => v <= currentV - max)
+      .count(v => Files.deleteIfExists(metaDir.resolve(s"v$v.metadata.json")))
+      .toLong
+  }
+
+  /** Remove files under `data/` that NO snapshot in the current
+    * metadata references and whose mtime is older than `olderThanMs`
+    * (default 3 days, the ecosystem's orphan-file convention) —
+    * crashed stages, lost-race residue, foreign leftovers. The age
+    * guard is what makes it safe next to in-flight commits: a
+    * concurrent writer's staged file is younger than any sane
+    * horizon. Returns the number deleted. */
+  def removeOrphanFiles(root: String,
+                        olderThanMs: Long = 3L * 24 * 3600 * 1000): Long = {
+    val meta = IcebergRead.currentMeta(root)
+    val snaps = Json.list(meta, "snapshots")
+    val referenced = scala.collection.mutable.HashSet.empty[String]
+    snaps.foreach { snap =>
+      Json.str(snap, "manifest-list").foreach { mlRaw =>
+        IcebergRead.avroRows(IcebergRead.resolve(root, mlRaw)).foreach { r =>
+          val mf = IcebergRead.resolve(root, r.get("manifest_path").toString)
+          IcebergRead.avroRows(mf).foreach { e =>
+            Option(e.get("data_file")).foreach { d =>
+              referenced += IcebergRead.resolve(root,
+                d.asInstanceOf[GenericRecord].get("file_path").toString)
+            }
+          }
+        }
+      }
+    }
+    val dataDir = Paths.get(root, "data")
+    if (!Files.isDirectory(dataDir)) return 0L
+    val horizon = System.currentTimeMillis() - olderThanMs
+    val walk = Files.walk(dataDir)
+    try walk.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        !referenced(p.toAbsolutePath.toString) &&
+        (try Files.getLastModifiedTime(p).toMillis < horizon
+         catch { case _: java.nio.file.NoSuchFileException => false }))
+      .count(Files.deleteIfExists(_)).toLong
+    finally walk.close()
+  }
+
   // ---------------------------------------------------------------- internals
 
   private def commitData(spark: SparkSession, df: DataFrame, root: String,
