@@ -354,6 +354,39 @@ object GraftTable {
   def read(spark: SparkSession, root: String, version: Int): DataFrame =
     readAt(spark, root, snapshot(root, version))
 
+  /** TIMESTAMP time travel (r15 — the [[DeltaRead.readAsOf]] /
+    * [[IcebergRead.readAsOf]] parity op): the table as of the last
+    * SURVIVING version whose manifest mtime is ≤ `timestampMs`,
+    * mtimes adjusted strictly monotonic (max(raw, prev+1)) so
+    * resolution is well-ordered under clock skew. A timestamp before
+    * the earliest surviving manifest refuses by name — vacuumed
+    * versions' commit times are gone, so guessing would silently
+    * misresolve. */
+  def readAsOf(spark: SparkSession, root: String,
+               timestampMs: Long): DataFrame =
+    read(spark, root, versionAsOf(root, timestampMs))
+
+  /** The version [[readAsOf]] resolves `timestampMs` to. */
+  def versionAsOf(root: String, timestampMs: Long): Int = {
+    val vs = listDir(manifestDir(root))(_.map(_.getFileName.toString)
+      .flatMap(n => "^v(\\d+)\\.json$".r.findFirstMatchIn(n)
+        .map(_.group(1).toInt)).toVector).sorted
+    require(vs.nonEmpty, s"no committed versions at $root")
+    var prev = Long.MinValue
+    val ts = vs.map { v =>
+      val raw = Files.getLastModifiedTime(manifestPath(root, v)).toMillis
+      val adj = if (prev == Long.MinValue) raw else math.max(raw, prev + 1)
+      prev = adj
+      (v, adj)
+    }
+    require(timestampMs >= ts.head._2,
+      s"timestamp $timestampMs precedes the earliest surviving version " +
+        s"(v${ts.head._1} at ${ts.head._2}) at $root — older versions' " +
+        "commit times are gone (vacuumed); pass a timestamp at or after " +
+        "the earliest surviving version")
+    ts.takeWhile(_._2 <= timestampMs).last._1
+  }
+
   /** Streaming time travel (VERDICT r11 #7): replay a PINNED version
     * as a rate-limited micro-batch stream — "re-run the training
     * ingest exactly as the pinned snapshot saw it". The pinned file

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 
 import org.apache.spark.sql.DataFrame
 
-import graft.sources.{DeltaRead, DeltaWrite, IcebergRead, IcebergWrite}
+import graft.sources.{DeltaRead, DeltaWrite, GraftTable, IcebergRead, IcebergWrite}
 import graft.util.Json
 
 /** Timestamp-based time travel on BOTH lakehouse readers (VERDICT
@@ -112,6 +112,34 @@ class TimestampTravelSpec extends SparkSpec {
     assert(empty.count() === 0L)
     assert(empty.columns.toSeq ===
       Seq("id", "v", "_change_type", "_commit_version"))
+  }
+
+  test("GraftTable readAsOf: manifest-mtime resolution with the same " +
+      "boundary semantics") {
+    import spark.implicits._
+    val root = fresh("graft_tt_gt_") + "/t"
+    GraftTable.create(spark, root,
+      Seq((1L, "a")).toDF("id", "v"), "id", 1) // v1
+    GraftTable.merge(spark, root,
+      Seq((2L, false, "b")).toDF("id", "is_delete", "new_v")) // v2
+    val now = System.currentTimeMillis()
+    val (t1, t2) = (now - 30000, now - 10000)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(root, "manifest", "v1.json"),
+      java.nio.file.attribute.FileTime.fromMillis(t1))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(root, "manifest", "v2.json"),
+      java.nio.file.attribute.FileTime.fromMillis(t2))
+
+    assert(GraftTable.versionAsOf(root, t1) === 1) // exact = inclusive
+    assert(GraftTable.versionAsOf(root, t2 - 1) === 1)
+    assert(GraftTable.versionAsOf(root, now) === 2)
+    assert(ids(GraftTable.read(spark, root, 1)) === Seq(1L))
+    assert(ids(GraftTable.readAsOf(spark, root, t1)) === Seq(1L))
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.readAsOf(spark, root, t1 - 1)
+    }
+    assert(e.getMessage.contains("precedes the earliest surviving version"))
   }
 
   test("Iceberg readAsOf + readChangesAsOf over the ancestry chain") {
