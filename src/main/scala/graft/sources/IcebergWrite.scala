@@ -192,14 +192,7 @@ object IcebergWrite {
                          filter: DataFrame => DataFrame,
                          summaryExtra: Map[String, String]): Long = {
     import org.apache.spark.sql.functions.col
-    var attempts = 0
-    while (true) {
-      val baseV = highestMetaVersion(root)
-      require(baseV >= 1, s"not an Iceberg table: no vN.metadata.json at $root")
-      val meta = writableMeta(root, baseV)
-      val snapId0 = Json.long(meta, "current-snapshot-id")
-        .getOrElse(sys.error(s"no current snapshot at $root"))
-      val st = IcebergRead.snapState(meta, root, snapId0)
+    deleteCommit(root, summaryExtra) { (meta, st) =>
       // canonical → manifest-raw path, for the delete file's file_path
       val rawByCanon = st.files.map(p => IcebergRead.canonStr(p) -> p).toMap
       val visible = IcebergRead.planVisiblePos(spark, meta, st, st.files)
@@ -208,10 +201,65 @@ object IcebergWrite {
       val positions = filter(visible)
         .select(toRaw(col(IcebergRead.PosFileCol)).as("file_path"),
           col(IcebergRead.PosPosCol).as("pos"))
-      val staged = stageDeleteFile(spark, positions, root)
-      staged match {
+      stageDeleteFile(spark, positions, root).map((_, 1, Nil))
+    }
+  }
+
+  /** EQUALITY DELETE (r15): hide every row whose `column` value
+    * appears in `keys` (one-column frame) — a v2 equality-delete file
+    * over that single top-level field, applied by the reader's
+    * STRICTLY-OLDER sequence rule, so rows appended after this commit
+    * stay visible even at matching values (the spec's upsert
+    * primitive). Unlike [[delete]], NO table scan happens: the delete
+    * file IS the key set, so the commit costs one small parquet write
+    * plus manifest-scale metadata — O(|keys|) regardless of table
+    * size, the cheapest possible 100 TB delete. A no-key frame
+    * commits nothing. Returns the committed (or current) snapshot
+    * id. */
+  def deleteEqual(spark: SparkSession, root: String, column: String,
+                  keys: DataFrame): Long =
+    deleteCommit(root, Map.empty) { (meta, _) =>
+      val schemaObj = currentSchemaObj(meta)
+      val field = Json.list(schemaObj, "fields")
+        .find(f => Json.str(f, "name").contains(column))
+        .getOrElse(sys.error(s"no top-level column '$column' in the " +
+          s"current schema at $root — equality deletes match schema fields"))
+      val fid = Json.long(field, "id")
+        .getOrElse(sys.error(s"schema field '$column' has no id"))
+      val sparkType = IcebergRead.read(spark, root).schema(column).dataType
+      val idSchema = StructType(Seq(StructField(column, sparkType,
+        nullable = false,
+        new MetadataBuilder().putLong("parquet.field.id", fid).build())))
+      val kc = keys.columns match {
+        case Array(c) => c
+        case other => sys.error("deleteEqual wants ONE key column, got " +
+          other.mkString(","))
+      }
+      val rows = keys.select(col(kc).cast(sparkType).as(column))
+        .where(col(column).isNotNull).distinct()
+        .sort(col(column)).coalesce(1)
+      stageParquet(spark, rows, idSchema, root).map((_, 2, Seq(fid)))
+    }
+
+  /** The shared delete-snapshot commit loop: `stageFn(meta, state)`
+    * stages one delete file (with its content code + equality ids) or
+    * None for a no-op; the loop publishes it through a delete
+    * manifest + carried priors, retrying with freshly computed
+    * content on a lost metadata race. */
+  private def deleteCommit(root: String, summaryExtra: Map[String, String])
+      (stageFn: (Any, IcebergRead.SnapState)
+        => Option[(StagedFile, Int, Seq[Long])]): Long = {
+    var attempts = 0
+    while (true) {
+      val baseV = highestMetaVersion(root)
+      require(baseV >= 1, s"not an Iceberg table: no vN.metadata.json at $root")
+      val meta = writableMeta(root, baseV)
+      val snapId0 = Json.long(meta, "current-snapshot-id")
+        .getOrElse(sys.error(s"no current snapshot at $root"))
+      val st = IcebergRead.snapState(meta, root, snapId0)
+      stageFn(meta, st) match {
         case None => return snapId0 // no matching row — nothing to commit
-        case Some(deleteFile) =>
+        case Some((deleteFile, content, equalityIds)) =>
           val lastSeq = Json.long(meta, "last-sequence-number").getOrElse(0L)
           val seq = lastSeq + 1
           val snaps = Json.list(meta, "snapshots")
@@ -219,7 +267,8 @@ object IcebergWrite {
             .foldLeft(0L)(math.max) + 1
           val schemaId = Json.long(meta, "current-schema-id").getOrElse(0L)
           val delManifest = writeManifest(root, Seq(deleteFile), snapId, seq,
-            Json.render(currentSchemaObj(meta)), schemaId, content = 1)
+            Json.render(currentSchemaObj(meta)), schemaId, content = content,
+            equalityIds = equalityIds)
           val carried = {
             val psnap = snaps.find(s =>
               Json.long(s, "snapshot-id").contains(snapId0)).get
@@ -269,8 +318,16 @@ object IcebergWrite {
         new MetadataBuilder().putLong("parquet.field.id",
           PosDeletePosId).build())))
     val sorted = positions.sort(col("file_path"), col("pos")).coalesce(1)
+    stageParquet(spark, sorted, idSchema, root)
+  }
+
+  /** One single-file parquet of `rows` (footer field ids from
+    * `idSchema`) moved under `data/`, or None when empty. */
+  private def stageParquet(spark: SparkSession, rows: DataFrame,
+                           idSchema: StructType, root: String)
+      : Option[StagedFile] = {
     val stg = Paths.get(root, s".iceberg-del-${UUID.randomUUID()}")
-    spark.createDataFrame(sorted.rdd, idSchema).write.parquet(stg.toString)
+    spark.createDataFrame(rows.rdd, idSchema).write.parquet(stg.toString)
     val staged = {
       val walk = Files.walk(stg)
       try walk.iterator().asScala.filter(p =>
@@ -857,7 +914,8 @@ object IcebergWrite {
       | {"name":"file_format","type":"string","field-id":101},
       | {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       | {"name":"record_count","type":"long","field-id":103},
-      | {"name":"file_size_in_bytes","type":"long","field-id":104}
+      | {"name":"file_size_in_bytes","type":"long","field-id":104},
+      | {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
       |]}}]}""".stripMargin)
 
   /** v2 manifest-list schema (§Manifest Lists). */
@@ -900,8 +958,13 @@ object IcebergWrite {
   private def writeManifest(root: String, files: Seq[StagedFile],
                             snapId: Long, sequenceNumber: Long,
                             schemaJson: String, schemaId: Long,
-                            content: Int = 0)
+                            content: Int = 0,
+                            equalityIds: Seq[Long] = Nil)
       : Map[String, Any] = {
+    // `content` is the spec's DATA-FILE code (0 data, 1 position
+    // deletes, 2 equality deletes); the manifest/manifest-list level
+    // only distinguishes data (0) from deletes (1)
+    val mlContent = if (content == 0) 0 else 1
     val metaDir = Paths.get(root, "metadata")
     Files.createDirectories(metaDir)
     val dest = metaDir.resolve(s"m-${UUID.randomUUID()}.avro")
@@ -915,6 +978,9 @@ object IcebergWrite {
       df.put("partition", new GenericData.Record(partSchema))
       df.put("record_count", f.rows)
       df.put("file_size_in_bytes", f.size)
+      if (equalityIds.nonEmpty)
+        df.put("equality_ids",
+          equalityIds.map(i => Integer.valueOf(i.toInt)).asJava)
       val e = new GenericData.Record(manifestSchema)
       e.put("status", 1)
       e.put("snapshot_id", snapId)
@@ -929,12 +995,12 @@ object IcebergWrite {
       "partition-spec" -> "[]",
       "partition-spec-id" -> "0",
       "format-version" -> "2",
-      "content" -> (if (content == 1) "deletes" else "data")))
+      "content" -> (if (mlContent == 1) "deletes" else "data")))
     ListMap(
       "manifest_path" -> dest.toAbsolutePath.toString,
       "manifest_length" -> Files.size(dest),
       "partition_spec_id" -> 0L,
-      "content" -> content.toLong,
+      "content" -> mlContent.toLong,
       "sequence_number" -> sequenceNumber,
       "min_sequence_number" -> sequenceNumber,
       "added_snapshot_id" -> snapId,

@@ -348,6 +348,76 @@ class IcebergWriteSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("equality-delete writes: keyed delete file, equality_ids, " +
+      "strictly-older rule — the scan-free delete (r15)") {
+    import spark.implicits._
+    val root = fresh()
+    IcebergWrite.create(spark, df3, root) // snap 1: ids 1,2,3
+    def ids(): Seq[Long] = IcebergRead.read(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+
+    // snap 2: equality-delete ids 2 and 99 (99 matches nothing) —
+    // no table scan, no data byte moves
+    val dataBefore = {
+      val ls = Files.list(Paths.get(root, "data"))
+      try ls.iterator().asScala.map(_.toString).toSet finally ls.close()
+    }
+    val s2 = IcebergWrite.deleteEqual(spark, root, "id",
+      Seq(2L, 99L).toDF("id"))
+    assert(s2 === 2L)
+    assert(ids() === Seq(1L, 3L))
+    assert(IcebergRead.read(spark, root, 1L).count() === 3L) // time travel
+    val newFiles = {
+      val ls = Files.list(Paths.get(root, "data"))
+      try ls.iterator().asScala.map(_.toString).toSet finally ls.close()
+    } -- dataBefore
+    assert(newFiles.size === 1)
+
+    // golden: the delete parquet carries the schema field's id and
+    // the sorted distinct keys
+    assert(footerIds(newFiles.head) === Seq(Some(1)))
+    assert(spark.read.parquet(newFiles.head).collect()
+      .map(_.getLong(0)).toSeq === Seq(2L, 99L))
+
+    // golden: manifest-list content=1 (deletes), entry content=2
+    // (equality) with equality_ids = [1]
+    val meta = metaJson(root, 2)
+    val snap2 = Json.list(meta, "snapshots")
+      .find(s => Json.long(s, "snapshot-id").contains(2L)).get
+    val mlRows = avro(Json.str(snap2, "manifest-list").get)
+    val delManifest = mlRows.find(_.get("content").toString == "1").get
+    val delEntry = avro(delManifest.get("manifest_path").toString).head
+      .get("data_file").asInstanceOf[GenericRecord]
+    assert(delEntry.get("content").toString.toLong === 2L)
+    assert(delEntry.get("equality_ids").asInstanceOf[java.util.List[_]]
+      .asScala.map(_.toString.toLong).toSeq === Seq(1L))
+
+    // STRICTLY-OLDER rule: re-append id=2 — the upsert primitive: the
+    // old equality delete must NOT hit the newer file
+    IcebergWrite.append(spark, Seq((2L, "b2", 20)).toDF("id", "v", "n"), root)
+    assert(ids() === Seq(1L, 2L, 3L))
+
+    // equality and position deletes stack
+    IcebergWrite.delete(spark, root,
+      org.apache.spark.sql.functions.col("id") === 1L)
+    assert(ids() === Seq(2L, 3L))
+    // empty key frame commits nothing
+    val cur = Json.long(metaJson(root, 4), "current-snapshot-id").get
+    assert(IcebergWrite.deleteEqual(spark, root, "id",
+      spark.emptyDataset[Long].toDF("id")) === cur)
+    // unknown column refuses by name
+    val e = intercept[RuntimeException] {
+      IcebergWrite.deleteEqual(spark, root, "nope", Seq(1L).toDF("nope"))
+    }
+    assert(e.getMessage.contains("no top-level column 'nope'"))
+
+    // the graft import path applies the written equality deletes
+    val gt = fresh() + "/gt"
+    GraftTable.importIceberg(spark, root, gt, "id")
+    assert(GraftTable.read(spark, gt).select("id")
+      .collect().map(_.getLong(0)).toSeq.sorted === Seq(2L, 3L))
+  }
+
   test("concurrent appends land at distinct snapshots, no rows lost") {
     import spark.implicits._
     val root = fresh()
