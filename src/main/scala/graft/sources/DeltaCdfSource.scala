@@ -78,7 +78,8 @@ class DeltaCdfSource extends StreamSourceProvider with DataSourceRegister {
     // is pinned under the engine-provided metadataPath on first start
     // and read back forever after.
     val starting = {
-      val pin = java.nio.file.Paths.get(metadataPath, "graft-cdf-start")
+      val pin = DeltaCdfSource.metadataDir(metadataPath)
+        .resolve("graft-cdf-start")
       if (java.nio.file.Files.exists(pin))
         java.nio.file.Files.readString(pin).trim.toLong
       else {
@@ -100,6 +101,16 @@ object DeltaCdfSource {
   private[sources] def root(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       sys.error("graft-delta-cdf needs a path option (the Delta table root)"))
+
+  /** The engine hands `metadataPath` as a `file:` URI string — treat
+    * it as one, not as a relative filesystem path (which would pin
+    * the starting version under the DRIVER'S CWD and break restart
+    * resolution from any other working directory). */
+  private[sources] def metadataDir(metadataPath: String): java.nio.file.Path =
+    if (metadataPath.startsWith("file:"))
+      java.nio.file.Paths.get(
+        DeltaRead.percentDecode(metadataPath.stripPrefix("file:")))
+    else java.nio.file.Paths.get(metadataPath)
 
   private[sources] def spark(sqlContext: SQLContext): SparkSession =
     sqlContext.sparkSession

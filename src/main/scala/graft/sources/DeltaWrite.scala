@@ -683,13 +683,32 @@ object DeltaWrite {
       try ls.iterator().asScala.map(_.getFileName.toString).toVector
       finally ls.close()
     }
+    // single-part, multi-part (<v>.checkpoint.<i>.<n>.parquet), and
+    // v2 (<v>.checkpoint.<uuid>.{parquet,json}) forms all resolve
     def cpVersion(n: String): Option[Long] =
-      if (n.matches("\\d{20}\\.checkpoint([.\\d]*|\\.[0-9a-fA-F-]{36}\\.(parquet|json)|\\.parquet)"))
+      if (n.matches("\\d{20}\\.checkpoint\\.parquet") ||
+          n.matches("\\d{20}\\.checkpoint\\.\\d+\\.\\d+\\.parquet") ||
+          n.matches("\\d{20}\\.checkpoint\\.[0-9a-fA-F-]{36}\\.(parquet|json)"))
         Some(n.take(20).toLong)
       else None
-    val cpVersions = names.flatMap(cpVersion)
-    if (cpVersions.isEmpty) return 0 // nothing to bootstrap from — keep all
-    val keepFrom = cpVersions.max
+    // keepFrom must be a USABLE checkpoint: an incomplete multi-part
+    // set must not justify truncating JSONs readers still need
+    val singles = names.filter(_.matches("\\d{20}\\.checkpoint\\.parquet"))
+      .map(_.take(20).toLong)
+    val v2s = names.filter(_.matches(
+        "\\d{20}\\.checkpoint\\.[0-9a-fA-F-]{36}\\.(parquet|json)"))
+      .map(_.take(20).toLong)
+    val MultiRe = """(\d{20})\.checkpoint\.(\d+)\.(\d+)\.parquet""".r
+    val completeMultis = names.collect {
+        case n @ MultiRe(v, i, total) => (v.toLong, i.toLong, total.toLong)
+      }.groupBy(_._1).collect {
+        case (v, parts)
+            if parts.map(_._3).distinct.size == 1 &&
+              parts.map(_._2).toSet == (1L to parts.head._3).toSet => v
+      }
+    val usable = singles ++ v2s ++ completeMultis
+    if (usable.isEmpty) return 0 // nothing to bootstrap from — keep all
+    val keepFrom = usable.max
     val horizon = System.currentTimeMillis() - retention
     names.count { n =>
       val victim =
@@ -735,9 +754,12 @@ object DeltaWrite {
         }
     }
     // checkpoint parquet (any form) + v2 sidecars: remove rows whose
-    // deletionTimestamp is inside the window
-    def parquetRemoves(files: Seq[String]): Unit = if (files.nonEmpty) {
-      val df = spark.read.parquet(files: _*)
+    // deletionTimestamp is inside the window. Read PER FILE — a v2
+    // manifest parquet and its sidecars carry different schemas, and
+    // one combined scan would bind columns from whichever file Spark
+    // samples first, silently missing the other form's tombstones
+    def parquetRemoves(files: Seq[String]): Unit = files.foreach { f =>
+      val df = spark.read.parquet(f)
       if (df.schema.fieldNames.contains("remove")) {
         val sub = df.schema("remove").dataType
           .asInstanceOf[org.apache.spark.sql.types.StructType]

@@ -63,7 +63,8 @@ class IcebergCdfSource extends StreamSourceProvider with DataSourceRegister {
                             parameters: Map[String, String]): Source = {
     val root = IcebergCdfSource.root(parameters)
     val starting = {
-      val pin = java.nio.file.Paths.get(metadataPath, "graft-cdf-start")
+      val pin = DeltaCdfSource.metadataDir(metadataPath)
+        .resolve("graft-cdf-start")
       if (java.nio.file.Files.exists(pin))
         java.nio.file.Files.readString(pin).trim.toLong
       else {

@@ -88,9 +88,16 @@ object IcebergWrite {
 
   import GraftTable.ConcurrentWriteException
 
-  /** Create a new (unpartitioned, format-version 2) Iceberg table at
-    * `root` from `df`. Returns the snapshot id. */
-  def create(spark: SparkSession, df: DataFrame, root: String): Long = {
+  /** Create a new (format-version 2) Iceberg table at `root` from
+    * `df`, optionally IDENTITY-partitioned by `partitionBy` (r15 —
+    * each named top-level column becomes a spec field with
+    * `transform: identity`, partition field ids from 1000; the source
+    * columns STAY in the data files, as the spec stores identity
+    * sources, so any plain parquet reader sees full rows while
+    * manifests carry the per-file partition tuple for pruning).
+    * Returns the snapshot id. */
+  def create(spark: SparkSession, df: DataFrame, root: String,
+             partitionBy: Seq[String] = Nil): Long = {
     val metaDir = Paths.get(root, "metadata")
     require(!Files.isDirectory(metaDir) || {
       val ls = Files.list(metaDir)
@@ -100,10 +107,19 @@ object IcebergWrite {
     }, s"Iceberg table already exists at $root — use append/overwrite")
     val (idSchema, lastColumnId, schemaJson) = assignIds(df.schema)
     val schemaObj = schemaJson ++ ListMap("schema-id" -> 0L)
-    val files = stage(spark, df, root, idSchema)
+    val fieldIdByName = Json.list(schemaObj, "fields")
+      .map(f => Json.str(f, "name").get -> Json.long(f, "id").get).toMap
+    val partFields = partitionBy.zipWithIndex.map { case (c, i) =>
+      val srcId = fieldIdByName.getOrElse(c, sys.error(
+        s"partitionBy column '$c' is not a top-level column of the frame"))
+      val st = idSchema(c).dataType
+      partAvroType(st, root) // refuse unsupported types up front
+      PartField(c, srcId, 1000L + i, st)
+    }
+    val files = stage(spark, df, root, idSchema, partFields)
     val snapId = 1L
     val manifest = writeManifest(root, files, snapId, sequenceNumber = 1L,
-      Json.render(schemaObj), schemaId = 0L)
+      Json.render(schemaObj), schemaId = 0L, partFields = partFields)
     val mlPath = writeManifestList(root, snapId, parent = None, seq = 1L,
       Seq(manifest))
     val meta = ListMap(
@@ -117,8 +133,11 @@ object IcebergWrite {
       "schemas" -> List(schemaObj),
       "default-spec-id" -> 0L,
       "partition-specs" -> List(ListMap(
-        "spec-id" -> 0L, "fields" -> Nil)),
-      "last-partition-id" -> 999L,
+        "spec-id" -> 0L,
+        "fields" -> partFields.map(p => ListMap(
+          "name" -> p.name, "transform" -> "identity",
+          "source-id" -> p.sourceId, "field-id" -> p.fieldId)).toList)),
+      "last-partition-id" -> (999L + partFields.size),
       "default-sort-order-id" -> 0L,
       "sort-orders" -> List(ListMap(
         "order-id" -> 0L, "fields" -> Nil)),
@@ -254,6 +273,11 @@ object IcebergWrite {
       val baseV = highestMetaVersion(root)
       require(baseV >= 1, s"not an Iceberg table: no vN.metadata.json at $root")
       val meta = writableMeta(root, baseV)
+      require(partFieldsOf(meta, root).isEmpty,
+        s"row-level delete writes on the PARTITIONED Iceberg table at " +
+          s"$root are not implemented (delete manifests would need " +
+          "partition scoping) — rewrite via overwrite, or delete " +
+          "through GraftTable")
       val snapId0 = Json.long(meta, "current-snapshot-id")
         .getOrElse(sys.error(s"no current snapshot at $root"))
       val st = IcebergRead.snapState(meta, root, snapId0)
@@ -406,8 +430,16 @@ object IcebergWrite {
           _.flatMap(id => byId.get(id).flatMap(Json.long(_, "parent-snapshot-id"))))
         .takeWhile(_.exists(byId.contains)).map(_.get)
         .take(retainLast).toSet
+      // a snapshot named by ANY ref (a foreign writer's branch/tag
+      // head) must survive regardless of age — expiring it would
+      // break that ref for the engine that owns it
+      val refKeep: Set[Long] = Json.get(meta, "refs") match {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].values
+          .flatMap(Json.long(_, "snapshot-id")).toSet
+        case _ => Set.empty
+      }
       val keep = snaps.flatMap(Json.long(_, "snapshot-id")).filter(id =>
-        chainKeep(id) ||
+        chainKeep(id) || refKeep(id) ||
           Json.long(byId(id), "timestamp-ms").exists(_ >= horizon)).toSet
       val expired = snaps.flatMap(Json.long(_, "snapshot-id"))
         .filterNot(keep).sorted
@@ -540,10 +572,11 @@ object IcebergWrite {
       val baseV = highestMetaVersion(root)
       require(baseV >= 1, s"not an Iceberg table: no vN.metadata.json at $root")
       val meta = writableMeta(root, baseV)
+      val partFields = partFieldsOf(meta, root)
       val schemaObj = currentSchemaObj(meta)
       val schema = IcebergRead.toSpark(schemaObj).asInstanceOf[StructType]
       val aligned = align(df, schema)
-      val files = stage(spark, aligned, root, schema)
+      val files = stage(spark, aligned, root, schema, partFields)
       val lastSeq = Json.long(meta, "last-sequence-number").getOrElse(0L)
       val seq = lastSeq + 1
       val snaps = Json.list(meta, "snapshots")
@@ -554,7 +587,7 @@ object IcebergWrite {
       // schema id — a foreign table that evolved is not pinned back to 0
       val schemaId = Json.long(meta, "current-schema-id").getOrElse(0L)
       val manifest = writeManifest(root, files, snapId, seq,
-        Json.render(schemaObj), schemaId)
+        Json.render(schemaObj), schemaId, partFields = partFields)
       val carried: Seq[Map[String, Any]] =
         if (!carryPrior) Nil
         else parent.toSeq.flatMap { pid =>
@@ -600,18 +633,16 @@ object IcebergWrite {
     require(fv == 2L, s"Iceberg format-version $fv: this writer emits v2 " +
       "constructs (sequence numbers, v2 manifest lists) and will not mix " +
       "them into a v1 table — upgrade or re-create the table first")
-    val specId = Json.long(meta, "default-spec-id").getOrElse(0L)
-    val specs = Json.list(meta, "partition-specs")
-    val fields = specs.find(s => Json.long(s, "spec-id").contains(specId))
-      .map(s => Json.list(s, "fields"))
-      .getOrElse(Option(Json.get(meta, "partition-spec"))
-        .collect { case l: List[_] => l.asInstanceOf[List[Any]] }
-        .getOrElse(Nil))
-    require(fields.isEmpty,
-      s"Iceberg table at $root is partitioned (spec $specId has " +
-        s"${fields.size} field(s)); this writer only writes unpartitioned " +
-        "tables — producing wrong partition values silently is worse " +
-        "than refusing")
+    // identity-partitioned tables WRITE since r15 (partFieldsOf
+    // validates the transforms and refuses non-identity specs by
+    // name); the v1 inline partition-spec form is legacy metadata
+    // this writer does not stage against
+    require(Option(Json.get(meta, "partition-spec")).forall {
+      case l: List[_] => l.isEmpty
+      case _ => true
+    }, s"Iceberg table at $root carries a legacy inline partition-spec " +
+      "this writer does not evaluate — refusing")
+    partFieldsOf(meta, root) // validates; result recomputed by callers
     meta
   }
 
@@ -697,7 +728,69 @@ object IcebergWrite {
     * files come from a Spark write job; MIRROR files ([[createMirror]]
     * / [[commitMirror]]) are adopted as-is from GraftTable manifests —
     * same manifest-scale facts either way. */
-  private[sources] case class StagedFile(path: String, size: Long, rows: Long)
+  private[sources] case class StagedFile(path: String, size: Long, rows: Long,
+                                         partition: Seq[Any] = Nil)
+
+  /** One identity partition field of the current default spec,
+    * resolved against the current schema. */
+  private case class PartField(name: String, sourceId: Long, fieldId: Long,
+                               sparkType: DataType)
+
+  /** The current default spec's fields as [[PartField]]s — empty for
+    * an unpartitioned table; NON-IDENTITY transforms refuse (bucket/
+    * truncate/days/... are a whole evaluation engine — producing
+    * wrong partition values silently is worse than refusing). */
+  private def partFieldsOf(meta: Any, root: String): Seq[PartField] = {
+    val specId = Json.long(meta, "default-spec-id").getOrElse(0L)
+    val fields = Json.list(meta, "partition-specs")
+      .find(s => Json.long(s, "spec-id").contains(specId))
+      .map(s => Json.list(s, "fields"))
+      .getOrElse(Nil)
+    if (fields.isEmpty) return Nil
+    val schemaObj = currentSchemaObj(meta)
+    val byId = Json.list(schemaObj, "fields")
+      .flatMap(f => Json.long(f, "id").map(_ -> f)).toMap
+    fields.map { f =>
+      val transform = Json.str(f, "transform").getOrElse("?")
+      require(transform == "identity",
+        s"Iceberg table at $root partitions by transform '$transform'; " +
+          "this writer implements identity transforms only — producing " +
+          "wrong partition values silently is worse than refusing")
+      val srcId = Json.long(f, "source-id")
+        .getOrElse(sys.error(s"partition field without source-id at $root"))
+      val src = byId.getOrElse(srcId, sys.error(
+        s"partition source-id $srcId resolves to no schema field at $root"))
+      val st = IcebergRead.toSpark(Json.get(src, "type"))
+      PartField(Json.str(f, "name").getOrElse(Json.str(src, "name").get),
+        srcId, Json.long(f, "field-id").getOrElse(1000L), st)
+    }
+  }
+
+  /** Spark type → the Avro type name a partition value serializes
+    * under in manifests (simple identity-partitionable types only). */
+  private def partAvroType(t: DataType, root: String): String = t match {
+    case LongType => "long"
+    case IntegerType | ShortType | ByteType => "int"
+    case StringType => "string"
+    case BooleanType => "boolean"
+    case DoubleType => "double"
+    case FloatType => "float"
+    case other => sys.error(s"identity partition column of type $other at " +
+      s"$root is not supported by this writer (long/int/string/boolean/" +
+      "double/float are)")
+  }
+
+  /** Parse one hive-dir partition value string back to the column's
+    * runtime type (the staged `__gp_<col>=<value>` dir names). */
+  private def partValue(s: String, t: DataType): Any = t match {
+    case LongType => java.lang.Long.valueOf(s)
+    case IntegerType | ShortType | ByteType => Integer.valueOf(s)
+    case StringType => s
+    case BooleanType => java.lang.Boolean.valueOf(s)
+    case DoubleType => java.lang.Double.valueOf(s)
+    case FloatType => java.lang.Float.valueOf(s)
+    case other => sys.error(s"unsupported partition type $other")
+  }
 
   /** The spec's name-mapping JSON (§Name Mapping Serialization) for an
     * id-stamped schema obj: `[{"field-id":N,"names":["col"],…}]`,
@@ -801,6 +894,9 @@ object IcebergWrite {
       val baseV = highestMetaVersion(root)
       require(baseV >= 1, s"not an Iceberg table: no vN.metadata.json at $root")
       val meta = writableMeta(root, baseV)
+      require(partFieldsOf(meta, root).isEmpty,
+        s"the Iceberg mirror target at $root is PARTITIONED; the " +
+          "GraftTable mirror stages unpartitioned entries only")
       val schemaObj = currentSchemaObj(meta)
       val lastSeq = Json.long(meta, "last-sequence-number").getOrElse(0L)
       val seq = lastSeq + 1
@@ -839,12 +935,26 @@ object IcebergWrite {
     * by default; the reader REFUSES id-less files, so a round-trip
     * cannot pass if this silently stops working). */
   private def stage(spark: SparkSession, df: DataFrame, root: String,
-                    idSchema: StructType): Seq[StagedFile] = {
+                    idSchema: StructType,
+                    partFields: Seq[PartField] = Nil): Seq[StagedFile] = {
     val dataDir = Paths.get(root, "data")
     Files.createDirectories(dataDir)
     val stg = Paths.get(root, s".iceberg-stage-${UUID.randomUUID()}")
-    spark.createDataFrame(df.toDF(idSchema.fieldNames.toIndexedSeq: _*).rdd,
-      idSchema).write.parquet(stg.toString)
+    val base = spark.createDataFrame(
+      df.toDF(idSchema.fieldNames.toIndexedSeq: _*).rdd, idSchema)
+    if (partFields.isEmpty)
+      base.write.parquet(stg.toString)
+    else {
+      // identity sources must STAY in the data files (the spec stores
+      // them as ordinary columns), but Spark's partitionBy CONSUMES
+      // its columns — so the split runs on `__gp_` DUPLICATES: one
+      // distributed job, hive-layout staging dirs carrying the tuple,
+      // full-width parquet inside
+      val dup = partFields.foldLeft(base)((d, p) =>
+        d.withColumn("__gp_" + p.name, col(s"`${p.name}`")))
+      dup.write.partitionBy(partFields.map("__gp_" + _.name): _*)
+        .parquet(stg.toString)
+    }
     val staged = {
       val walk = Files.walk(stg)
       try walk.iterator().asScala.filter(p =>
@@ -853,15 +963,55 @@ object IcebergWrite {
       finally walk.close()
     }
     val out = staged.map { p =>
-      val dest = dataDir.resolve(p.getFileName)
+      // the partition tuple rides the staging dir names (__gp_c=v),
+      // hive-unescaped and parsed back to the column's runtime type;
+      // a null partition value refuses — the hive default marker is
+      // not a value any identity-partitioned reader can prune on
+      val dirs = stg.relativize(p).iterator().asScala
+        .map(_.toString).toVector.dropRight(1)
+      val partition: Seq[Any] = partFields.map { pf =>
+        val pre = s"__gp_${pf.name}="
+        val raw = dirs.find(_.startsWith(pre)).map(_.stripPrefix(pre))
+          .getOrElse(sys.error(s"staged file $p carries no " +
+            s"${pf.name} partition dir"))
+        require(raw != "__HIVE_DEFAULT_PARTITION__",
+          s"partition column ${pf.name} has NULL values — an identity " +
+            "partition tuple must be concrete; filter or fill first")
+        partValue(unescapeHive(raw), pf.sparkType)
+      }
+      // partitioned files keep a hive-style layout under data/ (the
+      // same `c=v` dirs, `__gp_` stripped) — human-readable, and the
+      // dir split is what makes same-named part files from one job's
+      // different partitions collision-free
+      val destDir = dirs.foldLeft(dataDir)((d, seg) =>
+        d.resolve(seg.stripPrefix("__gp_")))
+      Files.createDirectories(destDir)
+      val dest = destDir.resolve(p.getFileName)
       Files.move(p, dest)
       StagedFile(dest.toAbsolutePath.toString, Files.size(dest),
-        parquetRows(dest))
+        parquetRows(dest), partition)
     }
     val walk = Files.walk(stg)
     try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     finally walk.close()
     out
+  }
+
+  /** Inverse of hive's escapePathName for staged partition dir values
+    * (the [[DeltaWrite]] idiom): %xx decodes to the char; hive
+    * escapes '%' itself, so the scan is unambiguous. */
+  private def unescapeHive(s: String): String = {
+    def isHex(c: Char) = (c >= '0' && c <= '9') ||
+      (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '%' && i + 2 < s.length && isHex(s(i + 1)) && isHex(s(i + 2))) {
+        sb += Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar
+        i += 3
+      } else { sb += s(i); i += 1 }
+    }
+    sb.result()
   }
 
   private def parquetRows(p: Path): Long = {
@@ -902,7 +1052,7 @@ object IcebergWrite {
   // -- avro ------------------------------------------------------------
 
   /** v2 manifest entry schema, field ids per the spec (§Manifests). */
-  private val manifestSchema: Schema = new Schema.Parser().parse(
+  private val manifestSchemaJson: String =
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
@@ -916,7 +1066,31 @@ object IcebergWrite {
       | {"name":"record_count","type":"long","field-id":103},
       | {"name":"file_size_in_bytes","type":"long","field-id":104},
       | {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
-      |]}}]}""".stripMargin)
+      |]}}]}""".stripMargin
+
+  private val manifestSchema: Schema =
+    new Schema.Parser().parse(manifestSchemaJson)
+
+  /** The manifest-entry schema with `partition` widened to the
+    * identity spec's fields (nullable, spec field ids riding as
+    * `field-id`). Unpartitioned = the static [[manifestSchema]].
+    * Avro names are strict, so partition column names outside
+    * `[A-Za-z_][A-Za-z0-9_]*` refuse rather than emitting an
+    * unparseable manifest. */
+  private def manifestSchemaFor(partFields: Seq[PartField],
+                                root: String): Schema = {
+    if (partFields.isEmpty) return manifestSchema
+    val fieldJsons = partFields.map { p =>
+      require(p.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"partition column name '${p.name}' at $root is not a valid Avro " +
+          "record field name — rename the column")
+      s"""{"name":"${p.name}","type":["null","${partAvroType(p.sparkType, root)}"],"default":null,"field-id":${p.fieldId}}"""
+    }.mkString(",")
+    new Schema.Parser().parse(
+      manifestSchemaJson.replace(
+        """{"type":"record","name":"r102","fields":[]}""",
+        s"""{"type":"record","name":"r102","fields":[$fieldJsons]}"""))
+  }
 
   /** v2 manifest-list schema (§Manifest Lists). */
   private val manifestListSchema: Schema = new Schema.Parser().parse(
@@ -959,7 +1133,8 @@ object IcebergWrite {
                             snapId: Long, sequenceNumber: Long,
                             schemaJson: String, schemaId: Long,
                             content: Int = 0,
-                            equalityIds: Seq[Long] = Nil)
+                            equalityIds: Seq[Long] = Nil,
+                            partFields: Seq[PartField] = Nil)
       : Map[String, Any] = {
     // `content` is the spec's DATA-FILE code (0 data, 1 position
     // deletes, 2 equality deletes); the manifest/manifest-list level
@@ -968,20 +1143,25 @@ object IcebergWrite {
     val metaDir = Paths.get(root, "metadata")
     Files.createDirectories(metaDir)
     val dest = metaDir.resolve(s"m-${UUID.randomUUID()}.avro")
-    val dfSchema = manifestSchema.getField("data_file").schema()
+    val entrySchema = manifestSchemaFor(partFields, root)
+    val dfSchema = entrySchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
     val rows = files.map { f =>
       val df = new GenericData.Record(dfSchema)
       df.put("content", content)
       df.put("file_path", f.path)
       df.put("file_format", "PARQUET")
-      df.put("partition", new GenericData.Record(partSchema))
+      val part = new GenericData.Record(partSchema)
+      partFields.zip(f.partition).foreach { case (pf, v) =>
+        part.put(pf.name, v)
+      }
+      df.put("partition", part)
       df.put("record_count", f.rows)
       df.put("file_size_in_bytes", f.size)
       if (equalityIds.nonEmpty)
         df.put("equality_ids",
           equalityIds.map(i => Integer.valueOf(i.toInt)).asJava)
-      val e = new GenericData.Record(manifestSchema)
+      val e = new GenericData.Record(entrySchema)
       e.put("status", 1)
       e.put("snapshot_id", snapId)
       e.put("sequence_number", sequenceNumber)
@@ -989,10 +1169,13 @@ object IcebergWrite {
       e.put("data_file", df)
       e
     }
-    writeAvro(dest, manifestSchema, rows, ListMap(
+    val specJson = Json.render(partFields.map(p => ListMap(
+      "name" -> p.name, "transform" -> "identity",
+      "source-id" -> p.sourceId, "field-id" -> p.fieldId)).toList)
+    writeAvro(dest, entrySchema, rows, ListMap(
       "schema" -> schemaJson,
       "schema-id" -> schemaId.toString,
-      "partition-spec" -> "[]",
+      "partition-spec" -> specJson,
       "partition-spec-id" -> "0",
       "format-version" -> "2",
       "content" -> (if (mlContent == 1) "deletes" else "data")))

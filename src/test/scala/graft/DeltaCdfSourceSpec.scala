@@ -99,6 +99,11 @@ class DeltaCdfSourceSpec extends SparkSpec {
     // started at v1 with `latest`: history is NOT replayed
     runOnce(src, dst, ckpt, Map("startingVersion" -> "latest"))
     assert(changes(dst).isEmpty)
+    // the pinned resolution lives INSIDE the checkpoint (metadataPath
+    // is a file: URI — resolving it as a relative path would pin
+    // under the driver's cwd and break restarts from elsewhere)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      ckpt, "sources", "0", "graft-cdf-start")))
 
     // a foreign commit lands while the query is down; the restart
     // must NOT re-resolve `latest` past it

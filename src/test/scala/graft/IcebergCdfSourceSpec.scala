@@ -89,6 +89,9 @@ class IcebergCdfSourceSpec extends SparkSpec {
 
     runOnce(src, dst, ckpt, Map("startingSnapshot" -> "latest"))
     assert(changes(dst).isEmpty)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      ckpt, "sources", "0", "graft-cdf-start")),
+      "the latest-pin must live inside the checkpoint, not the cwd")
 
     // a commit lands while down; the restart must not re-resolve past it
     IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), src) // snap 3

@@ -138,7 +138,9 @@ class IcebergWriteSpec extends SparkSpec {
       IcebergWrite.create(spark, df3, root)
     }.getMessage.contains("already exists"))
 
-    // a hand-authored PARTITIONED table refuses writes
+    // a hand-authored NON-IDENTITY-partitioned table refuses writes
+    // (identity-partitioned tables WRITE since r15 —
+    // IcebergPartitionedWriteSpec)
     val part = fresh()
     val metaDir = Paths.get(part, "metadata")
     Files.createDirectories(metaDir)
@@ -157,14 +159,14 @@ class IcebergWriteSpec extends SparkSpec {
           "spec-id" -> 0L,
           "fields" -> List(scala.collection.immutable.ListMap(
             "source-id" -> 1L, "field-id" -> 1000L,
-            "transform" -> "identity", "name" -> "id")))),
+            "transform" -> "truncate[4]", "name" -> "id_trunc")))),
         "last-partition-id" -> 1000L, "default-sort-order-id" -> 0L,
         "sort-orders" -> List(scala.collection.immutable.ListMap(
           "order-id" -> 0L, "fields" -> Nil)),
         "snapshots" -> Nil)))
     assert(intercept[Exception] {
       IcebergWrite.append(spark, Seq(1L).toDF("id"), part)
-    }.getMessage.contains("partitioned"))
+    }.getMessage.contains("identity"))
   }
 
   test("importIceberg round-trips an engine-written table into GraftTable") {
