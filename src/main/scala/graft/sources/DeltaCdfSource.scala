@@ -77,20 +77,11 @@ class DeltaCdfSource extends StreamSourceProvider with DataSourceRegister {
     // commit that landed while the query was down. The resolved value
     // is pinned under the engine-provided metadataPath on first start
     // and read back forever after.
-    val starting = {
-      val pin = DeltaCdfSource.metadataDir(metadataPath)
-        .resolve("graft-cdf-start")
-      if (java.nio.file.Files.exists(pin))
-        java.nio.file.Files.readString(pin).trim.toLong
-      else {
-        val v = parameters.get("startingVersion") match {
-          case Some("latest") => DeltaRead.latestVersion(root) + 1
-          case Some(s) => s.toLong
-          case None => 0L
-        }
-        java.nio.file.Files.createDirectories(pin.getParent)
-        java.nio.file.Files.writeString(pin, v.toString)
-        v
+    val (starting, _) = DeltaCdfSource.pinnedStart(metadataPath) {
+      parameters.get("startingVersion") match {
+        case Some("latest") => (DeltaRead.latestVersion(root) + 1, "changes")
+        case Some(s) => (s.toLong, "changes")
+        case None => (0L, "replay")
       }
     }
     new DeltaCdfStream(spark, root, starting)
@@ -111,6 +102,26 @@ object DeltaCdfSource {
       java.nio.file.Paths.get(
         DeltaRead.percentDecode(metadataPath.stripPrefix("file:")))
     else java.nio.file.Paths.get(metadataPath)
+
+  /** Resolve-once pin shared by both CDF sources: `(offset, mode)` is
+    * computed on FIRST stream start and read back on every restart.
+    * `mode` ("replay" vs "changes") is pinned alongside the offset so
+    * batch construction never re-derives the start SEMANTICS from
+    * live table state — re-deriving is how a `latest` start on a
+    * single-commit table got mistaken for a history replay. */
+  private[sources] def pinnedStart(metadataPath: String)
+      (resolve: => (Long, String)): (Long, String) = {
+    val pin = metadataDir(metadataPath).resolve("graft-cdf-start")
+    if (java.nio.file.Files.exists(pin)) {
+      val parts = java.nio.file.Files.readString(pin).trim.split(":", 2)
+      (parts(0).toLong, if (parts.length > 1) parts(1) else "changes")
+    } else {
+      val (v, m) = resolve
+      java.nio.file.Files.createDirectories(pin.getParent)
+      java.nio.file.Files.writeString(pin, s"$v:$m")
+      (v, m)
+    }
+  }
 
   private[sources] def spark(sqlContext: SQLContext): SparkSession =
     sqlContext.sparkSession

@@ -186,8 +186,14 @@ object DeltaRead {
     require(ts.nonEmpty, s"no surviving commits at $root")
     val fromV =
       if (fromTimestampMs < ts.head._2) ts.head._1 - 1
-      else versionAsOf(root, fromTimestampMs)
-    val toV = versionAsOf(root, toTimestampMs)
+      else ts.takeWhile(_._2 <= fromTimestampMs).last._1
+    // a window ending before the earliest surviving commit is
+    // legitimately EMPTY (review r15: versionAsOf's too-early refusal
+    // is for point reads — here nothing was log-cleaned away, there
+    // is simply no commit inside the window)
+    val toV =
+      if (toTimestampMs < ts.head._2) fromV
+      else ts.takeWhile(_._2 <= toTimestampMs).last._1
     if (toV <= fromV) {
       // no commit inside the window — an empty frame under the
       // table's change schema
@@ -219,10 +225,18 @@ object DeltaRead {
     var prev = Long.MinValue
     commits.map { v =>
       val p = log.resolve(f"$v%020d.json")
-      val ict = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
-        .filter(_.trim.nonEmpty).iterator.map(Json.parse)
-        .flatMap(a => Json.long(a, "commitInfo", "inCommitTimestamp"))
-        .nextOption()
+      // lazy line stream + substring screen: only lines that can
+      // carry the field are JSON-parsed, and a large commit's action
+      // tail is never materialized (review r15)
+      val ict = {
+        val s = Files.lines(p, StandardCharsets.UTF_8)
+        try s.iterator().asScala
+          .filter(_.contains("\"inCommitTimestamp\""))
+          .flatMap(l =>
+            Json.long(Json.parse(l), "commitInfo", "inCommitTimestamp"))
+          .nextOption()
+        finally s.close()
+      }
       val raw = ict.getOrElse(Files.getLastModifiedTime(p).toMillis)
       val adj = if (prev == Long.MinValue) raw else math.max(raw, prev + 1)
       prev = adj

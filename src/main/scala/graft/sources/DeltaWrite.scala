@@ -427,15 +427,41 @@ object DeltaWrite {
       st.minWriter < 7 ||
       !st.readerFeatures.contains("deletionVectors") ||
       !st.writerFeatures.contains("deletionVectors"))
+    // a legacy (pre-features) protocol lists NO features, so the
+    // (3,7) upgrade must carry forward every legacy-implied feature
+    // the table ACTUALLY USES — dropping an in-use columnMapping or
+    // changeDataFeed would hand conformant writers a table whose
+    // metadata demands behaviors the protocol no longer names
+    // (review r15): mapping is a reader AND writer contract, CDF a
+    // writer one, TIMESTAMP_NTZ a reader one
+    val usesMapping = st.meta.configuration
+      .getOrElse("delta.columnMapping.mode", "none") != "none"
+    val usesCdf = cdfEnabled(st.meta)
+    val usesNtz = {
+      def walk(t: DataType): Boolean = t match {
+        case TimestampNTZType => true
+        case s: StructType => s.fields.exists(f => walk(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => walk(a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          walk(m.keyType) || walk(m.valueType)
+        case _ => false
+      }
+      walk(st.meta.schema)
+    }
     val upgrade =
       if (!needUpgrade) Vector.empty
       else Vector(
         ListMap[String, Any]("protocol" -> ListMap(
           "minReaderVersion" -> 3L, "minWriterVersion" -> 7L,
           "readerFeatures" ->
-            (st.readerFeatures + "deletionVectors").toSeq.sorted,
+            (st.readerFeatures + "deletionVectors" ++
+              (if (usesMapping) Set("columnMapping") else Set.empty[String]) ++
+              (if (usesNtz) Set("timestampNtz") else Set.empty[String]))
+              .toSeq.sorted,
           "writerFeatures" ->
-            (st.writerFeatures ++ LegacyV2Features + "deletionVectors")
+            (st.writerFeatures ++ LegacyV2Features + "deletionVectors" ++
+              (if (usesMapping) Set("columnMapping") else Set.empty[String]) ++
+              (if (usesCdf) Set("changeDataFeed") else Set.empty[String]))
               .toSeq.sorted)),
         metaDataFrom(st.meta,
           st.meta.configuration + ("delta.enableDeletionVectors" -> "true")))
@@ -612,9 +638,16 @@ object DeltaWrite {
     // (dot-/underscore-prefixed OTHER dirs skipped like the ecosystem
     // does — except _change_data, which is vacuum-eligible data)
     val rootPath = Paths.get(root).toAbsolutePath.normalize
+    // this writer's OWN crashed staging residue (.graft-stage-<uuid>
+    // dirs left by a crash between the Spark stage job and publish)
+    // IS vacuumable once aged — no log record ever references it, and
+    // skipping it forever would re-create the grows-forever defect
+    // this feature exists to fix (review r15). Foreign hidden dirs
+    // stay untouched.
     def skippedDir(p: Path): Boolean = {
       val n = p.getFileName.toString
-      (n.startsWith("_") || n.startsWith(".")) && n != "_change_data"
+      (n.startsWith("_") || n.startsWith(".")) && n != "_change_data" &&
+        !n.startsWith(".graft-stage-")
     }
     val candidates = scala.collection.mutable.ArrayBuffer.empty[Path]
     val dirs = scala.collection.mutable.ArrayBuffer.empty[Path]

@@ -62,23 +62,20 @@ class IcebergCdfSource extends StreamSourceProvider with DataSourceRegister {
                             providerName: String,
                             parameters: Map[String, String]): Source = {
     val root = IcebergCdfSource.root(parameters)
-    val starting = {
-      val pin = DeltaCdfSource.metadataDir(metadataPath)
-        .resolve("graft-cdf-start")
-      if (java.nio.file.Files.exists(pin))
-        java.nio.file.Files.readString(pin).trim.toLong
-      else {
-        val v = parameters.get("startingSnapshot") match {
-          case Some("latest") => IcebergRead.currentSnapshotId(root)
-          case Some(s) => s.toLong
-          case None => IcebergCdfSource.oldestAncestor(root)
-        }
-        java.nio.file.Files.createDirectories(pin.getParent)
-        java.nio.file.Files.writeString(pin, v.toString)
-        v
+    // the start MODE is pinned with the offset: whether the first
+    // batch replays the starting snapshot's own rows must never be
+    // re-derived from live table state (a `latest` start on a
+    // single-snapshot table would otherwise look identical to an
+    // oldest-ancestor replay and emit the whole table as inserts)
+    val (starting, mode) = DeltaCdfSource.pinnedStart(metadataPath) {
+      parameters.get("startingSnapshot") match {
+        case Some("latest") => (IcebergRead.currentSnapshotId(root), "changes")
+        case Some(s) => (s.toLong, "changes")
+        case None => (IcebergCdfSource.oldestAncestor(root), "replay")
       }
     }
-    new IcebergCdfStream(sqlContext.sparkSession, root, starting)
+    new IcebergCdfStream(sqlContext.sparkSession, root, starting,
+      replayBase = mode == "replay")
   }
 }
 
@@ -119,7 +116,8 @@ private case class IceCdfOffset(snapshotId: Long) extends OffsetV1 {
 }
 
 private class IcebergCdfStream(spark: SparkSession, root: String,
-                               startingSnapshot: Long) extends Source {
+                               startingSnapshot: Long,
+                               replayBase: Boolean) extends Source {
 
   override val schema: StructType = IcebergCdfSource.cdfSchema(root)
 
@@ -135,13 +133,15 @@ private class IcebergCdfStream(spark: SparkSession, root: String,
         else IcebergRead.readChanges(spark, root, lo, hi)
       case None =>
         // first batch: (starting, hi] — plus the starting snapshot's
-        // OWN rows as inserts when the stream replays from the oldest
-        // ancestor (it has no parent to diff against)
+        // OWN rows as inserts when the PINNED mode is a history
+        // replay (the oldest ancestor has no parent to diff against);
+        // a changes-only start never replays, no matter what the
+        // table's ancestry looks like by now
         val tail =
           if (startingSnapshot == hi)
             IcebergRead.readChanges(spark, root, hi, hi).limit(0)
           else IcebergRead.readChanges(spark, root, startingSnapshot, hi)
-        if (startingSnapshot == IcebergCdfSource.oldestAncestor(root)) {
+        if (replayBase) {
           import org.apache.spark.sql.functions.{col, lit}
           val base = IcebergRead.read(spark, root, startingSnapshot)
             .select(schema.fieldNames.dropRight(2).map(col).toIndexedSeq :+

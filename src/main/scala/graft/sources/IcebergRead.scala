@@ -97,20 +97,50 @@ object IcebergRead {
     * AFTER `fromTimestampMs` and at-or-before `toTimestampMs`, with
     * the same inclusive as-of boundary rule as [[readAsOf]] at both
     * ends (a timestamp equal to a snapshot's puts it on the FROM side
-    * excluded, the TO side included). */
+    * excluded, the TO side included). A `fromTimestampMs` before the
+    * oldest ancestor means FROM THE BEGINNING (the Delta twin's
+    * rule): the oldest snapshot's own rows ride the feed as inserts —
+    * without this, no timestamp window could ever return the first
+    * snapshot's changes. A window ending before the oldest ancestor
+    * is legitimately empty, not an error. */
   def readChangesAsOf(spark: SparkSession, root: String,
                       fromTimestampMs: Long, toTimestampMs: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     require(fromTimestampMs <= toTimestampMs,
       s"readChangesAsOf range [$fromTimestampMs, $toTimestampMs] is empty")
-    readChanges(spark, root, snapshotAsOf(root, fromTimestampMs),
-      snapshotAsOf(root, toTimestampMs))
+    val chain = ancestryTimestamps(root)
+    val oldest = chain.head
+    def changeSchema(st: SnapState) = StructType(st.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type", StringType),
+      org.apache.spark.sql.types.StructField("_commit_snapshot_id", LongType,
+        nullable = false)))
+    if (toTimestampMs < oldest._2) {
+      val st = snapState(currentMeta(root), root, oldest._1)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        changeSchema(st))
+    }
+    val toSnap = snapshotAsOf(root, toTimestampMs)
+    if (fromTimestampMs >= oldest._2)
+      readChanges(spark, root, snapshotAsOf(root, fromTimestampMs), toSnap)
+    else {
+      // from the beginning: the oldest snapshot has no parent to
+      // diff against — its own rows ARE its change set
+      val st = snapState(currentMeta(root), root, oldest._1)
+      val base = read(spark, root, oldest._1)
+        .select(st.schema.fieldNames.map(col).toIndexedSeq :+
+          lit("insert").as("_change_type") :+
+          lit(oldest._1).as("_commit_snapshot_id"): _*)
+      if (toSnap == oldest._1) base
+      else base.unionByName(readChanges(spark, root, oldest._1, toSnap))
+    }
   }
 
   /** (snapshotId, timestamp-ms) along the current ancestry chain,
     * oldest first, timestamps adjusted strictly monotonic
     * (max(raw, prev+1)) so resolution is well-ordered even under
     * writer clock skew. Metadata-scale. */
-  private def ancestryTimestamps(root: String): Vector[(Long, Long)] = {
+  private[sources] def ancestryTimestamps(root: String): Vector[(Long, Long)] = {
     val meta = currentMeta(root)
     val snaps = Json.list(meta, "snapshots")
     val byId = snaps.map(s => Json.long(s, "snapshot-id")

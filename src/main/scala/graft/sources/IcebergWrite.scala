@@ -292,7 +292,8 @@ object IcebergWrite {
           val schemaId = Json.long(meta, "current-schema-id").getOrElse(0L)
           val delManifest = writeManifest(root, Seq(deleteFile), snapId, seq,
             Json.render(currentSchemaObj(meta)), schemaId, content = content,
-            equalityIds = equalityIds)
+            equalityIds = equalityIds,
+            specId = Json.long(meta, "default-spec-id").getOrElse(0L))
           val carried = {
             val psnap = snaps.find(s =>
               Json.long(s, "snapshot-id").contains(snapId0)).get
@@ -587,7 +588,8 @@ object IcebergWrite {
       // schema id — a foreign table that evolved is not pinned back to 0
       val schemaId = Json.long(meta, "current-schema-id").getOrElse(0L)
       val manifest = writeManifest(root, files, snapId, seq,
-        Json.render(schemaObj), schemaId, partFields = partFields)
+        Json.render(schemaObj), schemaId, partFields = partFields,
+        specId = Json.long(meta, "default-spec-id").getOrElse(0L))
       val carried: Seq[Map[String, Any]] =
         if (!carryPrior) Nil
         else parent.toSeq.flatMap { pid =>
@@ -962,38 +964,50 @@ object IcebergWrite {
         .toVector
       finally walk.close()
     }
-    val out = staged.map { p =>
-      // the partition tuple rides the staging dir names (__gp_c=v),
-      // hive-unescaped and parsed back to the column's runtime type;
-      // a null partition value refuses — the hive default marker is
-      // not a value any identity-partitioned reader can prune on
-      val dirs = stg.relativize(p).iterator().asScala
-        .map(_.toString).toVector.dropRight(1)
-      val partition: Seq[Any] = partFields.map { pf =>
-        val pre = s"__gp_${pf.name}="
-        val raw = dirs.find(_.startsWith(pre)).map(_.stripPrefix(pre))
-          .getOrElse(sys.error(s"staged file $p carries no " +
-            s"${pf.name} partition dir"))
-        require(raw != "__HIVE_DEFAULT_PARTITION__",
-          s"partition column ${pf.name} has NULL values — an identity " +
-            "partition tuple must be concrete; filter or fill first")
-        partValue(unescapeHive(raw), pf.sparkType)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val out =
+      try staged.map { p =>
+        // the partition tuple rides the staging dir names (__gp_c=v),
+        // hive-unescaped and parsed back to the column's runtime
+        // type; a null partition value refuses — the hive default
+        // marker is not a value any identity-partitioned reader can
+        // prune on
+        val dirs = stg.relativize(p).iterator().asScala
+          .map(_.toString).toVector.dropRight(1)
+        val partition: Seq[Any] = partFields.map { pf =>
+          val pre = s"__gp_${pf.name}="
+          val raw = dirs.find(_.startsWith(pre)).map(_.stripPrefix(pre))
+            .getOrElse(sys.error(s"staged file $p carries no " +
+              s"${pf.name} partition dir"))
+          require(raw != "__HIVE_DEFAULT_PARTITION__",
+            s"partition column ${pf.name} has NULL values — an identity " +
+              "partition tuple must be concrete; filter or fill first")
+          partValue(unescapeHive(raw), pf.sparkType)
+        }
+        // partitioned files keep a hive-style layout under data/ (the
+        // same `c=v` dirs, `__gp_` stripped) — human-readable, and
+        // the dir split is what makes same-named part files from one
+        // job's different partitions collision-free
+        val destDir = dirs.foldLeft(dataDir)((d, seg) =>
+          d.resolve(seg.stripPrefix("__gp_")))
+        Files.createDirectories(destDir)
+        val dest = destDir.resolve(p.getFileName)
+        Files.move(p, dest)
+        moved += dest
+        StagedFile(dest.toAbsolutePath.toString, Files.size(dest),
+          parquetRows(dest), partition)
+      } catch {
+        case e: Throwable =>
+          // a mid-map refusal (null tuple, unparsable dir) must not
+          // strand already-moved files as orphans under data/
+          moved.foreach(Files.deleteIfExists(_))
+          throw e
+      } finally {
+        val walk = Files.walk(stg)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+        finally walk.close()
       }
-      // partitioned files keep a hive-style layout under data/ (the
-      // same `c=v` dirs, `__gp_` stripped) — human-readable, and the
-      // dir split is what makes same-named part files from one job's
-      // different partitions collision-free
-      val destDir = dirs.foldLeft(dataDir)((d, seg) =>
-        d.resolve(seg.stripPrefix("__gp_")))
-      Files.createDirectories(destDir)
-      val dest = destDir.resolve(p.getFileName)
-      Files.move(p, dest)
-      StagedFile(dest.toAbsolutePath.toString, Files.size(dest),
-        parquetRows(dest), partition)
-    }
-    val walk = Files.walk(stg)
-    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    finally walk.close()
     out
   }
 
@@ -1134,7 +1148,8 @@ object IcebergWrite {
                             schemaJson: String, schemaId: Long,
                             content: Int = 0,
                             equalityIds: Seq[Long] = Nil,
-                            partFields: Seq[PartField] = Nil)
+                            partFields: Seq[PartField] = Nil,
+                            specId: Long = 0L)
       : Map[String, Any] = {
     // `content` is the spec's DATA-FILE code (0 data, 1 position
     // deletes, 2 equality deletes); the manifest/manifest-list level
@@ -1176,13 +1191,13 @@ object IcebergWrite {
       "schema" -> schemaJson,
       "schema-id" -> schemaId.toString,
       "partition-spec" -> specJson,
-      "partition-spec-id" -> "0",
+      "partition-spec-id" -> specId.toString,
       "format-version" -> "2",
       "content" -> (if (mlContent == 1) "deletes" else "data")))
     ListMap(
       "manifest_path" -> dest.toAbsolutePath.toString,
       "manifest_length" -> Files.size(dest),
-      "partition_spec_id" -> 0L,
+      "partition_spec_id" -> specId,
       "content" -> mlContent.toLong,
       "sequence_number" -> sequenceNumber,
       "min_sequence_number" -> sequenceNumber,

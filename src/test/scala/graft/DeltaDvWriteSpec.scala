@@ -217,6 +217,45 @@ class DeltaDvWriteSpec extends SparkSpec {
     assert(DeltaRead.state(spark, root, Long.MaxValue).dvs.nonEmpty)
   }
 
+  test("a legacy (2,5) mapped+CDF table's DV upgrade carries the " +
+      "in-use features (review r15)") {
+    import spark.implicits._
+    val root = freshTable()
+    DeltaWrite.create(spark,
+      (1L to 4L).map(i => (i, s"v$i")).toDF("id", "v"), root,
+      configuration = Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.enableChangeDataFeed" -> "true"))
+    // rewrite commit 0's protocol to the LEGACY bundle form a real
+    // pre-table-features writer would have left — no feature lists
+    val p0 = Paths.get(root, "_delta_log", f"${0L}%020d.json")
+    val rewritten = Files.readAllLines(p0).asScala.map(l =>
+      if (l.contains("\"protocol\""))
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+      else l)
+    Files.writeString(p0, rewritten.mkString("\n") + "\n")
+    val st0 = DeltaRead.state(spark, root, Long.MaxValue)
+    assert(st0.minReader === 2L && st0.minWriter === 5L &&
+      st0.writerFeatures.isEmpty)
+
+    // the DV upgrade must NOT strip the mapping/CDF contracts the
+    // table actively uses — a (3,7) protocol that stopped naming
+    // columnMapping would let a conformant writer emit logically-
+    // named files into a physically-mapped table
+    DeltaWrite.deleteWithDv(spark, root, col("id") === 2L)
+    val st = DeltaRead.state(spark, root, Long.MaxValue)
+    assert(st.minReader === 3L && st.minWriter === 7L)
+    assert(st.readerFeatures === Set("columnMapping", "deletionVectors"))
+    assert(st.writerFeatures === Set("appendOnly", "changeDataFeed",
+      "columnMapping", "deletionVectors", "invariants"))
+    assert(ids(DeltaRead.read(spark, root)) === Seq(1L, 3L, 4L))
+    // and the commit's change files are mapped-conformant: the CDF
+    // read returns the deleted row through the cdc branch
+    val feed = DeltaRead.readChanges(spark, root, 1L, 1L)
+    assert(feed.where(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("writer refusals: legacy versions 3-6 and unknown version-7 features, by name") {
     import spark.implicits._
     val root = freshTable()

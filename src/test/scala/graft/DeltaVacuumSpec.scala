@@ -186,6 +186,30 @@ class DeltaVacuumSpec extends SparkSpec {
     assert(gone.filesDeleted === orphans.size.toLong)
   }
 
+  test("an aged crashed staging dir is reclaimed; a young one survives " +
+      "(review r15)") {
+    import spark.implicits._
+    val root = freshTable()
+    DeltaWrite.create(spark, Seq((1L, "a")).toDF("id", "v"), root)
+    val crashed = Paths.get(root, ".graft-stage-deadbeef")
+    Files.createDirectories(crashed)
+    Files.writeString(crashed.resolve("part-0.parquet"), "junk")
+    val young = Paths.get(root, ".graft-stage-cafebabe")
+    Files.createDirectories(young)
+    Files.writeString(young.resolve("part-0.parquet"), "junk")
+    val old = FileTime.fromMillis(
+      System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+    Files.setLastModifiedTime(crashed.resolve("part-0.parquet"), old)
+
+    val st = DeltaWrite.vacuum(spark, root,
+      retentionMs = 24L * 3600 * 1000, retentionCheck = false)
+    assert(st.filesDeleted === 1L)
+    assert(!Files.exists(crashed), "aged crash residue reclaimed, dir too")
+    assert(Files.exists(young.resolve("part-0.parquet")),
+      "an in-flight stage inside the window survives")
+    assert(ids(DeltaRead.read(spark, root)) === Seq(1L))
+  }
+
   test("change-data files are reclaimed and readChanges refuses the " +
       "vacuumed range by name") {
     import spark.implicits._

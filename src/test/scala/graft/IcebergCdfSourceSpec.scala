@@ -77,6 +77,27 @@ class IcebergCdfSourceSpec extends SparkSpec {
     assert(changes(dst).last === ((4L, "insert", 4L)))
   }
 
+  test("latest on a SINGLE-snapshot table emits nothing — the start " +
+      "mode is pinned, never re-derived (review r15)") {
+    import spark.implicits._
+    val src = fresh("graft_icecdf1_src_")
+    val dst = fresh("graft_icecdf1_dst_")
+    val ckpt = fresh("graft_icecdf1_ckpt_")
+    // current == oldest ancestor: a mode re-derivation would mistake
+    // this `latest` start for a history replay and emit the table
+    IcebergWrite.create(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+    DeltaWrite.create(spark, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dstSchema), dst)
+    runOnce(src, dst, ckpt, Map("startingSnapshot" -> "latest"))
+    assert(changes(dst).isEmpty,
+      "a changes-only start must not replay the single snapshot")
+    // and the next foreign commit still arrives
+    IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), src)
+    runOnce(src, dst, ckpt, Map("startingSnapshot" -> "latest"))
+    assert(changes(dst) === Seq((2L, "insert", 3L)))
+  }
+
   test("startingSnapshot=latest skips history and pins its resolution") {
     import spark.implicits._
     val src = fresh("graft_icecdfl_src_")

@@ -177,5 +177,30 @@ class TimestampTravelSpec extends SparkSpec {
     assert(feed === Seq((2L, "insert", 2L), (3L, "insert", 3L)))
     assert(IcebergRead.readChangesAsOf(spark, root, ts2, ts3)
       .select("id").collect().map(_.getLong(0)).toSeq === Seq(3L))
+
+    // from-the-beginning (review r15): a pre-history fromTs surfaces
+    // the OLDEST snapshot's own rows as inserts — "all changes ever"
+    val all = IcebergRead.readChangesAsOf(spark, root, 0L, ts3)
+      .select("_commit_snapshot_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(all === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    // a window entirely before history is EMPTY, not an error
+    val pre = IcebergRead.readChangesAsOf(spark, root, ts1 - 10, ts1 - 5)
+    assert(pre.count() === 0L)
+    assert(pre.columns.contains("_commit_snapshot_id"))
+  }
+
+  test("Delta readChangesAsOf: a window entirely before history is " +
+      "empty, not an error (review r15)") {
+    import spark.implicits._
+    val root = fresh("graft_tt_pre_")
+    DeltaWrite.create(spark, Seq((1L, "a")).toDF("id", "v"), root)
+    val now = System.currentTimeMillis()
+    setCommitTime(root, 0, now - 10000)
+    val empty = DeltaRead.readChangesAsOf(spark, root,
+      now - 20000, now - 15000)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq ===
+      Seq("id", "v", "_change_type", "_commit_version"))
   }
 }
