@@ -704,8 +704,14 @@ object EventOps {
     * bigint overflow at any scale. */
   def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
     val reps = 32
-    val e = events(s, dir).select(col("event_id"), col("event_type"),
-      expr("cast(floor(value * cast(1000000 as double)) as bigint)").as("yu"))
+    // spread: the replicate path below runs one sha + a 32-way explode
+    // + the Poisson-weight case per event BEFORE its partial agg — on
+    // the driver testdata's single parquet split that whole map side
+    // would serialize on one core (Tables.spread scaladoc; no-op at
+    // real scale)
+    val e = Tables.spread(s, events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("cast(floor(value * cast(1000000 as double)) as bigint)").as("yu")))
     val plain = e.groupBy(col("event_type"))
       .agg(expr("cast(sum(cast(yu as decimal(38,0))) div count(1) as bigint)")
         .as("mean_u"))

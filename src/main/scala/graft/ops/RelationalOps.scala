@@ -231,8 +231,15 @@ object RelationalOps {
     // from the correctly-rounded conversion — and a double AVG's
     // accumulation order can flip round(,6) at any scale. Integer
     // micro-units sidestep both forever (fits BIGINT to sf ~100000).
-    t(s, dir, "lineitem")
-      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    // spread: the decimal money chains below evaluate per row inside
+    // the partial-agg scan stage — on the driver testdata's single
+    // parquet split that serializes on one core (Tables.spread
+    // scaladoc; no-op at real scale)
+    Tables.spread(s, t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_orderkey")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         msum(col("l_quantity")).as("sum_qty"),
@@ -260,7 +267,11 @@ object RelationalOps {
 
   /** ROLLUP with grouping_id disambiguation. */
   def rollupAgg(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    // spread: rollup's Expand multiplies every input row by the
+    // grouping-set count BEFORE the partial agg — single-split driver
+    // parquet would run that on one core (no-op at real scale)
+    Tables.spread(s, t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity")))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), msum(col("l_quantity")).as("sum_qty"),
         grouping_id().cast("long").as("gid"))
@@ -271,7 +282,10 @@ object RelationalOps {
 
   /** CUBE with grouping_id disambiguation. */
   def cubeAgg(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    // spread: cube's 4-way Expand runs before the partial agg —
+    // single-split driver parquet would run it on one core
+    Tables.spread(s, t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity")))
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), msum(col("l_quantity")).as("sum_qty"),
         grouping_id().cast("long").as("gid"))
@@ -283,13 +297,17 @@ object RelationalOps {
   /** GROUPING SETS (beyond rollup/cube: an explicit set list). */
   def groupingSets(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
+    // spread: same Expand-before-partial-agg physics as cube/rollup
+    Tables.spread(s, s.table("lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity")))
+      .createOrReplaceTempView("lineitem_gsets_spread")
     s.sql("""
       SELECT coalesce(l_returnflag, '_all_') AS returnflag,
              coalesce(l_linestatus, '_all_') AS linestatus,
              count(*) AS n,
              CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
              CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
-      FROM lineitem
+      FROM lineitem_gsets_spread
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       ORDER BY gid, returnflag, linestatus""")
   }
@@ -325,7 +343,11 @@ object RelationalOps {
     * in doubles. */
   def aggStats(s: SparkSession, dir: String): DataFrame = {
     val d = (c: Column) => c.cast("decimal(28,8)")
-    t(s, dir, "lineitem")
+    // spread: six decimal(28,8) products per row inside the
+    // partial-agg scan stage — single-split driver parquet would run
+    // them on one core (no-op at real scale)
+    Tables.spread(s, t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_discount")))
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).cast("double").as("n"),
@@ -799,17 +821,26 @@ object RelationalOps {
   private[graft] def bloomPass(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     val m = BloomM
-    // distributed build, bounded collect: ≤ m distinct positions →
-    // an m/8-byte word array (what a runtime filter broadcasts)
+    // distributed build, bounded collect: positions fold into 64-bit
+    // bitmap WORDS with a combine-enabled bit_or aggregate, so the
+    // shuffle carries map-side-combined word partials and the collect
+    // is ≤ m/64 rows at ANY build cardinality — strictly tighter than
+    // the old `SELECT DISTINCT pos` (a full dedup exchange of every
+    // position, collected as ≤ m single-bit rows); bit-OR is the
+    // idempotent union the mask needs, exactly what a runtime
+    // filter's own aggregate does.
     val words = new Array[Long](m / 64)
     s.sql(s"""
-      SELECT DISTINCT (h % $m + t.j * ((h div $m) % ${m - 1} + 1)) % $m AS pos
-      FROM (SELECT ${phSql.format("o_orderkey")} AS h
-            FROM orders WHERE o_totalprice > 300000.0)
-      LATERAL VIEW explode(sequence(0, 7)) t AS j""")
+      SELECT pos div 64 AS w,
+             bit_or(shiftleft(cast(1 as bigint), cast(pos % 64 as int))) AS bits
+      FROM (
+        SELECT (h % $m + t.j * ((h div $m) % ${m - 1} + 1)) % $m AS pos
+        FROM (SELECT ${phSql.format("o_orderkey")} AS h
+              FROM orders WHERE o_totalprice > 300000.0)
+        LATERAL VIEW explode(sequence(0, 7)) t AS j)
+      GROUP BY pos div 64""")
       .collect().foreach { r =>
-        val p = r.getLong(0).toInt
-        words(p >> 6) |= 1L << (p & 63)
+        words(r.getLong(0).toInt) |= r.getLong(1)
       }
     val probeTest = (0 until 8)
       .map { j =>
@@ -882,11 +913,23 @@ object RelationalOps {
     * apply it. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
-    // the sha register pass is CPU-bound — parallelize the one-split
-    // testdata scan (no-op at real scale, SURVEY §8)
-    Tables.spread(s, s.table("lineitem")
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_partkey")))
-      .createOrReplaceTempView("lineitem_hll_spread")
+    val reliable = s.sparkContext.getCheckpointDir.isDefined
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    // Collapse each key to its DISTINCT (flag, key) frame FIRST and
+    // pin it (the hllSetAlgebra discipline): registers are max-folds,
+    // so sketching the distinct frame gives identical registers while
+    // the sha runs once per distinct key instead of once per row, and
+    // the exact side becomes a count(*) over the same pinned frame —
+    // this also retires the old single-aggregate two-column
+    // count(DISTINCT) whose Expand duplicated every input row through
+    // one wide-key shuffle (the r5 plan-shape lesson).
+    pin(s.table("lineitem")
+        .select(col("l_returnflag"), col("l_orderkey")).distinct())
+      .createOrReplaceTempView("hll_o_distinct")
+    pin(s.table("lineitem")
+        .select(col("l_returnflag"), col("l_partkey")).distinct())
+      .createOrReplaceTempView("hll_p_distinct")
     val ph = "cast(conv(substring(sha2(cast(%s as string), 256), 1, 15), 16, 10) as bigint)"
     def sketch(key: String, alias: String) = s"""
       ${alias}_reg AS (
@@ -894,7 +937,7 @@ object RelationalOps {
                max(CASE WHEN h div 512 = 0 THEN 52
                         ELSE 52 - length(bin(h div 512)) END) AS m
         FROM (SELECT l_returnflag, ${ph.format(key)} AS h
-              FROM lineitem_hll_spread)
+              FROM hll_${alias}_distinct)
         GROUP BY l_returnflag, h % 512),
       ${alias}_est AS (
         SELECT l_returnflag,
@@ -911,10 +954,12 @@ object RelationalOps {
       WITH ${sketch("l_orderkey", "o")},
       ${sketch("l_partkey", "p")},
       exact AS (
-        SELECT l_returnflag,
-               count(DISTINCT l_orderkey) AS o_exact,
-               count(DISTINCT l_partkey) AS p_exact
-        FROM lineitem GROUP BY l_returnflag)
+        SELECT oe.l_returnflag, oe.o_exact, pe.p_exact
+        FROM (SELECT l_returnflag, count(*) AS o_exact
+              FROM hll_o_distinct GROUP BY l_returnflag) oe
+        JOIN (SELECT l_returnflag, count(*) AS p_exact
+              FROM hll_p_distinct GROUP BY l_returnflag) pe
+          ON oe.l_returnflag = pe.l_returnflag)
       SELECT e.l_returnflag, e.o_exact, o_est.o_hll, o_est.o_empty,
              e.p_exact, p_est.p_hll, p_est.p_empty
       FROM exact e
@@ -1187,7 +1232,12 @@ object RelationalOps {
   /** Math scalar sweep (r6 absorbs libm last-ulp differences; all
     * argument columns are positive so domain edges can't diverge). */
   def scalarMath(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    // spread: ten libm/round scalar projections per row — single-split
+    // driver parquet would evaluate them on one core before the final
+    // sort (no-op at real scale)
+    Tables.spread(s, t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_discount"),
+          col("l_quantity"), col("l_extendedprice")))
       .select(
         col("l_orderkey"), col("l_linenumber"),
         abs(col("l_discount") - 0.05).as("abs_disc_delta"),
@@ -1564,11 +1614,25 @@ object RelationalOps {
     * error (the cost the sketch avoids — dropped at scale). */
   def distinctRollup(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
-    Tables.spread(s, s.table("documents")
+    val reliable = s.sparkContext.getCheckpointDir.isDefined
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    // Collapse to the DISTINCT (lang, source, token) frame FIRST and
+    // pin it (the hllSetAlgebra discipline): HLL registers are
+    // max-folds, so registers over the distinct frame are identical
+    // to registers over the token multiset — the sha then runs once
+    // per distinct token instead of once per occurrence (guide §2.3:
+    // aggregate before you shuffle / don't compute what you throw
+    // away), and the exact-count CTEs below (x0/x1/x2) count this
+    // pinned vocabulary-bounded frame instead of re-deriving the
+    // corpus explode once per reference (temp views hold plans, and
+    // multi-referenced subplans re-execute — no CSE).
+    pin(Tables.spread(s, s.table("documents")
         .select(col("lang"), col("source"), col("text")))
       .select(col("lang"), col("source"),
         explode(split(col("text"), " ")).as("token"))
-      .createOrReplaceTempView("doc_tokens_spread")
+      .distinct())
+      .createOrReplaceTempView("doc_tokens_distinct")
     val ph = "cast(conv(substring(sha2(token, 256), 1, 15), 16, 10) as bigint)"
     val est = """cast(floor(
         cast(0.7213 as double)
@@ -1582,7 +1646,7 @@ object RelationalOps {
         SELECT lang, source, h % 512 AS bucket,
                max(CASE WHEN h div 512 = 0 THEN 52
                         ELSE 52 - length(bin(h div 512)) END) AS m
-        FROM (SELECT lang, source, $ph AS h FROM doc_tokens_spread)
+        FROM (SELECT lang, source, $ph AS h FROM doc_tokens_distinct)
         GROUP BY lang, source, h % 512),
       reg_lang AS (SELECT lang, bucket, max(m) AS m FROM reg GROUP BY lang, bucket),
       reg_all AS (SELECT bucket, max(m) AS m FROM reg_lang GROUP BY bucket),
@@ -1593,11 +1657,11 @@ object RelationalOps {
              FROM reg_lang GROUP BY lang),
       e2 AS (SELECT cast(512 - count(*) AS bigint) AS n_empty, $est AS hll
              FROM reg_all),
-      x0 AS (SELECT lang, source, count(DISTINCT token) AS n_exact
-             FROM doc_tokens_spread GROUP BY lang, source),
+      x0 AS (SELECT lang, source, count(*) AS n_exact
+             FROM doc_tokens_distinct GROUP BY lang, source),
       x1 AS (SELECT lang, count(DISTINCT token) AS n_exact
-             FROM doc_tokens_spread GROUP BY lang),
-      x2 AS (SELECT count(DISTINCT token) AS n_exact FROM doc_tokens_spread)
+             FROM doc_tokens_distinct GROUP BY lang),
+      x2 AS (SELECT count(DISTINCT token) AS n_exact FROM doc_tokens_distinct)
       SELECT cast(0 AS bigint) AS level, x0.lang, x0.source,
              x0.n_exact, e0.hll, e0.n_empty
       FROM x0 JOIN e0 ON x0.lang = e0.lang AND x0.source = e0.source
@@ -1971,18 +2035,25 @@ object RelationalOps {
     * key-cardinality-bounded, pairs are a fixed candidate list. */
   def fkDiscovery(s: SparkSession, dir: String): DataFrame = {
     val perPair = FkPairs.map { case (ct, cc, pt, pc) =>
+      // one FULL OUTER join per pair: child-distinct, parent-distinct
+      // and matched counts all fall out of a single aggregate over it,
+      // where the old left-join + separate parent-count branch scanned
+      // and distinct-aggregated the parent column twice (no CSE) and
+      // paid a broadcast crossJoin per pair (guide §2.4)
       val child = t(s, dir, ct).select(col(cc).cast("long").as("k"))
         .where(col("k").isNotNull).distinct()
+        .withColumn("in_child", lit(1L))
       val parent = t(s, dir, pt).select(col(pc).cast("long").as("k"))
         .where(col("k").isNotNull).distinct()
         .withColumn("in_parent", lit(1L))
-      val pcount = parent
-        .agg(count(lit(1)).cast("long").as("n_parent_distinct"))
-      child.join(parent, Seq("k"), "left")
-        .agg(count(lit(1)).cast("long").as("n_child_distinct"),
+      child.join(parent, Seq("k"), "full_outer")
+        .agg(
+          sum(coalesce(col("in_child"), lit(0L))).cast("long")
+            .as("n_child_distinct"),
           sum(coalesce(col("in_parent"), lit(0L))).cast("long")
-            .as("n_matched"))
-        .crossJoin(broadcast(pcount))
+            .as("n_parent_distinct"),
+          sum(when(col("in_child").isNotNull && col("in_parent").isNotNull,
+            1L).otherwise(0L)).cast("long").as("n_matched"))
         .select(lit(s"$ct.$cc").as("child_col"),
           lit(s"$pt.$pc").as("parent_col"),
           col("n_child_distinct"), col("n_parent_distinct"),
@@ -2211,7 +2282,12 @@ object RelationalOps {
     val ph =
       "cast(conv(substring(sha2(cast(%s as string), 256), 1, 15), 16, 10) as bigint)"
     def sketch(df: DataFrame, key: String): DataFrame =
-      df.select(expr(ph.format(key)).as("h"))
+      // spread BEFORE the hash projection: one sha + a 4-row explode
+      // per input row feeds the register combine — single-split driver
+      // parquet would run that map side on one core (Tables.spread
+      // scaladoc; no-op at real scale)
+      Tables.spread(s, df.select(col(key)))
+        .select(expr(ph.format(key)).as("h"))
         .select(explode(expr(
           """transform(sequence(0, 3), r -> struct(r AS r,
             |  ((h % 2147483647) * (r + 1) + 37 * r + 101)

@@ -265,9 +265,17 @@ object TextOps {
     val bitCols = (0 until 32).map(i =>
       sum(expr(s"if((shiftright(th, $i) & 1) = 1, 1L, -1L)")).as(s"b$i"))
     val packExpr = (0 until 32).map(i => s"if(b$i > 0, ${1L << i}L, 0L)").mkString(" + ")
-    val sim = tok.groupBy(col("doc_id"))
+    // pinned: the band self-join below references `banded` twice, and
+    // multi-referenced subplans re-execute — unpinned, the whole
+    // token-explode + sha + 32-sum signature aggregation runs twice.
+    // The pinned frame is one (doc_id, simhash) row per document —
+    // negligible storage at any scale.
+    val reliable = s.sparkContext.getCheckpointDir.isDefined
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val sim = pin(tok.groupBy(col("doc_id"))
       .agg(bitCols.head, bitCols.tail: _*)
-      .select(col("doc_id"), expr(s"cast($packExpr as bigint)").as("simhash"))
+      .select(col("doc_id"), expr(s"cast($packExpr as bigint)").as("simhash")))
     val banded = sim.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("byte", expr("shiftright(simhash, 8 * band) & 255"))
@@ -277,14 +285,23 @@ object TextOps {
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
     a.join(b, Seq("band", "byte"))
       .where(col("doc_a") < col("doc_b"))
-      // hamming is a pure function of the pair, so distinct over
-      // (pair, hamming) ≡ distinct over pairs — computing it BEFORE
-      // the distinct drops the two signature columns from the
-      // dedup shuffle (the unfiltered candidate frame is the op's
-      // dominant movement)
+      // A pair produces one join row per AGREEING byte-band (byte b
+      // of sim_a ^ sim_b is zero ⇔ the pair collides in band b), all
+      // carrying the same hamming — so the old `.distinct()` here
+      // shuffled the ENTIRE unfiltered candidate frame just to fold
+      // those ≤ 4 copies. Keeping exactly the row whose band is the
+      // pair's FIRST agreeing band (the index of the first zero byte
+      // of the xor) selects one canonical copy per pair with a pure
+      // codegen filter — same rows out, one full exchange of the
+      // frame removed (guide §2.4).
+      .withColumn("x", expr("sim_a ^ sim_b"))
+      .where(col("band") === expr(
+        """CASE WHEN (x & 255) = 0 THEN 0
+          |     WHEN (shiftright(x, 8) & 255) = 0 THEN 1
+          |     WHEN (shiftright(x, 16) & 255) = 0 THEN 2
+          |     ELSE 3 END""".stripMargin))
       .select(col("doc_a"), col("doc_b"),
-        expr("cast(bit_count(sim_a ^ sim_b) as bigint)").as("hamming"))
-      .distinct()
+        expr("cast(bit_count(x) as bigint)").as("hamming"))
   }
 
   def simhashDedup(s: SparkSession, dir: String): DataFrame =
@@ -1088,6 +1105,11 @@ object TextOps {
     * the q_doc_perplexity core with the lang label retained, shared
     * with the CCNet-style bucket assignment ([[ccnetBuckets]]). */
   private def perDocNll(s: SparkSession, dir: String): DataFrame = {
+    // (Deliberately NOT pinned, and the reference-vocabulary count
+    // kept as its own countDistinct branch: both a localCheckpoint of
+    // this corpus-sized string frame and a derive-V-from-uc rewrite
+    // were measured SLOWER at sf0.1 than the cheap parallel explode
+    // re-derivations they save — see OPTIMIZATION_r15.md.)
     val bg = Tables.spread(s, t(s, dir, "documents"))
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 2)
@@ -1381,16 +1403,25 @@ object TextOps {
           |      i -> concat(element_at(toks, i), ' ',
           |                  element_at(toks, i + 1)))
           |  else cast(array() as array<string>) end)""".stripMargin)).as("g"))
-    val fb = grams.select(col("doc_id"), col("lang"),
-      expr(s"${ph("g")} % 1024").as("b"))
-    val tc = fb.where(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val rc = fb.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tot = fb.agg(
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
-      count(lit(1)).as("nr"))
-    val w = rc.join(tc, Seq("b"), "left")
-      .crossJoin(broadcast(tot))
+    val reliable = s.sparkContext.getCheckpointDir.isDefined
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    // pinned: the hashed feature stream is consumed twice (bucket
+    // counts, per-doc scoring) and multi-referenced subplans
+    // re-execute — unpinned, the gram explode + sha re-derives per
+    // reference
+    val fb = pin(grams.select(col("doc_id"), col("lang"),
+      expr(s"${ph("g")} % 1024").as("b")))
+    // target and raw bucket counts in ONE combine pass (the target
+    // count is a conditional sum riding the same ≤1024-key shuffle);
+    // the nt/nr totals are then sums of the ≤1024-row count frame —
+    // the old separate tc/rc/tot formulation scanned the feature
+    // stream three times for numbers derivable from one grid
+    val bcnt = fb.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val tot = bcnt.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val w = bcnt.crossJoin(broadcast(tot))
       .select(col("b"), (expr(
         """length(bin(greatest(cast(
           |  (1000000 * cast(coalesce(ct, 0) + 1 as decimal(38,0))
