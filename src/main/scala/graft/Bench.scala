@@ -54,10 +54,25 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    /** Release blockstore state a finished run leaked (eagerly pinned
+      * checkpoint/localCheckpoint frames some operators materialize
+      * INSIDE their timed invocation). Without this, pinned RDDs
+      * accumulate across 251 queries × nRuns until the ContextCleaner
+      * happens to GC them, and the mounting storage/GC pressure was
+      * measured to slow UNRELATED later queries by 2-3× in a full
+      * run. Runs BETWEEN timed regions: every run still computes its
+      * own pins from parquet (the pin cost stays inside the timing;
+      * nothing is reused across runs — this enforces that). */
+    def releaseLeakedBlocks(): Unit =
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      catch { case _: Throwable => () }
+
     // Warm-up: one window-agg over events, one hash-agg over lineitem.
     Seq("q_demux_window_avg", "q_groupby_agg").foreach { n =>
       try run(n) catch { case _: Throwable => () }
     }
+    releaseLeakedBlocks()
 
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (targeted timing).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -77,7 +92,9 @@ object Bench {
               s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
             false
           }
-        if (ok) sec3((System.nanoTime() - t0) / 1e9) else Double.NaN
+        val t = if (ok) sec3((System.nanoTime() - t0) / 1e9) else Double.NaN
+        releaseLeakedBlocks() // between timed regions — see scaladoc
+        t
       }.filterNot(_.isNaN)
       name -> times
     }

@@ -53,6 +53,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release pinned checkpoint frames the finished query leaked —
+      // they otherwise accumulate across the 251-query dump (at sf10
+      // gate scale that's an OOM risk, and the next query recomputes
+      // its own pins from parquet regardless)
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

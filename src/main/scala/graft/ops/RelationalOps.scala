@@ -570,7 +570,11 @@ object RelationalOps {
     val sampleKey = phSql.format("concat(l_orderkey, ':', l_linenumber)")
     val byBucket = Window.partitionBy(col("bucket"))
       .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
-    val bounds = t(s, dir, "lineitem")
+    // spread before the sample hash: the sha runs on EVERY row (it
+    // decides sample membership) and would serialize on the
+    // single-split driver scan (no-op at real scale)
+    val bounds = Tables.spread(s, t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
         expr(sampleKey).as("h"))
       .where(expr(s"h % $mod = 0"))
@@ -1525,8 +1529,12 @@ object RelationalOps {
     val ph = "cast(conv(substring(sha2(cast(%s as string), 256), 1, 15), 16, 10) as bigint)"
     def cents(c: String): Column = floor(col(c) * 100).cast("long")
     def one(name: String, cols: Seq[Column]): DataFrame =
-      t(s, dir, name)
-        .select(concat_ws("|", cols: _*).as("row_str"))
+      // spread before the render+sha: one sha per row on a
+      // single-split scan would serialize each table's whole
+      // fingerprint on one core — the 600k-row lineitem branch gates
+      // the query (no-op at real scale, where the scan has splits)
+      Tables.spread(s, t(s, dir, name)
+          .select(concat_ws("|", cols: _*).as("row_str")))
         .select(expr(ph.format("row_str")).as("h"))
         .agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(h)").as("xor_hash"),
@@ -1546,10 +1554,10 @@ object RelationalOps {
       .unionByName(one("documents", Seq(col("doc_id"), col("lang"),
         col("source"), col("text"))))
       .unionByName(
-        Tables.events(s, dir)
-          .select(concat_ws("|", col("event_id"), col("user_id"),
-            col("event_type"), col("ts_us"),
-            floor(col("value") * 1000000).cast("long")).as("row_str"))
+        Tables.spread(s, Tables.events(s, dir)
+            .select(concat_ws("|", col("event_id"), col("user_id"),
+              col("event_type"), col("ts_us"),
+              floor(col("value") * 1000000).cast("long")).as("row_str")))
           .select(expr(ph.format("row_str")).as("h"))
           .agg(count(lit(1)).as("n_rows"),
             expr("bit_xor(h)").as("xor_hash"),
