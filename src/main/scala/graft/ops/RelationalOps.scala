@@ -570,11 +570,13 @@ object RelationalOps {
     val sampleKey = phSql.format("concat(l_orderkey, ':', l_linenumber)")
     val byBucket = Window.partitionBy(col("bucket"))
       .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
-    // spread before the sample hash: the sha runs on EVERY row (it
-    // decides sample membership) and would serialize on the
-    // single-split driver scan (no-op at real scale)
-    val bounds = Tables.spread(s, t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")))
+    // (Deliberately NOT spread: the synthetic data carries duplicate
+    // (l_orderkey, l_linenumber) rows with differing prices, so the
+    // per-bucket row_number tie-breaks on the row KEY, and a
+    // repartition changes which physical duplicate the window sees
+    // first — a spread here flipped one boundary at sf0.1 against the
+    // oracle. The sample hash stays on the scan task.)
+    val bounds = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
         expr(sampleKey).as("h"))
       .where(expr(s"h % $mod = 0"))
