@@ -136,11 +136,23 @@ object Bench {
     // value, baseline_subset, errors, counts — sits at the very end of
     // the line where the tail always keeps it (r5 VERDICT lost `value`
     // and half the medians to the old order).
+    // env.cpus is the CONFIGURED core count ($SPARK_GRAFT_CPUS — what
+    // local[N] actually ran with), not availableProcessors: the
+    // driver's low-core run was mislabeled "cpus":32 in r15
+    // (VERDICT r15 item 5).
     val env = s""""env":{"load_start":$loadStart,"load_end":${loadAvg()},""" +
-      s""""cpus":${Runtime.getRuntime.availableProcessors},""" +
+      s""""cpus":$cpus,""" +
       s""""jvms_start":$jvmsStart,"jvms_end":${jvmCount()}}"""
     val line = s"""{"runs":$runsJson,"queries":$qs,"metric":"total","unit":"sec","stat":"median","n_runs":$nRuns,"errors":$errJson,"n_queries":${results.size},"n_excluded":${names.size - results.size},$env,"value":$total,"baseline_subset":$r1Subset,"sf":"$sfDir"}"""
     println(line)
+    // Compact summary as the FINAL stdout line (VERDICT r15 item 2):
+    // the driver archives only a ~2000-char stdout tail, and the full
+    // line above (251 per-query medians + raw runs) has exceeded it
+    // every round, so the driver's PERF parse has been null since r1.
+    // This line always fits any tail; the full line (and the artifact
+    // file below) still carry the per-query detail — additions only,
+    // nothing removed or renamed.
+    println(s"""{"metric":"total","unit":"sec","stat":"median","n_runs":$nRuns,"errors":$errJson,"n_queries":${results.size},"n_excluded":${names.size - results.size},$env,"value":$total,"baseline_subset":$r1Subset,"sf":"$sfDir"}""")
     // The driver archives only a ~2000-char stdout TAIL, losing the
     // per-query medians for keys a–o; persist the COMPLETE line so
     // round-over-round per-query regression analysis has a committed

@@ -64,11 +64,33 @@ object Tables {
     * per-row work (sha/hex projections). The driver testdata ships
     * documents/embeddings as ONE parquet split, which would serialize
     * those stages on one core. On real multi-split data the shuffle is
-    * pure waste — `SPARK_GRAFT_SINGLE_SPLIT=0` disables it (default:
-    * on, matching the driver environment). */
-  def spread(spark: SparkSession, df: DataFrame): DataFrame =
-    if (sys.env.getOrElse("SPARK_GRAFT_SINGLE_SPLIT", "1") == "0") df
-    else df.repartition(spark.sparkContext.defaultParallelism)
+    * pure waste — so by default the spread is SELF-GATING (VERDICT r15
+    * item 8): it fires only when the frame's scan actually plans to a
+    * single partition (`rdd.getNumPartitions == 1` — a plan-time
+    * check, no job runs). A deployment that forgets the env var can
+    * no longer pay a full fact-table repartition on multi-split data.
+    * `SPARK_GRAFT_SINGLE_SPLIT=0` forces it off, `=1` forces it on
+    * (both kept for explicit A/B runs). */
+  /** (session, sorted input files) -> does that frame plan to ONE
+    * partition. Plan-time only (no job); memoized because the check
+    * costs a physical-planning pass and spread() runs inside timed
+    * query construction. Sessions can't leak entries across JVMs;
+    * a same-files frame under one session always gates the same way. */
+  private val singleSplitMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]()
+
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val on = sys.env.get("SPARK_GRAFT_SINGLE_SPLIT") match {
+      case Some("0") => false
+      case Some(_)   => true
+      case None =>
+        singleSplitMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+        val key = (spark, df.inputFiles.sorted.mkString(","))
+        singleSplitMemo.computeIfAbsent(key,
+          _ => df.rdd.getNumPartitions == 1)
+    }
+    if (on) df.repartition(spark.sparkContext.defaultParallelism) else df
+  }
 }
 
 object Det {

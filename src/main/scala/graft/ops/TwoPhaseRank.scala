@@ -269,10 +269,16 @@ object TwoPhaseRank {
       df: DataFrame, keys: Seq[String], v: String, ties: Seq[Column],
       src: String, maxLag: Int, prefix: String,
       blockSize: Int = 4096,
-      bucketOverride: Option[Column] = None): DataFrame = {
-    val ranked = withRankAndCount(df, keys, v, ties, "__tpr_r", "__tpr_n",
+      bucketOverride: Option[Column] = None,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+    // `pin` (caller-supplied checkpoint discipline, default off): the
+    // ranked frame is referenced TWICE below (main + carry sides of
+    // the union) and multi-referenced subplans re-execute — unpinned,
+    // the whole rank pipeline (repartition + grid offsets + in-bucket
+    // window) runs once per side.
+    val ranked = pin(withRankAndCount(df, keys, v, ties, "__tpr_r", "__tpr_n",
         bucketOverride)
-      .drop("__tpr_n")
+      .drop("__tpr_n"))
     val withPb = ranked
       .withColumn("__tpr_pb", expr(s"(__tpr_r - 1) div $blockSize"))
     val carry = withPb
