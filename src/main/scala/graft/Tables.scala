@@ -71,23 +71,38 @@ object Tables {
     * no longer pay a full fact-table repartition on multi-split data.
     * `SPARK_GRAFT_SINGLE_SPLIT=0` forces it off, `=1` forces it on
     * (both kept for explicit A/B runs). */
-  /** (session, sorted input files) -> does that frame plan to ONE
-    * partition. Plan-time only (no job); memoized because the check
-    * costs a physical-planning pass and spread() runs inside timed
-    * query construction. Sessions can't leak entries across JVMs;
-    * a same-files frame under one session always gates the same way. */
-  private val singleSplitMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]()
+  /** file path -> parquet row-group count (one footer read, memoized).
+    * Detection must look at ROW GROUPS, not planned scan partitions:
+    * Spark splits a small single-row-group file into byte-range
+    * partitions (ceil(size / maxSplitBytes)) of which all but the one
+    * holding the row group's midpoint are EMPTY — `rdd
+    * .getNumPartitions` reports 3 "splits" for the driver's 10.8 MB
+    * one-row-group lineitem while every row still lands on one core
+    * (measured: the getNumPartitions form silently disabled every
+    * spread and regressed q_cm_join_estimate 1.2 → 3.3 s). */
+  private val rowGroupMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def rowGroups(spark: SparkSession, file: String): Int =
+    rowGroupMemo.computeIfAbsent(file, f =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f),
+          spark.sessionState.newHadoopConf())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.size finally r.close()
+      } catch { case _: Throwable => Int.MaxValue } // unknown: don't spread
+    ).intValue
 
   def spread(spark: SparkSession, df: DataFrame): DataFrame = {
     val on = sys.env.get("SPARK_GRAFT_SINGLE_SPLIT") match {
       case Some("0") => false
       case Some(_)   => true
       case None =>
-        singleSplitMemo.keySet.removeIf(_._1.sparkContext.isStopped)
-        val key = (spark, df.inputFiles.sorted.mkString(","))
-        singleSplitMemo.computeIfAbsent(key,
-          _ => df.rdd.getNumPartitions == 1)
+        // self-gating: ONE input file whose footer holds ONE row group
+        // is the only layout where a scan stage cannot parallelize.
+        // Multi-file frames skip the footer read entirely.
+        val files = df.inputFiles
+        files.length == 1 && rowGroups(spark, files(0)) == 1
     }
     if (on) df.repartition(spark.sparkContext.defaultParallelism) else df
   }

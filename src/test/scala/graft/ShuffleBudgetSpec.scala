@@ -249,10 +249,11 @@ class ShuffleBudgetSpec extends SparkSpec {
       // one log-carrying key shuffle — the compaction floor; rn = 1
       // plans as WindowGroupLimit
       "q_cdc_apply" -> 1,
-      // the report's uniform span-hash window + covered (doc, idx)
-      // distinct + the doc-keyed token join/agg — coverage rows are
-      // ≤ 3 x duplicated spans, tokens are doc-keyed throughout
-      "q_span_trim" -> 4,
+      // the report's uniform span-hash window + the doc-keyed packed
+      // coverage combine (r16: coverage travels as a per-doc sorted
+      // index array; the (doc, idx) distinct and the exploded-token
+      // join are gone)
+      "q_span_trim" -> 2,
       // three bounded-broadcast top-3 paths (per-qid rank windows +
       // recall joins over (queries x 3) frames); the corpus scans
       // themselves never shuffle
@@ -336,8 +337,9 @@ class ShuffleBudgetSpec extends SparkSpec {
       "q_ks_drift" -> 5,
       // two-phase sequential lag (r9): uniform-grain rank exchanges +
       // the (type, rank-block) carry window + the combine — no
-      // corpus sort serialized onto the ≤5-value type key
-      "q_lag_autocorr" -> 6,
+      // corpus sort serialized onto the ≤5-value type key (r16: the
+      // ranked frame is pinned, so main+carry share one rank pipeline)
+      "q_lag_autocorr" -> 2,
       // two chained two-phase ranks (quantity, price) on uniform
       // (flag, cents-bucket) grains + final combine (r9)
       "q_median_percentile" -> 8,
@@ -492,8 +494,9 @@ class ShuffleBudgetSpec extends SparkSpec {
       // day-grid count combines + the grid-sized dau×wau join
       "q_dau_stickiness" -> 6,
       // one per-user sort window + the |types|² transition combine;
-      // 4 bounded-grid iterations each cost a grid join + combine
-      "q_markov_stationary" -> 14,
+      // iteration mass vectors are pinned (r16), so the final plan
+      // carries only the last grid join + combine
+      "q_markov_stationary" -> 3,
       // ONE full-outer hash join on the key (two sides) + the
       // priority × class grid combine
       "q_snapshot_diff" -> 3,
@@ -509,10 +512,10 @@ class ShuffleBudgetSpec extends SparkSpec {
       // the jaccard-est band join (two sides) + the pair distinct;
       // packing and popcount agreement are scan/pair-side
       "q_bbit_minhash" -> 4,
-      // the perplexity pipeline's vocabulary shuffles + the two-phase
-      // rank's uniform (lang, bucket) exchanges + the grid rollup
-      // (r9: no corpus-sized per-lang window)
-      "q_ccnet_buckets" -> 11,
+      // the per-doc NLL frame is pinned (r16), so the plan carries
+      // only the two-phase rank's uniform (lang, bucket) exchanges +
+      // the grid rollup (r9: no corpus-sized per-lang window)
+      "q_ccnet_buckets" -> 5,
       // token counting scan-side; ONE combine to the |langs| grid
       "q_tokenizer_fertility" -> 1,
       // status filter + day arithmetic on the scan; 1-row anchor
@@ -539,9 +542,10 @@ class ShuffleBudgetSpec extends SparkSpec {
       // three per-user combines chained by user-keyed joins, one
       // final 1-row reduce — q_funnel's budget with window filters
       "q_funnel_windowed" -> 8,
-      // ONE (flag, hash) distinct + the ALL re-distinct + the flag
-      // rank exchange (WindowGroupLimit) + two ≤ 4-row grid combines
-      "q_bottomk_sketch" -> 6,
+      // the (flag, hash) distinct frame is pinned (r16); the ALL
+      // re-distinct + the flag rank exchange (WindowGroupLimit) +
+      // two ≤ 4-row grid combines remain
+      "q_bottomk_sketch" -> 4,
       // signup combine + rank-window exchange + band grid combine
       "q_activation_time" -> 4,
       // signup/last-day combines + user join + cohort grid; anchor
